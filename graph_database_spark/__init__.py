@@ -1,0 +1,19 @@
+"""graph_database_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the capability surface of the
+reference repo ``debalin/graph-database`` (a Node.js + Neo4j ego-network
+analytics pipeline; see SURVEY.md), extended with the LLM-data-pipeline
+operators (dedup, similarity search, multimodal columns, text analysis)
+and designed for horizontal scale: DataFrame/Catalyst plans, no
+row-at-a-time Python in hot paths, broadcast-able dimensions, canonical
+edge representation to halve shuffle volume.
+
+Layout:
+  sources/    parquet + SNAP ego-network text ingest
+  plans/      derived graph constructions (co-purchase graph)
+  operators/  graph analytics, dedup, similarity, text, events, betweenness
+  functions/  reusable column expressions (vector math, text normalization)
+  streaming/  Structured Streaming variants of the batch operators
+"""
+
+__version__ = "0.1.0"

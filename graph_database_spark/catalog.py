@@ -1,0 +1,617 @@
+"""Declared query catalog: Spark implementation + DuckDB oracle per query.
+
+This is the driver-facing surface (SURVEY.md §2.12): every key maps to a
+``(spark, sf_dir) -> DataFrame`` callable, and — for SQL-expressible
+operators — an ANSI-SQL oracle string that DuckDB runs on the same
+parquet tables. Column names and types are aligned on both sides because
+the driver hash-compares values after sorting columns by name.
+
+Engine-portability rules used throughout:
+  - counts/ids stay integral; DuckDB aggregates are CAST to BIGINT to
+    match Spark's types;
+  - any float born from multi-row summation is round()ed on both sides
+    (summation order is engine- and partition-dependent);
+  - single IEEE divisions of exact integers are left unrounded — they are
+    bit-identical across engines;
+  - window rankings always carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_spark.operators import dedup as D
+from graph_database_spark.operators import events as E
+from graph_database_spark.operators import graph as G
+from graph_database_spark.operators import similarity as S
+from graph_database_spark.operators import text as T
+from graph_database_spark.operators.betweenness import betweenness
+from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
+from graph_database_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_CP = """
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+                    date_trunc('month', o.o_orderdate) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+GRAPH_CTES = f"""
+cp AS ({_CP}),
+edges AS (
+    SELECT DISTINCT a.c AS src, b.c AS dst
+    FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+),
+sym AS (
+    SELECT src AS v, dst AS n FROM edges
+    UNION ALL
+    SELECT dst AS v, src AS n FROM edges
+),
+verts AS (
+    SELECT c_custkey AS id, c_nationkey AS attr_a, c_mktsegment AS attr_b
+    FROM customer WHERE c_custkey IN (SELECT v FROM sym)
+)
+"""
+
+_PAIR_DEN = """
+    SELECT coalesce(sum(n * n), 0) AS cooccurring FROM (
+        SELECT count(*) AS n FROM verts
+        WHERE attr_a IS NOT NULL AND attr_b IS NOT NULL
+        GROUP BY attr_a, attr_b
+    ) g
+"""
+
+_PAIR_NUM = """
+    SELECT 2 * count(*) AS connected
+    FROM edges e
+    JOIN verts a ON e.src = a.id
+    JOIN verts b ON e.dst = b.id
+    WHERE a.attr_a = b.attr_a AND a.attr_b = b.attr_b
+"""
+
+
+def _utc(spark: SparkSession) -> None:
+    # Timestamp results must not depend on the host timezone of whichever
+    # session the driver hands us; the DuckDB oracle is TZ-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _graph(spark, sf_dir):
+    edges = copurchase_edges(spark, sf_dir)
+    return copurchase_vertices(spark, sf_dir, edges), edges
+
+
+# ---------------------------------------------------------------------------
+# Reference query surface (SURVEY.md §2.12, anchors in operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def q_node_count(spark, sf_dir):
+    return G.node_count(copurchase_edges(spark, sf_dir))
+
+
+def q_edge_count(spark, sf_dir):
+    return G.edge_count(copurchase_edges(spark, sf_dir))
+
+
+def q_cooccurrence_pairs(spark, sf_dir):
+    v, _ = _graph(spark, sf_dir)
+    return G.cooccurrence_pairs(v).select(F.col("pairs").cast("bigint").alias("pairs"))
+
+
+def q_connected_pairs(spark, sf_dir):
+    v, e = _graph(spark, sf_dir)
+    return G.connected_pairs(v, e).select(F.col("pairs").cast("bigint").alias("pairs"))
+
+
+def q_hypothesis_pct(spark, sf_dir):
+    v, e = _graph(spark, sf_dir)
+    return G.hypothesis_verdict(v, e).select(
+        F.col("connected").cast("bigint").alias("connected"),
+        F.col("cooccurring").cast("bigint").alias("cooccurring"),
+        "pct",
+        "verdict",
+    )
+
+
+def q_degree(spark, sf_dir):
+    return G.degree(copurchase_edges(spark, sf_dir))
+
+
+def q_triangle_edges(spark, sf_dir):
+    return G.triangle_edges(copurchase_edges(spark, sf_dir))
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    return G.clustering_coefficient(copurchase_edges(spark, sf_dir))
+
+
+def q_feature_decode(spark, sf_dir):
+    # Last-bit-wins analog (src/main.js:185-197, M5): per order, the
+    # attributes of the highest-positioned lineitem win. The ordering key
+    # (linenumber, partkey, suppkey) is unique per order — deterministic.
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_linenumber"), F.desc("l_partkey"), F.desc("l_suppkey")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("last_part"),
+            F.col("l_suppkey").alias("last_supp"),
+        )
+    )
+
+
+def q_circles_membership(spark, sf_dir):
+    # Long-form membership table (src/main.js:284-296 analog): nation as
+    # the circle. Broadcast join — nation is a bounded dimension.
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("circle"), F.col("c_custkey").alias("member")
+    )
+
+
+def q_betweenness(spark, sf_dir):
+    # Rows-only check (no SQL oracle; no reference golden either —
+    # BASELINE.md). Deterministic sampled-source stress centrality.
+    edges = copurchase_edges(spark, sf_dir)
+    return betweenness(edges, num_sources=32)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_norm(spark, sf_dir):
+    return D.normalized_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_text_token_stats(spark, sf_dir):
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(queries, emb, k=10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return S.cosine_pairs_above(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(queries, emb, k=10)
+
+
+def q_json_extract_events(spark, sf_dir):
+    return E.json_extract_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_events_hourly(spark, sf_dir):
+    _utc(spark)
+    return E.hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    _utc(spark)
+    return E.sessionize(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# General OLAP surface (windows / top-k / set ops / grouping sets —
+# categories the reference lacks, SURVEY.md §2.5-2.7, engine must have)
+# ---------------------------------------------------------------------------
+
+
+def q_top3_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_rollup_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_custs"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_custs",
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKEN_RE = "[a-z0-9]+"
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+_ALL_MARKERS = "|".join(w for _, ws in T.LANG_MARKERS for w in ws)
+
+_SIM_CTES = """
+ex AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id)
+"""
+
+ORACLES: dict[str, str] = {
+    "node_count": f"WITH {GRAPH_CTES} SELECT CAST(count(DISTINCT v) AS BIGINT) AS node_count FROM sym",
+    "edge_count": f"WITH {GRAPH_CTES} SELECT CAST(count(*) AS BIGINT) AS edge_count FROM edges",
+    "cooccurrence_pairs": f"WITH {GRAPH_CTES} SELECT CAST(cooccurring AS BIGINT) AS pairs FROM ({_PAIR_DEN}) d",
+    "connected_pairs": f"WITH {GRAPH_CTES} SELECT CAST(connected AS BIGINT) AS pairs FROM ({_PAIR_NUM}) n",
+    "hypothesis_pct": f"""
+        WITH {GRAPH_CTES}, num AS ({_PAIR_NUM}), den AS ({_PAIR_DEN})
+        SELECT CAST(connected AS BIGINT) AS connected,
+               CAST(cooccurring AS BIGINT) AS cooccurring,
+               CASE WHEN cooccurring > 0
+                    THEN CAST(connected AS DOUBLE) * 100 / cooccurring
+                    ELSE NULL END AS pct,
+               CASE WHEN cooccurring > 0
+                         AND CAST(connected AS DOUBLE) * 100 / cooccurring > 50
+                    THEN 'proved' ELSE 'disproved' END AS verdict
+        FROM num, den
+    """,
+    "degree": f"WITH {GRAPH_CTES} SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY v",
+    "triangle_edges": f"""
+        WITH {GRAPH_CTES},
+        wedges AS (
+            SELECT a.v AS v, a.n AS n1, b.n AS n2
+            FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+        ),
+        closed AS (
+            SELECT w.v FROM wedges w JOIN edges e ON w.n1 = e.src AND w.n2 = e.dst
+        ),
+        tri AS (SELECT v, count(*) AS c FROM closed GROUP BY v),
+        ids AS (SELECT DISTINCT v AS id FROM sym)
+        SELECT ids.id AS id, CAST(coalesce(tri.c, 0) AS BIGINT) AS triangles
+        FROM ids LEFT JOIN tri ON ids.id = tri.v
+    """,
+    "clustering_coefficient": f"""
+        WITH {GRAPH_CTES},
+        deg AS (SELECT v AS id, count(*) AS degree FROM sym GROUP BY v),
+        wedges AS (
+            SELECT a.v AS v, a.n AS n1, b.n AS n2
+            FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+        ),
+        closed AS (
+            SELECT w.v FROM wedges w JOIN edges e ON w.n1 = e.src AND w.n2 = e.dst
+        ),
+        tri AS (SELECT v, count(*) AS c FROM closed GROUP BY v)
+        SELECT deg.id AS id,
+               CAST(deg.degree AS BIGINT) AS degree,
+               CAST(coalesce(tri.c, 0) AS BIGINT) AS triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN CAST(coalesce(tri.c, 0) AS DOUBLE)
+                         / (CAST(deg.degree * (deg.degree - 1) AS DOUBLE) / 2)
+                    ELSE CAST(0 AS DOUBLE) END AS cc
+        FROM deg LEFT JOIN tri ON deg.id = tri.v
+    """,
+    "feature_decode": """
+        SELECT l_orderkey AS okey, l_partkey AS last_part, l_suppkey AS last_supp
+        FROM (
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC
+                   ) AS rn
+            FROM lineitem
+        ) t WHERE rn = 1
+    """,
+    "circles_membership": """
+        SELECT n.n_name AS circle, c.c_custkey AS member
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    "dedup_exact": """
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM documents GROUP BY text
+    """,
+    "dedup_norm": f"""
+        SELECT md5({_NORM_TEXT}) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    "doc_fingerprint": f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents",
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_obs,
+               CASE WHEN len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) > 0
+                    THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                         / len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                    ELSE CAST(0 AS DOUBLE) END AS avg_token_len
+        FROM documents
+    """,
+    "lang_id": None,  # filled below (needs marker expansion)
+    "quality_score": None,  # filled below
+    "similarity_topk": f"""
+        WITH {_SIM_CTES},
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dp
+            FROM ex q JOIN ex c ON q.i = c.i
+            WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT query_id, cand_id,
+                   round(dp / (nq.nrm * nc.nrm), 6) AS sim
+            FROM dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        )
+        SELECT query_id, cand_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM sims
+        ) r WHERE rank <= 10
+    """,
+    "embedding_neardup": f"""
+        WITH {_SIM_CTES},
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+            FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+    """,
+    "json_extract_events": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) t GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY 1, 2
+    """,
+    "top3_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) t WHERE rn <= 3
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "rollup_customers": """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               CAST(count(*) AS BIGINT) AS n_custs
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+}
+
+
+def _lang_score_sql(code: str, words: list[str]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return (
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
+        f" / greatest(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')), 1)"
+    )
+
+
+def _build_lang_id_sql() -> str:
+    scores = ", ".join(
+        f"{_lang_score_sql(code, words)} AS s_{code}" for code, words in T.LANG_MARKERS
+    )
+    codes = [code for code, _ in T.LANG_MARKERS]
+    # Sequential fold exactly mirroring operators/text.py:
+    #   pred = en; best = s_en
+    #   for code in rest: if s_code > best: pred, best = code, s_code
+    expr_pred = f"'{codes[0]}'"
+    expr_best = f"s_{codes[0]}"
+    for code in codes[1:]:
+        expr_pred = f"CASE WHEN s_{code} > ({expr_best}) THEN '{code}' ELSE {expr_pred} END"
+        expr_best = f"greatest({expr_best}, s_{code})"
+    return f"""
+        SELECT doc_id, lang, {expr_pred} AS pred_lang,
+               round({expr_best}, 6) AS score
+        FROM (SELECT doc_id, lang, {scores} FROM documents) t
+    """
+
+
+def _build_quality_sql() -> str:
+    stop_pat = r"\b(" + _ALL_MARKERS + r")\b"
+    n_tokens = f"len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))"
+    n_chars = "greatest(length(text), 1)"
+    punct = "length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    stop = f"len(regexp_extract_all(lower(text), '{stop_pat}'))"
+    return f"""
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(length_score, 6) AS length_score,
+               round(0.4 * length_score
+                     + 0.4 * least(stop_ratio * 4, 1.0)
+                     + 0.2 * (1 - least(punct_ratio * 10, 1.0)), 6) AS quality
+        FROM (
+            SELECT doc_id,
+                   {n_tokens} AS n_tokens,
+                   CAST({punct} AS DOUBLE) / {n_chars} AS punct_ratio,
+                   CAST({stop} AS DOUBLE) / greatest({n_tokens}, 1) AS stop_ratio,
+                   least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) AS length_score
+            FROM documents
+        ) t
+    """
+
+
+ORACLES["lang_id"] = _build_lang_id_sql()
+ORACLES["quality_score"] = _build_quality_sql()
+
+# Rows-only operators: declared in QUERIES with no oracle entry — the
+# driver records the weaker rows-only check (custom/iterative algorithms:
+# LSH candidate generation, SimHash banding, sampled betweenness).
+ROWS_ONLY = frozenset({
+    "betweenness",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_lsh",
+})
+
+QUERIES: dict[str, QueryFn] = {
+    "node_count": q_node_count,
+    "edge_count": q_edge_count,
+    "cooccurrence_pairs": q_cooccurrence_pairs,
+    "connected_pairs": q_connected_pairs,
+    "hypothesis_pct": q_hypothesis_pct,
+    "degree": q_degree,
+    "triangle_edges": q_triangle_edges,
+    "clustering_coefficient": q_clustering_coefficient,
+    "feature_decode": q_feature_decode,
+    "circles_membership": q_circles_membership,
+    "betweenness": q_betweenness,
+    "dedup_exact": q_dedup_exact,
+    "dedup_norm": q_dedup_norm,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_token_stats": q_text_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "similarity_topk": q_similarity_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "json_extract_events": q_json_extract_events,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "top3_orders": q_top3_orders,
+    "pricing_summary": q_pricing_summary,
+    "rollup_customers": q_rollup_customers,
+    "customers_without_orders": q_customers_without_orders,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in ORACLES.items() if k in QUERIES and v is not None}

@@ -1,0 +1,121 @@
+"""Betweenness (stress) centrality — the reference's semantics, distributed.
+
+The reference attempts, per node x, to count the shortest paths over all
+ordered (source, destination) pairs with length > 1 in which x is interior
+(``allShortestPaths`` + interior filter, src/main.js:108-125). That query
+never completed and produced no golden output (BASELINE.md) — this is the
+'stress centrality' variant of betweenness (path COUNTS, not Brandes'
+fractional dependencies).
+
+Algorithm (two DataFrame fixpoint loops, SURVEY.md §4.3 / §7 phase 4):
+  forward   multi-source BFS: state (s, v, dist, sigma) where sigma is
+            the number of shortest s->v paths. All sources advance in the
+            same join — one shuffle per level, not one query per vertex.
+  backward  level-by-level accumulation of
+                g(s, v) = sum_{w in succ_s(v)} (1 + g(s, w))
+            which equals the number of shortest-path continuations from v
+            (each shortest v->t DAG path decomposes uniquely by first hop).
+  score(x)  = sum_s sigma(s, x) * g(s, x)  over s != x
+            = sum over ordered pairs (s, t) of the shortest s->t paths
+              with x interior — exactly the reference's count, restricted
+              to sources in the sample.
+
+Scale posture: state is |S| x |V| rows (S = source sample); each level is
+one shuffle keyed by (s, v). Exact betweenness on a 100 TB graph is not a
+thing anyone computes — sampled-source is the published approach
+(Brandes/Pich 2007) and the sample size is the explicit cost knob.
+localCheckpoint() per level truncates lineage so plans stay flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.plans.copurchase import symmetrize
+
+__all__ = ["betweenness"]
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    num_sources: int | None = None,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Stress centrality ``(id, betweenness)`` from sampled sources.
+
+    ``sources``: one-column DataFrame of source vertex ids; default = all
+    vertices (exact), or the ``num_sources`` smallest ids (deterministic
+    sample).
+    """
+    spark = edges.sparkSession
+    sym = symmetrize(edges).localCheckpoint()  # (v, n), reused every level
+
+    vertices = sym.select(F.col("v").alias("id")).distinct()
+    if sources is None:
+        src = vertices
+        if num_sources is not None:
+            src = vertices.orderBy("id").limit(num_sources)
+    else:
+        src = sources.toDF("id")
+    src = src.localCheckpoint()
+
+    # ---- forward BFS ------------------------------------------------------
+    frontier = src.select(
+        F.col("id").alias("s"),
+        F.col("id").alias("v"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    visited = frontier
+
+    for level in range(1, max_iterations + 1):
+        expanded = (
+            frontier.join(sym, "v")
+            .groupBy("s", F.col("n").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        frontier = (
+            expanded.join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("dist", F.lit(level))
+            .select("s", "v", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint()
+
+    max_dist = visited.agg(F.max("dist")).first()[0] or 0
+
+    # ---- backward accumulation -------------------------------------------
+    # g rows exist only where g > 0; missing means 0.
+    g = spark.createDataFrame([], "s long, v long, g long")
+    for level in range(max_dist - 1, -1, -1):
+        nodes_l = visited.where(F.col("dist") == level).select("s", "v")
+        nxt = visited.where(F.col("dist") == level + 1).select(
+            "s", F.col("v").alias("n")
+        )
+        succ = (
+            nodes_l.join(sym, "v")
+            .join(nxt, ["s", "n"], "left_semi")  # keep only next-level neighbors
+            .join(
+                g.select("s", F.col("v").alias("n"), F.col("g").alias("g_next")),
+                ["s", "n"],
+                "left",
+            )
+            .groupBy("s", "v")
+            .agg(F.sum(F.coalesce(F.col("g_next"), F.lit(0)) + 1).alias("g"))
+        )
+        g = g.union(succ.select("s", "v", "g")).localCheckpoint()
+
+    # ---- score ------------------------------------------------------------
+    scored = (
+        visited.where(F.col("dist") >= 1)  # v != s
+        .join(g, ["s", "v"])
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("sigma") * F.col("g")).alias("betweenness"))
+    )
+    return (
+        vertices.join(scored, "id", "left")
+        .select("id", F.coalesce("betweenness", F.lit(0)).alias("betweenness"))
+    )

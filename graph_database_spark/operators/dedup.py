@@ -1,0 +1,253 @@
+"""Deduplication operators for document-scale pipelines (SURVEY.md §2.11 X1/X2).
+
+Five tiers, in increasing fuzziness:
+  exact_dedup         hash-groupBy on the raw text          (oracle: yes)
+  normalized_dedup    md5 of normalized text                (oracle: yes)
+  minhash_lsh_pairs   MinHash + banded LSH candidate pairs  (rows-only)
+  simhash_pairs       64-bit SimHash + banded hamming pairs (rows-only)
+  ngram_jaccard_pairs exact Jaccard on LSH candidates       (rows-only)
+
+Scale posture: every tier is one or two shuffles.
+  - exact/normalized: a single groupBy on the key (map-side combinable).
+  - MinHash: signatures are computed per-row with JVM higher-order
+    functions (no explode of shingles, no Python), then ONE shuffle on
+    (band_idx, band_hash) buckets, then pair generation inside buckets.
+    Bucket sizes are bounded by collision probability, so the pair join
+    never degenerates; at 100 TB the band shuffle is the only wide stage
+    and it is uniformly keyed by hash.
+  - SimHash: signature per-row (64 aggregate expressions over the token
+    hash array, all codegen'd), banded into 4x16-bit chunks for the
+    candidate join, exact hamming <= k filter via xor + bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_database_spark.functions.textnorm import normalize_text, text_fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "normalized_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact key: ``(doc_id, group_size)``.
+
+    The X1 operator: one map-side-combinable aggregation; at scale the
+    shuffle key is the full text hash (Spark hashes group keys), so no
+    skew unless the corpus has mega-duplicates — AQE skew handling covers
+    that."""
+    return docs.groupBy(key).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("group_size")
+    ).select(id_col, "group_size")
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup dedup on the deterministic normalized-text fingerprint:
+    ``(fingerprint, doc_id, group_size)`` keeping the lowest id."""
+    return (
+        docs.select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .select("fingerprint", id_col, "group_size")
+    )
+
+
+def _shingles(text_col, k: int = 3) -> Column:
+    """Array of k-word shingles (strings) from normalized text."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature: ARRAY<BIGINT> of length num_perm.
+
+    Permutation j is simulated by seeding xxhash64 with j — the standard
+    one-hash-family trick. The whole signature is computed row-local with
+    higher-order functions; nothing leaves the JVM."""
+    sh = _shingles(text_col, shingle_k)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        for j in range(num_perm)
+    ])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH:
+    ``(id_a, id_b, est_jaccard)`` with id_a < id_b, est >= threshold.
+
+    est_jaccard = fraction of agreeing signature positions (the unbiased
+    MinHash estimator)."""
+    rows_per_band = num_perm // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select("id_a", "id_b", (agree / F.lit(float(num_perm))).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(text_col, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset, as BIGINT.
+
+    bit i of the result = 1 iff sum over tokens of (2*bit_i(xxhash64(tok))-1)
+    is positive. Built as `bits` codegen'd aggregate expressions — heavy to
+    compile but row-local and shuffle-free."""
+    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        out = out + F.when(
+            bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: ``(id_a, id_b, hamming)``.
+
+    Candidate generation bands the 64-bit hash into 4 chunks of 16 bits —
+    any pair with hamming <= 3 agrees on >= 1 chunk (pigeonhole), so the
+    banded join loses nothing while avoiding the quadratic scan."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"),
+                         F.shiftrightunsigned("sh", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select("id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs:
+    ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+
+    LSH prunes the pair space; the exact verify computes |A∩B| / |A∪B|
+    with array_intersect/array_union on the (distinct) shingle arrays —
+    still row-local per candidate pair."""
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=0.0,
+    ).select("id_a", "id_b")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    joined = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a", "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

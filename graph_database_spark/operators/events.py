@@ -1,0 +1,73 @@
+"""Event-stream operators, batch form (SURVEY.md §2.11 X4/X6).
+
+JSON prop extraction, hourly rollups, and gap-based sessionization over
+the ``events`` table. The streaming variants live in streaming/ — same
+logical shapes expressed with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["json_extract_stats", "hourly_rollup", "sessionize"]
+
+
+def json_extract_stats(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` column and aggregate per event_type:
+    ``(event_type, n_events, sum_k, min_k, max_k)``.
+
+    get_json_object is JVM-side (Jackson); the aggregate is map-side
+    combinable. X4: typed extraction from semi-structured columns."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Time-window aggregation: ``(hour, event_type, n_events, sum_value)``.
+
+    Batch analog of a 1-hour tumbling window (X6). sum_value is rounded —
+    double summation order is engine/partition dependent, the rounded
+    value is stable."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: ``(user_id, session_id, n_events,
+    session_start, session_end)``.
+
+    A session breaks when the gap to the previous event of the same user
+    exceeds ``gap_minutes``. One shuffle (partition by user), two window
+    passes — the classic lag + running-sum formulation; at scale the
+    partition key is user_id, which is naturally high-cardinality."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    flagged = events.select("user_id", "event_id", "ts").withColumn("is_new", is_new)
+    with_sess = flagged.withColumn("session_id", F.sum("is_new").over(order))
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,173 @@
+"""Graph analytics operators (the reference's query surface).
+
+Every operator takes plain DataFrames — ``edges(src, dst)`` canonical
+src < dst, optionally ``vertices(id, attr_a, attr_b)`` — so the same code
+runs on the derived co-purchase graph (plans/copurchase.py) and on the
+SNAP ego networks (sources/snap.py).
+
+Reference anchors (SURVEY.md §2):
+  node_count                src/main.js:65-73   (S2/A2)
+  edge_count                src/main.js:76-84   (S4/A2 + J4 dedup)
+  cooccurrence_pairs        src/main.js:29-34   (J1/J2/P2/P3/A1, proof-1 denominator)
+  connected_pairs           src/main.js:35-40   (+ J3 semi-join, proof-1 numerator)
+  hypothesis_verdict        src/main.js:41-46   (F5 ratio + threshold)
+  degree / triangle_edges / clustering_coefficient
+                            src/main.js:87-105  (A5 composite)
+
+Scale posture: everything below is shuffle-minimal and whole-stage-codegen
+expressible — no UDFs, no collect loops. The wedge join for triangles is
+the only super-linear step; its cost is sum_v C(deg(v), 2), which is why
+edges must arrive canonicalized (halves the join fan-out) and why the
+derived graph bounds max degree (plans/copurchase.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_database_spark.plans.copurchase import symmetrize
+
+
+def node_count(edges: DataFrame) -> DataFrame:
+    """Count of distinct vertices appearing in the edge set.
+
+    Mirrors the reference where only vertices present in the edge file
+    exist in the DB (src/main.js:249-262; golden 334 for ego 0)."""
+    members = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id")))
+    return members.agg(F.count_distinct("id").alias("node_count"))
+
+
+def edge_count(edges: DataFrame) -> DataFrame:
+    """Count of canonical (undirected, deduped) edges.
+
+    The reference counts stored directed relationships after its
+    either-direction dedup (src/main.js:76-84,224-239); our canonical set
+    IS that deduped set."""
+    return edges.agg(F.count("*").alias("edge_count"))
+
+
+def degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree: ``(id, degree)``.
+
+    One map-side-combinable aggregation over the symmetrized edges —
+    replaces the reference's one-Cypher-query-per-vertex loop
+    (src/main.js:90-91, anti-pattern §4.2)."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def cooccurrence_pairs(vertices: DataFrame) -> DataFrame:
+    """Proof-1 denominator: ordered vertex pairs (including self-pairs)
+    whose (attr_a, attr_b) pair is equal and fully non-null.
+
+    The reference runs a cartesian ``match (m),(n)`` with equality
+    predicates (src/main.js:30); golden output pins the semantics to
+    *ordered pairs including m = n* (SURVEY.md §2.3 J1). The scalable
+    rewrite is sum over attribute-groups of n^2 — one aggregation, no
+    pair materialization, identical count.
+    """
+    return (
+        vertices.where(F.col("attr_a").isNotNull() & F.col("attr_b").isNotNull())
+        .groupBy("attr_a", "attr_b")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)).alias("pairs"))
+    )
+
+
+def connected_pairs(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Proof-1 numerator: ordered pairs with equal attribute pair that are
+    also connected by an edge (src/main.js:36, P5 pattern-existence).
+
+    Starts from the sparse edge set and joins vertex attributes onto both
+    endpoints (broadcast-able when vertices is a dimension), instead of
+    filtering the quadratic pair space — the J3 semi-join inverted for
+    scale. Each undirected edge contributes 2 ordered pairs.
+    """
+    va = vertices.where(F.col("attr_a").isNotNull() & F.col("attr_b").isNotNull())
+    src_attrs = va.select(
+        F.col("id").alias("src"), F.col("attr_a").alias("sa"), F.col("attr_b").alias("sb")
+    )
+    dst_attrs = va.select(
+        F.col("id").alias("dst"), F.col("attr_a").alias("da"), F.col("attr_b").alias("db")
+    )
+    matched = (
+        edges.join(src_attrs, "src")
+        .join(dst_attrs, "dst")
+        .where((F.col("sa") == F.col("da")) & (F.col("sb") == F.col("db")))
+    )
+    return matched.agg((F.coalesce(F.count("*"), F.lit(0)) * 2).alias("pairs"))
+
+
+def hypothesis_verdict(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Full proof-1 pipeline: numerator, denominator, percentage, verdict.
+
+    The reference computes pct client-side and branches at 50%
+    (src/main.js:41-46); 0/0 yields NaN whose ``> 50`` is false, so the
+    NULL percentage maps to 'disproved' (golden ego 3980, SURVEY.md §5.2).
+    """
+    num = connected_pairs(vertices, edges).select(F.col("pairs").alias("connected"))
+    den = cooccurrence_pairs(vertices).select(F.col("pairs").alias("cooccurring"))
+    joined = num.crossJoin(den)  # two single-row aggregates
+    pct = F.when(
+        F.col("cooccurring") > 0,
+        F.col("connected") * 100.0 / F.col("cooccurring"),
+    ).otherwise(F.lit(None).cast("double"))
+    return joined.select(
+        "connected",
+        "cooccurring",
+        pct.alias("pct"),
+        F.when(pct > 50, F.lit("proved")).otherwise(F.lit("disproved")).alias("verdict"),
+    )
+
+
+def triangle_edges(edges: DataFrame) -> DataFrame:
+    """Per-vertex count of edges among its neighbors: ``(id, triangles)``.
+
+    The clustering-coefficient numerator (src/main.js:88-89). Plan:
+    wedges (v, n1 < n2) from a self-join of symmetrized edges, then an
+    equi-join against the canonical edge set to keep closed wedges —
+    each triangle counted exactly once per corner vertex. Vertices with
+    no closed wedge get 0 via the left join with degree.
+    """
+    sym = symmetrize(edges)
+    w1, w2 = sym.alias("w1"), sym.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n"))
+    ).select(F.col("w1.v").alias("v"), F.col("w1.n").alias("n1"), F.col("w2.n").alias("n2"))
+    closed = wedges.join(
+        edges, (F.col("n1") == F.col("src")) & (F.col("n2") == F.col("dst")), "left_semi"
+    )
+    tri = closed.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("triangles"))
+    all_ids = degree(edges).select("id")
+    return all_ids.join(tri, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``(id, degree, triangles, cc)`` with cc = triangles / C(degree, 2).
+
+    Reference semantics (src/main.js:87-105, verified bit-exact against
+    1,367 golden values, SURVEY.md §0): the neighborhood is taken over the
+    *full* edge set — for SNAP graphs that includes the ego spokes, which
+    is what makes the published values 'ego-inclusive'. Degree < 2 yields
+    cc = 0 (cannot occur on SNAP data; can on derived graphs).
+
+    The ratio is a single IEEE division of two exact integers, so Spark
+    and any ANSI engine produce bit-identical doubles.
+    """
+    deg = degree(edges)
+    tri = triangle_edges(edges)
+    wedge_cnt = F.col("degree") * (F.col("degree") - 1) / 2.0
+    return deg.join(tri, "id").select(
+        "id",
+        "degree",
+        "triangles",
+        F.when(F.col("degree") >= 2, F.col("triangles") / wedge_cnt)
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators (SURVEY.md §2.11 X5): token stats, language
+identification, quality scoring, fingerprinting.
+
+All pure column expressions over the ``documents`` table — portable
+regexes (Java regex & RE2 agree) so each operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_database_spark.functions.textnorm import (
+    BPE_PATTERN,
+    TOKEN_PATTERN,
+    normalize_text,
+    text_fingerprint,
+)
+
+# Tiny per-language stopword marker lists for the n-gram/stopword language
+# heuristic. Priority order breaks score ties deterministically.
+LANG_MARKERS = [
+    ("en", ["the", "and", "of", "is", "to"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+    ("es", ["el", "los", "y", "que", "una"]),
+    ("zh", ["de", "shi", "zai", "le", "wo"]),
+]
+
+__all__ = ["LANG_MARKERS", "token_stats", "language_id", "quality_score", "fingerprints"]
+
+
+def _count_pattern(col, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics:
+    ``(doc_id, n_tokens, n_bpe_tokens, n_chars_obs, avg_token_len)``.
+
+    n_tokens: alphanumeric runs; n_bpe_tokens: BPE-ish segmentation
+    (letter runs / digit runs / single punctuation). Pure narrow map —
+    scales linearly, no shuffle."""
+    lowered = F.lower(F.col("text"))
+    n_tokens = _count_pattern(lowered, TOKEN_PATTERN)
+    n_bpe = _count_pattern(lowered, BPE_PATTERN)
+    alnum_chars = F.length(F.regexp_replace(lowered, "[^a-z0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+        F.when(n_tokens > 0, alnum_chars.cast("double") / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language identification:
+    ``(doc_id, lang, pred_lang, score)``.
+
+    Scores each language by marker hits per token; argmax with the fixed
+    LANG_MARKERS priority for ties. (The synthetic corpus is word soup,
+    so accuracy is meaningless — the operator demonstrates deterministic,
+    scalable language scoring.)"""
+    lowered = F.lower(F.col("text"))
+    n_tokens = F.greatest(_count_pattern(lowered, TOKEN_PATTERN), F.lit(1))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            (_count_pattern(lowered, _marker_pattern(words)).cast("double") / n_tokens).alias(f"s_{code}")
+            for code, words in LANG_MARKERS
+        ],
+    )
+    pred = None
+    best = None
+    for code, _ in LANG_MARKERS:
+        s = F.col(f"s_{code}")
+        if pred is None:
+            pred, best = F.lit(code), s
+        else:
+            pred = F.when(s > best, F.lit(code)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), F.round(best, 6).alias("score")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite document quality score in [0, 1]:
+    ``(doc_id, n_tokens, punct_ratio, stopword_ratio, length_score, quality)``.
+
+    Deterministic arithmetic over counted features — the standard
+    pretraining-filter shape (length, punctuation density, stopword
+    density)."""
+    lowered = F.lower(F.col("text"))
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    n_tokens = _count_pattern(lowered, TOKEN_PATTERN)
+    n_tokens_safe = F.greatest(n_tokens, F.lit(1))
+    punct = F.length(F.regexp_replace(lowered, "[a-z0-9\\s]", ""))
+    stop = _count_pattern(lowered, _marker_pattern([w for _, ws in LANG_MARKERS for w in ws]))
+    punct_ratio = punct.cast("double") / n_chars
+    stop_ratio = stop.cast("double") / n_tokens_safe
+    length_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: ``(doc_id, fingerprint)`` — md5 over
+    normalized text (portable rolling-hash stand-in; see
+    dedup.normalized_dedup for the grouping use)."""
+    return docs.select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,3 @@
+from graph_database_spark.sources.parquet import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
