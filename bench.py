@@ -1,0 +1,83 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a count() (no driver-side row transfer);
+value = total wall-clock over all headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_database_spark import catalog
+from graph_database_spark.session import get_spark
+
+# Headline set: every major operator family, weighted toward the ones
+# whose plans matter at scale (graph joins, LSH dedup, similarity).
+HEADLINE = [
+    "node_count",
+    "edge_count",
+    "hypothesis_pct",
+    "degree",
+    "clustering_coefficient",
+    "betweenness",
+    "feature_decode",
+    "dedup_exact",
+    "dedup_norm",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "text_token_stats",
+    "lang_id",
+    "quality_score",
+    "similarity_topk",
+    "embedding_neardup",
+    "ann_lsh",
+    "json_extract_events",
+    "events_hourly",
+    "events_sessionize",
+    "top3_orders",
+    "pricing_summary",
+    "rollup_customers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("graph-database-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,17 +72,33 @@ def _shingles(text_col, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
     """MinHash signature: ARRAY<BIGINT> of length num_perm.
 
     Permutation j is simulated by seeding xxhash64 with j — the standard
-    one-hash-family trick. The whole signature is computed row-local with
-    higher-order functions; nothing leaves the JVM."""
+    one-hash-family trick. The whole signature is computed row-local in a
+    SINGLE pass over the shingle array: the accumulator is a num_perm-slot
+    array updated with elementwise least(). Nothing leaves the JVM.
+
+    NB the per-permutation hash MUST capture j as a plain Python int via a
+    closure built outside any HOF lambda: a `lambda s, j=j:` two-parameter
+    lambda is interpreted by PySpark's HOF binder as (element, index),
+    silently binding j to the array-index column and collapsing all
+    signature positions to the same value.
+    """
     sh = _shingles(text_col, shingle_k)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-        for j in range(num_perm)
-    ])
+
+    def _hashes(s: Column) -> Column:
+        return F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_perm)])
+
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(acc, _hashes(s), lambda a, b: F.least(a, b)),
+    )
 
 
 def minhash_lsh_pairs(
@@ -154,20 +170,32 @@ def simhash(text_col, bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset, as BIGINT.
 
     bit i of the result = 1 iff sum over tokens of (2*bit_i(xxhash64(tok))-1)
-    is positive. Built as `bits` codegen'd aggregate expressions — heavy to
-    compile but row-local and shuffle-free."""
+    is positive. Single pass over the token array: the accumulator is a
+    `bits`-slot counter array updated with zip_with — row-local,
+    shuffle-free, all codegen'd.
+
+    Bit tests use plain-int literal masks captured by closure (bit 63 via
+    the two's-complement sign) — F.shiftright inside a HOF lambda requires
+    a Python-int shift amount, and multi-parameter lambdas are reserved for
+    the HOF binder's (element, index) convention.
+    """
     hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        out = out + F.when(
-            bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+
+    def _bit_vec(h: Column) -> Column:
+        terms = []
+        for i in range(bits):
+            cond = (h < 0) if i == bits - 1 else (h.bitwiseAND(F.lit(1 << i)) != 0)
+            terms.append(F.when(cond, 1).otherwise(-1))
+        return F.array(*terms)
+
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bit_vec(h), lambda a, b: a + b),
+    )
+    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(bits)])
+    signed = F.zip_with(sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_pairs(
@@ -223,16 +251,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
+    candidate_margin: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs:
     ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
 
     LSH prunes the pair space; the exact verify computes |A∩B| / |A∪B|
     with array_intersect/array_union on the (distinct) shingle arrays —
-    still row-local per candidate pair."""
+    still row-local per candidate pair.
+
+    The candidate stage keeps pairs with MinHash-estimated Jaccard >=
+    threshold - candidate_margin (the estimator's std at 64 perms is
+    ~0.06, so the default margin is >3 sigma below the target — on a
+    duplicate-heavy corpus this caps bucket fan-out instead of dragging
+    every band collision into the exact-verify join)."""
     cand = minhash_lsh_pairs(
         docs, text_col, id_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, threshold=0.0,
+        shingle_k=shingle_k, threshold=max(0.0, threshold - candidate_margin),
     ).select("id_a", "id_b")
     sh = docs.select(
         F.col(id_col).alias("id"),

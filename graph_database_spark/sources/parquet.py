@@ -9,7 +9,7 @@ a zero-copy columnar scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -30,9 +30,21 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    """Load one synthetic table: ``{sf_dir}/{name}.parquet``.
+
+    ``events`` stores TIMESTAMP(NANOS), which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL). We read the nanos as a raw BIGINT
+    (legacy.parquet.nanosAsLong) and rebuild a timestamp truncated to
+    microseconds — the precision DuckDB's TIMESTAMP uses, so the oracle
+    comparison stays exact. Integer ``div`` keeps the full 64-bit value
+    (a double division would lose precision above 2^53 ns).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
