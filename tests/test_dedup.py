@@ -1,0 +1,78 @@
+"""Dedup operator fixtures: planted near-duplicates on a toy corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees today"
+)
+DOCS = [
+    (1, BASE),
+    (2, BASE),                                   # exact dup of 1
+    (3, BASE.replace("lazy", "sleepy")),          # near-dup of 1
+    (4, "completely different text about spark dataframes and shuffles "
+        "partitions catalyst optimizer whole stage codegen adaptive execution"),
+    (5, "The quick brown fox jumps over the lazy dog, while the cat sleeps "
+        "near the warm fire and the birds sing in the tall green trees today!"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    rows = {r["doc_id"]: r["group_size"] for r in D.exact_dedup(docs).collect()}
+    assert rows[1] == 2          # 1 and 2 share raw text
+    assert rows[3] == rows[4] == rows[5] == 1
+
+
+def test_normalized_dedup_collapses_punctuation(docs):
+    rows = {r["doc_id"]: r["group_size"] for r in D.normalized_dedup(docs).collect()}
+    assert rows[1] == 3          # 5 differs only in case/punctuation
+    assert rows[3] == rows[4] == 1
+
+
+def test_minhash_signature_positions_differ(docs):
+    """Regression for the HOF (element, index) lambda-binding bug: all
+    signature positions used to collapse to one value."""
+    sig = docs.select(D.minhash_signature(F.col("text")).alias("s")).first()["s"]
+    assert len(sig) == 64
+    assert len(set(sig)) > 32
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0   # normalization-identical
+    assert (1, 3) in pairs                            # one-token edit
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_pairs_find_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc 3 = one substituted token among 24 -> 21 of 22 distinct
+    # 3-shingles shared... exact value pinned by set arithmetic below.
+    toks = BASE.split()
+    sh1 = {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+    toks3 = BASE.replace("lazy", "sleepy").split()
+    sh3 = {" ".join(toks3[i:i+3]) for i in range(len(toks3) - 2)}
+    expected = len(sh1 & sh3) / len(sh1 | sh3)
+    assert pairs[(1, 3)] == pytest.approx(expected)
