@@ -84,7 +84,10 @@ def _utc(spark: SparkSession) -> None:
 
 
 def _graph(spark, sf_dir):
-    edges = copurchase_edges(spark, sf_dir)
+    # The derived edge set feeds two or more downstream aggregates in the
+    # proof-1 queries; localCheckpoint materializes the (part, month)
+    # self-join once instead of re-deriving it per branch.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     return copurchase_vertices(spark, sf_dir, edges), edges
 
 
@@ -220,10 +223,47 @@ def q_embedding_neardup(spark, sf_dir):
     return S.cosine_pairs_above(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    # The sub-quadratic scale path (LSH buckets + exact in-bucket verify);
+    # rows-only — recall vs the exact plan is pinned by tests/test_similarity.py.
+    return S.lsh_pairs_above(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return S.lsh_topk(queries, emb, k=10)
+
+
+def q_snap_metrics(spark, sf_dir):
+    """Reference-dataset parity: per ego network, the golden node/edge
+    counts and proof-1 numerator/denominator (golden values pinned in
+    tests/test_snap_golden.py). Ignores sf_dir — reads the read-only
+    reference dataset itself.
+
+    Each network's one-row metric frame is localCheckpoint-ed before the
+    union: a single lazy plan over all ten networks stacks ~60 joins and
+    blows up task-binary size/driver heap on small-heap sessions; the
+    checkpoint bounds the plan per network (the reference data is KB-scale,
+    so materializing ten 1-row frames is free)."""
+    from graph_database_spark.operators.graph import hypothesis_verdict, node_count
+    from graph_database_spark.sources import snap
+
+    out = None
+    for ego in snap.EGO_CENTERS:
+        v, e, _ = snap.load_ego_network(spark, "/root/reference/data", ego)
+        m = (
+            node_count(e)
+            .crossJoin(G.edge_count(e))
+            .crossJoin(hypothesis_verdict(v, e).select("connected", "cooccurring"))
+            .select(
+                F.lit(ego).alias("ego"), "node_count", "edge_count",
+                "connected", "cooccurring",
+            )
+            .localCheckpoint()
+        )
+        out = m if out is None else out.union(m)
+    return out
 
 
 def q_json_extract_events(spark, sf_dir):
@@ -577,6 +617,8 @@ ROWS_ONLY = frozenset({
     "dedup_simhash",
     "ngram_jaccard",
     "ann_lsh",
+    "embedding_neardup_lsh",
+    "snap_metrics",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -602,7 +644,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "similarity_topk": q_similarity_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
+    "snap_metrics": q_snap_metrics,
     "json_extract_events": q_json_extract_events,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,

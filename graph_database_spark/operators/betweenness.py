@@ -69,6 +69,13 @@ def betweenness(
     ).localCheckpoint()
     visited = frontier
 
+    # Per-level state is |S| x |frontier| rows — small relative to the
+    # session's shuffle width, so each checkpointed frame is coalesced
+    # (narrow, no shuffle) to keep task counts from dominating runtime.
+    # (A lazy-union visited set was tried instead of re-checkpointing:
+    # 1.5x SLOWER — the anti-join then reads L stacked frames per level.)
+    state_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+
     for level in range(1, max_iterations + 1):
         expanded = (
             frontier.join(sym, "v")
@@ -79,11 +86,12 @@ def betweenness(
             expanded.join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(level))
             .select("s", "v", "dist", "sigma")
+            .coalesce(state_parts)
             .localCheckpoint()
         )
         if frontier.isEmpty():
             break
-        visited = visited.union(frontier).localCheckpoint()
+        visited = visited.union(frontier).coalesce(state_parts).localCheckpoint()
 
     max_dist = visited.agg(F.max("dist")).first()[0] or 0
 
@@ -106,7 +114,7 @@ def betweenness(
             .groupBy("s", "v")
             .agg(F.sum(F.coalesce(F.col("g_next"), F.lit(0)) + 1).alias("g"))
         )
-        g = g.union(succ.select("s", "v", "g")).localCheckpoint()
+        g = g.union(succ.select("s", "v", "g")).coalesce(state_parts).localCheckpoint()
 
     # ---- score ------------------------------------------------------------
     scored = (

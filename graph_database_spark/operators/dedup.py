@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from graph_database_spark.functions.textnorm import normalize_text, text_fingerprint, tokens
+from graph_database_spark.operators.spread import spread
 
 __all__ = [
     "exact_dedup",
@@ -60,9 +61,15 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _shingles(text_col, k: int = 3) -> Column:
-    """Array of k-word shingles (strings) from normalized text."""
-    toks = tokens(text_col)
+def _shingles_from(toks: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from a TOKENS COLUMN REFERENCE.
+
+    ``toks`` must be a materialized column (not an expression tree):
+    Catalyst inlines outer expressions captured by HOF lambdas into the
+    lambda body and re-evaluates them PER ELEMENT — capturing the full
+    normalize/split/filter pipeline here turns an O(n) shingle pass into
+    O(n^2) regex evaluations per document (measured ~10x the cost of the
+    64-permutation hashing it feeds)."""
     n = F.size(toks)
     return F.when(n >= k,
         F.transform(
@@ -72,11 +79,26 @@ def _shingles(text_col, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _shingles(text_col, k: int = 3) -> Column:
+    """Shingles straight from a text expression — convenience for tests /
+    one-shot use; hot paths must go through a tokens column +
+    ``_shingles_from`` (see that docstring)."""
+    return _shingles_from(tokens(text_col), k)
+
+
+def _tokens_df(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, toks) with tokenization materialized (spread + checkpoint) —
+    the shared front of every shingle-based operator."""
+    return spread(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint()
+
+
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature: ARRAY<BIGINT> of length num_perm.
+def minhash_signature_from_tokens(toks: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature from a tokens column: ARRAY<BIGINT>[num_perm].
 
     Permutation j is simulated by seeding xxhash64 with j — the standard
     one-hash-family trick. The whole signature is computed row-local in a
@@ -89,9 +111,14 @@ def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Colum
     silently binding j to the array-index column and collapsing all
     signature positions to the same value.
     """
-    sh = _shingles(text_col, shingle_k)
+    sh = _shingles_from(toks, shingle_k)
 
     def _hashes(s: Column) -> Column:
+        # One independent seeded hash per permutation. (A cheaper
+        # Kirsch–Mitzenmacher h1 + j*h2 family was tried and rejected:
+        # the argmin over shingles is then nearly the same shingle for
+        # every j, correlating signature positions and inflating the
+        # Jaccard estimate ~30x in false-positive pairs.)
         return F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_perm)])
 
     return F.aggregate(
@@ -99,6 +126,12 @@ def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Colum
         F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm),
         lambda acc, s: F.zip_with(acc, _hashes(s), lambda a, b: F.least(a, b)),
     )
+
+
+def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature straight from a text expression (convenience /
+    tests; hot paths tokenize into a column first — see _shingles_from)."""
+    return minhash_signature_from_tokens(tokens(text_col), num_perm, shingle_k)
 
 
 def minhash_lsh_pairs(
@@ -115,14 +148,25 @@ def minhash_lsh_pairs(
 
     est_jaccard = fraction of agreeing signature positions (the unbiased
     MinHash estimator)."""
+    toks = _tokens_df(docs, text_col, id_col)
+    return _minhash_pairs_from_tokens(toks, num_perm, bands, shingle_k, threshold)
+
+
+def _minhash_pairs_from_tokens(
+    toks: DataFrame, num_perm: int, bands: int, shingle_k: int, threshold: float
+) -> DataFrame:
     rows_per_band = num_perm // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
-    )
+    # Signatures are materialized ONCE (localCheckpoint): the banded
+    # self-join and the verify join would otherwise each recompute the
+    # full shingle+hash pipeline per side. A signature is num_perm longs
+    # per doc — tiny relative to the text it summarizes — so this is the
+    # node-local state you'd cache at any scale.
+    sig = toks.select(
+        "id",
+        minhash_signature_from_tokens(F.col("toks"), num_perm, shingle_k).alias("sig"),
+    ).localCheckpoint()
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -137,7 +181,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -147,21 +191,19 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return (
-        cand.select("id_a", "id_b", (agree / F.lit(float(num_perm))).alias("est_jaccard"))
+        pairs.select("id_a", "id_b", (agree / F.lit(float(num_perm))).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 
@@ -209,7 +251,10 @@ def simhash_pairs(
     Candidate generation bands the 64-bit hash into 4 chunks of 16 bits —
     any pair with hamming <= 3 agrees on >= 1 chunk (pigeonhole), so the
     banded join loses nothing while avoiding the quadratic scan."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    # Materialized once — both sides of the chunk self-join reuse it.
+    sh = spread(docs).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    ).localCheckpoint()
     chunks = sh.select(
         "id",
         "sh",
@@ -265,13 +310,12 @@ def ngram_jaccard_pairs(
     ~0.06, so the default margin is >3 sigma below the target — on a
     duplicate-heavy corpus this caps bucket fan-out instead of dragging
     every band collision into the exact-verify join)."""
-    cand = minhash_lsh_pairs(
-        docs, text_col, id_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, threshold=max(0.0, threshold - candidate_margin),
+    toks = _tokens_df(docs, text_col, id_col)
+    cand = _minhash_pairs_from_tokens(
+        toks, num_perm, bands, shingle_k, max(0.0, threshold - candidate_margin)
     ).select("id_a", "id_b")
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    sh = toks.select(
+        "id", F.array_distinct(_shingles_from(F.col("toks"), shingle_k)).alias("sh")
     )
     joined = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

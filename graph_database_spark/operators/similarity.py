@@ -1,17 +1,28 @@
 """Similarity search over embedding columns (SURVEY.md §2.11 X3).
 
-Two paths:
-  brute_force_topk   exact cosine top-k — the correctness baseline, and
-                     the right plan when the QUERY side is small (the
-                     common case: q queries x N candidates, broadcast the
-                     queries, one scan of the candidates, per-partition
-                     top-k via window).
-  lsh_topk           random-hyperplane LSH bucketing — the scale path
-                     when both sides are large: 1 shuffle on bucket id,
-                     exact re-rank inside buckets, multi-probe for recall.
+Three paths:
+  brute_force_topk    exact cosine top-k — the correctness baseline, and
+                      the right plan when the QUERY side is small:
+                      broadcast the queries, one scan of the candidates,
+                      per-query window top-k.
+  cosine_pairs_above  exact all-pairs above a threshold. Exact all-pairs
+                      is inherently O(N^2) compute; the scale problem is
+                      the PLAN, not the math — a broadcast crossJoin
+                      ships the whole table to every executor (or the
+                      driver). The grid plan below replicates each row
+                      into B cells of a B x B block-pair grid and
+                      equi-joins on the cell key: one bounded shuffle
+                      (B+1 copies), B*(B+1)/2 independent tasks, no
+                      broadcast, no CartesianProduct node.
+  lsh_topk /          random-hyperplane LSH bucketing — the sub-quadratic
+  lsh_pairs_above     approximate path when both sides are large:
+                      1 shuffle on (table, bucket), exact re-rank /
+                      verify inside buckets, recall tuned by n_tables.
 
-All vector math is JVM higher-order functions (functions/vectors.py);
-no explode of the embedding arrays, no Python.
+All vector math is JVM higher-order functions (functions/vectors.py) —
+no explode of embeddings, no Python. Norms are computed ONCE per row
+before any join (3x fewer array traversals per pair than inlining
+cosine_similarity, which re-derives both norms pairwise).
 """
 
 from __future__ import annotations
@@ -19,9 +30,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
-from graph_database_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from graph_database_spark.functions.vectors import dot, l2_norm
+from graph_database_spark.operators.spread import spread
 
-__all__ = ["brute_force_topk", "cosine_pairs_above", "lsh_topk"]
+__all__ = [
+    "brute_force_topk",
+    "cosine_pairs_above",
+    "lsh_topk",
+    "lsh_pairs_above",
+]
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"id{suffix}"),
+        F.col(vec_col).alias(f"v{suffix}"),
+        l2_norm(F.col(vec_col)).alias(f"n{suffix}"),
+    )
+
+
+def _pair_sim(round_digits: int | None):
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return F.round(sim, round_digits) if round_digits is not None else sim
 
 
 def brute_force_topk(
@@ -33,22 +63,20 @@ def brute_force_topk(
     round_digits: int | None = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector:
-    ``(query_id, cand_id, sim)``, self-matches excluded.
+    ``(query_id, cand_id, sim, rank)``, self-matches excluded.
 
     Plan: broadcast the (small) query side, crossJoin against candidates
-    — a map-only stage, no shuffle for the join — then one shuffle for
-    the per-query window top-k. Ties broken by cand_id after rounding so
-    ranking is engine-deterministic."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
+    — a map-only stage — then one shuffle for the per-query window
+    top-k. Ties broken by cand_id after rounding so ranking is
+    engine-deterministic. Use only when queries is broadcast-sized;
+    for large-vs-large use lsh_topk."""
+    q = _with_norm(queries, id_col, vec_col, "a").withColumnRenamed("ida", "query_id")
+    c = _with_norm(spread(candidates), id_col, vec_col, "b").withColumnRenamed("idb", "cand_id")
     scored = (
         broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", sim.alias("sim"))
+        .select("query_id", "cand_id", _pair_sim(round_digits).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
@@ -64,42 +92,99 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    grid_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — embedding near-dup
-    detection (X2's embedding tier). Exact O(N^2) plan; for large N use
-    lsh_topk buckets instead."""
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .where(F.col("sim") >= threshold)
+    """All pairs (id_a < id_b) with cosine >= threshold — exact embedding
+    near-dup detection.
+
+    Grid plan: row with block b = pmod(xxhash64(id), B) is replicated to
+    cells (b, j>=b) on the left and (i<=b, b) on the right; an equi-join
+    on the cell key produces every unordered pair exactly once (same-block
+    pairs deduped by id order). Shuffle volume is (B+1) x input; compute
+    is evenly spread over B(B+1)/2 cells regardless of data skew, and no
+    table is broadcast anywhere. For the sub-quadratic approximate path
+    see lsh_pairs_above."""
+    B = grid_blocks
+    base = _with_norm(spread(vectors), id_col, vec_col, "").withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    )
+    left = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(B - 1)),
+                lambda j: F.struct(F.col("blk").alias("gi"), j.alias("gj")),
+            )
+        ).alias("cell"),
+    ).select("id_a", "va", "na", "cell.gi", "cell.gj")
+    right = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: F.struct(i.alias("gi"), F.col("blk").alias("gj")),
+            )
+        ).alias("cell"),
+    ).select("id_b", "vb", "nb", "cell.gi", "cell.gj")
+    pairs = left.join(right, ["gi", "gj"]).where(
+        (F.col("gi") != F.col("gj")) | (F.col("id_a") < F.col("id_b"))
+    )
+    # Same-cell joins cover each unordered pair once, but cross-block pairs
+    # arrive in hash order — canonicalize ids (vectors travel with them).
+    out = pairs.select(
+        F.least("id_a", "id_b").alias("lo"),
+        F.greatest("id_a", "id_b").alias("hi"),
+        _pair_sim(round_digits).alias("sim"),
+    )
+    return out.where(F.col("sim") >= threshold).select(
+        F.col("lo").alias("id_a"), F.col("hi").alias("id_b"), "sim"
     )
 
 
-def _hyperplane_bits(vec_col, n_bits: int, dim: int):
-    """Sign bits of <v, h_j> for n_bits pseudo-random hyperplanes.
+def _hyperplane_sums(vec_col, total_bits: int):
+    """ARRAY<DOUBLE>[total_bits] of <v, h_j> for deterministic ±1
+    hyperplanes h_j[i] = sign(xxhash64(j, i)) — dimension read from the
+    data (F.size), single pass over the vector, no driver randomness."""
+    pairs = F.zip_with(
+        vec_col,
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
 
-    Hyperplane component h_j[i] is a deterministic ±1 derived from
-    xxhash64(j, i) — no driver-side randomness, no broadcast of plane
-    matrices, reproducible across runs and engines."""
-    def bit(j):
-        prods = F.zip_with(
-            vec_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("double"),
-            ),
-            lambda x, h: x.cast("double") * h,
-        )
-        return (F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+    def _signs(i):
+        return F.array(*[
+            (F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+            for j in range(total_bits)
+        ])
 
-    return [bit(j) for j in range(n_bits)]
+    return F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), total_bits),
+        lambda acc, p: F.zip_with(acc, _signs(p["i"]), lambda a, s: a + p["x"] * s),
+    )
+
+
+def _with_buckets(
+    df: DataFrame, id_col: str, vec_col: str, suffix: str,
+    n_bits: int, n_tables: int,
+) -> DataFrame:
+    """(id, v, n, table, bucket) — one row per (vector, table). The sums
+    array is materialized once per row; bucket t packs bits
+    [t*n_bits, (t+1)*n_bits)."""
+    base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
+        "hsums", _hyperplane_sums(F.col(f"v{suffix}"), n_bits * n_tables)
+    )
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(0)
+        for j in range(n_bits):
+            bit = (F.element_at("hsums", t * n_bits + j + 1) > 0).cast("int")
+            acc = acc * 2 + bit
+        buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+    return base.select(
+        f"id{suffix}", f"v{suffix}", f"n{suffix}",
+        F.explode(F.array(*buckets)).alias("tb"),
+    ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
 
 
 def lsh_topk(
@@ -108,44 +193,68 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 12,
-    dim: int = 64,
-    n_tables: int = 4,
+    n_bits: int = 4,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH:
     ``(query_id, cand_id, sim, rank)``.
 
-    n_tables independent bucketings (bit-slices of a shared sign vector);
-    query and candidate meet if they share a bucket in ANY table. One
-    shuffle on (table, bucket); exact cosine re-rank on the survivors.
-    Recall grows with n_tables; cost stays ~|data| x n_tables."""
-    total_bits = n_bits * n_tables
-
-    def with_buckets(df, id_alias):
-        bits = _hyperplane_bits(F.col(vec_col), total_bits, dim)
-        buckets = []
-        for t in range(n_tables):
-            acc = F.lit(0)
-            for j in range(n_bits):
-                acc = acc * 2 + bits[t * n_bits + j]
-            buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_v"),
-            F.explode(F.array(*buckets)).alias("tb"),
-        ).select(id_alias, f"{id_alias}_v", "tb.table", "tb.bucket")
-
-    qb = with_buckets(queries, "query_id")
-    cb = with_buckets(candidates, "cand_id")
+    n_tables independent bucketings (bit-slices of one shared sign-sum
+    array, computed in a single vector pass); query and candidate meet if
+    they share a bucket in ANY table. One shuffle on (table, bucket);
+    exact cosine re-rank on survivors. Defaults (4 bits -> 16 buckets,
+    16 tables) are tuned for recall@10 ~ 0.9 on the driver's synthetic
+    embeddings, whose neighbors are barely above the random-cosine noise
+    floor — the hardest case for LSH. At larger corpora raise n_bits to
+    keep bucket size ~ N/2^n_bits bounded and n_tables to buy recall
+    back — candidate cost is linear in n_tables; real clustered
+    embeddings need far fewer tables than this synthetic worst case."""
+    qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables)
+    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables)
     cand = (
         qb.join(cb, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("cand_id"))
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.col("ida").alias("query_id"), F.col("idb").alias("cand_id"),
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb"),
+        )
         .dropDuplicates(["query_id", "cand_id"])
     )
-    sim = F.round(cosine_similarity(F.col("query_id_v"), F.col("cand_id_v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
-        cand.select("query_id", "cand_id", sim.alias("sim"))
+        cand.select("query_id", "cand_id", _pair_sim(6).alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def lsh_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Approximate all-pairs cosine >= threshold: LSH-bucketed candidate
+    generation + exact verify inside buckets — the sub-quadratic scale
+    path for embedding near-dup over a large corpus. Recall < 1 by
+    construction (tune n_tables); for the exact answer use
+    cosine_pairs_above."""
+    b = _with_buckets(vectors, id_col, vec_col, "a", n_bits, n_tables)
+    other = b.select(
+        F.col("ida").alias("idb"), F.col("va").alias("vb"),
+        F.col("na").alias("nb"), "table", "bucket",
+    )
+    cand = (
+        b.join(other, ["table", "bucket"])
+        .where(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+    )
+    return (
+        cand.select(
+            F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
     )

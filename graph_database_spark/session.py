@@ -36,6 +36,9 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs everything in one JVM whose default 1g heap is far
+        # below this machine's RAM; only effective before JVM start.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Adaptive execution: runtime shuffle-partition coalescing and
         # skew-join splitting — the first line of defense at 100 TB.
         .config("spark.sql.adaptive.enabled", "true")
