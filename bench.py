@@ -46,6 +46,10 @@ HEADLINE = [
     "top3_orders",
     "pricing_summary",
     "rollup_customers",
+    "events_asof_order",
+    "order_events_7d",
+    "cube_orders",
+    "multimodal_features",
 ]
 
 

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from graph_database_spark.operators import dedup as D
 from graph_database_spark.operators import events as E
 from graph_database_spark.operators import graph as G
+from graph_database_spark.operators import multimodal as MM
 from graph_database_spark.operators import similarity as S
+from graph_database_spark.operators import temporal as TP
 from graph_database_spark.operators import text as T
 from graph_database_spark.operators.betweenness import betweenness
 from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
@@ -330,6 +332,76 @@ def q_customers_without_orders(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def q_customers_intersect_eventusers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    u = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return c.intersect(u)
+
+
+def q_customers_minus_eventusers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    u = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return c.subtract(u)
+
+
+def q_cube_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube(F.year("o_orderdate").alias("yr"), "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_events_asof_order(spark, sf_dir):
+    # As-of join: every event sees the user's latest order state at event
+    # time. Orders deduped to one row per (customer, orderdate) so the
+    # carried payload is unambiguous on both engines.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return TP.asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey"],
+    ).select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+
+
+def q_order_events_7d(spark, sf_dir):
+    # Keyed range join: events of the ordering user within 7 days of the
+    # order date.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    return TP.range_count(
+        o, e, on="user_id", left_ts="o_orderdate", right_ts="ts",
+        horizon_seconds=7 * 86400, count_alias="n_events_7d",
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    return MM.media_metadata(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    # Rows-only: the Arrow/mapInPandas feature path (deterministic byte
+    # featurizer standing in for the codec; tests pin the values).
+    return MM.extract_features(MM.attach_media(load_table(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -548,6 +620,52 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
+    "customers_intersect_eventusers": """
+        SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT user_id AS c_custkey FROM events
+    """,
+    "customers_minus_eventusers": """
+        SELECT DISTINCT c_custkey FROM customer
+        EXCEPT
+        SELECT user_id AS c_custkey FROM events
+    """,
+    "cube_orders": """
+        SELECT coalesce(CAST(yr AS INTEGER), -1) AS yr,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice FROM orders) t
+        GROUP BY CUBE(yr, o_orderpriority)
+    """,
+    "events_asof_order": """
+        WITH o1 AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT o.o_orderkey FROM o1 o
+                WHERE o.user_id = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC LIMIT 1) AS last_orderkey
+        FROM events e
+    """,
+    "order_events_7d": """
+        SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
+               CAST(count(e.user_id) AS BIGINT) AS n_events_7d
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY 1, 2, 3
+    """,
+    "media_metadata": """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        FROM documents GROUP BY source
+    """,
 }
 
 
@@ -619,6 +737,7 @@ ROWS_ONLY = frozenset({
     "ann_lsh",
     "embedding_neardup_lsh",
     "snap_metrics",
+    "multimodal_features",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -654,6 +773,13 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "rollup_customers": q_rollup_customers,
     "customers_without_orders": q_customers_without_orders,
+    "customers_intersect_eventusers": q_customers_intersect_eventusers,
+    "customers_minus_eventusers": q_customers_minus_eventusers,
+    "cube_orders": q_cube_orders,
+    "events_asof_order": q_events_asof_order,
+    "order_events_7d": q_order_events_7d,
+    "media_metadata": q_media_metadata,
+    "multimodal_features": q_multimodal_features,
 }
 
 

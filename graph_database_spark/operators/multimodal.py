@@ -1,0 +1,144 @@
+"""Multimodal (binary-column) operators (SURVEY.md §2.11 X4 extension).
+
+Design for image/audio/video at 100 TB: media is an opaque BINARY column
+travelling next to a typed metadata struct; decode / feature-extract /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes cross
+the JVM<->Python boundary once per batch, vectorized, never per row.
+
+The actual codec layer is STUBBED in this environment (no image/audio
+libraries in the container): ``extract_features`` applies a
+deterministic byte-level featurizer (real Arrow plumbing, fake decode),
+and ``decode_image`` raises NotImplementedError behind an import guard.
+The Spark-side contract — schema, batch shape, partition behavior — is
+real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+from graph_database_spark.operators.spread import spread
+
+__all__ = ["attach_media", "media_metadata", "extract_features", "frame_sample", "decode_image"]
+
+N_FEATURES = 8
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media", BinaryType()),
+    StructField("meta", StructType([
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("source", StringType()),
+    ])),
+])
+
+
+def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build the canonical media frame from the documents table: binary
+    payload (the UTF-8 bytes — a deterministic stand-in for image/audio
+    blobs) + typed metadata struct. In a real pipeline this frame comes
+    straight off the object-store manifest; everything downstream only
+    sees (media_id, media BINARY, meta STRUCT)."""
+    media = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        media.alias("media"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(media).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(docs: DataFrame) -> DataFrame:
+    """Metadata rollup per source: ``(source, n_media, total_bytes)`` —
+    the JVM-only slice of the pipeline (no Python), oracle-checkable."""
+    m = attach_media(docs)
+    return m.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count("*").alias("n_media"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+    )
+
+
+def _feature_batches(batches: Iterator, n_features: int):
+    # Runs on executors: one pandas DataFrame per Arrow batch. The
+    # "decode" here is a deterministic byte-histogram moment vector —
+    # the stand-in for a real image/audio featurizer; swap this body for
+    # the codec call and nothing else changes.
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        feats = []
+        for buf in pdf["media"]:
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if arr.size == 0:
+                feats.append([0.0] * n_features)
+                continue
+            hist = np.bincount(arr % n_features, minlength=n_features).astype("float64")
+            feats.append((hist / arr.size).round(6).tolist())
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+            "features": feats,
+        })
+
+
+def extract_features(media: DataFrame, n_features: int = N_FEATURES) -> DataFrame:
+    """Vectorized feature extraction: ``(media_id, n_bytes,
+    features ARRAY<FLOAT>)`` via mapInPandas (Arrow batches).
+
+    Partition-preserving and shuffle-free; at scale the only knobs are
+    input partition size (keep batches of media under executor memory)
+    and ``spark.sql.execution.arrow.maxRecordsPerBatch`` for very large
+    blobs."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ])
+    return spread(media).mapInPandas(
+        lambda it: _feature_batches(it, n_features), schema
+    )
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size chunk of each payload:
+    ``(media_id, frame_idx, frame BINARY)`` — the video-frame-sampling
+    shape (split a container into frames, keep a stride) with byte
+    chunks standing in for decoded frames. Pure JVM (no Python): slices
+    of the binary column via higher-order functions over a chunk index."""
+    n_chunks = F.ceil(F.octet_length("media") / F.lit(frame_bytes)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: i % every_n == 0,
+    )
+    return (
+        media.select("media_id", "media", F.explode(idx).alias("frame_idx"))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.expr(f"substring(media, frame_idx * {frame_bytes} + 1, {frame_bytes})").alias("frame"),
+        )
+    )
+
+
+def decode_image(media: DataFrame):
+    """Real image decode — requires an imaging library absent from this
+    environment. The Arrow plumbing above is the integration point:
+    replace _feature_batches' body with the codec call."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec not available in this environment; extract_features "
+            "demonstrates the mapInPandas plumbing with a byte-level featurizer"
+        ) from e
+    raise NotImplementedError("wire PIL decode into _feature_batches")

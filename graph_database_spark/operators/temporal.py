@@ -1,0 +1,104 @@
+"""Temporal join operators: as-of and keyed range joins.
+
+Neither exists as a Spark built-in; both are expressed as compositions
+that keep one equi-shuffle on the key and never materialize a time-range
+explosion — the shapes that survive 100x data.
+
+  asof_join    "latest right-side row at or before each left timestamp,
+               per key" — the union + ordered-window + last_value
+               (ignorenulls) formulation: tag both sides, sort by
+               (key, time, side) inside one window, carry the running
+               last right-side payload forward, keep left rows. ONE
+               shuffle on the key; no range condition ever reaches a
+               join operator (a naive t_left >= t_right theta-join
+               explodes quadratically per key).
+
+  range_count  "count right-side rows within [t, t + horizon) per left
+               row, sharing a key" — an equi-join on the key with the
+               range as a post-join filter; Catalyst keeps the hash/SMJ
+               strategy and AQE handles key skew. Group sizes bound the
+               fan-out (right rows per key), which is the quantity to
+               monitor at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_count"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """For every left row, append the payload of the latest right row
+    with the same ``on`` key and ``right_ts <= left_ts`` (nulls when no
+    prior right row exists).
+
+    Ties on (key, time): right rows sort BEFORE left rows at the same
+    instant (inclusive semantics) and among themselves by payload order,
+    making the carried row deterministic.
+    """
+    lt = left.select(
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_t"),
+        "*",
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}") for p in payload],
+    )
+    rt = right.select(
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_t"),
+        # Right rows keep the JOIN KEY (they must land in the same window
+        # partition as the left rows they precede); every other left
+        # column is null-typed padding.
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        *[F.col(p).alias(f"_p_{p}") for p in payload],
+    )
+    merged = lt.unionByName(rt.select(lt.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side", *[f"_p_{p}" for p in payload])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p)
+            for p in payload
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop(
+        "_side", "_t", *[f"_p_{p}" for p in payload]
+    )
+
+
+def range_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon_seconds: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row, the count of right rows with the same key whose
+    timestamp falls in ``[left_ts, left_ts + horizon)``; left rows with
+    no matches keep count 0."""
+    r = right.select(F.col(on).alias("_k"), F.col(right_ts).alias("_rt"))
+    cond = (
+        (left[on] == r["_k"])
+        & (r["_rt"] >= left[left_ts])
+        & (r["_rt"] < F.timestamp_add("SECOND", F.lit(horizon_seconds), left[left_ts]))
+    )
+    joined = left.join(r, cond, "left")
+    return joined.groupBy(*[left[c] for c in left.columns]).agg(
+        F.count("_k").alias(count_alias)
+    )
