@@ -10,10 +10,13 @@ edge representation to halve shuffle volume.
 
 Layout:
   sources/    parquet + SNAP ego-network text ingest
+  sinks/      text-file result sinks (.proofs/.metrics) + distributed writer
   plans/      derived graph constructions (co-purchase graph)
-  operators/  graph analytics, dedup, similarity, text, events, betweenness
+  operators/  graph analytics, betweenness, components, dedup, similarity,
+              text, events, temporal joins, multimodal binary columns
   functions/  reusable column expressions (vector math, text normalization)
-  streaming/  Structured Streaming variants of the batch operators
+  streaming/  Structured Streaming variants of the event operators
+catalog.py holds the driver-facing query surface (QUERIES / oracle_sql).
 """
 
 __version__ = "0.1.0"

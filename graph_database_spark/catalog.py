@@ -392,6 +392,42 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_groups(spark, sf_dir):
+    """Near-dup pairs -> transitive dedup groups: connected components
+    (hash-min iteration) over the exact cosine pair graph. The iterative
+    operator is hash-verified against a DuckDB recursive-CTE reachability
+    oracle — components, not just pairs, are what a dedup job keeps."""
+    from graph_database_spark.operators.components import dedup_groups
+
+    pairs = S.cosine_pairs_above(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return dedup_groups(pairs).select(
+        "id", "keep_id", F.col("is_keeper").cast("int").alias("is_keeper")
+    )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The training-data curation pipeline end-to-end: near-dup removal
+    (normalized fingerprint, keep lowest id) -> quality filter -> per
+    (lang, source) document counts and token budgets. Composes X1 + X5
+    into the one query a data-curation job actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.normalized_dedup(docs).select("doc_id")
+    q = T.quality_score(docs).select("doc_id", "quality")
+    t = T.token_stats(docs).select("doc_id", "n_tokens")
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(t, "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     return MM.media_metadata(load_table(spark, sf_dir, "documents"))
 
@@ -666,6 +702,35 @@ ORACLES: dict[str, str] = {
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         FROM documents GROUP BY source
     """,
+    "corpus_curation": None,  # filled below (composes the quality SQL)
+    "embedding_dedup_groups": f"""
+        WITH RECURSIVE {_SIM_CTES},
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+            FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM dots
+            JOIN norms na ON na.vec_id = id_a
+            JOIN norms nb ON nb.vec_id = id_b
+            WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+        ),
+        sym2 AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT a, a FROM sym2
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym2 s ON s.a = reach.id
+        )
+        SELECT id, CAST(min(r) AS BIGINT) AS keep_id,
+               CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+        FROM reach GROUP BY id
+    """,
 }
 
 
@@ -725,6 +790,22 @@ def _build_quality_sql() -> str:
 
 ORACLES["lang_id"] = _build_lang_id_sql()
 ORACLES["quality_score"] = _build_quality_sql()
+ORACLES["corpus_curation"] = f"""
+    WITH keep AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY md5({_NORM_TEXT})
+    ),
+    q AS ({_build_quality_sql()})
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(q.quality), 4) AS avg_quality
+    FROM documents d
+    JOIN keep k ON d.doc_id = k.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality >= 0.5
+    GROUP BY 1, 2
+"""
 
 # Rows-only operators: declared in QUERIES with no oracle entry — the
 # driver records the weaker rows-only check (custom/iterative algorithms:
@@ -780,6 +861,8 @@ QUERIES: dict[str, QueryFn] = {
     "order_events_7d": q_order_events_7d,
     "media_metadata": q_media_metadata,
     "multimodal_features": q_multimodal_features,
+    "corpus_curation": q_corpus_curation,
+    "embedding_dedup_groups": q_embedding_dedup_groups,
 }
 
 

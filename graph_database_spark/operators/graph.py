@@ -33,7 +33,9 @@ def node_count(edges: DataFrame) -> DataFrame:
 
     Mirrors the reference where only vertices present in the edge file
     exist in the DB (src/main.js:249-262; golden 334 for ego 0)."""
-    members = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id")))
+    members = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("id")
+    )
     return members.agg(F.count_distinct("id").alias("node_count"))
 
 

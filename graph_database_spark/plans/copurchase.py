@@ -89,7 +89,9 @@ def copurchase_vertices(spark, sf_dir: str, edges: DataFrame | None = None) -> D
     """Vertex set with the proof-1 attribute pair: ``(id, attr_a, attr_b)``."""
     if edges is None:
         edges = copurchase_edges(spark, sf_dir)
-    members = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    members = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("id")
+    ).distinct()
     customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").alias("attr_a"),
@@ -102,8 +104,16 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     """Both-direction view ``(v, n)`` of a canonical edge set.
 
     The reference stores directed edges but queries them undirected
-    (src/main.js:36,77: ``-[:FRIENDS]-``); we store canonical and expand on
-    demand — a narrow (no-shuffle) union."""
-    return edges.select(F.col("src").alias("v"), F.col("dst").alias("n")).union(
-        edges.select(F.col("dst").alias("v"), F.col("src").alias("n"))
-    )
+    (src/main.js:36,77: ``-[:FRIENDS]-``); we store canonical and expand
+    on demand. Expansion is a narrow per-row explode — a union of two
+    selects would re-derive the (possibly expensive) edge lineage once
+    per branch, doubling every upstream scan in plans that don't reuse
+    exchanges."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("v"), F.col("dst").alias("n")),
+                F.struct(F.col("dst").alias("v"), F.col("src").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.v", "e.n")
