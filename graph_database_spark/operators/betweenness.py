@@ -97,6 +97,9 @@ def betweenness(
 
     # ---- backward accumulation -------------------------------------------
     # g rows exist only where g > 0; missing means 0.
+    # (Materializing the whole per-source DAG up front and slicing it per
+    # level was tried: ~1.5x slower here — the |visited| x degree join is
+    # bigger than the sum of the level-filtered joins it replaces.)
     g = spark.createDataFrame([], "s long, v long, g long")
     for level in range(max_dist - 1, -1, -1):
         nodes_l = visited.where(F.col("dist") == level).select("s", "v")
