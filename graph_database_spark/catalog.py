@@ -30,6 +30,7 @@ from graph_database_spark.operators import similarity as S
 from graph_database_spark.operators import temporal as TP
 from graph_database_spark.operators import text as T
 from graph_database_spark.operators.betweenness import betweenness
+from graph_database_spark.functions.textnorm import text_fingerprint
 from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
 from graph_database_spark.sources.parquet import load_table
 
@@ -392,6 +393,72 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_order_price_quantiles(spark, sf_dir):
+    # Exact interpolated percentiles (not approx sketches — those differ
+    # numerically across engines and would break the value hash).
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_orders_pivot_year(spark, sf_dir):
+    # Pivot = grouped conditional aggregation; fixed year list keeps the
+    # output schema static (a dynamic pivot needs a driver-side distinct
+    # pass — fine interactively, wrong in a pipeline).
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("yr", [2023, 2024, 2025])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside a pivot agg
+        .select(
+            "o_orderpriority",
+            F.coalesce("2023", F.lit(0)).alias("y2023"),
+            F.coalesce("2024", F.lit(0)).alias("y2024"),
+            F.coalesce("2025", F.lit(0)).alias("y2025"),
+        )
+    )
+
+
+def q_dedup_editdist_verify(spark, sf_dir):
+    """X2 verify tier: exact Levenshtein distance over pairs that share a
+    normalized fingerprint — the cheap character-level confirmation step
+    after hash-based candidate generation. Pair space is bounded by
+    fingerprint group sizes, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("doc_id"), F.col("text"),
+        text_fingerprint(F.col("text")).alias("fp"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+    )
+
+
+def q_events_running_value(spark, sf_dir):
+    # Window-frame coverage: running total + trailing 3-row average per
+    # user — one shuffle on user_id for both frames.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(running), 4).alias("running_value"),
+        F.round(F.avg("value").over(trailing), 4).alias("avg_value_3"),
+    )
+
+
 def q_embedding_dedup_groups(spark, sf_dir):
     """Near-dup pairs -> transitive dedup groups: connected components
     (hash-min iteration) over the exact cosine pair graph. The iterative
@@ -703,6 +770,37 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "corpus_curation": None,  # filled below (composes the quality SQL)
+    "order_price_quantiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "orders_pivot_year": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (year(o_orderdate) = 2023) AS BIGINT) AS y2023,
+               CAST(count(*) FILTER (year(o_orderdate) = 2024) AS BIGINT) AS y2024,
+               CAST(count(*) FILTER (year(o_orderdate) = 2025) AS BIGINT) AS y2025
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "dedup_editdist_verify": f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        FROM (SELECT doc_id, text, md5({_NORM_TEXT}) AS fp FROM documents) a
+        JOIN (SELECT doc_id, text, md5({_NORM_TEXT}) AS fp FROM documents) b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """,
+    "events_running_value": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_value_3
+        FROM events
+    """,
     "embedding_dedup_groups": f"""
         WITH RECURSIVE {_SIM_CTES},
         dots AS (
@@ -863,6 +961,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "order_price_quantiles": q_order_price_quantiles,
+    "orders_pivot_year": q_orders_pivot_year,
+    "dedup_editdist_verify": q_dedup_editdist_verify,
+    "events_running_value": q_events_running_value,
 }
 
 
