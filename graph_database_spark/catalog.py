@@ -393,6 +393,17 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_user_event_types(spark, sf_dir):
+    # A4 (collect(...) list aggregation, src/main.js:109 analog): the
+    # distinct event types per user as a sorted array — sorted so the
+    # value is set-semantics-stable across engines and partitionings.
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_order_price_quantiles(spark, sf_dir):
     # Exact interpolated percentiles (not approx sketches — those differ
     # numerically across engines and would break the value hash).
@@ -770,6 +781,12 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "corpus_curation": None,  # filled below (composes the quality SQL)
+    "user_event_types": """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
     "order_price_quantiles": """
         SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -961,6 +978,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "user_event_types": q_user_event_types,
     "order_price_quantiles": q_order_price_quantiles,
     "orders_pivot_year": q_orders_pivot_year,
     "dedup_editdist_verify": q_dedup_editdist_verify,
