@@ -34,11 +34,17 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     Isolated vertices don't exist here by construction (every id comes
     from an edge); callers with a separate vertex set can left-join and
     coalesce(component, id)."""
-    sym = symmetrize(edges).localCheckpoint()
+    spark = edges.sparkSession
+    # Label state is one row per vertex — keep it on a handful of
+    # partitions so per-round job overhead doesn't dominate (same
+    # reasoning as betweenness state_parts).
+    state_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    sym = symmetrize(edges).coalesce(state_parts).localCheckpoint()
     labels = (
         sym.select(F.col("v").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
+        .coalesce(state_parts)
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -52,6 +58,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             labels.unionByName(incoming)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .coalesce(state_parts)
             .localCheckpoint()
         )
         changed = (
