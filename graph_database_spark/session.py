@@ -39,6 +39,10 @@ def get_spark(
         # local[N] runs everything in one JVM whose default 1g heap is far
         # below this machine's RAM; only effective before JVM start.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Keep catalog-table storage out of the working directory (bucketed
+        # tables use explicit paths; this catches any default-path write).
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         # Adaptive execution: runtime shuffle-partition coalescing and
         # skew-join splitting — the first line of defense at 100 TB.
         .config("spark.sql.adaptive.enabled", "true")
