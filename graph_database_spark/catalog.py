@@ -393,6 +393,17 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_distinct_users_sketch(spark, sf_dir):
+    # Rows-only: KMV estimates are deterministic but intentionally
+    # approximate, so no value oracle; accuracy (<15% err at k=256) is
+    # pinned by tests/test_sketches_and_sinks.py.
+    from graph_database_spark.operators.sketches import distinct_count_kmv
+
+    return distinct_count_kmv(
+        load_table(spark, sf_dir, "events"), "user_id", group_by="event_type"
+    )
+
+
 def q_user_event_types(spark, sf_dir):
     # A4 (collect(...) list aggregation, src/main.js:109 analog): the
     # distinct event types per user as a sorted array — sorted so the
@@ -934,6 +945,7 @@ ROWS_ONLY = frozenset({
     "embedding_neardup_lsh",
     "snap_metrics",
     "multimodal_features",
+    "distinct_users_sketch",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -978,6 +990,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "distinct_users_sketch": q_distinct_users_sketch,
     "user_event_types": q_user_event_types,
     "order_price_quantiles": q_order_price_quantiles,
     "orders_pivot_year": q_orders_pivot_year,

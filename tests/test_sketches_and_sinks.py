@@ -1,0 +1,46 @@
+"""KMV sketch accuracy + partitioned-sink pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators.sketches import distinct_count_kmv
+from graph_database_spark.sinks.parquet import read_partitioned, write_partitioned
+from graph_database_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_kmv_accuracy_vs_exact(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    exact = o.select(F.count_distinct("o_custkey")).first()[0]
+    est = distinct_count_kmv(o, "o_custkey", k=256).first()["est_distinct"]
+    assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    est = distinct_count_kmv(df, "k", k=256).first()["est_distinct"]
+    assert est == 100.0  # fewer than k distinct -> the sketch is exact
+
+
+def test_kmv_grouped(spark):
+    e = load_table(spark, SF_DIR, "events")
+    rows = {r["event_type"]: r["est_distinct"]
+            for r in distinct_count_kmv(e, "user_id", group_by="event_type").collect()}
+    assert rows and all(0 < v <= 200 for v in rows.values())  # 150 real users
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+
+    back = read_partitioned(spark, path)
+    one_lang = back.select("lang").first()["lang"]
+    q = back.where(F.col("lang") == one_lang)
+    q.count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    # Round trip preserves the data.
+    assert back.count() == docs.count()
