@@ -393,6 +393,23 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_top_tokens_per_lang(spark, sf_dir):
+    # X5 depth: corpus token frequencies — explode-then-aggregate, the
+    # canonical vocabulary-building shape; top-k per group with a
+    # deterministic (count desc, token asc) tiebreak.
+    from graph_database_spark.functions.textnorm import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "token", "cnt", "rank")
+    )
+
+
 def q_distinct_users_sketch(spark, sf_dir):
     # Rows-only: KMV estimates are deterministic but intentionally
     # approximate, so no value oracle; accuracy (<15% err at k=256) is
@@ -792,6 +809,20 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "corpus_curation": None,  # filled below (composes the quality SQL)
+    "top_tokens_per_lang": f"""
+        SELECT lang, token, cnt, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY count(*) DESC, token
+                   ) AS rank
+            FROM (
+                SELECT lang,
+                       unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+                FROM documents
+            ) t
+            GROUP BY lang, token
+        ) r WHERE rank <= 10
+    """,
     "user_event_types": """
         SELECT user_id,
                list_sort(list(DISTINCT event_type)) AS event_types,
@@ -990,6 +1021,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
     "distinct_users_sketch": q_distinct_users_sketch,
     "user_event_types": q_user_event_types,
     "order_price_quantiles": q_order_price_quantiles,
