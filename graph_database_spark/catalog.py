@@ -99,6 +99,14 @@ def _graph(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _edges(spark, sf_dir):
+    # Graph operators reference the edge set several times (symmetrize,
+    # wedge joins, degree); a checkpoint derives the co-purchase pipeline
+    # once instead of once per reference (without it the clustering-
+    # coefficient plan carries 41 pre-AQE Exchange nodes; with it, 7).
+    return copurchase_edges(spark, sf_dir).localCheckpoint()
+
+
 def q_node_count(spark, sf_dir):
     return G.node_count(copurchase_edges(spark, sf_dir))
 
@@ -128,15 +136,15 @@ def q_hypothesis_pct(spark, sf_dir):
 
 
 def q_degree(spark, sf_dir):
-    return G.degree(copurchase_edges(spark, sf_dir))
+    return G.degree(_edges(spark, sf_dir))
 
 
 def q_triangle_edges(spark, sf_dir):
-    return G.triangle_edges(copurchase_edges(spark, sf_dir))
+    return G.triangle_edges(_edges(spark, sf_dir))
 
 
 def q_clustering_coefficient(spark, sf_dir):
-    return G.clustering_coefficient(copurchase_edges(spark, sf_dir))
+    return G.clustering_coefficient(_edges(spark, sf_dir))
 
 
 def q_feature_decode(spark, sf_dir):
