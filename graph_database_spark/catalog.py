@@ -212,6 +212,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
+def q_staged_dedup(spark, sf_dir):
+    # Rows-only (the near-dup tier is hash-based): the staged production
+    # pipeline — normalized-fingerprint collapse, then MinHash components
+    # over the survivors. Semantics pinned by tests/test_dedup.py.
+    return D.staged_dedup(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
 def q_text_token_stats(spark, sf_dir):
     return T.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -985,6 +992,7 @@ ROWS_ONLY = frozenset({
     "snap_metrics",
     "multimodal_features",
     "distinct_users_sketch",
+    "staged_dedup",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -1005,6 +1013,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "staged_dedup": q_staged_dedup,
     "text_token_stats": q_text_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

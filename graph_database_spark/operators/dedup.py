@@ -35,6 +35,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "staged_dedup",
 ]
 
 
@@ -329,4 +330,57 @@ def ngram_jaccard_pairs(
             (inter.cast("double") / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def staged_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production dedup pipeline, staged: ``(doc_id, stage)`` — one
+    row per SURVIVING document, with the stage that last vetted it.
+
+    Order matters at scale (SCALE.md): each stage shrinks the next
+    stage's input superlinearly on duplicate-heavy corpora, and near-dup
+    pair output is quadratic in the duplication factor, so the hash
+    tiers must run first.
+
+      1. exact: keep the lowest id per raw text (byte duplicates gone);
+      2. normalized: keep the lowest id per normalized fingerprint
+         (case/punctuation/whitespace variants gone);
+      3. near-dup: MinHash-LSH pairs over the survivors, grouped into
+         transitive components (operators/components.py) — keep each
+         component's minimum id.
+    """
+    from graph_database_spark.operators.components import dedup_groups
+
+    # Stages 1+2 fold into one aggregation: the normalized fingerprint
+    # of byte-identical texts is identical, so keeping the lowest id per
+    # fingerprint subsumes the exact tier.
+    norm_keep = (
+        docs.select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = docs.join(norm_keep, id_col, "left_semi").localCheckpoint()
+
+    pairs = minhash_lsh_pairs(
+        survivors, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    groups = dedup_groups(pairs)
+    keepers = groups.where(F.col("is_keeper")).select(F.col("id").alias(id_col))
+    dropped = groups.where(~F.col("is_keeper")).select(F.col("id").alias(id_col))
+    return (
+        survivors.select(id_col)
+        .join(dropped, id_col, "left_anti")
+        .join(keepers.withColumn("_k", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_k").isNotNull(), F.lit("near_dup_keeper"))
+            .otherwise(F.lit("unique"))
+            .alias("stage"),
+        )
     )

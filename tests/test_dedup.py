@@ -76,3 +76,10 @@ def test_ngram_jaccard_exact_value(docs):
     sh3 = {" ".join(toks3[i:i+3]) for i in range(len(toks3) - 2)}
     expected = len(sh1 & sh3) / len(sh1 | sh3)
     assert pairs[(1, 3)] == pytest.approx(expected)
+
+
+def test_staged_dedup_pipeline(docs, spark):
+    """docs 1,2,5 collapse at the normalized tier (lowest id 1 survives);
+    1 vs 3 is a near-dup pair -> one component keeper; 4 unique."""
+    rows = {r["doc_id"]: r["stage"] for r in D.staged_dedup(docs, threshold=0.3).collect()}
+    assert rows == {1: "near_dup_keeper", 4: "unique"}
