@@ -408,6 +408,31 @@ def q_order_events_7d(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    # Equal-width histogram of event values (bucket = floor(value/10));
+    # plain floor arithmetic rather than width_bucket so the bucketing is
+    # expressible identically on any ANSI engine.
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_order_rank_stats(spark, sf_dir):
+    # Ranking-function coverage beyond row_number: ntile quartiles and
+    # percent_rank over order value within each priority class.
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_top_tokens_per_lang(spark, sf_dir):
     # X5 depth: corpus token frequencies — explode-then-aggregate, the
     # canonical vocabulary-building shape; top-k per group with a
@@ -824,6 +849,19 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "corpus_curation": None,  # filled below (composes the quality SQL)
+    "value_histogram": """
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "order_rank_stats": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
     "top_tokens_per_lang": f"""
         SELECT lang, token, cnt, CAST(rank AS INTEGER) AS rank FROM (
             SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,
@@ -1038,6 +1076,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "value_histogram": q_value_histogram,
+    "order_rank_stats": q_order_rank_stats,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "distinct_users_sketch": q_distinct_users_sketch,
     "user_event_types": q_user_event_types,
