@@ -61,13 +61,12 @@ def betweenness(
     src = src.localCheckpoint()
 
     # ---- forward BFS ------------------------------------------------------
-    frontier = src.select(
+    visited = src.select(
         F.col("id").alias("s"),
         F.col("id").alias("v"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint()
-    visited = frontier
 
     # Per-level state is |S| x |frontier| rows — small relative to the
     # session's shuffle width, so each checkpointed frame is coalesced
@@ -76,25 +75,29 @@ def betweenness(
     # 1.5x SLOWER — the anti-join then reads L stacked frames per level.)
     state_parts = max(4, spark.sparkContext.defaultParallelism // 4)
 
+    # ONE materialization per level: the frontier is a filter on the
+    # checkpointed visited frame (free), and convergence is detected by
+    # the visited count no longer growing (a metadata-cheap count on the
+    # just-materialized frame) instead of a separate frontier.isEmpty()
+    # job that would force the expansion twice.
+    prev_count = visited.count()
     for level in range(1, max_iterations + 1):
+        frontier = visited.where(F.col("dist") == level - 1)
         expanded = (
             frontier.join(sym, "v")
             .groupBy("s", F.col("n").alias("v"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = (
+        new = (
             expanded.join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(level))
             .select("s", "v", "dist", "sigma")
-            .coalesce(state_parts)
-            .localCheckpoint()
         )
-        if frontier.isEmpty():
+        visited = visited.union(new).coalesce(state_parts).localCheckpoint()
+        count = visited.count()
+        if count == prev_count:
             break
-        # Re-checkpointing visited per level measured fastest here; both a
-        # fully-lazy union chain and an every-3rd-level hybrid were slower
-        # (stacked-frame anti-joins cost more than the rewrite).
-        visited = visited.union(frontier).coalesce(state_parts).localCheckpoint()
+        prev_count = count
 
     max_dist = visited.agg(F.max("dist")).first()[0] or 0
 
