@@ -212,6 +212,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
+def q_text_embedding_neardup(spark, sf_dir):
+    # Rows-only: raw text -> hash-trick embeddings -> exact grid cosine
+    # pairs — the full featurize-then-match composition (embedding values
+    # pinned by tests/test_dedup.py::test_hash_embedding_properties).
+    emb = T.hash_embedding(load_table(spark, sf_dir, "documents"), dim=64)
+    return S.cosine_pairs_above(emb, threshold=0.8, id_col="doc_id", vec_col="embedding")
+
+
 def q_staged_dedup(spark, sf_dir):
     # Rows-only (the near-dup tier is hash-based): the staged production
     # pipeline — normalized-fingerprint collapse, then MinHash components
@@ -1031,6 +1039,7 @@ ROWS_ONLY = frozenset({
     "multimodal_features",
     "distinct_users_sketch",
     "staged_dedup",
+    "text_embedding_neardup",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -1052,6 +1061,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "staged_dedup": q_staged_dedup,
+    "text_embedding_neardup": q_text_embedding_neardup,
     "text_token_stats": q_text_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

@@ -61,6 +61,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector:
     ``(query_id, cand_id, sim, rank)``, self-matches excluded.
@@ -68,8 +69,21 @@ def brute_force_topk(
     Plan: broadcast the (small) query side, crossJoin against candidates
     — a map-only stage — then one shuffle for the per-query window
     top-k. Ties broken by cand_id after rounding so ranking is
-    engine-deterministic. Use only when queries is broadcast-sized;
-    for large-vs-large use lsh_topk."""
+    engine-deterministic.
+
+    The plan is only sane when the query side is broadcast-sized, so it
+    is GUARDED: more than ``max_broadcast_rows`` queries raises instead
+    of silently shipping the frame to every executor (pass None to skip
+    the count when the caller already knows the side is small). For
+    large-vs-large use lsh_topk."""
+    if max_broadcast_rows is not None:
+        n_q = queries.count()
+        if n_q > max_broadcast_rows:
+            raise ValueError(
+                f"brute_force_topk: query side has {n_q} rows "
+                f"(> {max_broadcast_rows}); broadcasting it would flood "
+                "executors — use lsh_topk for large-vs-large top-k"
+            )
     q = _with_norm(queries, id_col, vec_col, "a").withColumnRenamed("ida", "query_id")
     c = _with_norm(spread(candidates), id_col, vec_col, "b").withColumnRenamed("idb", "cand_id")
     scored = (

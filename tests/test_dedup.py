@@ -83,3 +83,25 @@ def test_staged_dedup_pipeline(docs, spark):
     1 vs 3 is a near-dup pair -> one component keeper; 4 unique."""
     rows = {r["doc_id"]: r["stage"] for r in D.staged_dedup(docs, threshold=0.3).collect()}
     assert rows == {1: "near_dup_keeper", 4: "unique"}
+
+
+def test_hash_embedding_properties(docs, spark):
+    """Hash-trick embeddings: unit norm, deterministic, and cosine
+    reflects textual similarity (near-dups ~1, unrelated much lower)."""
+    from graph_database_spark.operators.text import hash_embedding
+    from graph_database_spark.operators.similarity import cosine_pairs_above
+
+    emb = hash_embedding(docs, dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    import math
+    for v in rows.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-6)
+    assert rows[1] == rows[2]  # identical text -> identical embedding
+
+    sims = {(r["id_a"], r["id_b"]): r["sim"]
+            for r in cosine_pairs_above(emb, threshold=-1.0, id_col="doc_id",
+                                        vec_col="embedding", grid_blocks=2).collect()}
+    assert sims[(1, 2)] == 1.0
+    assert sims[(1, 3)] > 0.9        # one-token edit
+    assert sims[(1, 4)] < 0.5        # unrelated text
