@@ -64,6 +64,12 @@ def main() -> None:
     spark = get_spark("graph-database-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up: run the first headline query once untimed so JVM/codegen/
+    # parquet-footer startup cost isn't attributed to whichever query runs
+    # first (r2: node_count absorbed ~8 s of session warmup, making
+    # per-query deltas unattributable across rounds).
+    catalog.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

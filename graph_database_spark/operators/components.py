@@ -10,8 +10,11 @@ vertex takes the min label among itself and its neighbors; converged when
 no label changes. Rounds ~ component diameter; each round is ONE shuffle
 (groupBy vertex) over |E| propagated labels — the standard scalable
 formulation (cf. Kiveris et al., "Connected Components in MapReduce and
-Beyond"). localCheckpoint per round keeps lineage flat; the changed-count
-convergence test is the only driver-side scalar.
+Beyond"). The round loop is the shared fixpoint skeleton
+(operators/fixpoint.py): coalesced + checkpointed state, isEmpty
+convergence probe, and a hard error on round-budget exhaustion — hash-min
+needs rounds ~ diameter, and silently returning partial labels would hand
+downstream dedup wrong keepers (ADVICE r2).
 
 At 100 TB: state is one (vertex, label) row per vertex and the shuffle
 key is the vertex id — uniform. Diameter-bound rounds are the cost knob;
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from graph_database_spark.operators.fixpoint import aggregate_messages, fixpoint, materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
 __all__ = ["connected_components", "dedup_groups"]
@@ -33,43 +37,29 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
 
     Isolated vertices don't exist here by construction (every id comes
     from an edge); callers with a separate vertex set can left-join and
-    coalesce(component, id)."""
-    spark = edges.sparkSession
-    # Label state is one row per vertex — keep it on a handful of
-    # partitions so per-round job overhead doesn't dominate (same
-    # reasoning as betweenness state_parts).
-    state_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    sym = symmetrize(edges).coalesce(state_parts).localCheckpoint()
+    coalesce(component, id). Raises RuntimeError if the component
+    diameter exceeds ``max_iterations`` rounds."""
+    sym = materialize(symmetrize(edges))
     labels = (
         sym.select(F.col("v").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .coalesce(state_parts)
-        .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        # Propagate each vertex's label to its neighbors, then take the
-        # min of own and incoming labels.
-        incoming = (
-            sym.join(labels.withColumnRenamed("id", "v"), "v")
-            .select(F.col("n").alias("id"), "component")
+
+    def step(state: DataFrame) -> DataFrame:
+        # Min label among self and neighbors — one aggregate-messages round.
+        return aggregate_messages(
+            sym, state, [F.min("component").alias("component")], include_self=True
         )
-        new_labels = (
-            labels.unionByName(incoming)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .coalesce(state_parts)
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .where(F.col("component") != F.col("old"))
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.join(old.withColumnRenamed("component", "prev"), "id")
+            .where(F.col("component") != F.col("prev"))
             .isEmpty()
         )
-        labels = new_labels
-        if changed:
-            break
-    return labels
+
+    return fixpoint(labels, step, converged, max_iterations, name="connected_components")
 
 
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

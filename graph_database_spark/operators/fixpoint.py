@@ -1,0 +1,104 @@
+"""Shared fixpoint machinery for iterative graph operators.
+
+Every iterative DataFrame operator in this repo has the same skeleton
+(hash-min components, betweenness BFS levels, PageRank rounds, k-core
+peeling): small per-round state coalesced onto a few partitions so
+per-round job overhead doesn't dominate, ``localCheckpoint`` per round
+to keep lineage flat (an un-truncated iterative plan grows linearly in
+rounds and blows up task-binary size), and a cheap convergence probe on
+the just-materialized frame. This module is that skeleton, written
+once; ``aggregate_messages`` is the GraphX-style one-round primitive
+the north star names (BASELINE.json: "GraphX for analytics").
+
+At 100 TB the same shape holds — state frames are O(|V|) rows, far
+smaller than the edge data, and the coalesce factor simply tracks the
+cluster's parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["state_partitions", "materialize", "fixpoint", "aggregate_messages"]
+
+
+def state_partitions(spark) -> int:
+    """Partition count for iterative state: enough for parallelism,
+    few enough that per-round scheduling doesn't dominate (CLAUDE.md
+    rule; measured in round 1 on betweenness)."""
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
+def materialize(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Coalesce onto the state partition count and localCheckpoint —
+    the per-round state hygiene every iterative operator needs."""
+    if parts is None:
+        parts = state_partitions(df.sparkSession)
+    return df.coalesce(parts).localCheckpoint()
+
+
+def fixpoint(
+    initial: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    converged: Callable[[DataFrame, DataFrame], bool],
+    max_iterations: int,
+    name: str = "fixpoint",
+    on_exhaust: str = "raise",
+) -> DataFrame:
+    """Iterate ``state = step(state)`` until ``converged(old, new)``.
+
+    Both the incoming and produced state are materialized (coalesce +
+    localCheckpoint) so ``step`` and ``converged`` always see flat
+    lineage. ``converged`` runs on materialized frames — a count() or
+    isEmpty() probe there is one cheap job, not a recomputation.
+
+    ``on_exhaust``: 'raise' (default) refuses to return a possibly
+    unconverged state — silent partial results are wrong results for
+    label-propagation-style algorithms (ADVICE r2 on components);
+    'return' hands back the last iterate, the right contract for
+    anytime algorithms (PageRank's fixed round budget).
+    """
+    parts = state_partitions(initial.sparkSession)
+    state = materialize(initial, parts)
+    for _ in range(max_iterations):
+        new = materialize(step(state), parts)
+        if converged(state, new):
+            return new
+        state = new
+    if on_exhaust == "return":
+        return state
+    raise RuntimeError(
+        f"{name} did not converge in {max_iterations} iterations; "
+        "raise max_iterations"
+    )
+
+
+def aggregate_messages(
+    sym: DataFrame,
+    vertices: DataFrame,
+    agg: list[Column],
+    include_self: bool = False,
+) -> DataFrame:
+    """One round of GraphX-style message passing over an undirected
+    graph: every vertex's state row is sent along each incident edge and
+    the incoming messages aggregate per destination.
+
+    ``sym``: symmetrized edges ``(v, n)`` (plans/copurchase.symmetrize);
+    ``vertices``: state ``(id, ...cols)``; ``agg``: aggregate expressions
+    over the incoming state columns, grouped by destination id.
+    ``include_self`` unions the vertex's own state into its inbox (the
+    hash-min components formulation needs min over self + neighbors).
+
+    One shuffle per call (the groupBy), keyed by vertex id — uniform
+    unless the graph has super-hub vertices, which AQE skew handling
+    covers."""
+    incoming = (
+        sym.join(vertices.withColumnRenamed("id", "v"), "v")
+        .drop("v")
+        .withColumnRenamed("n", "id")
+    )
+    if include_self:
+        incoming = incoming.unionByName(vertices)
+    return incoming.groupBy("id").agg(*agg)

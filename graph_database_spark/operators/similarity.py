@@ -155,6 +155,21 @@ def cosine_pairs_above(
     )
 
 
+def _auto_bits(df: DataFrame, n_bits: int | None, target_bucket: int = 128) -> int:
+    """Derive the LSH bucket width from corpus size when the caller
+    didn't pin it: n_bits = max(4, ceil(log2(N / target_bucket))), so
+    bucket occupancy ~ N / 2^n_bits stays near target_bucket as the
+    corpus grows (SCALE.md lesson 2: the 4-bit default floods buckets at
+    40k near-dup vectors; this yields 9 bits there). One cheap count()
+    against the input; pass n_bits explicitly to skip it."""
+    import math
+
+    if n_bits is not None:
+        return n_bits
+    n = df.count()
+    return max(4, math.ceil(math.log2(max(n / target_bucket, 1.0))))
+
+
 def _hyperplane_sums(vec_col, total_bits: int):
     """ARRAY<DOUBLE>[total_bits] of <v, h_j> for deterministic ±1
     hyperplanes h_j[i] = sign(xxhash64(j, i)) — dimension read from the
@@ -207,7 +222,7 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH:
@@ -216,13 +231,15 @@ def lsh_topk(
     n_tables independent bucketings (bit-slices of one shared sign-sum
     array, computed in a single vector pass); query and candidate meet if
     they share a bucket in ANY table. One shuffle on (table, bucket);
-    exact cosine re-rank on survivors. Defaults (4 bits -> 16 buckets,
-    16 tables) are tuned for recall@10 ~ 0.9 on the driver's synthetic
-    embeddings, whose neighbors are barely above the random-cosine noise
-    floor — the hardest case for LSH. At larger corpora raise n_bits to
-    keep bucket size ~ N/2^n_bits bounded and n_tables to buy recall
-    back — candidate cost is linear in n_tables; real clustered
+    exact cosine re-rank on survivors. ``n_bits`` defaults to the
+    corpus-size-derived width (_auto_bits): 4 bits -> 16 buckets at the
+    driver's SFs (tuned for recall@10 ~ 0.9 on the synthetic embeddings,
+    whose neighbors are barely above the random-cosine noise floor — the
+    hardest case for LSH), growing as log2(N/128) so bucket occupancy
+    stays bounded at scale. Raise n_tables to buy recall back at larger
+    widths — candidate cost is linear in n_tables; real clustered
     embeddings need far fewer tables than this synthetic worst case."""
+    n_bits = _auto_bits(candidates, n_bits)
     qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables)
     cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables)
     cand = (
@@ -247,14 +264,16 @@ def lsh_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_tables: int = 16,
 ) -> DataFrame:
     """Approximate all-pairs cosine >= threshold: LSH-bucketed candidate
     generation + exact verify inside buckets — the sub-quadratic scale
     path for embedding near-dup over a large corpus. Recall < 1 by
     construction (tune n_tables); for the exact answer use
-    cosine_pairs_above."""
+    cosine_pairs_above. ``n_bits`` defaults to the corpus-size-derived
+    width (_auto_bits) so bucket occupancy stays bounded as N grows."""
+    n_bits = _auto_bits(vectors, n_bits)
     b = _with_buckets(vectors, id_col, vec_col, "a", n_bits, n_tables)
     other = b.select(
         F.col("ida").alias("idb"), F.col("va").alias("vb"),

@@ -43,12 +43,21 @@ def asof_join(
     Ties on (key, time): right rows sort BEFORE left rows at the same
     instant (inclusive semantics) and among themselves by payload order,
     making the carried row deterministic.
+
+    The payload travels as ONE struct column carried atomically with
+    ``last(ignorenulls)`` — carrying each payload column independently
+    (the r2 formulation) backfills a NULL field of the latest right row
+    from an older row and can mix fields from different right rows,
+    diverging from true latest-row as-of semantics (ADVICE r2).
     """
+    from pyspark.sql.types import StructField, StructType
+
+    p_type = StructType([StructField(p, right.schema[p].dataType) for p in payload])
     lt = left.select(
         F.lit(1).alias("_side"),
         F.col(left_ts).alias("_t"),
         "*",
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}") for p in payload],
+        F.lit(None).cast(p_type).alias("_p"),
     )
     rt = right.select(
         F.lit(0).alias("_side"),
@@ -60,23 +69,18 @@ def asof_join(
             (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
             for c in left.columns
         ],
-        *[F.col(p).alias(f"_p_{p}") for p in payload],
+        F.struct(*[F.col(p).alias(p) for p in payload]).alias("_p"),
     )
     merged = lt.unionByName(rt.select(lt.columns))
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side", *[f"_p_{p}" for p in payload])
+        .orderBy("_t", "_side", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        "*",
-        *[
-            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p)
-            for p in payload
-        ],
-    )
-    return carried.where(F.col("_side") == 1).drop(
-        "_side", "_t", *[f"_p_{p}" for p in payload]
+    carried = merged.select("*", F.last("_p", ignorenulls=True).over(w).alias("_pc"))
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_pc").getField(p).alias(p) for p in payload],
     )
 
 
@@ -91,14 +95,23 @@ def range_count(
 ) -> DataFrame:
     """Per left row, the count of right rows with the same key whose
     timestamp falls in ``[left_ts, left_ts + horizon)``; left rows with
-    no matches keep count 0."""
+    no matches keep count 0.
+
+    Row multiplicity is preserved: the post-join regroup keys on a
+    generated unique row id, not the left columns — grouping on the
+    columns alone collapses duplicate left rows into one row with a
+    merged count (2 identical left rows x m matches -> one row with 2m;
+    ADVICE r2)."""
+    lid = left.withColumn("_rowid", F.monotonically_increasing_id())
     r = right.select(F.col(on).alias("_k"), F.col(right_ts).alias("_rt"))
     cond = (
-        (left[on] == r["_k"])
-        & (r["_rt"] >= left[left_ts])
-        & (r["_rt"] < F.timestamp_add("SECOND", F.lit(horizon_seconds), left[left_ts]))
+        (lid[on] == r["_k"])
+        & (r["_rt"] >= lid[left_ts])
+        & (r["_rt"] < F.timestamp_add("SECOND", F.lit(horizon_seconds), lid[left_ts]))
     )
-    joined = left.join(r, cond, "left")
-    return joined.groupBy(*[left[c] for c in left.columns]).agg(
-        F.count("_k").alias(count_alias)
+    joined = lid.join(r, cond, "left")
+    return (
+        joined.groupBy(F.col("_rowid"), *[lid[c] for c in left.columns])
+        .agg(F.count("_k").alias(count_alias))
+        .drop("_rowid")
     )

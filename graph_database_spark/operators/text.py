@@ -125,8 +125,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: ``(doc_id, fingerprint)`` — md5 over
     normalized text (portable rolling-hash stand-in; see
-    dedup.normalized_dedup for the grouping use)."""
-    return docs.select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))
+    dedup.normalized_dedup for the grouping use). spread() keeps the
+    regex+md5 chain off a single partition on small scans."""
+    from graph_database_spark.operators.spread import spread
+
+    return spread(docs).select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def hash_embedding(

@@ -1,0 +1,70 @@
+"""PageRank and k-core fixtures vs hand-computed / numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graph_database_spark.operators.kcore import k_core
+from graph_database_spark.operators.pagerank import pagerank
+
+
+def numpy_pagerank(edges, damping, iters):
+    """Dense power iteration on the symmetrized graph — the oracle."""
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * adj.T @ (r / deg)
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+
+
+def test_pagerank_matches_numpy(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    # tol=0 forces exactly max_iterations rounds on both sides.
+    ours = {r["id"]: r["rank"]
+            for r in pagerank(df, damping=0.85, max_iterations=15, tol=0.0).collect()}
+    ref = numpy_pagerank(EDGES, 0.85, 15)
+    assert set(ours) == set(ref)
+    for v in ref:
+        assert abs(ours[v] - ref[v]) < 1e-9, (v, ours[v], ref[v])
+
+
+def test_pagerank_mass_conserved(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    total = sum(r["rank"] for r in pagerank(df, max_iterations=10).collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_converges_before_budget(spark):
+    # Symmetric triangle: uniform ranks from round 1; converges instantly.
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    ours = {r["id"]: r["rank"] for r in pagerank(df, max_iterations=50).collect()}
+    for v in (1, 2, 3):
+        assert abs(ours[v] - 1 / 3) < 1e-9
+
+
+def test_kcore_triangle_with_pendant(spark):
+    # Triangle {1,2,3} + pendant 4-3: the 2-core is the triangle.
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    rows = {r["id"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_path_is_empty_at_2(spark):
+    # A path has no 2-core: peeling eats it end-in (worst-case rounds).
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    assert k_core(df, k=2).count() == 0
+
+
+def test_kcore_full_graph_at_k1(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    rows = {r["id"]: r["degree"] for r in k_core(df, k=1).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6}
