@@ -70,6 +70,16 @@ def main() -> None:
     # per-query deltas unattributable across rounds).
     catalog.QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
+    def release_checkpoints() -> None:
+        # localCheckpoint() blocks pin executor storage memory and are
+        # never freed by plan GC within a session; without this, graph
+        # queries' checkpointed edge frames accumulate across the run and
+        # later queries execute under growing memory pressure (observed
+        # as 2-3x noise on the tail of the r3 bench).
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
+    release_checkpoints()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -79,6 +89,7 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+        release_checkpoints()
 
     print(json.dumps({
         "metric": "headline_queries_total",
