@@ -614,6 +614,56 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_docs_hash_sample(spark, sf_dir):
+    # Deterministic md5-prefix sampling (engine-portable, retry-stable —
+    # df.sample()'s RNG is neither). Narrow filter, no shuffle.
+    from graph_database_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1).select("doc_id", "lang", "source")
+
+
+def q_corpus_mixture(spark, sf_dir):
+    # Mixture weighting: cap every (lang, source) stratum at 15 docs,
+    # drawn in deterministic hash order — the corpus-rebalancing
+    # primitive of a training-data pipeline.
+    from graph_database_spark.operators.sampling import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_cap(docs, ["lang", "source"], cap=15).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_token_packing(spark, sf_dir):
+    # Shard packing: assign docs to 2048-token chunks per lang by running
+    # token offset (greedy sequential fill in doc_id order).
+    from graph_database_spark.operators.sampling import token_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.token_stats(docs).select("doc_id", "n_tokens")
+    d = docs.select("doc_id", "lang").join(stats, "doc_id")
+    return token_chunks(d, budget=2048).select("doc_id", "lang", "n_tokens", "chunk_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    # Rows-only: IVF-cell ANN (data-adaptive counterpart of ann_lsh);
+    # recall floor vs brute force pinned by tests/test_ivf.py.
+    from graph_database_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, k=10)
+
+
+def q_label_propagation(spark, sf_dir):
+    # Rows-only (iterative): deterministic-tie-break LPA communities over
+    # the co-purchase graph; semantics pinned by tests/test_graph_analytics.py.
+    from graph_database_spark.operators.labelprop import label_propagation
+
+    return label_propagation(copurchase_edges(spark, sf_dir))
+
+
 def q_media_metadata(spark, sf_dir):
     return MM.media_metadata(load_table(spark, sf_dir, "documents"))
 
@@ -955,6 +1005,18 @@ ORACLES: dict[str, str] = {
               FROM documents) b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
     """,
+    "docs_hash_sample": None,  # filled below (threshold from sampling helper)
+    "corpus_mixture": """
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) t WHERE rn <= 15
+    """,
+    "token_packing": None,  # filled below (shares the token regex)
     "events_running_value": """
         SELECT event_id, user_id,
                round(sum(value) OVER (
@@ -1050,6 +1112,33 @@ def _build_quality_sql() -> str:
     """
 
 
+def _build_hash_sample_sql() -> str:
+    from graph_database_spark.operators.sampling import sample_threshold_hex
+
+    thr = sample_threshold_hex(0.1)
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr}'
+    """
+
+
+def _build_token_packing_sql() -> str:
+    n_tokens = f"CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS BIGINT)"
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {n_tokens} AS n_tokens FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(
+                   (sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / 2048.0
+               ) AS BIGINT) AS chunk_id
+        FROM t
+    """
+
+
+ORACLES["docs_hash_sample"] = _build_hash_sample_sql()
+ORACLES["token_packing"] = _build_token_packing_sql()
 ORACLES["lang_id"] = _build_lang_id_sql()
 ORACLES["quality_score"] = _build_quality_sql()
 ORACLES["corpus_curation"] = f"""
@@ -1076,6 +1165,8 @@ ROWS_ONLY = frozenset({
     "betweenness",
     "pagerank",
     "kcore",
+    "label_propagation",
+    "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
@@ -1117,6 +1208,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "label_propagation": q_label_propagation,
+    "docs_hash_sample": q_docs_hash_sample,
+    "corpus_mixture": q_corpus_mixture,
+    "token_packing": q_token_packing,
     "snap_metrics": q_snap_metrics,
     "json_extract_events": q_json_extract_events,
     "events_hourly": q_events_hourly,

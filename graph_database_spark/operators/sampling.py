@@ -1,0 +1,97 @@
+"""Deterministic sampling / corpus-shaping operators (training-data
+pipeline surface, SURVEY.md §2.11).
+
+Every large-scale curation job needs reproducible sampling: the same
+document must land in the same split on every run, engine, and retry —
+``df.sample()``'s RNG-based rows fail all three (and break shuffle retry
+determinism). These operators derive the sampling decision from a
+portable content hash (md5 of the key rendered as a string — bit-exact
+across Spark and any ANSI engine), so each is fully oracle-checkable:
+
+  hash_sample      keep a deterministic ~fraction of rows
+  stratified_cap   keep at most N rows per group, chosen in hash order
+                   (the mixture-weighting primitive: cap over-represented
+                   sources so the corpus matches a target distribution)
+  token_chunks     sequential token-budget packing: assign documents to
+                   fixed-token-budget chunks by running token offset (the
+                   pretraining shard-packing shape)
+
+Scale posture: hash_sample is a narrow filter pushed to the scan (no
+shuffle); stratified_cap is one window shuffle keyed by the group;
+token_chunks one window shuffle keyed by the packing group. md5 on a
+short key string is ~100ns/row JVM-side — noise next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["hash_sample", "stratified_cap", "token_chunks", "sample_threshold_hex"]
+
+
+def sample_threshold_hex(fraction: float, digits: int = 4) -> str:
+    """Hex threshold such that md5-prefix < threshold keeps ~fraction of
+    rows (resolution 16^-digits). Shared with the SQL oracle builder."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(round(fraction * 16**digits)), f"0{digits}x")
+
+
+def _hash_hex(key) -> "F.Column":
+    return F.md5(F.col(key).cast("string"))
+
+
+def hash_sample(df: DataFrame, fraction: float, key: str = "doc_id") -> DataFrame:
+    """Keep rows whose md5(key) prefix falls below the fraction
+    threshold — deterministic, engine-portable, retry-stable. A narrow
+    filter: no shuffle, survives any scale. fraction=1.0 is the identity
+    (the 4-hex-digit threshold '10000' would compare wrongly as a
+    string, so it never reaches the filter)."""
+    if fraction >= 1.0:
+        return df
+    thr = sample_threshold_hex(fraction)
+    return df.where(F.substring(_hash_hex(key), 1, 4) < F.lit(thr))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """At most ``cap`` rows per group, selected in (md5(key), key) order
+    — a deterministic uniform draw per stratum. The mixture-weighting
+    primitive: cap the over-represented (lang, source) strata so the
+    kept corpus follows the target mix. One window shuffle keyed by the
+    group columns; per-group state is the rank counter."""
+    w = Window.partitionBy(*group_cols).orderBy(_hash_hex(key), F.col(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def token_chunks(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget chunks per group:
+    ``chunk_id = floor(start_offset / budget)`` where start_offset is
+    the running token count before the document, in deterministic
+    ``order_col`` order — the shard-packing shape (greedy sequential
+    fill; a document starting inside chunk k belongs to chunk k).
+    One window shuffle keyed by the packing group."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return docs.select(
+        "*",
+        F.floor(start / F.lit(budget)).cast("bigint").alias("chunk_id"),
+    )

@@ -68,3 +68,17 @@ def test_kcore_full_graph_at_k1(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     rows = {r["id"]: r["degree"] for r in k_core(df, k=1).collect()}
     assert set(rows) == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_label_propagation_two_cliques(spark):
+    from graph_database_spark.operators.labelprop import label_propagation
+
+    # Two 4-cliques joined by a single bridge edge: intra-clique majority
+    # pins each side to its own community.
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    out = {r["id"]: r["community"] for r in label_propagation(df).collect()}
+    assert len({out[v] for v in range(4)}) == 1
+    assert len({out[v] for v in range(10, 14)}) == 1
+    assert out[0] != out[10]

@@ -39,6 +39,44 @@ def test_hourly_rollup_stream_matches_batch(spark):
     assert got == want
 
 
+def _drain_append(stream_df, spark, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_dedup_stream_lossless_on_unique_keys(spark):
+    from graph_database_spark.streaming.dedup import dedup_events_stream
+
+    got = _drain_append(
+        dedup_events_stream(SE.read_events_stream(spark, SF_DIR)), spark, "dedup_stream"
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    # event_id is unique in the source, so dedup must be lossless there.
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_dedup_stream_collapses_duplicates(spark, tmp_path):
+    from graph_database_spark.streaming.dedup import dedup_events_stream
+
+    batch = load_table(spark, SF_DIR, "events").limit(100)
+    doubled = batch.unionAll(batch)
+    path = str(tmp_path / "dup_events")
+    doubled.write.parquet(path)
+    stream = (
+        spark.readStream.schema(doubled.schema).format("parquet").load(path)
+    )
+    got = _drain_append(dedup_events_stream(stream), spark, "dedup_dup_stream")
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
+
+
 def test_sessionize_stream_matches_batch_boundaries(spark):
     stream = SE.sessionize_stream(SE.read_events_stream(spark, SF_DIR))
     got = {
