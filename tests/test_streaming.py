@@ -39,11 +39,11 @@ def test_hourly_rollup_stream_matches_batch(spark):
     assert got == want
 
 
-def _drain_append(stream_df, spark, name):
+def _drain_append(stream_df, spark, name, mode="append"):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -75,6 +75,35 @@ def test_dedup_stream_collapses_duplicates(spark, tmp_path):
     got = _drain_append(dedup_events_stream(stream), spark, "dedup_dup_stream")
     assert got.count() == 100
     assert got.select("event_id").distinct().count() == 100
+
+
+def test_user_profile_stream_matches_batch(spark):
+    from graph_database_spark.streaming.state import user_profile_stream
+
+    got_df = _drain_append(
+        user_profile_stream(SE.read_events_stream(spark, SF_DIR)),
+        spark,
+        "profile_stream",
+        mode="update",
+    )
+    # Update-mode sink appends one row per (user, micro-batch); the final
+    # profile is the row with the max running count (monotone).
+    got = {}
+    for r in got_df.collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["sum_value"], r["n_types"])
+    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.count_distinct("event_type").alias("t"),
+    )
+    want = {r["user_id"]: (r["n"], r["s"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, s, t) in want.items():
+        gn, gs, gt = got[uid]
+        assert (gn, gt) == (n, t), uid
+        assert abs(gs - s) < 1e-6, uid
 
 
 def test_sessionize_stream_matches_batch_boundaries(spark):
