@@ -668,6 +668,20 @@ def q_media_metadata(spark, sf_dir):
     return MM.media_metadata(load_table(spark, sf_dir, "documents"))
 
 
+def q_media_frames(spark, sf_dir):
+    # Frame sampling over the binary media column (every 4th 64-byte
+    # chunk — the video-frame-stride shape), hash-verified: frames are
+    # decoded back to UTF-8 for the oracle compare (the corpus is pure
+    # ASCII, so byte offsets == char offsets on both engines).
+    m = MM.attach_media(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_sample(m, frame_bytes=64, every_n=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.decode("frame", "UTF-8").alias("frame"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     # Rows-only: the Arrow/mapInPandas feature path (deterministic byte
     # featurizer standing in for the codec; tests pin the values). The
@@ -1005,6 +1019,16 @@ ORACLES: dict[str, str] = {
               FROM documents) b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
     """,
+    "media_frames": """
+        WITH idx AS (
+            SELECT doc_id AS media_id, text,
+                   unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS i
+            FROM documents
+        )
+        SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+               substr(text, CAST(i AS INTEGER) * 64 + 1, 64) AS frame
+        FROM idx WHERE i % 4 = 0
+    """,
     "docs_hash_sample": None,  # filled below (threshold from sampling helper)
     "corpus_mixture": """
         SELECT doc_id, lang, source FROM (
@@ -1227,6 +1251,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_order": q_events_asof_order,
     "order_events_7d": q_order_events_7d,
     "media_metadata": q_media_metadata,
+    "media_frames": q_media_frames,
     "multimodal_features": q_multimodal_features,
     "corpus_curation": q_corpus_curation,
     "embedding_dedup_groups": q_embedding_dedup_groups,
