@@ -199,6 +199,16 @@ def q_kcore(spark, sf_dir):
     return k_core(copurchase_edges(spark, sf_dir), k=4)
 
 
+def q_bfs_distances(spark, sf_dir):
+    # Hash-verified vs a DuckDB recursive-CTE walk (integer hop counts,
+    # so no float canonicalization concerns): BFS distances from the
+    # minimum vertex id over the co-purchase graph, on the shared
+    # aggregate-messages fixpoint.
+    from graph_database_spark.operators.bfs import bfs_distances
+
+    return bfs_distances(copurchase_edges(spark, sf_dir))
+
+
 def q_betweenness(spark, sf_dir):
     # Rows-only check (no SQL oracle; no reference golden either —
     # BASELINE.md). Deterministic sampled-source stress centrality.
@@ -352,6 +362,96 @@ def q_pricing_summary(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 analog: 3-way fact/fact/dim join, top-10 open orders by
+    # shipped revenue. Scale posture: both filters reach the parquet
+    # scans (pushdown), the customer side is segment-pruned before the
+    # join, and no explicit broadcast — AQE converts the post-filter
+    # sides at runtime when they fit, which is the right call at 100 TB
+    # where customer is NOT a broadcastable dimension.
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), li.l_orderkey == o.o_orderkey)
+        .join(
+            c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 analog: 6-way join (region/nation broadcast — the only
+    # true bounded dimensions; supplier joins by shuffle and AQE
+    # right-sizes it), revenue where the supplier is in the customer's
+    # nation, one region, one year.
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    # TPC-H Q10 analog: top-20 customers by lost revenue on returned
+    # lineitems in one quarter; nation broadcast, unique-key tiebreak on
+    # the ranking per the catalog's determinism rules.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )
 
 
@@ -733,6 +833,18 @@ ORACLES: dict[str, str] = {
         FROM num, den
     """,
     "degree": f"WITH {GRAPH_CTES} SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY v",
+    "bfs_distances": f"""
+        WITH RECURSIVE {GRAPH_CTES},
+        root AS (SELECT min(v) AS id FROM sym),
+        walk(id, dist) AS (
+            SELECT id, 0 FROM root
+            UNION
+            SELECT s.n, w.dist + 1
+            FROM walk w JOIN sym s ON s.v = w.id
+            WHERE w.dist < 64
+        )
+        SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id
+    """,
     "triangle_edges": f"""
         WITH {GRAPH_CTES},
         wedges AS (
@@ -898,6 +1010,48 @@ ORACLES: dict[str, str] = {
                round(avg(l_quantity), 6) AS avg_qty,
                round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """,
     "rollup_customers": """
         SELECT coalesce(r_name, 'ALL') AS region,
@@ -1215,6 +1369,7 @@ QUERIES: dict[str, QueryFn] = {
     "feature_decode": q_feature_decode,
     "circles_membership": q_circles_membership,
     "betweenness": q_betweenness,
+    "bfs_distances": q_bfs_distances,
     "pagerank": q_pagerank,
     "kcore": q_kcore,
     "dedup_exact": q_dedup_exact,
@@ -1243,6 +1398,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": q_events_sessionize,
     "top3_orders": q_top3_orders,
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_items": q_returned_items,
     "rollup_customers": q_rollup_customers,
     "customers_without_orders": q_customers_without_orders,
     "customers_intersect_eventusers": q_customers_intersect_eventusers,

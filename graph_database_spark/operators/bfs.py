@@ -1,0 +1,78 @@
+"""Unweighted shortest-path distances (BFS) on the fixpoint skeleton.
+
+The reference's query language can express path patterns but the
+reference itself never ships a distance computation (its betweenness
+attempt, src/main.js:108-125, is its only path-based analytic); this is
+the GraphX-style `ShortestPaths` analog the north star names
+(BASELINE.json: "GraphX for analytics").
+
+Formulation: Bellman-Ford on unit weights rather than frontier BFS —
+``dist(v) = min(dist(v), 1 + min_{u in N(v)} dist(u))`` iterated to
+fixpoint. The frontier variant tracks a shrinking active set but needs
+an extra anti-join per round; the relaxation variant is one
+aggregate-messages shuffle per round over O(|V|) state and converges in
+eccentricity(source) rounds — at 100 TB the state frame (id, dist) is
+tiny next to the edge frame, and the per-round edge join is the same
+shuffle either way. Unreached vertices carry NULL dist throughout
+(never a sentinel: ANSI mode makes MAX_INT + 1 an overflow error, and
+``min``/``least`` already skip NULLs with exactly the semantics BFS
+relaxation needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.fixpoint import (
+    aggregate_messages,
+    fixpoint,
+    materialize,
+)
+from graph_database_spark.plans.copurchase import symmetrize
+
+__all__ = ["bfs_distances"]
+
+
+def bfs_distances(
+    edges: DataFrame, source: int | None = None, max_iterations: int = 64
+) -> DataFrame:
+    """``(id, dist)`` — hop count from ``source`` for every reachable
+    vertex. ``source`` defaults to the minimum vertex id (deterministic
+    without a caller-supplied root). Raises if the graph's eccentricity
+    exceeds ``max_iterations`` (a silently partial distance map is a
+    wrong one)."""
+    sym = materialize(symmetrize(edges))
+    verts = sym.select(F.col("v").alias("id")).distinct()
+    if source is None:
+        source = verts.agg(F.min("id")).first()[0]
+
+    init = verts.select(
+        "id",
+        F.when(F.col("id") == F.lit(source), F.lit(0)).cast("long").alias("dist"),
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        relaxed = aggregate_messages(
+            sym,
+            state.select("id", (F.col("dist") + F.lit(1)).alias("dist")),
+            [F.min("dist").alias("md")],
+        )
+        # Left join keeps the state total over the vertex set; least()
+        # skips NULLs, so an unreached vertex adopts its first incoming
+        # distance and a reached one only ever improves.
+        return state.join(relaxed, "id", "left").select(
+            "id", F.least("dist", "md").alias("dist")
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        # Distances are monotone non-increasing; fixpoint == no row
+        # changed. One join-probe job over two materialized O(|V|)
+        # frames.
+        return (
+            new.join(old.withColumnRenamed("dist", "prev"), "id")
+            .where(~F.col("dist").eqNullSafe(F.col("prev")))
+            .isEmpty()
+        )
+
+    out = fixpoint(init, step, converged, max_iterations, name="bfs_distances")
+    return out.where(F.col("dist").isNotNull())

@@ -82,3 +82,27 @@ def test_label_propagation_two_cliques(spark):
     assert len({out[v] for v in range(4)}) == 1
     assert len({out[v] for v in range(10, 14)}) == 1
     assert out[0] != out[10]
+
+
+# ---------------------------------------------------------------------------
+# BFS distances
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_distances_path_and_cycle(spark):
+    from graph_database_spark.operators.bfs import bfs_distances
+
+    # Path 0-1-2-3 plus chord 0-3 (cycle shortens 3 to dist 1), and an
+    # unreachable pair 10-11 that must be absent from the output.
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(df, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_distances_default_source_is_min_id(spark):
+    from graph_database_spark.operators.bfs import bfs_distances
+
+    df = spark.createDataFrame([(7, 5), (5, 9)], "src long, dst long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(df).collect()}
+    assert got == {5: 0, 7: 1, 9: 1}
