@@ -192,8 +192,9 @@ def q_pagerank(spark, sf_dir):
 
 
 def q_kcore(spark, sf_dir):
-    # Rows-only (iterative peeling): the 4-core of the co-purchase graph
-    # — the graph-cleaning primitive (drop weakly connected fringe).
+    # Hash-verified (integer degrees): the 4-core of the co-purchase
+    # graph — the graph-cleaning primitive — vs a DuckDB recursive-CTE
+    # peeling oracle whose per-round state is the surviving edge set.
     from graph_database_spark.operators.kcore import k_core
 
     return k_core(copurchase_edges(spark, sf_dir), k=4)
@@ -757,8 +758,12 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_label_propagation(spark, sf_dir):
-    # Rows-only (iterative): deterministic-tie-break LPA communities over
-    # the co-purchase graph; semantics pinned by tests/test_graph_analytics.py.
+    # Hash-verified: deterministic-tie-break LPA is an exact fixed-round
+    # recurrence over integers, so a DuckDB recursive CTE running the
+    # same 10 synchronous rounds reproduces it bit-for-bit (early Spark
+    # convergence is safe: a converged state is stable under further
+    # rounds, and an oscillating one is returned at round 10 on both
+    # sides). Semantics also pinned by tests/test_graph_analytics.py.
     from graph_database_spark.operators.labelprop import label_propagation
 
     return label_propagation(copurchase_edges(spark, sf_dir))
@@ -783,11 +788,13 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # Rows-only: the Arrow/mapInPandas feature path (deterministic byte
-    # featurizer standing in for the codec; tests pin the values). The
-    # ARRAY<FLOAT> vector is exploded to (feature_idx, value) rows in
-    # this wrapper — the driver's canonicalizer cannot hash array cells
-    # (r2 FAIL); the array-valued operator stays for library use.
+    # Hash-verified: the Arrow/mapInPandas feature path (deterministic
+    # byte featurizer standing in for the codec) vs a pure-SQL byte
+    # histogram — the strongest possible check on the Python/Arrow
+    # plumbing. The ARRAY<FLOAT> vector is exploded to (feature_idx,
+    # value) rows in this wrapper — the driver's canonicalizer cannot
+    # hash array cells (r2 FAIL); the array-valued operator stays for
+    # library use.
     feats = MM.extract_features(MM.attach_media(load_table(spark, sf_dir, "documents")))
     return feats.select(
         "media_id", "n_bytes", F.posexplode("features").alias("feature_idx", "value")
@@ -833,6 +840,45 @@ ORACLES: dict[str, str] = {
         FROM num, den
     """,
     "degree": f"WITH {GRAPH_CTES} SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY v",
+    "label_propagation": f"""
+        WITH RECURSIVE {GRAPH_CTES},
+        lp(r, id, community) AS (
+            SELECT 0, v, v FROM (SELECT DISTINCT v FROM sym)
+            UNION ALL
+            SELECT r + 1, id, community FROM (
+                SELECT l.r AS r, s.n AS id, l.community AS community,
+                       count(*) AS cnt
+                FROM lp l JOIN sym s ON s.v = l.id
+                GROUP BY l.r, s.n, l.community
+                QUALIFY row_number() OVER (
+                    PARTITION BY s.n ORDER BY cnt DESC, l.community ASC
+                ) = 1
+            ) t WHERE t.r < 10
+        )
+        SELECT id, CAST(community AS BIGINT) AS community
+        FROM lp WHERE r = 10
+    """,
+    "kcore": f"""
+        WITH RECURSIVE {GRAPH_CTES},
+        -- Synchronous peeling with the round's edge set as recursive
+        -- state: an edge survives iff both endpoints have induced
+        -- degree >= k this round (the window partitions see one round
+        -- at a time: DuckDB's working table holds only the previous
+        -- iteration's rows). Round cap 32 >> the observed peeling depth
+        -- (1 at sf0.01); rows after convergence repeat unchanged.
+        core(r, v, n) AS (
+            SELECT 0, v, n FROM sym
+            UNION ALL
+            SELECT r + 1, v, n FROM (
+                SELECT c.r, c.v, c.n,
+                       count(*) OVER (PARTITION BY c.v) AS dv,
+                       count(*) OVER (PARTITION BY c.n) AS dn
+                FROM core c
+            ) t WHERE dv >= 4 AND dn >= 4 AND r < 32
+        )
+        SELECT v AS id, CAST(count(*) AS BIGINT) AS degree
+        FROM core WHERE r = 32 GROUP BY v
+    """,
     "bfs_distances": f"""
         WITH RECURSIVE {GRAPH_CTES},
         root AS (SELECT min(v) AS id FROM sym),
@@ -1173,6 +1219,33 @@ ORACLES: dict[str, str] = {
               FROM documents) b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
     """,
+    "multimodal_features": """
+        -- Replicates the mapInPandas byte-histogram featurizer exactly:
+        -- the corpus is pure ASCII so ascii(char) == byte value, and
+        -- round_even matches np.round's banker's rounding before the
+        -- FLOAT narrowing on both engines.
+        WITH docs AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ),
+        bytes AS (
+            SELECT media_id, ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) % 8 AS bucket
+            FROM docs, unnest(range(n_bytes)) t(i)
+        ),
+        hist AS (
+            SELECT media_id, bucket, count(*) AS cnt
+            FROM bytes GROUP BY 1, 2
+        )
+        SELECT d.media_id, CAST(d.n_bytes AS BIGINT) AS n_bytes,
+               CAST(f.j AS INTEGER) AS feature_idx,
+               CAST(round_even(
+                   CAST(coalesce(h.cnt, 0) AS DOUBLE) / greatest(d.n_bytes, 1), 6
+               ) AS FLOAT) AS value
+        FROM docs d
+        CROSS JOIN range(8) f(j)
+        LEFT JOIN hist h ON h.media_id = d.media_id AND h.bucket = f.j
+    """,
     "media_frames": """
         WITH idx AS (
             SELECT doc_id AS media_id, text,
@@ -1342,8 +1415,6 @@ ORACLES["corpus_curation"] = f"""
 ROWS_ONLY = frozenset({
     "betweenness",
     "pagerank",
-    "kcore",
-    "label_propagation",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -1351,7 +1422,6 @@ ROWS_ONLY = frozenset({
     "ann_lsh",
     "embedding_neardup_lsh",
     "snap_metrics",
-    "multimodal_features",
     "distinct_users_sketch",
     "staged_dedup",
     "text_embedding_neardup",
