@@ -45,11 +45,18 @@ HEADLINE = [
     "events_sessionize",
     "top3_orders",
     "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
     "rollup_customers",
     "events_asof_order",
     "order_events_7d",
     "cube_orders",
     "multimodal_features",
+    "bfs_distances",
+    "pagerank",
+    "kcore",
+    "label_propagation",
 ]
 
 
