@@ -366,6 +366,75 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_events_sliding_1h(spark, sf_dir):
+    # Time-based sliding window (RANGE BETWEEN INTERVAL): count + value
+    # sum over the trailing hour per user. The frame is expressed on
+    # unix microseconds — the exact resolution both engines store after
+    # the nanos truncation in sources/parquet.load_table — so the
+    # inclusive [ts-1h, ts] bound is identical on both sides. One
+    # shuffle on user_id.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+    )
+
+
+def q_grouping_sets_orders(spark, sf_dir):
+    # Explicit GROUPING SETS (beyond rollup/cube): per-status and
+    # per-priority totals plus the grand total in one pass — map-side
+    # partial aggregation expands the sets before the single shuffle.
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def q_ntile_orders(spark, sf_dir):
+    # ntile ranking with the catalog's unique-tiebreak rule (ties on
+    # price fall to orderkey, making bucket assignment deterministic on
+    # both engines); partitioned by order year so no global single-
+    # partition sort exists at scale.
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.ntile(4)
+        .over(
+            Window.partitionBy(F.year("o_orderdate")).orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("price_quartile"),
+    )
+
+
+def q_distinct_users_hll(spark, sf_dir):
+    # Rows-only: HyperLogLog++ distinct-user counts per event type via
+    # the built-in approx_count_distinct (JVM sketch, mergeable, bounded
+    # state — the alternative to operators/sketches.py's KMV when
+    # cross-engine checkability isn't needed). Error bound pinned in
+    # tests/test_sketches_and_sinks.py.
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     # TPC-H Q3 analog: 3-way fact/fact/dim join, top-10 open orders by
     # shipped revenue. Scale posture: both filters reach the parquet
@@ -1057,6 +1126,33 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "events_sliding_1h": """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 4) AS value_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+    "grouping_sets_orders": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "ntile_orders": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(ntile(4) OVER (
+                   PARTITION BY year(o_orderdate)
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS INTEGER) AS price_quartile
+        FROM orders
+    """,
     "shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -1414,6 +1510,7 @@ ORACLES["corpus_curation"] = f"""
 # LSH candidate generation, SimHash banding, sampled betweenness).
 ROWS_ONLY = frozenset({
     "betweenness",
+    "distinct_users_hll",
     "pagerank",
     "ann_ivf",
     "dedup_minhash",
@@ -1468,6 +1565,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": q_events_sessionize,
     "top3_orders": q_top3_orders,
     "pricing_summary": q_pricing_summary,
+    "events_sliding_1h": q_events_sliding_1h,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "ntile_orders": q_ntile_orders,
+    "distinct_users_hll": q_distinct_users_hll,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,

@@ -44,3 +44,17 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     # Round trip preserves the data.
     assert back.count() == docs.count()
+
+
+def test_hll_within_rsd_of_exact(spark):
+    e = load_table(spark, SF_DIR, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r["event_type"]: r["approx_users"] for r in
+              e.groupBy("event_type").agg(
+                  F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+              ).collect()}
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # 5x the configured rsd is a generous but non-vacuous bound.
+        assert abs(approx[k] - n) <= max(1, 0.1 * n), (k, approx[k], n)
