@@ -871,6 +871,199 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# OLAP analogs round 3: correlated/scalar subqueries, having-in,
+# anti-join + scalar threshold, conditional agg, max-over-aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 analog: nation-pair trade volume by ship year between two
+    # named nations. Five-way join; nation is the only broadcast (true
+    # bounded dimension); the supplier/customer sides shuffle and AQE
+    # right-sizes them. Disjunctive nation-pair predicate applied after
+    # the dimension joins (it needs both endpoints).
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("sk"))
+        .join(n2, F.col("c_nationkey") == F.col("ck"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 analog: promo share of revenue for one quarter —
+    # conditional aggregation (sum-of-case). Both filters push to the
+    # scans; part joins by shuffle (not a bounded dim at 100 TB). The
+    # division is a single IEEE op over two rounded sums; round(.., 6)
+    # of the ratio keeps it portable.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    # TPC-H Q15 analog: supplier(s) with the maximum quarterly revenue —
+    # aggregate, then equality against the global max (broadcast of a
+    # 1-row frame, the scalar-subquery plan shape). Revenue is rounded
+    # BEFORE the max comparison so the equality is engine-portable.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    # TPC-H Q17 analog: revenue from lineitems under half the part's
+    # average quantity, one brand — the correlated-scalar-subquery
+    # pattern decorrelated into an aggregate + equi-join (what Catalyst
+    # does to the SQL form; written directly as the join). The per-part
+    # threshold is avg of small exact ints — portable without rounding.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    # TPC-H Q18 analog: orders whose total quantity exceeds 320 —
+    # group-HAVING feeding a semi-structured join back to orders and
+    # customers. sum(l_quantity) is a sum of small exact ints (exact in
+    # FP), so the HAVING threshold is engine-portable unrounded.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 320)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    # TPC-H Q22 analog: customers with above-average (positive) balance
+    # and no event activity, grouped by nation — scalar subquery
+    # (broadcast 1-row aggregate) + anti-join + group. The avg threshold
+    # is a float compared against 2-decimal balances; no balance sits
+    # within float error of it, so the predicate is portable.
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    avgbal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = c.crossJoin(F.broadcast(avgbal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(
+        ev.select(F.col("user_id").alias("c_custkey")).distinct(), "c_custkey", "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph + text additions round 3
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark, sf_dir):
+    # Global triangle count over the co-purchase graph — the graph-level
+    # summary statistic (per-vertex form: triangle_edges).
+    return G.triangle_count(_edges(spark, sf_dir))
+
+
+def q_copurchase_components(spark, sf_dir):
+    # Hash-verified connected components on the CO-PURCHASE graph (the
+    # embedding variant runs on the cosine pair graph): the same
+    # aggregate-messages hash-min fixpoint vs a DuckDB recursive-CTE
+    # reachability oracle.
+    from graph_database_spark.operators.components import connected_components
+
+    return connected_components(copurchase_edges(spark, sf_dir))
+
+
+def q_doc_repetition(spark, sf_dir):
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_common_ngrams(spark, sf_dir):
+    return T.common_ngrams(load_table(spark, sf_dir, "documents"), n=5, top=20)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
@@ -1484,6 +1677,108 @@ def _build_token_packing_sql() -> str:
     """
 
 
+ORACLES["volume_shipping"] = """
+    SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) t GROUP BY 1, 2, 3
+"""
+ORACLES["promo_revenue"] = """
+    SELECT round(
+        100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+        / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-04-01'
+"""
+ORACLES["top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+ORACLES["small_qty_revenue"] = """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS threshold
+          FROM lineitem GROUP BY 1) a
+      ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < a.threshold
+"""
+ORACLES["large_volume_customers"] = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 320) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+ORACLES["idle_rich_customers"] = """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY 1
+"""
+ORACLES["triangle_count"] = f"""
+    WITH {GRAPH_CTES},
+    wedges AS (
+        SELECT a.v AS v, a.n AS n1, b.n AS n2
+        FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+    ),
+    closed AS (
+        SELECT w.v FROM wedges w JOIN edges e ON w.n1 = e.src AND w.n2 = e.dst
+    )
+    SELECT CAST(count(*) // 3 AS BIGINT) AS n_triangles FROM closed
+"""
+ORACLES["copurchase_components"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},
+    reach(id, r) AS (
+        SELECT DISTINCT v, v FROM sym
+        UNION
+        SELECT s.n, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    )
+    SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+"""
+ORACLES["doc_repetition"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+    FROM toks WHERE len(t) > 0
+"""
+ORACLES["common_ngrams"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
+"""
 ORACLES["docs_hash_sample"] = _build_hash_sample_sql()
 ORACLES["token_packing"] = _build_token_packing_sql()
 ORACLES["lang_id"] = _build_lang_id_sql()
@@ -1593,6 +1888,16 @@ QUERIES: dict[str, QueryFn] = {
     "orders_pivot_year": q_orders_pivot_year,
     "dedup_editdist_verify": q_dedup_editdist_verify,
     "events_running_value": q_events_running_value,
+    "volume_shipping": q_volume_shipping,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "triangle_count": q_triangle_count,
+    "copurchase_components": q_copurchase_components,
+    "doc_repetition": q_doc_repetition,
+    "common_ngrams": q_common_ngrams,
 }
 
 

