@@ -1059,6 +1059,28 @@ def q_doc_repetition(spark, sf_dir):
     return T.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_ngram_jaccard_exact(spark, sf_dir):
+    # The hash-verified exact twin of the rows-only LSH-pruned
+    # ngram_jaccard: inverted-index candidates guarantee completeness,
+    # so this pins the Jaccard math AND cross-validates the LSH
+    # variant's output (same 25 pairs at sf0.01).
+    return D.ngram_jaccard_exact_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_order_stats_ext(spark, sf_dir):
+    # Second-moment aggregate family (corr/covar/stddev/variance) per
+    # return flag — map-side-combinable single-pass moments; both
+    # engines use numerically stable forms, rounded to absorb the
+    # last-ulp disagreement of different accumulation orders.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+    )
+
+
 def q_common_ngrams(spark, sf_dir):
     return T.common_ngrams(load_table(spark, sf_dir, "documents"), n=5, top=20)
 
@@ -1779,6 +1801,33 @@ ORACLES["common_ngrams"] = """
     FROM grams GROUP BY gram
     ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
 """
+ORACLES["ngram_jaccard_exact"] = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+"""
+ORACLES["order_stats_ext"] = """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(var_samp(l_discount), 6) AS var_discount
+    FROM lineitem GROUP BY 1
+"""
 ORACLES["docs_hash_sample"] = _build_hash_sample_sql()
 ORACLES["token_packing"] = _build_token_packing_sql()
 ORACLES["lang_id"] = _build_lang_id_sql()
@@ -1898,6 +1947,8 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_components": q_copurchase_components,
     "doc_repetition": q_doc_repetition,
     "common_ngrams": q_common_ngrams,
+    "ngram_jaccard_exact": q_ngram_jaccard_exact,
+    "order_stats_ext": q_order_stats_ext,
 }
 
 

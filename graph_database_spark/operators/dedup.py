@@ -337,6 +337,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_exact_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard WITHOUT the LSH prefilter:
+    ``(id_a, id_b, jaccard)`` — candidates from a shingle inverted index
+    (every pair sharing >= 1 shingle), so every pair above any threshold
+    > 0 is considered (the LSH variant's recall is < 1 by construction).
+    SQL-expressible end-to-end, hence the hash-verified oracle twin of
+    ngram_jaccard_pairs — same exact/approximate split as
+    embedding_neardup (exact grid) vs lsh_pairs_above.
+
+    Scale: candidate cost is sum_g C(df_g, 2) over shingle document
+    frequencies — fine while no shingle is corpus-common; on a
+    boilerplate-heavy corpus drop high-df shingles first (they carry ~0
+    Jaccard specificity) or use the LSH variant. Documents shorter than
+    ``shingle_k`` tokens are excluded (a k-shingle Jaccard is undefined
+    there; the LSH variant hashes a whole-doc fallback instead)."""
+    toks = _tokens_df(docs, text_col, id_col)
+    sh = (
+        toks.where(F.size("toks") >= shingle_k)
+        .select(
+            "id",
+            F.array_distinct(_shingles_from(F.col("toks"), shingle_k)).alias("sh"),
+        )
+        .localCheckpoint()  # feeds the inverted index AND both verify sides
+    )
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    cand = (
+        inv.toDF("id_a", "g")
+        .join(inv.toDF("id_b", "g"), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    joined = (
+        cand.join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def staged_dedup(
     docs: DataFrame,
     text_col: str = "text",
