@@ -57,6 +57,13 @@ HEADLINE = [
     "pagerank",
     "kcore",
     "label_propagation",
+    "volume_shipping",
+    "large_volume_customers",
+    "triangle_count",
+    "copurchase_components",
+    "common_ngrams",
+    "ngram_jaccard_exact",
+    "quality_rules",
 ]
 
 

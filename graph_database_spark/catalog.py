@@ -1059,6 +1059,21 @@ def q_doc_repetition(spark, sf_dir):
     return T.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_rules(spark, sf_dir):
+    # Gopher-style hard rules with per-rule attribution columns; booleans
+    # cast to int for harness hashability (is_keeper precedent).
+    r = T.quality_rules(load_table(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id",
+        *[F.col(c).cast("int").alias(c) for c in
+          ["ok_len", "ok_token_len", "ok_repetition", "ok_alpha", "keep"]],
+    )
+
+
+def q_mixture_weights(spark, sf_dir):
+    return T.mixture_weights(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
 def q_ngram_jaccard_exact(spark, sf_dir):
     # The hash-verified exact twin of the rows-only LSH-pruned
     # ngram_jaccard: inverted-index candidates guarantee completeness,
@@ -1801,6 +1816,41 @@ ORACLES["common_ngrams"] = """
     FROM grams GROUP BY gram
     ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
 """
+ORACLES["quality_rules"] = """
+    WITH t AS (
+        SELECT doc_id, text,
+               greatest(len(string_split(text, ' ')), 1) AS n_tok,
+               len(string_split(text, ' ')) AS n_raw,
+               len(list_distinct(string_split(text, ' '))) AS n_dis
+        FROM documents
+    )
+    SELECT doc_id,
+        CAST(n_raw >= 20 AND n_raw <= 100000 AS INTEGER) AS ok_len,
+        CAST((CAST(length(text) - (n_raw - 1) AS DOUBLE) / n_tok) >= 2.0
+             AND (CAST(length(text) - (n_raw - 1) AS DOUBLE) / n_tok) <= 10.0
+             AS INTEGER) AS ok_token_len,
+        CAST((1.0 - CAST(n_dis AS DOUBLE) / n_tok) <= 0.8 AS INTEGER) AS ok_repetition,
+        CAST((CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1)) >= 0.6 AS INTEGER) AS ok_alpha,
+        CAST((n_raw >= 20 AND n_raw <= 100000)
+             AND ((CAST(length(text) - (n_raw - 1) AS DOUBLE) / n_tok) >= 2.0
+                  AND (CAST(length(text) - (n_raw - 1) AS DOUBLE) / n_tok) <= 10.0)
+             AND ((1.0 - CAST(n_dis AS DOUBLE) / n_tok) <= 0.8)
+             AND ((CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1)) >= 0.6)
+             AS INTEGER) AS keep
+    FROM t
+"""
+ORACLES["mixture_weights"] = """
+    WITH counts AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.5)
+                 / sum(pow(CAST(n_docs AS DOUBLE), 0.5)) OVER (), 6) AS weight
+    FROM counts
+"""
 ORACLES["ngram_jaccard_exact"] = f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
     sh AS (
@@ -1949,6 +1999,8 @@ QUERIES: dict[str, QueryFn] = {
     "common_ngrams": q_common_ngrams,
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
     "order_stats_ext": q_order_stats_ext,
+    "quality_rules": q_quality_rules,
+    "mixture_weights": q_mixture_weights,
 }
 
 

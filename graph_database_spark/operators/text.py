@@ -7,7 +7,7 @@ regexes (Java regex & RE2 agree) so each operator is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from graph_database_spark.functions.textnorm import (
     BPE_PATTERN,
@@ -34,6 +34,8 @@ __all__ = [
     "fingerprints",
     "repetition_stats",
     "common_ngrams",
+    "quality_rules",
+    "mixture_weights",
 ]
 
 
@@ -264,4 +266,77 @@ def common_ngrams(docs: DataFrame, n: int = 5, top: int = 20) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
         .limit(top)
+    )
+
+
+def quality_rules(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 10.0,
+    max_repetition: float = 0.8,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """Gopher-style hard rule filter: one boolean column per rule plus
+    the conjunction — ``(doc_id, ok_len, ok_token_len, ok_repetition,
+    ok_alpha, keep)``. Per-rule booleans (not just the verdict) are the
+    practical output: a curation run reports WHICH rule killed each
+    document (rule-attribution histograms drive threshold tuning).
+
+    All rules are single-pass column arithmetic over one materialized
+    token array — no shuffle, codegen throughout. Thresholds follow the
+    published Gopher ranges adapted to this corpus's pre-tokenized text.
+    """
+    from graph_database_spark.operators.spread import spread
+
+    with_toks = spread(docs).select(
+        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("t")
+    )
+    n_tok = F.size("t")
+    n_tok_safe = F.greatest(n_tok, F.lit(1))
+    # Mean token length over the pre-tokenized stream: character count
+    # excluding separators / token count.
+    mean_len = (
+        (F.length("text") - (n_tok - 1)).cast("double") / n_tok_safe
+    )
+    repetition = F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / n_tok_safe
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    ok_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    ok_token_len = (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len)
+    ok_repetition = repetition <= max_repetition
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    return with_toks.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_token_len.alias("ok_token_len"),
+        ok_repetition.alias("ok_repetition"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_len & ok_token_len & ok_repetition & ok_alpha).alias("keep"),
+    )
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled corpus mixture weights per (lang, source):
+    ``(lang, source, n_docs, weight)`` with weight ∝ n_docs^alpha,
+    normalized to sum 1 — the standard multinomial-sampling reweighting
+    (alpha < 1 upsamples rare strata) a pretraining mix is built from.
+
+    Two tiny aggregates (stratum counts, then the normalizing sum via a
+    window over the ~|strata| rows); weight is rounded on both engines
+    because pow/sum-of-pows accumulate differently."""
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    total = F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).over(
+        Window.partitionBy()
+    )
+    return counts.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / total, 6
+        ).alias("weight"),
     )
