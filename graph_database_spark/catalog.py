@@ -1059,6 +1059,41 @@ def q_doc_repetition(spark, sf_dir):
     return T.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_stats(spark, sf_dir):
+    # ANALYZE-style column statistics (min/max/nulls/NDV) over the fact
+    # table's numeric columns — the planner-feeding metadata pass every
+    # warehouse maintains. ONE scan: all 16 aggregates in a single agg
+    # (the count-distincts expand into one multi-phase agg), then the
+    # wide row pivots to (column, stats) rows driver-free via explode.
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"min_{c}").alias("min_v"),
+                    F.col(f"max_{c}").alias("max_v"),
+                    F.col(f"nn_{c}").alias("n_nulls"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                )
+                for c in _STATS_COLS
+            ])
+        ).alias("s")
+    ).select("s.*")
+
+
 def q_quality_rules(spark, sf_dir):
     # Gopher-style hard rules with per-rule attribution columns; booleans
     # cast to int for harness hashability (is_keeper precedent).
@@ -1816,6 +1851,17 @@ ORACLES["common_ngrams"] = """
     FROM grams GROUP BY gram
     ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
 """
+ORACLES["column_stats"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS "column",
+           CAST(min({c}) AS DOUBLE) AS min_v,
+           CAST(max({c}) AS DOUBLE) AS max_v,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM lineitem
+    """
+    for c in _STATS_COLS
+)
 ORACLES["quality_rules"] = """
     WITH t AS (
         SELECT doc_id, text,
@@ -2001,6 +2047,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_stats_ext": q_order_stats_ext,
     "quality_rules": q_quality_rules,
     "mixture_weights": q_mixture_weights,
+    "column_stats": q_column_stats,
 }
 
 
