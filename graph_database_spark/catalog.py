@@ -1034,6 +1034,146 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_priority_waiting_orders(spark, sf_dir):
+    # TPC-H Q4 analog: orders with at least one lineitem shipped > 60
+    # days after the order date, counted per priority. The EXISTS is a
+    # left-semi join whose equi-key (orderkey) carries the shuffle; the
+    # date inequality rides along as a post-probe filter, so no theta
+    # join materializes. At 100 TB both sides co-partition on orderkey.
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_priority_line_counts(spark, sf_dir):
+    # TPC-H Q12 analog: per returnflag, how many 1995-shipped lines
+    # belong to high- vs low-priority orders — conditional aggregation
+    # (count-if) after an orderkey equi-join; the shipdate range reaches
+    # the parquet scan as a pushed filter.
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    # TPC-H Q13 analog: distribution of customers by order count,
+    # keeping zero-order customers via a left outer join with the
+    # priority filter INSIDE the join condition (moving it to a WHERE
+    # would silently drop the zero bucket). Two keyed shuffles total;
+    # the second groupBy collapses to ~tens of rows.
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    counts = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_parts_supplier_counts(spark, sf_dir):
+    # TPC-H Q16 analog over the DERIVED part-supplier relation (distinct
+    # (partkey, suppkey) pairs from lineitem — the dataset has no
+    # partsupp table): suppliers per (brand, size), excluding
+    # negative-balance suppliers via anti-join (the NOT IN is null-safe
+    # here because s_suppkey is a key). The distinct pre-shrinks the
+    # fact table before any join.
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_brand_quantity_revenue(spark, sf_dir):
+    # TPC-H Q19 analog: disjunctive multi-predicate join. The OR of
+    # brand/size/quantity bands cannot be pushed below the join as a
+    # single conjunct, but the shared p_partkey equi-key still carries
+    # the join; Catalyst pushes the per-table halves of each disjunct
+    # (quantity bounds to lineitem, size bounds to part) as a derived
+    # filter, and the residual OR evaluates post-probe.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    band = lambda brand, smin, smax, qmin, qmax: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(smin, smax)
+        & F.col("l_quantity").between(qmin, qmax)
+    )
+    return (
+        j.where(band("Brand#1", 1, 10, 1, 20) | band("Brand#2", 5, 20, 10, 40) | band("Brand#3", 10, 40, 20, 50))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_waiting_supplier_rank(spark, sf_dir):
+    # TPC-H Q21 analog: suppliers who were the unique last shipper on
+    # finalized multi-supplier orders — EXISTS (another supplier on the
+    # order: left-semi) + NOT EXISTS (a later shipper from another
+    # supplier: left-anti). All three self-join legs share the orderkey
+    # equi-key, so at scale this is three co-partitioned probes over the
+    # same shuffle layout, not three independent shuffles of lineitem.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(l2, (li.l_orderkey == l2.k2) & (li.l_suppkey != l2.s2), "left_semi")
+        .join(
+            l3,
+            (li.l_orderkey == l3.k3)
+            & (li.l_suppkey != l3.s3)
+            & (l3.d3 > li.l_shipdate),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(s, base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph + text additions round 3
 # ---------------------------------------------------------------------------
@@ -1053,6 +1193,21 @@ def q_copurchase_components(spark, sf_dir):
     from graph_database_spark.operators.components import connected_components
 
     return connected_components(copurchase_edges(spark, sf_dir))
+
+
+def q_link_prediction(spark, sf_dir):
+    # Topology-driven "people you may know": top non-adjacent pairs by
+    # neighborhood Jaccard — wedge join + anti-join on existing edges.
+    return G.link_prediction(copurchase_edges(spark, sf_dir))
+
+
+def q_closeness_sampled(spark, sf_dir):
+    # Landmark closeness centrality: multi-source BFS on the shared
+    # fixpoint (one shuffle per round relaxes all 8 landmarks), checked
+    # against a DuckDB recursive-CTE multi-source walk.
+    from graph_database_spark.operators.closeness import closeness_sampled
+
+    return closeness_sampled(copurchase_edges(spark, sf_dir))
 
 
 def q_doc_repetition(spark, sf_dir):
@@ -1811,6 +1966,105 @@ ORACLES["idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     GROUP BY 1
 """
+ORACLES["link_prediction"] = f"""
+    WITH {GRAPH_CTES},
+    wedge_pairs AS (
+        SELECT a.n AS id_a, b.n AS id_b, count(*) AS common
+        FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    open_pairs AS (
+        SELECT w.* FROM wedge_pairs w
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = w.id_a AND e.dst = w.id_b)
+    ),
+    deg AS (SELECT v AS id, count(*) AS degree FROM sym GROUP BY 1)
+    SELECT o.id_a, o.id_b, CAST(o.common AS BIGINT) AS common,
+           round(o.common / CAST(da.degree + db.degree - o.common AS DOUBLE), 6)
+               AS jaccard
+    FROM open_pairs o
+    JOIN deg da ON da.id = o.id_a
+    JOIN deg db ON db.id = o.id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+"""
+ORACLES["closeness_sampled"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},
+    roots AS (SELECT DISTINCT v AS s FROM sym ORDER BY s LIMIT 8),
+    walk(s, id, dist) AS (
+        SELECT s, s, 0 FROM roots
+        UNION
+        SELECT w.s, e.n, w.dist + 1
+        FROM walk w JOIN sym e ON e.v = w.id
+        WHERE w.dist < 64
+    ),
+    mind AS (SELECT s, id, min(dist) AS dist FROM walk GROUP BY 1, 2)
+    SELECT s AS source,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(dist) AS BIGINT) AS total_dist,
+           CASE WHEN sum(dist) > 0
+                THEN round((count(*) - 1) / CAST(sum(dist) AS DOUBLE), 6)
+           END AS closeness
+    FROM mind GROUP BY 1
+"""
+ORACLES["priority_waiting_orders"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+"""
+ORACLES["priority_line_counts"] = """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY 1
+"""
+ORACLES["customer_distribution"] = """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY 1
+    ) t GROUP BY 1
+"""
+ORACLES["parts_supplier_counts"] = """
+    SELECT p.p_brand, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+"""
+ORACLES["brand_quantity_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+"""
+ORACLES["waiting_supplier_rank"] = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
 ORACLES["triangle_count"] = f"""
     WITH {GRAPH_CTES},
     wedges AS (
@@ -2048,6 +2302,14 @@ QUERIES: dict[str, QueryFn] = {
     "quality_rules": q_quality_rules,
     "mixture_weights": q_mixture_weights,
     "column_stats": q_column_stats,
+    "closeness_sampled": q_closeness_sampled,
+    "link_prediction": q_link_prediction,
+    "priority_waiting_orders": q_priority_waiting_orders,
+    "priority_line_counts": q_priority_line_counts,
+    "customer_distribution": q_customer_distribution,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "brand_quantity_revenue": q_brand_quantity_revenue,
+    "waiting_supplier_rank": q_waiting_supplier_rank,
 }
 
 

@@ -80,6 +80,7 @@ def aggregate_messages(
     vertices: DataFrame,
     agg: list[Column],
     include_self: bool = False,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """One round of GraphX-style message passing over an undirected
     graph: every vertex's state row is sent along each incident edge and
@@ -90,10 +91,14 @@ def aggregate_messages(
     over the incoming state columns, grouped by destination id.
     ``include_self`` unions the vertex's own state into its inbox (the
     hash-min components formulation needs min over self + neighbors).
+    ``extra_keys`` adds state columns to the inbox grouping — the
+    multi-source formulations (closeness, betweenness-style per-source
+    BFS) carry a source column through the rounds and aggregate per
+    (vertex, source).
 
-    One shuffle per call (the groupBy), keyed by vertex id — uniform
-    unless the graph has super-hub vertices, which AQE skew handling
-    covers."""
+    One shuffle per call (the groupBy), keyed by vertex id (+ extras) —
+    uniform unless the graph has super-hub vertices, which AQE skew
+    handling covers."""
     incoming = (
         sym.join(vertices.withColumnRenamed("id", "v"), "v")
         .drop("v")
@@ -101,4 +106,4 @@ def aggregate_messages(
     )
     if include_self:
         incoming = incoming.unionByName(vertices)
-    return incoming.groupBy("id").agg(*agg)
+    return incoming.groupBy("id", *extra_keys).agg(*agg)

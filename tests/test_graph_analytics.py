@@ -106,3 +106,29 @@ def test_bfs_distances_default_source_is_min_id(spark):
     df = spark.createDataFrame([(7, 5), (5, 9)], "src long, dst long")
     got = {r["id"]: r["dist"] for r in bfs_distances(df).collect()}
     assert got == {5: 0, 7: 1, 9: 1}
+
+
+def test_closeness_path_graph(spark):
+    # Path 0-1-2-3 with 2 landmarks (smallest ids 0, 1):
+    # source 0: dists 0,1,2,3 -> reached 4, total 6, closeness 3/6
+    # source 1: dists 1,0,1,2 -> reached 4, total 4, closeness 3/4
+    from graph_database_spark.operators.closeness import closeness_sampled
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    rows = {r["source"]: r for r in closeness_sampled(df, n_sources=2).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["reached"] == 4 and rows[0]["total_dist"] == 6
+    assert abs(rows[0]["closeness"] - 0.5) < 1e-9
+    assert rows[1]["reached"] == 4 and rows[1]["total_dist"] == 4
+    assert abs(rows[1]["closeness"] - 0.75) < 1e-9
+
+
+def test_closeness_disconnected(spark):
+    # Two components; landmarks 0 and 1 live in the pair component —
+    # closeness only counts the reachable set.
+    from graph_database_spark.operators.closeness import closeness_sampled
+
+    df = spark.createDataFrame([(0, 1), (5, 6), (6, 7)], "src long, dst long")
+    rows = {r["source"]: r for r in closeness_sampled(df, n_sources=2).collect()}
+    assert rows[0]["reached"] == 2 and rows[0]["total_dist"] == 1
+    assert abs(rows[0]["closeness"] - 1.0) < 1e-9
