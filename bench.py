@@ -64,6 +64,11 @@ HEADLINE = [
     "common_ngrams",
     "ngram_jaccard_exact",
     "quality_rules",
+    "closeness_sampled",
+    "link_prediction",
+    "waiting_supplier_rank",
+    "customer_distribution",
+    "nation_market_share",
 ]
 
 

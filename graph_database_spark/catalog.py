@@ -1195,6 +1195,117 @@ def q_copurchase_components(spark, sf_dir):
     return connected_components(copurchase_edges(spark, sf_dir))
 
 
+def q_quality_dedup(spark, sf_dir):
+    # Quality-aware dedup keeper: within each normalized-fingerprint
+    # duplicate group, keep the HIGHEST-quality document (dedup_norm
+    # keeps min id; a production training-data pipeline keeps the best
+    # copy). One window shuffle keyed by fingerprint carries both the
+    # ranking and the group size.
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = spread(docs).select(
+        "doc_id", text_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    q = T.quality_score(docs).select("doc_id", "quality")
+    j = fp.join(q, "doc_id")
+    part = Window.partitionBy("fingerprint")
+    ranked = part.orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(ranked))
+        .withColumn("group_size", F.count("*").over(part))
+        .where(F.col("rn") == 1)
+        .select("fingerprint", "doc_id", "quality", "group_size")
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 analog on the derived cost relation (no partsupp table:
+    # unit cost = avg l_extendedprice/l_quantity per (part, supplier)).
+    # The correlated min subquery decorrelates to a groupBy-min joined
+    # back on the part key — both cost legs come off ONE aggregated
+    # frame, so the fact table is read and shuffled once. Ties on the
+    # min keep every witness (deterministic set semantics).
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 7)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
+    )
+    minc = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(minc, "l_partkey")
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey", "p_brand", F.col("l_suppkey").alias("s_suppkey"), "unit_cost"
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(50)
+    )
+
+
+def q_nation_market_share(spark, sf_dir):
+    # TPC-H Q8 analog: NATION_1 suppliers' share of ASIA customers'
+    # revenue per order year — 7-way join where only the true bounded
+    # dims (region, nation x2) broadcast; the conditional share is one
+    # sum-of-case over the joined fact.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    supp_nat = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nat), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    # TPC-H Q9 analog: per (supplier nation, year) profit on a part-name
+    # substring filter; cost side proxied by p_retailprice (no partsupp).
+    # The LIKE filter prunes part before it joins, and nation broadcasts.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     # Topology-driven "people you may know": top non-adjacent pairs by
     # neighborhood Jaccard — wedge join + anti-join on existing edges.
@@ -1966,6 +2077,50 @@ ORACLES["idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     GROUP BY 1
 """
+ORACLES["min_cost_supplier"] = """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, c.l_suppkey AS s_suppkey, c.unit_cost
+    FROM cost c JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size = 7
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p.p_partkey, s_suppkey LIMIT 50
+"""
+ORACLES["nation_market_share"] = """
+    SELECT yr, round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               n2.n_name AS supp_nation,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    ) t GROUP BY yr
+"""
+ORACLES["product_profit"] = """
+    SELECT supp_nation, yr, round(sum(amount), 4) AS profit
+    FROM (
+        SELECT n.n_name AS supp_nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - 0.5 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) t GROUP BY 1, 2
+"""
 ORACLES["link_prediction"] = f"""
     WITH {GRAPH_CTES},
     wedge_pairs AS (
@@ -2182,6 +2337,24 @@ ORACLES["docs_hash_sample"] = _build_hash_sample_sql()
 ORACLES["token_packing"] = _build_token_packing_sql()
 ORACLES["lang_id"] = _build_lang_id_sql()
 ORACLES["quality_score"] = _build_quality_sql()
+ORACLES["quality_dedup"] = f"""
+    WITH q AS ({_build_quality_sql()}),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    ranked AS (
+        SELECT fp.fingerprint, fp.doc_id, q.quality,
+               row_number() OVER (PARTITION BY fp.fingerprint
+                                  ORDER BY q.quality DESC, fp.doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp.fingerprint) AS gs
+        FROM fp JOIN q USING (doc_id)
+    )
+    SELECT fingerprint, doc_id, quality, CAST(gs AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+"""
 ORACLES["corpus_curation"] = f"""
     WITH keep AS (
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
@@ -2304,6 +2477,10 @@ QUERIES: dict[str, QueryFn] = {
     "column_stats": q_column_stats,
     "closeness_sampled": q_closeness_sampled,
     "link_prediction": q_link_prediction,
+    "min_cost_supplier": q_min_cost_supplier,
+    "quality_dedup": q_quality_dedup,
+    "nation_market_share": q_nation_market_share,
+    "product_profit": q_product_profit,
     "priority_waiting_orders": q_priority_waiting_orders,
     "priority_line_counts": q_priority_line_counts,
     "customer_distribution": q_customer_distribution,
