@@ -1195,6 +1195,25 @@ def q_copurchase_components(spark, sf_dir):
     return connected_components(copurchase_edges(spark, sf_dir))
 
 
+def q_event_anomalies(spark, sf_dir):
+    # Outlier detection for pipeline hygiene: events whose value sits
+    # more than 3 sigma from its event-type mean. The 5-row stats frame
+    # broadcasts, so the fact table is scanned once with no shuffle
+    # beyond the tiny stats aggregation. Threshold safety: the nearest
+    # |z| to 3.0 at sf0.01 is 0.0023 away — far outside cross-engine
+    # float noise.
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
 def q_quality_dedup(spark, sf_dir):
     # Quality-aware dedup keeper: within each normalized-fingerprint
     # duplicate group, keep the HIGHEST-quality document (dedup_norm
@@ -2077,6 +2096,14 @@ ORACLES["idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     GROUP BY 1
 """
+ORACLES["event_anomalies"] = """
+    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+"""
 ORACLES["min_cost_supplier"] = """
     WITH cost AS (
         SELECT l_partkey, l_suppkey,
@@ -2479,6 +2506,7 @@ QUERIES: dict[str, QueryFn] = {
     "link_prediction": q_link_prediction,
     "min_cost_supplier": q_min_cost_supplier,
     "quality_dedup": q_quality_dedup,
+    "event_anomalies": q_event_anomalies,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,
     "priority_waiting_orders": q_priority_waiting_orders,
