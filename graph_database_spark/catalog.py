@@ -1195,6 +1195,13 @@ def q_copurchase_components(spark, sf_dir):
     return connected_components(copurchase_edges(spark, sf_dir))
 
 
+def q_minhash_signatures(spark, sf_dir):
+    # Cross-engine MinHash verification: md5-derived permutations that
+    # DuckDB reproduces bit-for-bit — pins the MinHash math itself (the
+    # xxhash64 production path is JVM-only and pytest-pinned).
+    return D.minhash_signatures_md5(load_table(spark, sf_dir, "documents"))
+
+
 def q_event_anomalies(spark, sf_dir):
     # Outlier detection for pipeline hygiene: events whose value sits
     # more than 3 sigma from its event-type mean. The 5-row stats frame
@@ -2096,6 +2103,21 @@ ORACLES["idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     GROUP BY 1
 """
+ORACLES["minhash_signatures"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           min(CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || s),
+                                       1, 15)) AS BIGINT)) AS minhash
+    FROM sh, UNNEST(range(0, 16)) AS v(seed)
+    GROUP BY 1, 2
+"""
 ORACLES["event_anomalies"] = """
     WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
                FROM events GROUP BY 1)
@@ -2507,6 +2529,7 @@ QUERIES: dict[str, QueryFn] = {
     "min_cost_supplier": q_min_cost_supplier,
     "quality_dedup": q_quality_dedup,
     "event_anomalies": q_event_anomalies,
+    "minhash_signatures": q_minhash_signatures,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,
     "priority_waiting_orders": q_priority_waiting_orders,

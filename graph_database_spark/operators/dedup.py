@@ -133,6 +133,52 @@ def minhash_signature_from_tokens(toks: Column, num_perm: int = 64, shingle_k: i
     )
 
 
+def minhash_signatures_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-engine-checkable MinHash: ``(doc_id, seed, minhash)`` rows.
+
+    The production path (minhash_signature_from_tokens) seeds xxhash64 —
+    a JVM-only function, so its signatures can only be pytest-pinned.
+    This twin derives each permutation from md5 (seed-prefixed, first 15
+    hex chars as a 60-bit integer), which ANY engine reproduces exactly;
+    the catalog's `minhash_signatures` query hashes it against DuckDB —
+    the oracle that pins the MinHash MATH itself, complementing
+    ngram_jaccard_exact (which pins the candidate PAIR SET). ~7x slower
+    per hash than xxhash64, hence a verification surface, not the
+    production default.
+
+    Plan: tokens checkpointed once (spread off the single-file scan),
+    shingles exploded, one map-side-combinable groupBy computing all
+    ``n_hashes`` mins in a single pass, then an unpivot (stack) to long
+    form. Duplicate shingles need no dedup — min is idempotent.
+    """
+    t = _tokens_df(docs, text_col, id_col)
+    sh = t.select(
+        "id", F.explode(_shingles_from(F.col("toks"), shingle_k)).alias("s")
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    stack_args = ", ".join(f"{j}, h{j}" for j in range(n_hashes))
+    return sig.selectExpr(
+        f"id AS {id_col}",
+        f"stack({n_hashes}, {stack_args}) AS (seed, minhash)",
+    )
+
+
 def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
     """MinHash signature straight from a text expression (convenience /
     tests; hot paths tokenize into a column first — see _shingles_from)."""
