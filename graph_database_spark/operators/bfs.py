@@ -23,11 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graph_database_spark.operators.fixpoint import (
-    aggregate_messages,
-    fixpoint,
-    materialize,
-)
+from graph_database_spark.operators.fixpoint import fixpoint, materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
 __all__ = ["bfs_distances"]
@@ -52,16 +48,20 @@ def bfs_distances(
     )
 
     def step(state: DataFrame) -> DataFrame:
-        relaxed = aggregate_messages(
-            sym,
-            state.select("id", (F.col("dist") + F.lit(1)).alias("dist")),
-            [F.min("dist").alias("md")],
+        # Two shuffles per round, not three: reached-frontier +1
+        # messages join the edge list, then one min-groupBy over
+        # messages UNION state — the aggregate-then-join-back shape
+        # costs an extra shuffle (see closeness.py for the measured
+        # win). NULL dist rows ride through the union and lose the min
+        # to any arriving distance.
+        msgs = state.where(F.col("dist").isNotNull()).select(
+            F.col("id").alias("v"), (F.col("dist") + F.lit(1)).alias("dist")
         )
-        # Left join keeps the state total over the vertex set; least()
-        # skips NULLs, so an unreached vertex adopts its first incoming
-        # distance and a reached one only ever improves.
-        return state.join(relaxed, "id", "left").select(
-            "id", F.least("dist", "md").alias("dist")
+        incoming = sym.join(msgs, "v").drop("v").withColumnRenamed("n", "id")
+        return (
+            incoming.unionByName(state)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graph_database_spark.operators.fixpoint import aggregate_messages, fixpoint, materialize
+from graph_database_spark.operators.fixpoint import fixpoint, materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
 __all__ = ["pagerank"]
@@ -47,17 +47,27 @@ def pagerank(
     teleport = (1.0 - damping) / n
 
     def step(state: DataFrame) -> DataFrame:
-        contrib = aggregate_messages(
-            sym,
-            state.select("id", (F.col("rank") / F.col("deg")).alias("c")),
-            [F.sum("c").alias("in_c")],
+        # Two shuffles, not three (same rewrite as closeness.py): the
+        # join-back that kept the state total is replaced by unioning a
+        # zero-contribution self row per vertex into the one groupBy.
+        # The self row also smuggles deg through max() (messages carry
+        # NULL deg), so the static degree frame never rejoins.
+        msgs = sym.join(
+            state.select(
+                F.col("id").alias("v"), (F.col("rank") / F.col("deg")).alias("c")
+            ),
+            "v",
+        ).select(
+            F.col("n").alias("id"), "c", F.lit(None).cast("long").alias("deg")
         )
-        # Left join back onto the full vertex set so the state frame
-        # stays total even if a round produced no message for a vertex.
-        return deg.join(contrib, "id", "left").select(
-            "id",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce("in_c", F.lit(0.0))).alias("rank"),
-            "deg",
+        selfr = state.select("id", F.lit(0.0).alias("c"), "deg")
+        return (
+            msgs.unionByName(selfr)
+            .groupBy("id")
+            .agg(
+                (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"),
+                F.max("deg").alias("deg"),
+            )
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
