@@ -37,18 +37,43 @@ def label_propagation(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
     )
 
     def step(state: DataFrame) -> DataFrame:
-        # Neighbor label frequencies, then argmax (count desc, label asc):
-        # max_by over the (count, -label) struct is lexicographic, so the
-        # highest count wins and ties fall to the smallest label.
+        # Mode of the neighbor labels with smallest-label tie-break, in
+        # TWO shuffles (join + one groupBy) instead of three (the
+        # count-per-(id,label) pre-aggregate needed its own shuffle):
+        # collect the labels, sort ascending, and fold a longest-run
+        # scan over the sorted array row-locally. Runs of equal labels
+        # are contiguous after the sort and the fold keeps a STRICTLY
+        # longer run only, so ties resolve to the smallest label — the
+        # same argmax(count, -label) the two-stage form computed.
+        # Row-local cost is O(deg log deg); label lists are
+        # neighborhood-sized, the same order as the messages the
+        # two-stage form shuffled (caveat: a super-hub's list lands on
+        # one task — the count-based form spreads it, so hub-heavy
+        # graphs at extreme scale may prefer the old shape).
         incoming = sym.join(
             state.withColumnRenamed("id", "v"), "v"
         ).select(F.col("n").alias("id"), "community")
-        counts = incoming.groupBy("id", "community").agg(F.count("*").alias("cnt"))
-        return counts.groupBy("id").agg(
-            F.max_by(
-                "community", F.struct(F.col("cnt"), (-F.col("community")).alias("neg"))
-            ).alias("community")
+        labels_sorted = F.sort_array(F.collect_list("community"))
+        zero = F.lit(0).cast("long")
+        init_acc = F.struct(
+            F.lit(-1).cast("long").alias("best"),
+            zero.alias("best_n"),
+            F.lit(-1).cast("long").alias("cur"),
+            zero.alias("cur_n"),
         )
+
+        def fold(acc, x):
+            cur_n = F.when(x == acc["cur"], acc["cur_n"] + 1).otherwise(F.lit(1).cast("long"))
+            better = cur_n > acc["best_n"]
+            return F.struct(
+                F.when(better, x).otherwise(acc["best"]).alias("best"),
+                F.when(better, cur_n).otherwise(acc["best_n"]).alias("best_n"),
+                x.alias("cur"),
+                cur_n.alias("cur_n"),
+            )
+
+        mode = F.aggregate(labels_sorted, init_acc, fold, lambda acc: acc["best"])
+        return incoming.groupBy("id").agg(mode.alias("community"))
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return (
