@@ -1202,6 +1202,12 @@ def q_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures_md5(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_signatures(spark, sf_dir):
+    # Cross-engine SimHash verification (md5 bit votes) — pins the
+    # sign-sum math like minhash_signatures pins the min-hash math.
+    return D.simhash_signatures_md5(load_table(spark, sf_dir, "documents"))
+
+
 def q_event_anomalies(spark, sf_dir):
     # Outlier detection for pipeline hygiene: events whose value sits
     # more than 3 sigma from its event-type mean. The 5-row stats frame
@@ -2118,6 +2124,27 @@ ORACLES["minhash_signatures"] = """
     FROM sh, UNNEST(range(0, 16)) AS v(seed)
     GROUP BY 1, 2
 """
+ORACLES["simhash_signatures"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM toks
+    ),
+    bitsum AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, UNNEST(range(0, 16)) AS u(b)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bitsum GROUP BY 1
+"""
 ORACLES["event_anomalies"] = """
     WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
                FROM events GROUP BY 1)
@@ -2530,6 +2557,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_dedup": q_quality_dedup,
     "event_anomalies": q_event_anomalies,
     "minhash_signatures": q_minhash_signatures,
+    "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,
     "priority_waiting_orders": q_priority_waiting_orders,

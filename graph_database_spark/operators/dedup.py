@@ -291,6 +291,52 @@ def simhash(text_col, bits: int = 64) -> Column:
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def simhash_signatures_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Cross-engine-checkable SimHash: ``(doc_id, simhash)`` with the
+    per-token hash = first 60 bits of md5 — the verification twin of
+    ``simhash`` exactly as minhash_signatures_md5 is of the xxhash64
+    MinHash: any engine reproduces it, so the catalog query pins the
+    bit-vote math (sign of the per-bit +/-1 sum over the token
+    MULTISET) against DuckDB. 16 bits keeps the oracle tractable; the
+    production simhash stays 64-bit xxhash64.
+
+    Same row-local single-pass shape as ``simhash``: a bits-slot
+    counter array folded over the materialized token column, then one
+    mask-sum assembly — nothing leaves the JVM, one groupBy-free map.
+    """
+    t = _tokens_df(docs, text_col, id_col)
+    hashes = F.transform(
+        F.col("toks"),
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+    )
+
+    def _bit_vec(h: Column) -> Column:
+        # 60-bit positive values: no sign-bit special case needed.
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bit_vec(h), lambda a, b: a + b),
+    )
+    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(bits)])
+    signed = F.zip_with(
+        sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    sig = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return t.select(F.col("id").alias(id_col), sig.alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
