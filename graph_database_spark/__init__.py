@@ -9,14 +9,20 @@ row-at-a-time Python in hot paths, broadcast-able dimensions, canonical
 edge representation to halve shuffle volume.
 
 Layout:
-  sources/    parquet + SNAP ego-network text ingest
-  sinks/      text-file result sinks (.proofs/.metrics) + distributed writer
+  sources/    parquet + SNAP ego-network text ingest, JSONL/CSV/ORC,
+              bucketed co-located layout
+  sinks/      text-file result sinks (.proofs/.metrics), partitioned +
+              Z-order clustered parquet writers
   plans/      derived graph constructions (co-purchase graph)
   operators/  graph analytics, betweenness, components, dedup, similarity,
               text, events, temporal joins, multimodal binary columns
   functions/  reusable column expressions (vector math, text normalization)
   streaming/  Structured Streaming variants of the event operators
-catalog.py holds the driver-facing query surface (QUERIES / oracle_sql).
+graph_api.py exposes the unified SparkGraph facade; engine.py the SQL
+entry point; catalog.py the driver-facing query surface (QUERIES /
+oracle_sql).
 """
 
 __version__ = "0.1.0"
+
+from graph_database_spark.graph_api import SparkGraph  # noqa: E402,F401

@@ -27,26 +27,37 @@ __all__ = ["k_core"]
 
 def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
     """``(id, degree)`` — the vertices of the k-core with their induced
-    degrees (empty frame when no k-core exists)."""
-    sym = materialize(symmetrize(edges))
-    verts = sym.select(F.col("v").alias("id")).distinct()
+    degrees (empty frame when no k-core exists).
 
-    def induced_degrees(alive: DataFrame) -> DataFrame:
-        return (
-            sym.join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
-            .join(alive.withColumnRenamed("id", "n"), "n", "left_semi")
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.count("*").alias("degree"))
+    The peeling state is the SURVIVING EDGE SET, not the alive vertex
+    set (matching the recursive-CTE oracle's formulation): per round,
+    one degree groupBy finds the newly-dead vertices and two anti-joins
+    drop their edges. The vertex-set formulation needed two semi-joins
+    AND the groupBy every round (3 keyed shuffles); here the dead frame
+    after round one is the incremental peel — typically tiny — so AQE
+    turns both anti-joins into broadcasts at runtime and the round costs
+    ONE keyed shuffle. (First-round mass death is the worst case; it is
+    also the round where the dead set is derived before any peeling, so
+    an engine-level pre-filter of low-degree vertices would bound it.)
+    """
+    sym0 = materialize(symmetrize(edges))
+
+    def degrees(sym_e: DataFrame) -> DataFrame:
+        return sym_e.groupBy(F.col("v").alias("id")).agg(
+            F.count("*").alias("degree")
         )
 
-    def step(alive: DataFrame) -> DataFrame:
-        return induced_degrees(alive).where(F.col("degree") >= k).select("id")
+    def step(sym_e: DataFrame) -> DataFrame:
+        dead = degrees(sym_e).where(F.col("degree") < k).select("id")
+        return sym_e.join(
+            dead.withColumnRenamed("id", "v"), "v", "left_anti"
+        ).join(dead.withColumnRenamed("id", "n"), "n", "left_anti")
 
-    # The alive set shrinks monotonically, so equal counts <=> no vertex
+    # The edge set shrinks monotonically, so equal counts <=> no vertex
     # was peeled this round <=> fixpoint (counts on materialized frames
     # are one cheap job each).
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.count() == old.count()
 
-    core = fixpoint(verts, step, converged, max_iterations, name="k_core")
-    return induced_degrees(core)
+    core_edges = fixpoint(sym0, step, converged, max_iterations, name="k_core")
+    return degrees(core_edges)
