@@ -179,6 +179,25 @@ def q_circles_membership(spark, sf_dir):
     )
 
 
+def q_pagerank_personalized(spark, sf_dir):
+    # Rows-only: personalized PageRank seeded at the 4 smallest vertex
+    # ids (deterministic seed set) — the recsys similarity-walk form;
+    # numpy parity pinned in tests/test_graph_analytics.py.
+    from graph_database_spark.operators.pagerank import pagerank
+
+    edges = copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.selectExpr("src AS id")
+        .unionByName(edges.selectExpr("dst AS id"))
+        .distinct()
+        .orderBy("id")
+        .limit(4)
+    )
+    return pagerank(edges, sources=seeds).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 def q_pagerank(spark, sf_dir):
     # Rows-only (iterative — no SQL oracle): PageRank over the
     # co-purchase graph on the shared aggregate-messages skeleton;
@@ -2455,6 +2474,7 @@ ROWS_ONLY = frozenset({
     "betweenness",
     "distinct_users_hll",
     "pagerank",
+    "pagerank_personalized",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -2481,6 +2501,7 @@ QUERIES: dict[str, QueryFn] = {
     "betweenness": q_betweenness,
     "bfs_distances": q_bfs_distances,
     "pagerank": q_pagerank,
+    "pagerank_personalized": q_pagerank_personalized,
     "kcore": q_kcore,
     "dedup_exact": q_dedup_exact,
     "dedup_norm": q_dedup_norm,

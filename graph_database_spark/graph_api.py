@@ -96,8 +96,20 @@ class SparkGraph:
     def connected_components(self, max_iterations: int = 50) -> DataFrame:
         return connected_components(self.edges, max_iterations=max_iterations)
 
-    def pagerank(self, damping: float = 0.85, max_iterations: int = 20) -> DataFrame:
-        return pagerank(self.edges, damping=damping, max_iterations=max_iterations)
+    def pagerank(
+        self,
+        damping: float = 0.85,
+        max_iterations: int = 20,
+        weight_col: str | None = None,
+        sources: DataFrame | None = None,
+    ) -> DataFrame:
+        return pagerank(
+            self.edges,
+            damping=damping,
+            max_iterations=max_iterations,
+            weight_col=weight_col,
+            sources=sources,
+        )
 
     def k_core(self, k: int) -> DataFrame:
         return k_core(self.edges, k)

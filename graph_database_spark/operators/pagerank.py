@@ -1,20 +1,31 @@
 """PageRank over the undirected (symmetrized) graph.
 
-Built entirely on the shared fixpoint + aggregate-messages skeleton
-(operators/fixpoint.py) — the operator itself is the textbook update
+Built entirely on the shared fixpoint skeleton (operators/fixpoint.py) —
+the operator itself is the textbook update
 
-    r'(v) = (1 - d) / N + d * sum_{u in N(v)} r(u) / deg(u)
+    r'(v) = (1 - d) * pref(v) + d * sum_{u in N(v)} w(u,v) * r(u) / s(u)
 
-with one aggregate-messages shuffle per round. The reference has no
+with one message-join + one groupBy per round (the aggregate-then-join-
+back shape costs a third shuffle; see SCALE.md). The reference has no
 PageRank (its only centrality attempt, betweenness, never completed —
 src/main.js:108-125); this extends the analytics surface toward the
 north star's "GraphX for analytics" (BASELINE.json).
 
-Scale posture: state is (id, rank, deg) — one row per vertex; each round
-is one shuffle keyed by vertex id. Degrees are joined from a materialized
-frame, never recomputed. On the symmetrized graph every vertex has
-degree >= 1, so there is no dangling-mass redistribution term; rank mass
-is conserved at 1 every round (asserted in tests).
+Variants, all the same fixpoint:
+  - classic: pref uniform 1/N, w = 1, s = degree;
+  - weighted (``weight_col``): w = the edge weight, s = vertex strength
+    (sum of incident weights);
+  - personalized (``sources``): pref = 1/|S| on the source set, 0
+    elsewhere — teleports return to the seeds, ranks decay with
+    distance from them (the recsys / similarity-walk form).
+
+Scale posture: state is (id, rank, deg, pref) — one row per vertex;
+each round is one shuffle keyed by vertex id; the static deg/pref
+columns ride the state (smuggled through max() in the aggregation)
+instead of rejoining. On the symmetrized graph every vertex has
+degree >= 1, so there is no dangling-mass redistribution term; rank
+mass is conserved at 1 every round (asserted in tests) whenever the
+initial distribution sums to 1.
 """
 
 from __future__ import annotations
@@ -32,41 +43,83 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 20,
     tol: float = 1e-6,
+    weight_col: str | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, rank)`` — PageRank with convergence at max |Δrank| < tol,
     or the ``max_iterations``-th iterate (anytime semantics: a fixed
-    round budget is the standard production contract)."""
-    sym = materialize(symmetrize(edges))
+    round budget is the standard production contract).
+
+    ``weight_col``: optional weight column on ``edges`` (canonical
+    one-row-per-undirected-edge; the weight applies in both
+    directions). ``sources``: optional one-column DataFrame of seed
+    vertex ids for personalized PageRank."""
+    if weight_col is None:
+        sym = symmetrize(edges).withColumn("w", F.lit(1.0))
+    else:
+        e = edges.select(
+            F.col("src").alias("v"),
+            F.col("dst").alias("n"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("n").alias("v"), F.col("v").alias("n"), "w")
+        )
+    sym = materialize(sym)
     deg = materialize(
-        sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("deg"))
+        sym.groupBy(F.col("v").alias("id")).agg(F.sum("w").alias("deg"))
     )
     n = deg.count()
     if n == 0:
         return deg.select("id", F.lit(0.0).alias("rank"))
-    init = deg.select("id", F.lit(1.0 / n).alias("rank"), "deg")
-    teleport = (1.0 - damping) / n
+
+    if sources is None:
+        pref_df = deg.select("id", F.lit(1.0 / n).alias("pref"))
+    else:
+        src = sources.toDF("id").distinct()
+        s_cnt = src.count()
+        if s_cnt == 0:
+            raise ValueError("personalized pagerank needs a non-empty source set")
+        pref_df = deg.select("id").join(
+            src.withColumn("pref", F.lit(1.0 / s_cnt)), "id", "left"
+        ).select("id", F.coalesce("pref", F.lit(0.0)).alias("pref"))
+
+    # Initial distribution = pref: sums to 1 in every variant, and for
+    # the personalized form it is also the better starting iterate.
+    init = deg.join(pref_df, "id").select(
+        "id", F.col("pref").alias("rank"), "deg", "pref"
+    )
 
     def step(state: DataFrame) -> DataFrame:
-        # Two shuffles, not three (same rewrite as closeness.py): the
-        # join-back that kept the state total is replaced by unioning a
-        # zero-contribution self row per vertex into the one groupBy.
-        # The self row also smuggles deg through max() (messages carry
-        # NULL deg), so the static degree frame never rejoins.
+        # Two shuffles, not three: the join-back that kept the state
+        # total is replaced by unioning a zero-contribution self row
+        # per vertex into the one groupBy; the self row smuggles the
+        # static deg and pref columns through max() (messages carry
+        # NULL for both). The rank/strength ratio is computed per
+        # VERTEX before the join; the per-EDGE weight multiplies after.
         msgs = sym.join(
             state.select(
-                F.col("id").alias("v"), (F.col("rank") / F.col("deg")).alias("c")
+                F.col("id").alias("v"),
+                (F.col("rank") / F.col("deg")).alias("ratio"),
             ),
             "v",
         ).select(
-            F.col("n").alias("id"), "c", F.lit(None).cast("long").alias("deg")
+            F.col("n").alias("id"),
+            (F.col("ratio") * F.col("w")).alias("c"),
+            F.lit(None).cast("double").alias("deg"),
+            F.lit(None).cast("double").alias("pref"),
         )
-        selfr = state.select("id", F.lit(0.0).alias("c"), "deg")
+        selfr = state.select("id", F.lit(0.0).alias("c"), "deg", "pref")
         return (
             msgs.unionByName(selfr)
             .groupBy("id")
             .agg(
-                (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"),
+                (
+                    F.lit(1.0 - damping) * F.max("pref")
+                    + F.lit(damping) * F.sum("c")
+                ).alias("rank"),
                 F.max("deg").alias("deg"),
+                F.max("pref").alias("pref"),
             )
         )
 

@@ -132,3 +132,55 @@ def test_closeness_disconnected(spark):
     rows = {r["source"]: r for r in closeness_sampled(df, n_sources=2).collect()}
     assert rows[0]["reached"] == 2 and rows[0]["total_dist"] == 1
     assert abs(rows[0]["closeness"] - 1.0) < 1e-9
+
+
+def numpy_ppr(edges, damping, iters, weights=None, sources=None):
+    """Weighted/personalized power iteration — oracle for the variants."""
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for j, (a, b) in enumerate(edges):
+        w = 1.0 if weights is None else weights[j]
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = w
+    strength = adj.sum(axis=1)
+    pref = np.zeros(n)
+    if sources is None:
+        pref[:] = 1.0 / n
+    else:
+        for s in sources:
+            pref[idx[s]] = 1.0 / len(sources)
+    r = pref.copy()
+    for _ in range(iters):
+        r = (1 - damping) * pref + damping * adj.T @ (r / strength)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    weights = [3.0, 1.0, 2.0, 5.0, 1.0, 4.0, 2.0, 1.0]
+    rows = [(a, b, w) for (a, b), w in zip(EDGES, weights)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    ours = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            df, max_iterations=15, tol=0.0, weight_col="weight"
+        ).collect()
+    }
+    ref = numpy_ppr(EDGES, 0.85, 15, weights=weights)
+    for v in ref:
+        assert abs(ours[v] - ref[v]) < 1e-9, (v, ours[v], ref[v])
+
+
+def test_pagerank_personalized(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    src = spark.createDataFrame([(0,)], "id long")
+    ours = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, max_iterations=15, tol=0.0, sources=src).collect()
+    }
+    ref = numpy_ppr(EDGES, 0.85, 15, sources=[0])
+    for v in ref:
+        assert abs(ours[v] - ref[v]) < 1e-9, (v, ours[v], ref[v])
+    # Seed-adjacent mass dominates: the seed outranks the far end.
+    assert ours[0] > ours[6]
+    assert abs(sum(ours.values()) - 1.0) < 1e-9
