@@ -1227,6 +1227,45 @@ def q_simhash_signatures(spark, sf_dir):
     return D.simhash_signatures_md5(load_table(spark, sf_dir, "documents"))
 
 
+def q_event_funnel(spark, sf_dir):
+    # Sequential-pattern funnel: users progressing view -> click ->
+    # purchase, each step within 1 day of the previous step's FIRST
+    # occurrence (150 -> 60 -> 25 at sf0.01 — a real drop-off). Three
+    # grouped mins chained by user_id equi-joins: co-partitioned on the
+    # same key, so at scale the three stages ride one shuffle layout.
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return stage(v, "view").unionByName(stage(c, "click")).unionByName(
+        stage(p, "purchase")
+    )
+
+
 def q_event_anomalies(spark, sf_dir):
     # Outlier detection for pipeline hygiene: events whose value sits
     # more than 3 sigma from its event-type mean. The 5-row stats frame
@@ -2164,6 +2203,19 @@ ORACLES["simhash_signatures"] = """
                AS simhash
     FROM bitsum GROUP BY 1
 """
+ORACLES["event_funnel"] = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 1 DAY GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY 1)
+    SELECT 'view' AS stage, count(*) AS users FROM v
+    UNION ALL SELECT 'click', count(*) FROM c
+    UNION ALL SELECT 'purchase', count(*) FROM p
+"""
 ORACLES["event_anomalies"] = """
     WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
                FROM events GROUP BY 1)
@@ -2577,6 +2629,7 @@ QUERIES: dict[str, QueryFn] = {
     "min_cost_supplier": q_min_cost_supplier,
     "quality_dedup": q_quality_dedup,
     "event_anomalies": q_event_anomalies,
+    "event_funnel": q_event_funnel,
     "minhash_signatures": q_minhash_signatures,
     "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,
