@@ -83,17 +83,44 @@ def betweenness(
     prev_count = visited.count()
     for level in range(1, max_iterations + 1):
         frontier = visited.where(F.col("dist") == level - 1)
-        expanded = (
-            frontier.join(sym, "v")
-            .groupBy("s", F.col("n").alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
+        # TWO shuffles per level, not three: raw frontier messages union
+        # the visited state into ONE (s, v) groupBy that both
+        # aggregates the new sigma and performs the visited check (a
+        # row whose group contains a visited row keeps the visited
+        # dist/sigma — the old shape did this with a pre-aggregate plus
+        # a left-anti join, paying a third shuffle). Visited rows are
+        # unique per (s, v), so max() on the when-guarded columns
+        # reads exactly that row.
+        msgs = frontier.join(sym, "v").select(
+            "s",
+            F.col("n").alias("v"),
+            F.lit(False).alias("old"),
+            F.lit(None).cast("long").alias("dist"),
+            "sigma",
         )
-        new = (
-            expanded.join(visited.select("s", "v"), ["s", "v"], "left_anti")
-            .withColumn("dist", F.lit(level))
-            .select("s", "v", "dist", "sigma")
+        seen = visited.select("s", "v", F.lit(True).alias("old"), "dist", "sigma")
+        visited = (
+            msgs.unionByName(seen)
+            .groupBy("s", "v")
+            .agg(
+                F.max("old").alias("was_seen"),
+                F.max(F.when(F.col("old"), F.col("dist"))).alias("old_dist"),
+                F.max(F.when(F.col("old"), F.col("sigma"))).alias("old_sigma"),
+                F.sum(F.when(~F.col("old"), F.col("sigma"))).alias("new_sigma"),
+            )
+            .select(
+                "s",
+                "v",
+                F.when(F.col("was_seen"), F.col("old_dist"))
+                .otherwise(F.lit(level))
+                .alias("dist"),
+                F.when(F.col("was_seen"), F.col("old_sigma"))
+                .otherwise(F.col("new_sigma"))
+                .alias("sigma"),
+            )
+            .coalesce(state_parts)
+            .localCheckpoint()
         )
-        visited = visited.union(new).coalesce(state_parts).localCheckpoint()
         count = visited.count()
         if count == prev_count:
             break
