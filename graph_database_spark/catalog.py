@@ -1227,6 +1227,29 @@ def q_simhash_signatures(spark, sf_dir):
     return D.simhash_signatures_md5(load_table(spark, sf_dir, "documents"))
 
 
+def q_embedding_pca(spark, sf_dir):
+    # Rows-only (eigh has no SQL oracle; numpy parity + orthonormality
+    # pytest-pinned): top-2 principal scores per embedding, scalarized
+    # for the harness (ARRAY outputs crash the driver canonicalizer
+    # even on rows-only bookkeeping — r2 lesson).
+    from graph_database_spark.operators.pca import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=2)
+    return pca_transform(emb, model).select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )
+
+
+def q_decontamination(spark, sf_dir):
+    # Benchmark decontamination: training docs sharing an 8-gram with
+    # the deterministic ~5% eval sample — inverted-index join sized by
+    # the eval side.
+    return D.cross_contamination(load_table(spark, sf_dir, "documents"))
+
+
 def q_event_funnel(spark, sf_dir):
     # Sequential-pattern funnel: users progressing view -> click ->
     # purchase, each step within 1 day of the previous step's FIRST
@@ -2203,6 +2226,30 @@ ORACLES["simhash_signatures"] = """
                AS simhash
     FROM bitsum GROUP BY 1
 """
+ORACLES["decontamination"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+    ),
+    eval_docs AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    ),
+    eg AS (
+        SELECT DISTINCT g.doc_id AS eval_doc, g.g
+        FROM grams g JOIN eval_docs e USING (doc_id)
+    ),
+    hits AS (
+        SELECT DISTINCT t.doc_id, e.eval_doc
+        FROM grams t JOIN eg e ON t.g = e.g
+        WHERE t.doc_id <> e.eval_doc
+    )
+    SELECT doc_id, count(*) AS n_eval_matches FROM hits GROUP BY 1
+"""
 ORACLES["event_funnel"] = """
     WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                WHERE event_type = 'view' GROUP BY 1),
@@ -2527,6 +2574,7 @@ ROWS_ONLY = frozenset({
     "distinct_users_hll",
     "pagerank",
     "pagerank_personalized",
+    "embedding_pca",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -2630,6 +2678,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_dedup": q_quality_dedup,
     "event_anomalies": q_event_anomalies,
     "event_funnel": q_event_funnel,
+    "decontamination": q_decontamination,
+    "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
     "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,

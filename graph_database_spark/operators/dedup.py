@@ -291,6 +291,56 @@ def simhash(text_col, bits: int = 64) -> Column:
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def cross_contamination(
+    docs: DataFrame,
+    eval_ids: DataFrame | None = None,
+    ngram: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, n_eval_matches)`` — training
+    documents sharing at least one ``ngram``-token gram with any
+    held-out eval document (the hygiene pass every LLM training corpus
+    runs against its benchmark suites; 8-grams are the conventional
+    width). ``eval_ids``: one-column DataFrame of eval doc ids; default
+    = the deterministic md5-prefix ~5% sample (the same retry-stable
+    scheme as sampling.hash_sample).
+
+    Plan: one inverted-index equi-join keyed by the gram string — the
+    eval side is pre-shrunk to distinct (eval_doc, gram) pairs, so join
+    width tracks the EVAL corpus (small by construction), not the
+    training corpus. Boilerplate grams shared by many docs are the skew
+    risk; AQE skew-join covers it, and common_ngrams is the audit that
+    finds them. Docs shorter than ``ngram`` tokens fall back to one
+    whole-doc gram (_shingles_from) — run against DuckDB only where all
+    docs meet the length floor (true for the driver corpus, min 10).
+    """
+    t = _tokens_df(docs, text_col, id_col)
+    grams = t.select(
+        "id", F.explode(_shingles_from(F.col("toks"), ngram)).alias("g")
+    )
+    if eval_ids is None:
+        eval_ids = docs.select(F.col(id_col).alias("id")).where(
+            F.md5(F.col(id_col).cast("string")).substr(1, 2) < "0d"
+        )
+    else:
+        eval_ids = eval_ids.toDF("id")
+    eg = (
+        grams.join(eval_ids, "id", "left_semi")
+        .select(F.col("id").alias("eval_doc"), "g")
+        .distinct()
+    )
+    hits = (
+        grams.join(eg, "g")
+        .where(F.col("id") != F.col("eval_doc"))
+        .select(F.col("id"), "eval_doc")
+        .distinct()
+    )
+    return hits.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_eval_matches")
+    )
+
+
 def simhash_signatures_md5(
     docs: DataFrame,
     text_col: str = "text",
