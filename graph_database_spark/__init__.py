@@ -18,7 +18,8 @@ Layout:
               text, events, temporal joins, multimodal binary columns
   functions/  reusable column expressions (vector math, text normalization)
   streaming/  Structured Streaming variants of the event operators
-graph_api.py exposes the unified SparkGraph facade; engine.py the SQL
+graph_api.py / corpus_api.py expose the SparkGraph and Corpus
+facades; engine.py the SQL
 entry point; catalog.py the driver-facing query surface (QUERIES /
 oracle_sql).
 """
@@ -26,3 +27,4 @@ oracle_sql).
 __version__ = "0.1.0"
 
 from graph_database_spark.graph_api import SparkGraph  # noqa: E402,F401
+from graph_database_spark.corpus_api import Corpus  # noqa: E402,F401

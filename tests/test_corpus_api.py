@@ -1,0 +1,34 @@
+"""Corpus facade: column remapping + delegation consistency."""
+
+from __future__ import annotations
+
+from graph_database_spark.corpus_api import Corpus
+from graph_database_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_remap_and_delegation(spark):
+    docs = load_table(spark, SF_DIR, "documents").selectExpr(
+        "doc_id AS id", "text AS body", "lang", "source"
+    )
+    c = Corpus(docs, id_col="id", text_col="body")
+    q = c.quality()
+    assert "doc_id" in q.columns and q.count() == docs.count()
+
+    # Facade survivors == operator survivors (same plan underneath).
+    direct = load_table(spark, SF_DIR, "documents")
+    want = {r["doc_id"] for r in Corpus(direct).staged_dedup().collect()}
+    got = {r["doc_id"] for r in c.staged_dedup().collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sample_and_stratified(spark):
+    c = Corpus(load_table(spark, SF_DIR, "documents"))
+    n = c.docs.count()
+    s = c.sample(0.2).count()
+    assert 0 < s < n
+    capped = c.stratified(["lang"], 3)
+    per = {r["lang"]: r["n"] for r in
+           capped.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per and all(v <= 3 for v in per.values())
