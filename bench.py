@@ -69,6 +69,11 @@ HEADLINE = [
     "waiting_supplier_rank",
     "customer_distribution",
     "nation_market_share",
+    "quality_dedup",
+    "event_funnel",
+    "event_anomalies",
+    "decontamination",
+    "embedding_pca",
 ]
 
 

@@ -1425,6 +1425,16 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_ktruss(spark, sf_dir):
+    # Rows-only (recursive SQL can't reference the survivor set three
+    # times per round): 4-truss of the co-purchase graph — edge-level
+    # cohesion peeling; hand-computed fixtures incl. the peel cascade
+    # pinned in tests/test_graph_analytics.py.
+    from graph_database_spark.operators.truss import k_truss
+
+    return k_truss(copurchase_edges(spark, sf_dir), k=4)
+
+
 def q_closeness_sampled(spark, sf_dir):
     # Landmark closeness centrality: multi-source BFS on the shared
     # fixpoint (one shuffle per round relaxes all 8 landmarks), checked
@@ -2575,6 +2585,7 @@ ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
     "embedding_pca",
+    "ktruss",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -2673,6 +2684,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_weights": q_mixture_weights,
     "column_stats": q_column_stats,
     "closeness_sampled": q_closeness_sampled,
+    "ktruss": q_ktruss,
     "link_prediction": q_link_prediction,
     "min_cost_supplier": q_min_cost_supplier,
     "quality_dedup": q_quality_dedup,

@@ -114,6 +114,11 @@ class SparkGraph:
     def k_core(self, k: int) -> DataFrame:
         return k_core(self.edges, k)
 
+    def k_truss(self, k: int) -> DataFrame:
+        from graph_database_spark.operators.truss import k_truss
+
+        return k_truss(self.edges, k)
+
     def label_propagation(self, max_iterations: int = 10) -> DataFrame:
         return label_propagation(self.edges, max_iterations=max_iterations)
 

@@ -184,3 +184,28 @@ def test_pagerank_personalized(spark):
     # Seed-adjacent mass dominates: the seed outranks the far end.
     assert ours[0] > ours[6]
     assert abs(sum(ours.values()) - 1.0) < 1e-9
+
+
+def test_ktruss_k4_with_pendant(spark):
+    from graph_database_spark.operators.truss import k_truss
+
+    # K4 on {1,2,3,4} (every edge in 2 triangles) + pendant 4-5.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(df, k=4).collect()}
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_cascade(spark):
+    from graph_database_spark.operators.truss import k_truss
+
+    # Two triangles sharing edge (2,3): each outer edge closes 1
+    # triangle, the shared edge closes 2. The 4-truss is empty — after
+    # the outer edges (support 1 < 2) peel, the shared edge loses its
+    # triangles too: the cascade matters, a one-shot filter would keep it.
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    assert k_truss(df, k=4).count() == 0
+    got3 = {(r["src"], r["dst"]) for r in k_truss(df, k=3).collect()}
+    assert got3 == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
