@@ -1425,6 +1425,32 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_copurchase_strength(spark, sf_dir):
+    # Weighted degree (tie strength) per vertex on the weighted
+    # co-purchase graph — hash-verified; the weights also feed the
+    # weighted-PageRank rows-only query.
+    from graph_database_spark.plans.copurchase import copurchase_edges_weighted
+
+    we = copurchase_edges_weighted(spark, sf_dir)
+    wsym = we.selectExpr("src AS id", "weight").unionByName(
+        we.selectExpr("dst AS id", "weight")
+    )
+    return wsym.groupBy("id").agg(
+        F.count("*").alias("degree"), F.sum("weight").alias("strength")
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    # Rows-only: PageRank with co-purchase tie strengths as edge
+    # weights (numpy parity for the weighted form pytest-pinned).
+    from graph_database_spark.operators.pagerank import pagerank
+    from graph_database_spark.plans.copurchase import copurchase_edges_weighted
+
+    return pagerank(
+        copurchase_edges_weighted(spark, sf_dir), weight_col="weight"
+    ).select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_ktruss(spark, sf_dir):
     # Rows-only (recursive SQL can't reference the survivor set three
     # times per round): 4-truss of the co-purchase graph — edge-level
@@ -2325,6 +2351,22 @@ ORACLES["product_profit"] = """
         WHERE p.p_name LIKE '%red%'
     ) t GROUP BY 1, 2
 """
+ORACLES["copurchase_strength"] = f"""
+    WITH cp AS ({_CP}),
+    we AS (
+        SELECT a.c AS src, b.c AS dst, count(*) AS weight
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+        GROUP BY 1, 2
+    ),
+    wsym AS (
+        SELECT src AS id, weight FROM we
+        UNION ALL
+        SELECT dst AS id, weight FROM we
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS degree,
+           CAST(sum(weight) AS BIGINT) AS strength
+    FROM wsym GROUP BY 1
+"""
 ORACLES["link_prediction"] = f"""
     WITH {GRAPH_CTES},
     wedge_pairs AS (
@@ -2586,6 +2628,7 @@ ROWS_ONLY = frozenset({
     "pagerank_personalized",
     "embedding_pca",
     "ktruss",
+    "pagerank_weighted",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -2685,6 +2728,8 @@ QUERIES: dict[str, QueryFn] = {
     "column_stats": q_column_stats,
     "closeness_sampled": q_closeness_sampled,
     "ktruss": q_ktruss,
+    "copurchase_strength": q_copurchase_strength,
+    "pagerank_weighted": q_pagerank_weighted,
     "link_prediction": q_link_prediction,
     "min_cost_supplier": q_min_cost_supplier,
     "quality_dedup": q_quality_dedup,

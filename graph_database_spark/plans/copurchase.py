@@ -85,6 +85,38 @@ def copurchase_edges(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges_weighted(spark, sf_dir: str) -> DataFrame:
+    """Weighted canonical edges: ``(src, dst, weight)`` — weight = the
+    number of distinct (part, month) contexts the pair co-purchased in
+    (the natural tie-strength the unweighted builder throws away with
+    its final distinct). Same two shuffles; the distinct becomes the
+    counting groupBy."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cp = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("w"),
+        )
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .groupBy(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+
+
 def copurchase_vertices(spark, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
     """Vertex set with the proof-1 attribute pair: ``(id, attr_a, attr_b)``."""
     if edges is None:
