@@ -2404,7 +2404,8 @@ ORACLES["closeness_sampled"] = f"""
            CAST(sum(dist) AS BIGINT) AS total_dist,
            CASE WHEN sum(dist) > 0
                 THEN round((count(*) - 1) / CAST(sum(dist) AS DOUBLE), 6)
-           END AS closeness
+           END AS closeness,
+           round(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 6) AS harmonic
     FROM mind GROUP BY 1
 """
 ORACLES["priority_waiting_orders"] = """

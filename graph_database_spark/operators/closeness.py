@@ -90,5 +90,13 @@ def closeness_sampled(
                 ),
                 6,
             ).alias("closeness"),
+            # Harmonic centrality rides the same distances: sum of 1/d
+            # over reached non-self vertices — finite on disconnected
+            # graphs where classic closeness needs the reachable-set
+            # restriction (Boldi-Vigna's argument for preferring it).
+            F.round(
+                F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
+                6,
+            ).alias("harmonic"),
         )
     )
