@@ -1425,6 +1425,57 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_banded_revenue(spark, sf_dir):
+    # TPC-H Q6 analog: the pure scan shape — no join, every predicate
+    # (date range, discount band, quantity cap) pushed to the parquet
+    # scan, one global agg. The simplest query in the suite and the
+    # one where pushdown does ALL the work at 100 TB.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_important_stock(spark, sf_dir):
+    # TPC-H Q11 analog: share-of-total threshold — per (nation, part)
+    # supply value filtered against a scalar fraction of the GLOBAL
+    # total. Both legs reuse ONE aggregated frame (localCheckpoint);
+    # the 1-row total broadcasts.
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+        .localCheckpoint()
+    )
+    total = val.agg((F.lit(0.0001) * F.sum("v")).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("v") > F.col("cut"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("v", 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "nation", "p_partkey")
+        .limit(30)
+    )
+
+
 def q_copurchase_strength(spark, sf_dir):
     # Weighted degree (tie strength) per vertex on the weighted
     # co-purchase graph — hash-verified; the weights also feed the
@@ -2351,6 +2402,25 @@ ORACLES["product_profit"] = """
         WHERE p.p_name LIKE '%red%'
     ) t GROUP BY 1, 2
 """
+ORACLES["banded_revenue"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+ORACLES["important_stock"] = """
+    WITH val AS (
+        SELECT s.s_nationkey, l.l_partkey,
+               sum(l.l_extendedprice * l.l_quantity) AS v
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, val.l_partkey AS p_partkey,
+           round(val.v, 4) AS part_value
+    FROM val JOIN nation n ON val.s_nationkey = n.n_nationkey
+    WHERE val.v > (SELECT 0.0001 * sum(v) FROM val)
+    ORDER BY part_value DESC, nation, p_partkey LIMIT 30
+"""
 ORACLES["copurchase_strength"] = f"""
     WITH cp AS ({_CP}),
     we AS (
@@ -2730,6 +2800,8 @@ QUERIES: dict[str, QueryFn] = {
     "closeness_sampled": q_closeness_sampled,
     "ktruss": q_ktruss,
     "copurchase_strength": q_copurchase_strength,
+    "banded_revenue": q_banded_revenue,
+    "important_stock": q_important_stock,
     "pagerank_weighted": q_pagerank_weighted,
     "link_prediction": q_link_prediction,
     "min_cost_supplier": q_min_cost_supplier,
