@@ -50,3 +50,13 @@ def test_sql_pushdown_reaches_scan(spark):
     df = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 49")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:300]
+
+
+def test_plan_audit_shapes(spark):
+    from graph_database_spark import catalog, engine
+
+    a = engine.plan_audit(catalog.QUERIES["banded_revenue"](spark, SF_DIR))
+    assert a["exchanges"] == 1          # single-partition final agg only
+    assert not a["has_cartesian"]
+    assert len(a["scans"]) == 1 and "l_discount" in a["scans"][0]
+    assert any("l_shipdate" in p for p in a["pushed_filters"])
