@@ -1250,6 +1250,19 @@ def q_decontamination(spark, sf_dir):
     return D.cross_contamination(load_table(spark, sf_dir, "documents"))
 
 
+def q_media_resize(spark, sf_dir):
+    # Value-check of the Arrow resize path (like multimodal_features
+    # checks the featurizer): md5 of the decimated byte stream vs a
+    # DuckDB stepped-range reconstruction of the same stride.
+    media = MM.attach_media(load_table(spark, sf_dir, "documents"))
+    return MM.resize_media(media, factor=4).select(
+        "media_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     # Sequential-pattern funnel: users progressing view -> click ->
     # purchase, each step within 1 day of the previous step's FIRST
@@ -2337,6 +2350,14 @@ ORACLES["decontamination"] = """
     )
     SELECT doc_id, count(*) AS n_eval_matches FROM hits GROUP BY 1
 """
+ORACLES["media_resize"] = """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+           md5(string_agg(substring(text, i, 1), '' ORDER BY i)) AS resized_md5
+    FROM documents, UNNEST(range(1, length(text) + 1, 4)) u(i)
+    GROUP BY doc_id, text
+"""
 ORACLES["event_funnel"] = """
     WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                WHERE event_type = 'view' GROUP BY 1),
@@ -2808,6 +2829,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_dedup": q_quality_dedup,
     "event_anomalies": q_event_anomalies,
     "event_funnel": q_event_funnel,
+    "media_resize": q_media_resize,
     "decontamination": q_decontamination,
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,

@@ -65,3 +65,13 @@ def test_frame_sample_stride(docs):
 def test_decode_image_is_gated(docs):
     with pytest.raises(NotImplementedError):
         MM.decode_image(MM.attach_media(docs))
+
+
+def test_resize_media_decimates(docs):
+    media = MM.attach_media(docs)
+    rows = MM.resize_media(media, factor=4).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["resized_bytes"] == (r["orig_bytes"] + 3) // 4
+        # Deterministic: every 4th byte of the original stream.
+        assert r["resized_bytes"] == len(r["resized"])
