@@ -1489,6 +1489,16 @@ def q_important_stock(spark, sf_dir):
     )
 
 
+def q_degree_histogram(spark, sf_dir):
+    # Degree distribution of the co-purchase graph — the first summary
+    # a graph engine reports; two keyed aggregations, ~tens of rows out.
+    return (
+        G.degree(_edges(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
 def q_copurchase_strength(spark, sf_dir):
     # Weighted degree (tie strength) per vertex on the weighted
     # co-purchase graph — hash-verified; the weights also feed the
@@ -2442,6 +2452,12 @@ ORACLES["important_stock"] = """
     WHERE val.v > (SELECT 0.0001 * sum(v) FROM val)
     ORDER BY part_value DESC, nation, p_partkey LIMIT 30
 """
+ORACLES["degree_histogram"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_vertices
+    FROM deg GROUP BY 1
+"""
 ORACLES["copurchase_strength"] = f"""
     WITH cp AS ({_CP}),
     we AS (
@@ -2496,7 +2512,8 @@ ORACLES["closeness_sampled"] = f"""
            CASE WHEN sum(dist) > 0
                 THEN round((count(*) - 1) / CAST(sum(dist) AS DOUBLE), 6)
            END AS closeness,
-           round(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 6) AS harmonic
+           round(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 6) AS harmonic,
+           CAST(max(dist) AS BIGINT) AS eccentricity
     FROM mind GROUP BY 1
 """
 ORACLES["priority_waiting_orders"] = """
@@ -2822,6 +2839,7 @@ QUERIES: dict[str, QueryFn] = {
     "ktruss": q_ktruss,
     "copurchase_strength": q_copurchase_strength,
     "banded_revenue": q_banded_revenue,
+    "degree_histogram": q_degree_histogram,
     "important_stock": q_important_stock,
     "pagerank_weighted": q_pagerank_weighted,
     "link_prediction": q_link_prediction,

@@ -98,5 +98,8 @@ def closeness_sampled(
                 F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
                 6,
             ).alias("harmonic"),
+            # Landmark eccentricity — max over the same distances; the
+            # max across landmarks lower-bounds the graph diameter.
+            F.max("dist").alias("eccentricity"),
         )
     )
