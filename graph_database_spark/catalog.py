@@ -1489,6 +1489,25 @@ def q_important_stock(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    # Deterministic train/val/test assignment: md5-bucket each doc id
+    # into 90/5/5 — retry-stable at any scale (the rand()-free split
+    # every reproducible training pipeline needs). Output is the split
+    # census with per-split token mass.
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def q_degree_histogram(spark, sf_dir):
     # Degree distribution of the co-purchase graph — the first summary
     # a graph engine reports; two keyed aggregations, ~tens of rows out.
@@ -2452,6 +2471,18 @@ ORACLES["important_stock"] = """
     WHERE val.v > (SELECT 0.0001 * sum(v) FROM val)
     ORDER BY part_value DESC, nation, p_partkey LIMIT 30
 """
+ORACLES["dataset_split"] = """
+    SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+    ) t GROUP BY 1
+"""
 ORACLES["degree_histogram"] = f"""
     WITH {GRAPH_CTES},
     deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)
@@ -2840,6 +2871,7 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_strength": q_copurchase_strength,
     "banded_revenue": q_banded_revenue,
     "degree_histogram": q_degree_histogram,
+    "dataset_split": q_dataset_split,
     "important_stock": q_important_stock,
     "pagerank_weighted": q_pagerank_weighted,
     "link_prediction": q_link_prediction,
