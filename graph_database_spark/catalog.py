@@ -681,6 +681,27 @@ def q_distinct_users_sketch(spark, sf_dir):
     )
 
 
+def q_distinct_users_kmv(spark, sf_dir):
+    # The md5-twin of distinct_users_sketch: same KMV bottom-k estimator,
+    # hash derived from md5 so DuckDB reproduces every kept hash value
+    # bit-for-bit (60-bit space; window bottom-k in SQL). k=64 < the 150
+    # distinct users per type at sf0.01, so the sketch path (not the
+    # exact fallback) is what the hash match certifies. FP order matches
+    # the oracle: frac = kth/2^60 first, then (k-1)/frac.
+    from graph_database_spark.operators.sketches import distinct_count_kmv, md5_hash60
+
+    out = distinct_count_kmv(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        group_by="event_type",
+        k=64,
+        hash_fn=md5_hash60,
+        lo=0.0,
+        span=2.0**60,
+    )
+    return out.select("event_type", F.round("est_distinct", 4).alias("est_distinct"))
+
+
 def q_user_event_types(spark, sf_dir):
     # A4 (collect(...) list aggregation, src/main.js:109 analog): the
     # distinct event types per user, sorted for set-semantics stability
@@ -2257,6 +2278,25 @@ def _build_token_packing_sql() -> str:
     """
 
 
+ORACLES["distinct_users_kmv"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type,
+       round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                  ELSE 63.0 / ((CAST(hv AS DOUBLE) - 0.0) / 1152921504606846976.0)
+             END, 4) AS est_distinct
+FROM r
+WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END
+"""
+
 ORACLES["volume_shipping"] = """
     SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2846,6 +2886,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_rank_stats": q_order_rank_stats,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "distinct_users_sketch": q_distinct_users_sketch,
+    "distinct_users_kmv": q_distinct_users_kmv,
     "user_event_types": q_user_event_types,
     "order_price_quantiles": q_order_price_quantiles,
     "orders_pivot_year": q_orders_pivot_year,

@@ -29,11 +29,23 @@ and is what the oracle-checkable contract allows.)
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["kmv_sketch", "kmv_estimate", "distinct_count_kmv"]
+__all__ = ["kmv_sketch", "kmv_estimate", "distinct_count_kmv", "md5_hash60"]
 
 _SPAN = float(2**64)
+_LO = float(-(2**63))
+_SPAN60 = float(2**60)
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit nonnegative hash derived from md5 — the cross-engine twin
+    of xxhash64 (DuckDB: ``CAST(('0x' || substring(md5(x),1,15)) AS
+    BIGINT)``). Use as ``hash_fn`` with ``lo=0.0, span=2.0**60`` to make
+    a KMV sketch oracle-checkable."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
 def kmv_sketch(key: Column, k: int = 256) -> Column:
@@ -45,14 +57,17 @@ def kmv_sketch(key: Column, k: int = 256) -> Column:
     return F.slice(F.sort_array(F.collect_set(F.xxhash64(key))), 1, k)
 
 
-def kmv_estimate(sketch: Column, k: int = 256) -> Column:
+def kmv_estimate(
+    sketch: Column, k: int = 256, lo: float = _LO, span: float = _SPAN
+) -> Column:
     """Distinct-count estimate from a KMV sketch column (DOUBLE).
 
-    Falls back to the exact size when fewer than k distinct values were
-    seen (the sketch IS the distinct set then)."""
+    ``lo``/``span`` describe the hash range (default: signed 64-bit
+    xxhash64 space). Falls back to the exact size when fewer than k
+    distinct values were seen (the sketch IS the distinct set then)."""
     n = F.size(sketch)
     kth = F.element_at(sketch, k).cast("double")
-    frac = (kth - float(-(2**63))) / F.lit(_SPAN)
+    frac = (kth - lo) / F.lit(span)
     return F.when(n < k, n.cast("double")).otherwise((k - 1) / frac)
 
 
@@ -62,6 +77,9 @@ def distinct_count_kmv(
     group_by: str | None = None,
     k: int = 256,
     salt_buckets: int = 64,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    lo: float = _LO,
+    span: float = _SPAN,
 ) -> DataFrame:
     """``(group?, est_distinct DOUBLE)`` — sketched distinct counts via
     the bounded two-level aggregation (see module docstring).
@@ -70,8 +88,12 @@ def distinct_count_kmv(
     bucket's bottom-k; level 2 merges the S partial sketches per group.
     Identical estimate to the single-level sketch: the global bottom-k of
     a set equals the bottom-k of the union of per-bucket bottom-k's (each
-    bucket keeps at least its members of the global bottom-k)."""
-    h = F.xxhash64(F.col(key))
+    bucket keeps at least its members of the global bottom-k).
+
+    ``hash_fn``/``lo``/``span`` default to xxhash64 over its signed
+    space; pass ``md5_hash60, lo=0.0, span=2.0**60`` for the
+    cross-engine-checkable md5 twin."""
+    h = hash_fn(F.col(key))
     groups = [group_by] if group_by is not None else []
     partial = (
         df.select(*groups, h.alias("_h"), F.pmod(h, F.lit(salt_buckets)).alias("_salt"))
@@ -80,7 +102,7 @@ def distinct_count_kmv(
     )
     merged = partial.select(*groups, F.explode("_part").alias("_h"))
     agg = kmv_estimate(
-        F.slice(F.sort_array(F.collect_set("_h")), 1, k), k
+        F.slice(F.sort_array(F.collect_set("_h")), 1, k), k, lo=lo, span=span
     ).alias("est_distinct")
     if group_by is None:
         return merged.agg(agg)

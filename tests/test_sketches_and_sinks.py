@@ -24,6 +24,23 @@ def test_kmv_exact_below_k(spark):
     assert est == 100.0  # fewer than k distinct -> the sketch is exact
 
 
+def test_kmv_md5_twin_accuracy(spark):
+    # The oracle-checkable md5-hash variant estimates as well as the
+    # xxhash64 default, and genuinely exercises the sketch path (k=64 <
+    # 150 distinct users per event type at sf0.01).
+    from graph_database_spark.operators.sketches import md5_hash60
+
+    e = load_table(spark, SF_DIR, "events")
+    rows = distinct_count_kmv(
+        e, "user_id", group_by="event_type",
+        k=64, hash_fn=md5_hash60, lo=0.0, span=2.0**60,
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est_distinct"] != 150.0  # sketch path, not exact fallback
+        assert abs(r["est_distinct"] - 150.0) / 150.0 < 0.15, r
+
+
 def test_kmv_grouped(spark):
     e = load_table(spark, SF_DIR, "events")
     rows = {r["event_type"]: r["est_distinct"]
