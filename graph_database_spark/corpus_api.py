@@ -86,3 +86,19 @@ class Corpus:
 
     def mixture_weights(self, alpha: float = 0.5) -> DataFrame:
         return T.mixture_weights(self.docs, alpha=alpha)
+
+    # -- reproducibility ---------------------------------------------------
+    def snapshot(self, path: str, note: str = "") -> int:
+        """Publish the current corpus as the next immutable version at
+        ``path`` (sinks/versioned.py); returns the version number a
+        training run should record to replay this exact corpus."""
+        from graph_database_spark.sinks.versioned import write_version
+
+        return write_version(self.docs, path, note=note)
+
+    @classmethod
+    def at_version(cls, spark, path: str, version: int | None = None) -> "Corpus":
+        """Reopen a pinned snapshot (default: latest) as a Corpus."""
+        from graph_database_spark.sinks.versioned import read_version
+
+        return cls(read_version(spark, path, version))

@@ -32,3 +32,17 @@ def test_sample_and_stratified(spark):
     per = {r["lang"]: r["n"] for r in
            capped.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     assert per and all(v <= 3 for v in per.values())
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    # snapshot -> mutate -> at_version replays the pinned corpus exactly.
+    path = str(tmp_path / "corpus")
+    c = Corpus(load_table(spark, SF_DIR, "documents"))
+    v1 = c.snapshot(path, note="raw")
+    kept = Corpus(c.staged_dedup().join(c.docs, "doc_id", "inner"))
+    v2 = kept.snapshot(path, note="deduped")
+    assert (v1, v2) == (1, 2)
+    assert Corpus.at_version(spark, path).docs.count() == kept.docs.count()
+    replay = Corpus.at_version(spark, path, version=1)
+    assert replay.docs.count() == c.docs.count()
+    assert "text" in replay.docs.columns
