@@ -10,6 +10,7 @@ a zero-copy columnar scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -29,22 +30,53 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events parquet file, whatever its ``ts`` physical encoding.
+
+    The events table has shipped in two vintages: plain ``timestamp[us]``
+    (reads directly) and TIMESTAMP(NANOS), which Spark 4 rejects at schema
+    inference (PARQUET_TYPE_ILLEGAL). Try the plain read first; on failure
+    fall back to reading the nanos as raw BIGINT via
+    ``spark.sql.legacy.parquet.nanosAsLong``. NOTE: that conf is
+    session-wide — once set, every later parquet read in the session
+    decodes NANOS columns as longs. It is only set on the fallback branch,
+    and ``normalize_events_ts`` dispatches on the observed dtype so either
+    read shape normalizes correctly regardless of conf state.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to session-TZ TIMESTAMP (micros).
+
+    BIGINT means the legacy nanosAsLong read: rebuild a timestamp
+    truncated to microseconds — the precision DuckDB's TIMESTAMP uses, so
+    the oracle comparison stays exact. Integer ``div`` keeps the full
+    64-bit value (a double division would lose precision above 2^53 ns).
+    Any timestamp flavor (TIMESTAMP / TIMESTAMP_NTZ) just casts; under the
+    UTC session conf the values are identical either way.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table: ``{sf_dir}/{name}.parquet``.
 
-    ``events`` stores TIMESTAMP(NANOS), which Spark 4 rejects outright
-    (PARQUET_TYPE_ILLEGAL). We read the nanos as a raw BIGINT
-    (legacy.parquet.nanosAsLong) and rebuild a timestamp truncated to
-    microseconds — the precision DuckDB's TIMESTAMP uses, so the oracle
-    comparison stays exact. Integer ``div`` keeps the full 64-bit value
-    (a double division would lose precision above 2^53 ns).
+    ``events`` needs ``ts`` normalization — see ``read_events_raw`` /
+    ``normalize_events_ts`` for the two physical vintages handled.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(
+            read_events_raw(spark, f"{sf_dir}/{name}.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -22,23 +22,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.parquet import normalize_events_ts, read_events_raw
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over ``{sf_dir}/events.parquet``.
 
-    Mirrors sources/parquet.load_table's nanos handling: Spark 4 rejects
-    TIMESTAMP(NANOS) outright, so read the raw long and truncate to
-    micros."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    Uses the batch reader's helpers so both paths handle either ``ts``
+    vintage (timestamp[us] or legacy TIMESTAMP(NANOS)) identically: a
+    probe batch read yields the physical schema for the file stream, and
+    the same normalization runs on the streaming frame."""
+    batch = read_events_raw(spark, f"{sf_dir}/events.parquet")
     # The file-stream source monitors a DIRECTORY; the driver writes the
     # table as a single file, so stream the parent dir with a glob filter.
-    return (
+    return normalize_events_ts(
         spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
