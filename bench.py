@@ -92,7 +92,10 @@ def main() -> None:
     # parquet-footer startup cost isn't attributed to whichever query runs
     # first (r2: node_count absorbed ~8 s of session warmup, making
     # per-query deltas unattributable across rounds).
-    catalog.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+    try:
+        catalog.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+    except Exception:
+        pass
 
     def release_checkpoints() -> None:
         # localCheckpoint() blocks pin executor storage memory and are
@@ -104,24 +107,35 @@ def main() -> None:
             rdd.unpersist()
 
     release_checkpoints()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
+        # Per-query isolation: one raising query must not discard the other
+        # 51 timings (BENCH_r04 was nulled exactly that way).
         fn = catalog.QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            total += dt
         release_checkpoints()
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
