@@ -173,7 +173,14 @@ def _auto_bits(df: DataFrame, n_bits: int | None, target_bucket: int = 128) -> i
 # Sign matrices are tiny (dim x total_bits doubles) and deterministic, so
 # they are computed once per (dim, bits) shape and folded into the plan as
 # literals. Keyed on values, not sessions: the hashes are session-independent.
-_SIGN_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+# The cache holds the BUILT Column, not just the values: building the
+# literal as nested F.array(F.lit(...)) cost one py4j round-trip per cell
+# (~16 s per call for a 64x64 matrix, r3's hidden ann_lsh regression) and
+# left a 4096-child CreateArray for every analyzer pass to walk. A single
+# F.expr("array(array(...))") string parses JVM-side in ~20 ms and
+# Catalyst's ConstantFolding collapses the all-literal tree to one
+# Literal object before codegen. Output is bit-identical (verified).
+_SIGN_CACHE: dict[tuple[int, int], object] = {}
 
 
 def _sign_matrix(df: DataFrame, dim: int, total_bits: int):
@@ -195,10 +202,15 @@ def _sign_matrix(df: DataFrame, dim: int, total_bits: int):
             for j in range(total_bits)
         ]
         rows = sorted(idx.select("i", *cols).collect(), key=lambda r: r["i"])
-        _SIGN_CACHE[key] = [[r[f"s{j}"] for j in range(total_bits)] for r in rows]
-    return F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in _SIGN_CACHE[key]
-    ])
+        _SIGN_CACHE[key] = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    f"{r[f's{j}']:.1f}D" for j in range(total_bits)
+                ) + ")"
+                for r in rows
+            ) + ")"
+        )
+    return _SIGN_CACHE[key]
 
 
 def _hyperplane_sums(vec_col, total_bits: int, sign_matrix):
@@ -223,15 +235,22 @@ def _hyperplane_sums(vec_col, total_bits: int, sign_matrix):
     )
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Probe the (fixed) vector dimension with one tiny job. Callers
+    bucketing two frames of the same corpus probe once and share it."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return first["d"] if first is not None else 1
+
+
 def _with_buckets(
     df: DataFrame, id_col: str, vec_col: str, suffix: str,
-    n_bits: int, n_tables: int,
+    n_bits: int, n_tables: int, dim: int | None = None,
 ) -> DataFrame:
     """(id, v, n, table, bucket) — one row per (vector, table). The sums
     array is materialized once per row; bucket t packs bits
     [t*n_bits, (t+1)*n_bits)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first is not None else 1
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
     signs = _sign_matrix(df, dim, n_bits * n_tables)
     base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
         "hsums", _hyperplane_sums(F.col(f"v{suffix}"), n_bits * n_tables, signs)
@@ -273,21 +292,27 @@ def lsh_topk(
     widths — candidate cost is linear in n_tables; real clustered
     embeddings need far fewer tables than this synthetic worst case."""
     n_bits = _auto_bits(candidates, n_bits)
-    qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables)
-    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables)
+    dim = _vec_dim(candidates, vec_col)
+    qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
+    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
+    # Score INSIDE the bucket join, before dedup: sim is identical for
+    # every (table, bucket) copy of a pair, so deduping on the scored
+    # 24-byte rows is equivalent — and the dedup shuffle stops carrying
+    # two dim-double vectors per candidate (~1 KB/row at dim=64; with
+    # small n_bits a query collides with most of the corpus in some
+    # table, so the candidate stream is the biggest frame in the query).
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("ida") != F.col("idb"))
         .select(
             F.col("ida").alias("query_id"), F.col("idb").alias("cand_id"),
-            F.col("va"), F.col("vb"), F.col("na"), F.col("nb"),
+            _pair_sim(6).alias("sim"),
         )
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
-        cand.select("query_id", "cand_id", _pair_sim(6).alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
@@ -312,15 +337,17 @@ def lsh_pairs_above(
         F.col("ida").alias("idb"), F.col("va").alias("vb"),
         F.col("na").alias("nb"), "table", "bucket",
     )
-    cand = (
+    # Score and threshold inside the bucket join, then dedup the scored
+    # 24-byte pairs — same result set (sim is per-pair deterministic),
+    # but the dedup shuffle no longer carries the vectors, and the
+    # threshold filter shrinks it before it happens.
+    return (
         b.join(other, ["table", "bucket"])
         .where(F.col("ida") < F.col("idb"))
-        .dropDuplicates(["ida", "idb"])
-    )
-    return (
-        cand.select(
+        .select(
             F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
