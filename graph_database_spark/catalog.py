@@ -443,15 +443,17 @@ def q_ntile_orders(spark, sf_dir):
 
 
 def q_distinct_users_hll(spark, sf_dir):
-    # Rows-only: HyperLogLog++ distinct-user counts per event type via
-    # the built-in approx_count_distinct (JVM sketch, mergeable, bounded
-    # state — the alternative to operators/sketches.py's KMV when
-    # cross-engine checkability isn't needed). Error bound pinned in
+    # Deterministic md5-based HyperLogLog (operators/sketches.hll_distinct):
+    # integer register sums + no ln() correction make the estimate
+    # bit-reproducible in DuckDB, so — like the KMV twin — the sketch's
+    # VALUES are oracle-checked, not just its row count. The production
+    # alternative, Spark's built-in approx_count_distinct (HLL++), has
+    # engine-internal estimates; its error bound is pinned separately in
     # tests/test_sketches_and_sinks.py.
+    from graph_database_spark.operators.sketches import hll_distinct
+
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
-    )
+    return hll_distinct(e, "user_id", group_by="event_type")
 
 
 def q_shipping_priority(spark, sf_dir):
@@ -2297,6 +2299,31 @@ FROM r
 WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END
 """
 
+ORACLES["distinct_users_hll"] = """
+WITH r AS (
+  SELECT event_type,
+         hv % 32 AS bucket,
+         CASE WHEN hv // 32 = 0 THEN 55
+              ELSE bit_count(((hv // 32) & -(hv // 32)) - 1) + 1 END AS rho
+  FROM (
+    SELECT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    FROM events
+  )
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+           + (32 - count(*)) * (1::BIGINT << 55) AS ssum
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       round(0.697e0 * 32e0 * 32e0 * 36028797018963968e0 / CAST(ssum AS DOUBLE), 4)
+         AS est_distinct
+FROM s
+"""
+
 ORACLES["volume_shipping"] = """
     SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2803,7 +2830,6 @@ ORACLES["corpus_curation"] = f"""
 # LSH candidate generation, SimHash banding, sampled betweenness).
 ROWS_ONLY = frozenset({
     "betweenness",
-    "distinct_users_hll",
     "pagerank",
     "pagerank_personalized",
     "embedding_pca",

@@ -33,7 +33,13 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["kmv_sketch", "kmv_estimate", "distinct_count_kmv", "md5_hash60"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_estimate",
+    "distinct_count_kmv",
+    "md5_hash60",
+    "hll_distinct",
+]
 
 _SPAN = float(2**64)
 _LO = float(-(2**63))
@@ -107,3 +113,57 @@ def distinct_count_kmv(
     if group_by is None:
         return merged.agg(agg)
     return merged.groupBy(group_by).agg(agg)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str,
+    group_by: str | None = None,
+    m: int = 32,
+    alpha: float = 0.697,
+) -> DataFrame:
+    """``(group?, est_distinct DOUBLE)`` — deterministic cross-engine
+    HyperLogLog over the 60-bit md5 hash.
+
+    The classic HLL decomposition: bucket = h mod m, rho = 1 + trailing
+    zeros of h div m (55 if the remainder is 0 — the 60-bit space leaves
+    ≤55 payload bits at m=32), register = max(rho) per bucket. The
+    estimate is the raw HLL harmonic mean, alpha·m² / Σ 2^-reg, with two
+    determinism choices that make it value-hash-checkable against DuckDB:
+
+    * the register sum is INTEGER arithmetic — Σ 2^(55-reg) plus
+      2^55 per never-hit bucket (counted, not joined against a bucket
+      spine), ≤ 2^60 so it can't overflow and has no FP-order hazard;
+      the only float ops are one literal product and one IEEE division,
+      identical in any engine;
+    * no small-range (linear-counting) correction: it needs ln(), whose
+      last-ulp behavior differs across libm implementations. Instead m
+      defaults small (32) so the raw-estimator regime D ≳ 2.5·m holds
+      for the target data; error ~ 1.04/sqrt(m) ≈ 18% worst case, ~10%
+      observed on the driver's events table.
+
+    State per aggregate is O(m) registers — mergeable, map-side
+    combinable, and the same two-shuffle shape at any corpus size. For
+    production-quality error at scale use Spark's built-in
+    approx_count_distinct (HLL++, engine-internal estimates); this twin
+    exists so the sketch's VALUES are part of the oracle contract."""
+    groups = [group_by] if group_by is not None else []
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    regs = (
+        df.select(*groups, md5_hash60(F.col(key)).alias("_h"))
+        .select(*groups, (F.col("_h") % m).alias("_b"), rho.alias("_rho"))
+        .groupBy(*groups, "_b")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    ssum = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
+        + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
+    ).alias("_s")
+    agg = regs.groupBy(group_by).agg(ssum) if group_by is not None else regs.agg(ssum)
+    est = F.round(
+        F.lit(alpha * m * m * 2.0**55) / F.col("_s").cast("double"), 4
+    ).alias("est_distinct")
+    return agg.select(*groups, est)

@@ -63,6 +63,31 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert back.count() == docs.count()
 
 
+def test_hll_md5_twin_accuracy(spark):
+    # The deterministic cross-engine HLL (oracle-checked values): raw
+    # estimator, m=32 — error bound is ~1.04/sqrt(32) (~18%); observed
+    # ~10% on the driver's events table (150 distinct users/type).
+    from graph_database_spark.operators.sketches import hll_distinct
+
+    e = load_table(spark, SF_DIR, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    est = {r["event_type"]: r["est_distinct"] for r in
+           hll_distinct(e, "user_id", group_by="event_type").collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.2, (k, est[k], n)
+
+
+def test_hll_ungrouped(spark):
+    from graph_database_spark.operators.sketches import hll_distinct
+
+    o = load_table(spark, SF_DIR, "orders")
+    exact = o.select(F.count_distinct("o_custkey")).first()[0]
+    est = hll_distinct(o, "o_custkey").first()["est_distinct"]
+    assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
 def test_hll_within_rsd_of_exact(spark):
     e = load_table(spark, SF_DIR, "events")
     exact = {r["event_type"]: r["n"] for r in
