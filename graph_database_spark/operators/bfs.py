@@ -57,22 +57,27 @@ def bfs_distances(
         msgs = state.where(F.col("dist").isNotNull()).select(
             F.col("id").alias("v"), (F.col("dist") + F.lit(1)).alias("dist")
         )
-        incoming = sym.join(msgs, "v").drop("v").withColumnRenamed("n", "id")
+        incoming = (
+            sym.join(msgs, "v")
+            .select(
+                F.col("n").alias("id"), "dist",
+                F.lit(None).cast("long").alias("prev"),
+            )
+        )
+        # The state row smuggles its own dist as `prev` through max()
+        # (messages carry NULL), so the convergence probe needs no
+        # old-vs-new join job — one narrow filter on the new state.
+        keep = state.select("id", "dist", F.col("dist").alias("prev"))
         return (
-            incoming.unionByName(state)
+            incoming.unionByName(keep)
             .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.max("prev").alias("prev"))
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
         # Distances are monotone non-increasing; fixpoint == no row
-        # changed. One join-probe job over two materialized O(|V|)
-        # frames.
-        return (
-            new.join(old.withColumnRenamed("dist", "prev"), "id")
-            .where(~F.col("dist").eqNullSafe(F.col("prev")))
-            .isEmpty()
-        )
+        # changed, read off the prev column carried by the state.
+        return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
 
     out = fixpoint(init, step, converged, max_iterations, name="bfs_distances")
-    return out.where(F.col("dist").isNotNull())
+    return out.where(F.col("dist").isNotNull()).select("id", "dist")

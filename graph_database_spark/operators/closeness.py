@@ -59,22 +59,22 @@ def closeness_sampled(
         msgs = state.where(F.col("dist").isNotNull()).select(
             F.col("id").alias("v"), "s", (F.col("dist") + F.lit(1)).alias("dist")
         )
-        incoming = (
-            sym.join(msgs, "v").drop("v").withColumnRenamed("n", "id")
+        incoming = sym.join(msgs, "v").select(
+            "s", F.col("n").alias("id"), "dist",
+            F.lit(None).cast("long").alias("prev"),
         )
+        # State rows smuggle their own dist as `prev` through max() so
+        # the convergence probe is a narrow filter, not a join job.
+        keep = state.select("s", "id", "dist", F.col("dist").alias("prev"))
         return (
-            incoming.unionByName(state)
+            incoming.unionByName(keep)
             .groupBy("id", "s")
-            .agg(F.min("dist").alias("dist"))
-            .select("s", "id", "dist")
+            .agg(F.min("dist").alias("dist"), F.max("prev").alias("prev"))
+            .select("s", "id", "dist", "prev")
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
-        return (
-            new.join(old.withColumnRenamed("dist", "prev"), ["id", "s"])
-            .where(~F.col("dist").eqNullSafe(F.col("prev")))
-            .isEmpty()
-        )
+        return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
 
     out = fixpoint(init, step, converged, max_iterations, name="closeness_sampled")
     return (

@@ -47,19 +47,33 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     )
 
     def step(state: DataFrame) -> DataFrame:
-        # Min label among self and neighbors — one aggregate-messages round.
-        return aggregate_messages(
-            sym, state, [F.min("component").alias("component")], include_self=True
+        # Min label among self and neighbors — one aggregate-messages
+        # round, inlined so the self row can smuggle its own label as
+        # `prev` through max() (neighbor messages carry NULL); the
+        # convergence probe then reads the new state alone, no join job.
+        incoming = sym.join(
+            state.select(F.col("id").alias("v"), "component"), "v"
+        ).select(
+            F.col("n").alias("id"), "component",
+            F.lit(None).cast("long").alias("prev"),
+        )
+        keep = state.select(
+            "id", "component", F.col("component").alias("prev")
+        )
+        return (
+            incoming.unionByName(keep)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("prev").alias("prev"),
+            )
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
-        return (
-            new.join(old.withColumnRenamed("component", "prev"), "id")
-            .where(F.col("component") != F.col("prev"))
-            .isEmpty()
-        )
+        return new.where(F.col("component") != F.col("prev")).isEmpty()
 
-    return fixpoint(labels, step, converged, max_iterations, name="connected_components")
+    out = fixpoint(labels, step, converged, max_iterations, name="connected_components")
+    return out.select("id", "component")
 
 
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

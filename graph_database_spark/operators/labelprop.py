@@ -51,8 +51,21 @@ def label_propagation(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         # one task — the count-based form spreads it, so hub-heavy
         # graphs at extreme scale may prefer the old shape).
         incoming = sym.join(
-            state.withColumnRenamed("id", "v"), "v"
-        ).select(F.col("n").alias("id"), "community")
+            state.select(F.col("id").alias("v"), "community"), "v"
+        ).select(
+            F.col("n").alias("id"), "community",
+            F.lit(None).cast("long").alias("prev"),
+        )
+        # The self row carries community=NULL so collect_list skips it
+        # (the mode stays a NEIGHBOR majority) while its `prev` column
+        # smuggles the old label through max() — the convergence probe
+        # then needs no old-vs-new join job.
+        keep = state.select(
+            "id",
+            F.lit(None).cast(state.schema["community"].dataType).alias("community"),
+            F.col("community").alias("prev"),
+        )
+        incoming = incoming.unionByName(keep)
         labels_sorted = F.sort_array(F.collect_list("community"))
         zero = F.lit(0).cast("long")
         init_acc = F.struct(
@@ -73,16 +86,15 @@ def label_propagation(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
             )
 
         mode = F.aggregate(labels_sorted, init_acc, fold, lambda acc: acc["best"])
-        return incoming.groupBy("id").agg(mode.alias("community"))
-
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return (
-            new.join(old.withColumnRenamed("community", "prev"), "id")
-            .where(F.col("community") != F.col("prev"))
-            .isEmpty()
+        return incoming.groupBy("id").agg(
+            mode.alias("community"), F.max("prev").alias("prev")
         )
 
-    return fixpoint(
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("community") != F.col("prev")).isEmpty()
+
+    out = fixpoint(
         labels, step, converged, max_iterations, name="label_propagation",
         on_exhaust="return",
     )
+    return out.select("id", "community")

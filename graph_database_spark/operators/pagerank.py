@@ -87,16 +87,22 @@ def pagerank(
     # Initial distribution = pref: sums to 1 in every variant, and for
     # the personalized form it is also the better starting iterate.
     init = deg.join(pref_df, "id").select(
-        "id", F.col("pref").alias("rank"), "deg", "pref"
+        "id", F.col("pref").alias("rank"), "deg", "pref",
+        # Seed prev=null: the round-1 probe then sees max(|Δ|)=null and
+        # never converges on the initial distribution by accident.
+        F.lit(None).cast("double").alias("prev"),
     )
 
     def step(state: DataFrame) -> DataFrame:
         # Two shuffles, not three: the join-back that kept the state
         # total is replaced by unioning a zero-contribution self row
         # per vertex into the one groupBy; the self row smuggles the
-        # static deg and pref columns through max() (messages carry
-        # NULL for both). The rank/strength ratio is computed per
-        # VERTEX before the join; the per-EDGE weight multiplies after.
+        # static deg and pref columns — AND the previous rank — through
+        # max() (messages carry NULL for all three). The rank/strength
+        # ratio is computed per VERTEX before the join; the per-EDGE
+        # weight multiplies after. Carrying prev makes the convergence
+        # probe a narrow aggregate on the new state alone instead of an
+        # old-vs-new join job per round.
         msgs = sym.join(
             state.select(
                 F.col("id").alias("v"),
@@ -108,8 +114,12 @@ def pagerank(
             (F.col("ratio") * F.col("w")).alias("c"),
             F.lit(None).cast("double").alias("deg"),
             F.lit(None).cast("double").alias("pref"),
+            F.lit(None).cast("double").alias("prev"),
         )
-        selfr = state.select("id", F.lit(0.0).alias("c"), "deg", "pref")
+        selfr = state.select(
+            "id", F.lit(0.0).alias("c"), "deg", "pref",
+            F.col("rank").alias("prev"),
+        )
         return (
             msgs.unionByName(selfr)
             .groupBy("id")
@@ -120,15 +130,15 @@ def pagerank(
                 ).alias("rank"),
                 F.max("deg").alias("deg"),
                 F.max("pref").alias("pref"),
+                F.max("prev").alias("prev"),
             )
         )
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
-        delta = (
-            new.join(old.select("id", F.col("rank").alias("prev")), "id")
-            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
-            .first()[0]
-        )
+        # `prev` rides the state, so this is one narrow job over the
+        # just-checkpointed frame — no join. First iterate: init has no
+        # prev column yet, handled by seeding it below.
+        delta = new.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).first()[0]
         return delta is not None and delta < tol
 
     out = fixpoint(
