@@ -74,6 +74,9 @@ HEADLINE = [
     "event_anomalies",
     "decontamination",
     "embedding_pca",
+    "tfidf_terms",
+    "bm25_search",
+    "unigram_logprob",
 ]
 
 

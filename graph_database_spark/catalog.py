@@ -26,6 +26,7 @@ from graph_database_spark.operators import dedup as D
 from graph_database_spark.operators import events as E
 from graph_database_spark.operators import graph as G
 from graph_database_spark.operators import multimodal as MM
+from graph_database_spark.operators import retrieval as R
 from graph_database_spark.operators import similarity as S
 from graph_database_spark.operators import temporal as TP
 from graph_database_spark.operators import text as T
@@ -1244,6 +1245,29 @@ def q_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures_md5(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_minhash_md5(spark, sf_dir):
+    # Banded-LSH pairs over the md5 signature family — the oracle-checked
+    # twin of dedup_minhash's band/bucket/score plan (same shape, every
+    # hash cross-engine reproducible).
+    return D.minhash_lsh_pairs_md5(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_terms(spark, sf_dir):
+    return R.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# BM25 query terms: mid-frequency vocabulary of the synthetic corpus.
+BM25_QUERY = ["spark", "join", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    return R.bm25_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    return R.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_signatures(spark, sf_dir):
     # Cross-engine SimHash verification (md5 bit votes) — pins the
     # sign-sum math like minhash_signatures pins the min-hash math.
@@ -2401,6 +2425,118 @@ ORACLES["minhash_signatures"] = """
     FROM sh, UNNEST(range(0, 16)) AS v(seed)
     GROUP BY 1, 2
 """
+ORACLES["dedup_minhash_md5"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sigrow AS (
+        SELECT doc_id, seed,
+               min(CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || s),
+                                           1, 15)) AS BIGINT)) AS mh
+        FROM sh, UNNEST(range(0, 16)) AS v(seed)
+        GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigrow GROUP BY 1),
+    banded AS (
+        SELECT doc_id, sig, band,
+               array_to_string(list_transform(sig[band*4+1:band*4+4],
+                                              x -> CAST(x AS VARCHAR)), ',') AS bkey
+        FROM sig, UNNEST(range(0, 4)) AS u(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(generate_series(1, 16),
+                    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                    AS DOUBLE) / 16 AS est_jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+"""
+_RETRIEVAL_TERMS = """
+    terms AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    )
+"""
+ORACLES["tfidf_terms"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(round(tf.tf * ln(CAST(n_docs + 1 AS DOUBLE)
+                                     / CAST(df.df + 1 AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT) AS tfidf_micro
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf_micro,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_micro DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tfidf_micro AS DOUBLE) / 1000000.0 AS tfidf,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+ORACLES["bm25_search"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                      / (tf + CAST(1.2 AS DOUBLE)
+                           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * (CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE))))))
+                   * 1000000.0, 0) AS BIGINT) AS s_micro
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (SELECT doc_id, count(*) AS matched, sum(s_micro) AS sum_micro
+            FROM scored GROUP BY 1),
+    ranked AS (
+        SELECT doc_id, matched, sum_micro,
+               row_number() OVER (ORDER BY sum_micro DESC, doc_id) AS rank
+        FROM agg
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+           CAST(matched AS BIGINT) AS matched,
+           CAST(sum_micro AS DOUBLE) / 1000000.0 AS score
+    FROM ranked WHERE rank <= 20
+"""
+ORACLES["unigram_logprob"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    counts AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM terms),
+    model AS (
+        SELECT term,
+               CAST(round(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT) AS nlp_micro
+        FROM counts CROSS JOIN tot
+    )
+    SELECT terms.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           (CAST(sum(m.nlp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / 1000000.0 AS avg_neglogprob
+    FROM terms JOIN model m USING (term)
+    GROUP BY 1
+"""
 ORACLES["simhash_signatures"] = """
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -2950,6 +3086,10 @@ QUERIES: dict[str, QueryFn] = {
     "decontamination": q_decontamination,
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
+    "unigram_logprob": q_unigram_logprob,
     "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,

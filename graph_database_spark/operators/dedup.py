@@ -179,6 +179,105 @@ def minhash_signatures_md5(
     )
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs from the MD5 signature family:
+    ``(id_a, id_b, est_jaccard)`` with id_a < id_b, est >= threshold.
+
+    Completes the cross-engine verification chain for the LSH pipeline:
+    ``minhash_signatures`` pins the hash/min MATH, ``ngram_jaccard_exact``
+    pins the true PAIR SET, and this pins the BANDING + estimator — the
+    same band/bucket/score plan shape as the xxhash64 production path
+    (``minhash_lsh_pairs``), value-hash-checked against DuckDB because
+    every hash is md5-derived. est_jaccard = k/n_hashes is a dyadic
+    rational for n_hashes=16, so the double compares exactly.
+
+    Plan (the SCALE.md payload rule applied): signatures checkpointed
+    once; ONE (band, key) shuffle carrying the 16-long signature
+    (128 bytes — the scalar-sized payload, not the text); the estimator
+    is computed INSIDE the bucket join so the dedup shuffles only scored
+    scalar rows.
+    """
+    rows = n_hashes // bands
+    t = _tokens_df(docs, text_col, id_col)
+    sh = t.select(
+        "id", F.explode(_shingles_from(F.col("toks"), shingle_k)).alias("s")
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig"),
+        )
+        .localCheckpoint()
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        ).cast("double")
+        / F.lit(n_hashes)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_signature(text_col, num_perm: int = 64, shingle_k: int = 3) -> Column:
     """MinHash signature straight from a text expression (convenience /
     tests; hot paths tokenize into a column first — see _shingles_from)."""

@@ -1,0 +1,217 @@
+"""Text retrieval / LM-scoring operators (SURVEY.md §2.11 X5 extension):
+TF-IDF term extraction, BM25 ranked search, corpus-unigram LM scoring.
+
+These extend the reference's text surface (it has none — src/main.js is
+graph-only; the documents table is the driver's LLM-pipeline testbed)
+with the retrieval primitives a training-data pipeline needs: keyword
+extraction for clustering/labeling, BM25 for quality-targeted sampling
+and benchmark retrieval, and a corpus-trained unigram LM as a CCNet-style
+quality signal (low mean -log p ⇒ in-distribution text).
+
+Cross-engine exactness strategy (every operator here is oracle-checked):
+
+* ``ln`` differs between libm implementations in the last ulp (see
+  SCALE.md's HLL note), so no ranking or aggregation may depend on raw
+  ``ln`` doubles. Each per-term score is snapped to integer micro-units
+  (``CAST(round(score * 1e6) AS BIGINT)``) BEFORE any sum or sort:
+  integer sums are order-independent (unlike FP sums across Spark's
+  nondeterministic partition order) and integer ranking is total. An
+  ulp flip only matters if ``score*1e6`` lands exactly on a rounding
+  boundary — probability ~1e-10 per distinct term.
+* All divisions keep identical operand trees in the Spark and DuckDB
+  expressions; IEEE 754 division/multiplication are exactly specified,
+  so identical operands ⇒ identical bits on both engines.
+* DuckDB parses ``1.2`` as DECIMAL — fractional literals are written as
+  ``CAST(.. AS DOUBLE)`` in oracle SQL to match Spark's double literals.
+
+At 100 TB: the exploded token frame is the only large intermediate;
+``tf`` is one map-side-combinable shuffle, the term-level model tables
+(df / unigram probs) are vocabulary-sized and broadcast back onto the
+token or doc frame, and per-doc aggregation is a combinable integer sum.
+No all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_database_spark.functions.textnorm import tokens
+from graph_database_spark.operators.spread import spread
+
+__all__ = ["tfidf_top_terms", "bm25_search", "unigram_logprob"]
+
+_MICRO = 1_000_000.0
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence, compute spread."""
+    return spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+
+
+def _micro(col) -> F.Column:
+    """Snap a double score to integer micro-units (see module docstring)."""
+    return F.round(col * F.lit(_MICRO), 0).cast("long")
+
+
+def tfidf_top_terms(docs: DataFrame, top: int = 5) -> DataFrame:
+    """Top-``top`` TF-IDF terms per document:
+    ``(doc_id, term, tfidf, rank)``.
+
+    tfidf = tf * ln((N+1)/(df+1)) (smoothed idf), ranked on the
+    micro-unit integer with term as the total-order tiebreak. Two
+    shuffles (tf, df) + one per-doc window; df is vocabulary-sized and
+    broadcast onto tf by AQE.
+    """
+    terms = _doc_terms(docs)
+    # tf feeds both the df aggregation and the scored join — checkpoint
+    # so the explode+groupBy pipeline runs once (CLAUDE.md reuse rule).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_micro",
+            _micro(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tfidf_micro") / F.lit(_MICRO)).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-terms query:
+    ``(rank, doc_id, matched, score)`` — top-``top`` docs.
+
+    Standard Robertson/Sparck-Jones BM25: per matched term
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; the per-term scores are
+    summed per doc in micro-units. Ranking ties break on doc_id, so the
+    top-k cut is total-ordered. The doc-length/avgdl stats ride a
+    single-row broadcast; only the query's own terms (a handful) leave
+    the tf aggregation.
+    """
+    terms = _doc_terms(docs).localCheckpoint()
+    dl = (
+        terms.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint()
+    )
+    tf = (
+        terms.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tnorm = (F.col("tf") * (k1c + F.lit(1.0))) / (
+        F.col("tf")
+        + k1c
+        * (
+            F.lit(1.0)
+            - bc
+            + bc * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s_micro", _micro(idf * tnorm))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("matched"), F.sum("s_micro").alias("sum_micro")
+    )
+    # Distributed top-k first (TakeOrderedAndProject — per-partition heaps,
+    # no global single-partition window over every matched doc), then the
+    # rank window runs on only `top` rows.
+    topk = agg.orderBy(F.desc("sum_micro"), F.asc("doc_id")).limit(top)
+    w = Window.orderBy(F.desc("sum_micro"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "doc_id",
+            "matched",
+            (F.col("sum_micro") / F.lit(_MICRO)).alias("score"),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram LM score per document:
+    ``(doc_id, n_tokens, avg_neglogprob)``.
+
+    Trains the unigram model on the corpus itself (MLE, no smoothing —
+    every scored token is in-vocabulary by construction) and scores each
+    doc by mean -ln p(token) — the CCNet-style in-distribution quality
+    signal; high values flag out-of-distribution/junk docs. Per-token
+    costs are integer micro-units so the per-doc sum is exact under any
+    partition order. The model (vocabulary-sized) broadcasts onto the
+    token frame; the per-doc sum is one combinable shuffle.
+    """
+    terms = _doc_terms(docs).localCheckpoint()
+    counts = terms.groupBy("term").agg(F.count("*").alias("c"))
+    total = terms.agg(F.count("*").alias("t"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        _micro(
+            F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+        ).alias("nlp_micro"),
+    )
+    return (
+        terms.join(F.broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("nlp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("sum_micro").cast("double") / F.col("n_tokens").cast("double"))
+                / F.lit(_MICRO)
+            ).alias("avg_neglogprob"),
+        )
+    )
