@@ -211,6 +211,22 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_pagerank_quantized(spark, sf_dir):
+    # Hash-verified iterative numerics: ten PageRank rounds with the rank
+    # vector quantized to BIGINT nano-units each round (integer message
+    # sums are partition-order-independent), against a ten-CTE unrolled
+    # DuckDB oracle. The floating `pagerank` stays the production path.
+    from graph_database_spark.operators.pagerank import pagerank_quantized
+
+    return pagerank_quantized(copurchase_edges(spark, sf_dir))
+
+
+def q_events_ewma(spark, sf_dir):
+    # Per-user trailing EWMA (alpha=1/2, 16-event frame) — dyadic weights
+    # over micro-unit integers, so the windowed sum is exact cross-engine.
+    return TP.ewma_trailing(load_table(spark, sf_dir, "events"))
+
+
 def q_kcore(spark, sf_dir):
     # Hash-verified (integer degrees): the 4-core of the co-purchase
     # graph — the graph-cleaning primitive — vs a DuckDB recursive-CTE
@@ -1266,6 +1282,15 @@ def q_bm25_search(spark, sf_dir):
 
 def q_unigram_logprob(spark, sf_dir):
     return R.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_quantize(spark, sf_dir):
+    # Per-dimension 8-bit scalar quantization of the embedding corpus —
+    # long-form codes, hash-verified (min/max are order-independent and
+    # the quantize expression is one mirrored IEEE tree).
+    from graph_database_spark.operators.quantize import scalar_quantize
+
+    return scalar_quantize(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_simhash_signatures(spark, sf_dir):
@@ -2425,6 +2450,79 @@ ORACLES["minhash_signatures"] = """
     FROM sh, UNNEST(range(0, 16)) AS v(seed)
     GROUP BY 1, 2
 """
+def _build_pagerank_q_sql(iters: int = 10) -> str:
+    # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
+    # per round, mirroring pagerank_quantized's expression trees
+    # operand-for-operand (see that docstring for why this hash-matches).
+    parts = [
+        """
+    deg AS (SELECT v AS id, count(*) AS deg FROM sym GROUP BY v),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+        SELECT id, CAST(round(CAST(1000000000 AS DOUBLE)
+                              / CAST(nn.n AS DOUBLE), 0) AS BIGINT) AS r
+        FROM deg CROSS JOIN nn
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    m{k} AS (
+        SELECT p.id, CAST(round(CAST(p.r AS DOUBLE)
+                                / CAST(d.deg AS DOUBLE), 0) AS BIGINT) AS m
+        FROM r{k - 1} p JOIN deg d USING (id)
+    ),
+    r{k} AS (
+        SELECT s.n AS id,
+               CAST(round(
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       * (CAST(1000000000 AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                   + CAST(0.85 AS DOUBLE) * CAST(sum(m.m) AS DOUBLE),
+                   0) AS BIGINT) AS r
+        FROM sym s JOIN m{k} m ON m.id = s.v CROSS JOIN nn
+        GROUP BY s.n, nn.n
+    )""")
+    return (
+        f"WITH {GRAPH_CTES},{''.join(parts)}\n"
+        f"    SELECT id, r AS rank_nano FROM r{iters}"
+    )
+
+
+ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
+ORACLES["embedding_quantize"] = """
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)
+    SELECT e.vec_id, CAST(e.i AS INTEGER) AS i,
+           CAST(CASE WHEN s.mx = s.mn THEN 0.0
+                     ELSE round((e.x - s.mn) / (s.mx - s.mn)
+                                * CAST(255.0 AS DOUBLE), 0)
+                END AS INTEGER) AS code
+    FROM ex e JOIN stats s USING (i)
+"""
+ORACLES["events_ewma"] = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    wv AS (
+        SELECT user_id, event_id,
+               list(v_micro) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        FROM q
+    )
+    SELECT user_id, event_id,
+           (CAST(list_sum(list_transform(generate_series(1, len(vals)),
+                          j -> vals[j] * (CAST(1 AS BIGINT) << (j - 1))))
+                 AS DOUBLE)
+            / CAST((CAST(1 AS BIGINT) << len(vals)) - 1 AS DOUBLE))
+               / 1000000.0 AS ewma
+    FROM wv
+"""
 ORACLES["dedup_minhash_md5"] = """
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -3087,6 +3185,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_md5": q_dedup_minhash_md5,
+    "pagerank_quantized": q_pagerank_quantized,
+    "events_ewma": q_events_ewma,
+    "embedding_quantize": q_embedding_quantize,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

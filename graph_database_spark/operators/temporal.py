@@ -25,7 +25,59 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_count"]
+__all__ = ["asof_join", "range_count", "ewma_trailing"]
+
+
+def ewma_trailing(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    window_rows: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted trailing mean per key:
+    ``(user_id, event_id, ewma)`` — the time-series smoothing feature a
+    sessionized event pipeline derives per entity.
+
+    Over the last ``window_rows`` events of the key (ordered by
+    ``order_cols`` — a total order, so the frame is deterministic), each
+    value is weighted 2x its predecessor (alpha = 1/2, dyadic):
+
+        ewma = sum_j(v_j * 2^j) / (2^m - 1),   j = 0 (oldest) .. m-1
+
+    Cross-engine exact by construction: values snap to integer
+    micro-units first, the weights are powers of two (integer shifts),
+    so the weighted sum is an INTEGER sum — no FP accumulation anywhere;
+    the two trailing divisions are single IEEE ops mirrored in the
+    oracle. One shuffle (the per-key window); the frame is bounded at
+    ``window_rows`` rows regardless of key skew.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    micro = (
+        F.round(F.col(value_col) * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("v_micro")
+    )
+    vals = events.select(key_col, *order_cols, micro).withColumn(
+        "vals", F.collect_list("v_micro").over(w)
+    )
+    weighted = F.expr(
+        "aggregate(transform(vals, (x, i) -> x * shiftleft(1L, i)),"
+        " 0L, (a, b) -> a + b)"
+    )
+    denom = F.expr("shiftleft(1L, size(vals)) - 1L")
+    return vals.select(
+        key_col,
+        order_cols[1],
+        (
+            (weighted.cast("double") / denom.cast("double"))
+            / F.lit(1_000_000.0)
+        ).alias("ewma"),
+    )
 
 
 def asof_join(

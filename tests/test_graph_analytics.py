@@ -209,3 +209,20 @@ def test_ktruss_cascade(spark):
     assert k_truss(df, k=4).count() == 0
     got3 = {(r["src"], r["dst"]) for r in k_truss(df, k=3).collect()}
     assert got3 == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_pagerank_quantized_tracks_float(spark):
+    # Quantization error is ~1e-9/round — nano-ranks must agree with the
+    # floating fixed-iteration variant to ~1e-7 and sum to ~1.0 of mass.
+    from graph_database_spark.operators.pagerank import pagerank_quantized
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    want = numpy_pagerank(EDGES, 0.85, 10)
+    got = {
+        r["id"]: r["rank_nano"] / 1e9
+        for r in pagerank_quantized(df, iterations=10).collect()
+    }
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -50,3 +50,27 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(queries, emb, k=5).collect()))
     b = sorted(map(tuple, ivf_topk(queries, emb, k=5).collect()))
     assert a == b
+
+
+def test_scalar_quantize_codes(spark):
+    from graph_database_spark.operators.quantize import scalar_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0]), (3, [2.0, 20.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["vec_id"], r["i"]): r["code"] for r in scalar_quantize(emb).collect()}
+    # dim 1: range [0,2] -> 0, 128 (round(127.5) half-up), 255
+    assert out[(1, 1)] == 0 and out[(3, 1)] == 255
+    assert out[(2, 1)] == 128
+    # dim 2: range [10,20] -> 0, 255, 255
+    assert out[(1, 2)] == 0 and out[(2, 2)] == 255 and out[(3, 2)] == 255
+
+
+def test_scalar_quantize_constant_dim_is_zero(spark):
+    from graph_database_spark.operators.quantize import scalar_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [5.0]), (2, [5.0])], "vec_id long, embedding array<float>"
+    )
+    assert {r["code"] for r in scalar_quantize(emb).collect()} == {0}

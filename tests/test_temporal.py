@@ -57,3 +57,26 @@ def test_range_count_window(spark):
                              horizon_seconds=7 * 86400).collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+def test_ewma_trailing_dyadic_weights(spark):
+    from graph_database_spark.operators.temporal import ewma_trailing
+
+    rows = [
+        # user 1: values 1, 2, 4 in ts order
+        (1, 1, "t", 100, 1.0),
+        (2, 1, "t", 200, 2.0),
+        (3, 1, "t", 300, 4.0),
+        # user 2: single event -> ewma == value
+        (4, 2, "t", 100, 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    )
+    out = {r["event_id"]: r["ewma"] for r in ewma_trailing(df).collect()}
+    assert out[1] == 1.0
+    # [1,2]: (1*1 + 2*2) / 3
+    assert abs(out[2] - 5 / 3) < 1e-9
+    # [1,2,4]: (1*1 + 2*2 + 4*4) / 7
+    assert abs(out[3] - 3.0) < 1e-9
+    assert out[4] == 7.5
