@@ -1284,6 +1284,21 @@ def q_unigram_logprob(spark, sf_dir):
     return R.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    # Runtime-filter primitive, hash-verified: Bloom filter built from
+    # orders' custkeys (bit_or-mergeable words), probed by every
+    # customer; the one-row summary pins the exact false-positive count,
+    # i.e. the filter's full bit pattern, cross-engine.
+    from graph_database_spark.operators.bloom import bloom_probe_stats
+
+    return bloom_probe_stats(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     # Per-dimension 8-bit scalar quantization of the embedding corpus —
     # long-form codes, hash-verified (min/max are order-independent and
@@ -2488,6 +2503,42 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
 
 
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
+ORACLES["bloom_semijoin"] = """
+    WITH pos AS (
+        SELECT (CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|'
+                                        || CAST(o_custkey AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 4096) AS p
+        FROM orders, UNNEST(range(0, 3)) AS u(j)
+    ),
+    words AS (
+        SELECT p // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    probe AS (
+        SELECT c.c_custkey AS k, h.j,
+               ((CAST(('0x' || substring(md5(CAST(h.j AS VARCHAR) || '|'
+                                         || CAST(c.c_custkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 4096)) AS p
+        FROM customer c, UNNEST(range(0, 3)) AS h(j)
+    ),
+    checked AS (
+        SELECT pr.k,
+               bool_and((coalesce(w.bits, 0)
+                         & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INTEGER)))
+                        != 0) AS pass
+        FROM probe pr LEFT JOIN words w ON w.word = pr.p // 32
+        GROUP BY pr.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(count(CASE WHEN m.k IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_exact,
+           CAST(count(CASE WHEN c.pass THEN 1 END) AS BIGINT) AS n_pass,
+           CAST(count(CASE WHEN c.pass AND m.k IS NULL THEN 1 END) AS BIGINT)
+               AS n_false_pos
+    FROM checked c LEFT JOIN members m ON c.k = m.k
+"""
 ORACLES["embedding_quantize"] = """
     WITH ex AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -3188,6 +3239,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_quantized": q_pagerank_quantized,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
+    "bloom_semijoin": q_bloom_semijoin,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
