@@ -1196,6 +1196,46 @@ def q_brand_quantity_revenue(spark, sf_dir):
     )
 
 
+def q_excess_suppliers(spark, sf_dir):
+    # Q20 analog (no partsupp table in TESTDATA — lineitem's observed
+    # (supp, part) shipments stand in for availability): suppliers that
+    # shipped more than half a 'small%' part's 1996 volume. Same shape as
+    # TPC-H Q20: name-prefix scan, correlated half-sum threshold, semi-
+    # join back to supplier. Quantities are integer-valued doubles, so
+    # the sums are order-exact and the 0.5x comparison needs no rounding.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    flt = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            part.filter(F.col("p_name").like("small%")).select(
+                F.col("p_partkey").alias("l_partkey")
+            ),
+            "l_partkey",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint()
+    )
+    tot = flt.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    dom = (
+        flt.join(tot, "l_partkey")
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(dom, "s_suppkey", "semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
 def q_waiting_supplier_rank(spark, sf_dir):
     # TPC-H Q21 analog: suppliers who were the unique last shipper on
     # finalized multi-supplier orders — EXISTS (another supplier on the
@@ -2503,6 +2543,25 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
 
 
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
+ORACLES["excess_suppliers"] = """
+    WITH flt AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS total FROM flt GROUP BY 1),
+    dom AS (
+        SELECT DISTINCT f.l_suppkey
+        FROM flt f JOIN tot t USING (l_partkey)
+        WHERE f.qty > CAST(0.5 AS DOUBLE) * t.total
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+"""
 ORACLES["bloom_semijoin"] = """
     WITH pos AS (
         SELECT (CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|'
@@ -3240,6 +3299,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,
+    "excess_suppliers": q_excess_suppliers,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
