@@ -247,8 +247,11 @@ def q_bfs_distances(spark, sf_dir):
 
 
 def q_betweenness(spark, sf_dir):
-    # Rows-only check (no SQL oracle; no reference golden either —
-    # BASELINE.md). Deterministic sampled-source stress centrality.
+    # Hash-verified since r5 (no reference golden exists — BASELINE.md):
+    # sigma and g are integer path counts, so the sampled-source stress
+    # centrality is order-exact against an unrolled-BFS DuckDB oracle
+    # (_build_betweenness_sql). The reference's own attempt never
+    # completed (src/main.js:108-125).
     edges = copurchase_edges(spark, sf_dir)
     return betweenness(edges, num_sources=32)
 
@@ -2505,6 +2508,70 @@ ORACLES["minhash_signatures"] = """
     FROM sh, UNNEST(range(0, 16)) AS v(seed)
     GROUP BY 1, 2
 """
+def _build_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
+    # Unrolled multi-source BFS + dependency accumulation mirroring
+    # operators/betweenness.py exactly: sigma (shortest-path counts) and
+    # g (continuation counts) are INTEGERS, so the whole computation is
+    # order-exact and hash-comparable — the reference's never-completed
+    # query (src/main.js:108-125), cross-engine verified. ``levels`` must
+    # be >= the sources' max eccentricity (measured 5 at sf0.01; extra
+    # levels are empty-frontier no-ops, so 12 is safe margin for any SF
+    # the driver checks).
+    # MATERIALIZED hints: sym is referenced 2x per unrolled level and the
+    # vis chain fans out similarly — without the hint DuckDB re-inlines
+    # the whole parquet-scanning CTE tree per reference (observed as
+    # "Too many open files" at 12 levels).
+    parts = [f"""
+    symm AS MATERIALIZED (SELECT * FROM sym),
+    srcs AS (SELECT DISTINCT v AS s FROM symm ORDER BY s LIMIT {num_sources}),
+    f0 AS (SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
+    vis0 AS (SELECT * FROM f0)"""]
+    for k in range(1, levels + 1):
+        parts.append(f""",
+    f{k} AS (
+        SELECT f.s, e.n AS v, {k} AS dist, sum(f.sigma) AS sigma
+        FROM f{k - 1} f JOIN symm e ON e.v = f.v
+        WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x
+                          WHERE x.s = f.s AND x.v = e.n)
+        GROUP BY f.s, e.n
+    ),
+    vis{k} AS MATERIALIZED (
+        SELECT * FROM vis{k - 1} UNION ALL SELECT * FROM f{k})""")
+    vis = f"vis{levels}"
+    parts.append(f""",
+    g{levels} AS (SELECT s, CAST(NULL AS BIGINT) AS v,
+                         CAST(NULL AS BIGINT) AS g FROM srcs WHERE FALSE)""")
+    for l in range(levels - 1, -1, -1):
+        parts.append(f""",
+    g{l} AS (
+        SELECT a.s, a.v, sum(coalesce(gn.g, 0) + 1) AS g
+        FROM {vis} a
+        JOIN symm e ON e.v = a.v
+        JOIN {vis} b ON b.s = a.s AND b.v = e.n AND b.dist = {l + 1}
+        LEFT JOIN g{l + 1} gn ON gn.s = a.s AND gn.v = e.n
+        WHERE a.dist = {l}
+        GROUP BY a.s, a.v
+    )""")
+    allg = " UNION ALL ".join(
+        f"SELECT * FROM g{l}" for l in range(0, levels)
+    )
+    parts.append(f""",
+    allg AS ({allg}),
+    score AS (
+        SELECT vis.v AS id, sum(vis.sigma * allg.g) AS b
+        FROM {vis} vis JOIN allg ON allg.s = vis.s AND allg.v = vis.v
+        WHERE vis.dist >= 1
+        GROUP BY vis.v
+    ),
+    verts2 AS (SELECT DISTINCT v AS id FROM symm)""")
+    return (
+        f"WITH {GRAPH_CTES},{''.join(parts)}\n"
+        "    SELECT verts2.id, CAST(coalesce(score.b, 0) AS BIGINT)"
+        " AS betweenness\n"
+        "    FROM verts2 LEFT JOIN score ON verts2.id = score.id"
+    )
+
+
 def _build_pagerank_q_sql(iters: int = 10) -> str:
     # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
     # per round, mirroring pagerank_quantized's expression trees
@@ -2542,6 +2609,7 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
     )
 
 
+ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
 ORACLES["excess_suppliers"] = """
     WITH flt AS (
@@ -3173,7 +3241,6 @@ ORACLES["corpus_curation"] = f"""
 # driver records the weaker rows-only check (custom/iterative algorithms:
 # LSH candidate generation, SimHash banding, sampled betweenness).
 ROWS_ONLY = frozenset({
-    "betweenness",
     "pagerank",
     "pagerank_personalized",
     "embedding_pca",
