@@ -1675,8 +1675,8 @@ def q_pagerank_weighted(spark, sf_dir):
 
 
 def q_ktruss(spark, sf_dir):
-    # Rows-only (recursive SQL can't reference the survivor set three
-    # times per round): 4-truss of the co-purchase graph — edge-level
+    # Hash-verified since r5 via an unrolled-peeling oracle
+    # (_build_ktruss_sql): 4-truss of the co-purchase graph — edge-level
     # cohesion peeling; hand-computed fixtures incl. the peel cascade
     # pinned in tests/test_graph_analytics.py.
     from graph_database_spark.operators.truss import k_truss
@@ -2572,6 +2572,46 @@ def _build_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
     )
 
 
+def _build_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
+    # Unrolled peeling (recursive SQL can't reference the survivor set
+    # three times per round, but a fixed unroll can): each round is the
+    # wedge self-join + closure probe + support filter of
+    # operators/truss.py. Peeling is monotone, so rounds past the fix-
+    # point are no-ops (measured: stable after 4 rounds at sf0.01 and 10
+    # at sf0.001 — sparser graphs cascade SLOWER; 16 is margin). Supports are integer counts — order-exact.
+    parts = ["""
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges)"""]
+    for r in range(rounds):
+        parts.append(f""",
+    s{r} AS MATERIALIZED (
+        SELECT src AS v, dst AS n FROM e{r}
+        UNION ALL SELECT dst, src FROM e{r}
+    ),
+    sup{r} AS MATERIALIZED (
+        SELECT wed.src, wed.dst, count(*) AS support
+        FROM (SELECT a.v AS w, a.n AS src, b.n AS dst
+              FROM s{r} a JOIN s{r} b ON a.v = b.v AND a.n < b.n) wed
+        JOIN e{r} e ON e.src = wed.src AND e.dst = wed.dst
+        GROUP BY wed.src, wed.dst
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT src, dst FROM sup{r} WHERE support >= {k - 2}
+    )""")
+    parts.append(f""",
+    sfin AS (
+        SELECT src AS v, dst AS n FROM e{rounds}
+        UNION ALL SELECT dst, src FROM e{rounds}
+    )""")
+    return (
+        f"WITH {GRAPH_CTES},{''.join(parts)}\n"
+        "    SELECT wed.src, wed.dst, CAST(count(*) AS BIGINT) AS support\n"
+        "    FROM (SELECT a.v AS w, a.n AS src, b.n AS dst\n"
+        "          FROM sfin a JOIN sfin b ON a.v = b.v AND a.n < b.n) wed\n"
+        f"    JOIN e{rounds} e ON e.src = wed.src AND e.dst = wed.dst\n"
+        "    GROUP BY wed.src, wed.dst"
+    )
+
+
 def _build_pagerank_q_sql(iters: int = 10) -> str:
     # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
     # per round, mirroring pagerank_quantized's expression trees
@@ -2610,6 +2650,7 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
 
 
 ORACLES["betweenness"] = _build_betweenness_sql()
+ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
 ORACLES["excess_suppliers"] = """
     WITH flt AS (
@@ -3244,7 +3285,6 @@ ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
     "embedding_pca",
-    "ktruss",
     "pagerank_weighted",
     "ann_ivf",
     "dedup_minhash",

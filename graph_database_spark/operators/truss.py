@@ -8,10 +8,12 @@ edge support (triangles through the edge), so each round pays one
 wedge self-join + one groupBy — the same hub-bounded shuffle pattern
 as triangle counting, repeated until no edge falls below k-2.
 
-No SQL oracle: the recursive term would need three references to the
-recursive CTE (both wedge legs + the closure probe), which recursive
-SQL forbids — pytest fixtures with hand-computed trusses pin it
-(tests/test_graph_analytics.py).
+Oracle-checked since r5: recursive SQL can't reference the survivor
+set three times per round (both wedge legs + the closure probe), but a
+fixed UNROLL can — catalog._build_ktruss_sql emits one peel round per
+CTE block; peeling is monotone, so rounds past the fixpoint are no-ops
+and a fixed depth is safe. Hand-computed truss fixtures additionally
+pin the peel cascade (tests/test_graph_analytics.py).
 
 At 100 TB: rounds are bounded by the peel depth (small in practice);
 per-round cost is the triangle join on the SHRINKING survivor set, and
