@@ -77,6 +77,10 @@ HEADLINE = [
     "tfidf_terms",
     "bm25_search",
     "unigram_logprob",
+    "events_ewma",
+    "bloom_semijoin",
+    "embedding_quantize",
+    "excess_suppliers",
 ]
 
 

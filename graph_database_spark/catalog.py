@@ -2725,7 +2725,7 @@ ORACLES["events_ewma"] = """
     WITH q AS (
         SELECT user_id, ts, event_id,
                CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micro
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     wv AS (
         SELECT user_id, event_id,

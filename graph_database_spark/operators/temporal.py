@@ -62,8 +62,14 @@ def ewma_trailing(
         .cast("long")
         .alias("v_micro")
     )
-    vals = events.select(key_col, *order_cols, micro).withColumn(
-        "vals", F.collect_list("v_micro").over(w)
+    # Null values are excluded up front: Spark's collect_list silently
+    # DROPS nulls while DuckDB's list() keeps them — filtering first
+    # keeps the two engines' window frames identical if a future data
+    # vintage ships null values (today's events table has none).
+    vals = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(key_col, *order_cols, micro)
+        .withColumn("vals", F.collect_list("v_micro").over(w))
     )
     weighted = F.expr(
         "aggregate(transform(vals, (x, i) -> x * shiftleft(1L, i)),"
