@@ -1342,6 +1342,23 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_token_counts_cms(spark, sf_dir):
+    # Count-Min sketch, hash-verified (md5 cell family, integer
+    # counters): estimates for the corpus's 20 most frequent tokens vs
+    # their true counts — est >= true by construction, and the exact
+    # overestimates pin the full counter table cross-engine. Completes
+    # the mergeable-sketch family (KMV, HLL, Bloom, CMS).
+    from graph_database_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = R._doc_terms(docs).localCheckpoint()
+    cms = SK.cms_build(terms, "term")
+    true_counts = terms.groupBy("term").agg(F.count("*").alias("true_cnt"))
+    top = true_counts.orderBy(F.desc("true_cnt"), F.asc("term")).limit(20)
+    est = SK.cms_estimate(top, cms, "term")
+    return top.join(est, "term").select("term", "true_cnt", "est")
+
+
 def q_embedding_quantize(spark, sf_dir):
     # Per-dimension 8-bit scalar quantization of the embedding corpus —
     # long-form codes, hash-verified (min/max are order-independent and
@@ -2649,6 +2666,12 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
     )
 
 
+_RETRIEVAL_TERMS = """
+    terms AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    )
+"""
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -2706,6 +2729,36 @@ ORACLES["bloom_semijoin"] = """
            CAST(count(CASE WHEN c.pass AND m.k IS NULL THEN 1 END) AS BIGINT)
                AS n_false_pos
     FROM checked c LEFT JOIN members m ON c.k = m.k
+"""
+ORACLES["token_counts_cms"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    cms AS (
+        SELECT u.j AS row,
+               (CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || '|'
+                                        || term), 1, 15)) AS BIGINT)
+                % 1024) AS col,
+               count(*) AS cnt
+        FROM terms, UNNEST(range(0, 3)) AS u(j)
+        GROUP BY 1, 2
+    ),
+    tc AS (SELECT term, count(*) AS true_cnt FROM terms GROUP BY 1),
+    top AS (SELECT term, true_cnt FROM tc
+            ORDER BY true_cnt DESC, term LIMIT 20),
+    probes AS (
+        SELECT t.term, u.j AS row,
+               (CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || '|'
+                                        || t.term), 1, 15)) AS BIGINT)
+                % 1024) AS col
+        FROM top t, UNNEST(range(0, 3)) AS u(j)
+    ),
+    est AS (
+        SELECT p.term, min(coalesce(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cms c ON c.row = p.row AND c.col = p.col
+        GROUP BY 1
+    )
+    SELECT top.term, CAST(top.true_cnt AS BIGINT) AS true_cnt,
+           CAST(est.est AS BIGINT) AS est
+    FROM top JOIN est USING (term)
 """
 ORACLES["embedding_quantize"] = """
     WITH ex AS (
@@ -2774,12 +2827,6 @@ ORACLES["dedup_minhash_md5"] = """
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
-"""
-_RETRIEVAL_TERMS = """
-    terms AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        FROM documents
-    )
 """
 ORACLES["tfidf_terms"] = f"""
     WITH {_RETRIEVAL_TERMS},
@@ -3407,6 +3454,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,
     "excess_suppliers": q_excess_suppliers,
+    "token_counts_cms": q_token_counts_cms,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

@@ -167,3 +167,81 @@ def hll_distinct(
         F.lit(alpha * m * m * 2.0**55) / F.col("_s").cast("double"), 4
     ).alias("est_distinct")
     return agg.select(*groups, est)
+
+
+def cms_build(
+    items: DataFrame, item_col: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of an item stream: ``(row, col, cnt)`` — one
+    counter table of ``depth x width`` cells (only touched cells emitted).
+
+    Counters are plain sums grouped by md5-derived (row, col) cells, so
+    the build is ONE map-side-combinable shuffle of at most depth*width
+    rows regardless of stream size, and partial sketches from any
+    partitioning (or any cluster) merge by cell-wise addition — the same
+    mergeability contract as KMV/HLL/Bloom here. Fully integer, hence
+    hash-exact across engines once the hash family (seed-prefixed md5)
+    is pinned.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        md5_hash60(
+                            F.concat(F.lit(f"{j}|"), F.col(item_col).cast("string"))
+                        )
+                        % F.lit(width)
+                    ).alias("col"),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        items.select(pos)
+        .select("cell.row", "cell.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame,
+    cms: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for ``queries[item_col]`` against a built
+    sketch: ``(<item_col>, est)`` with est = min over rows of the
+    addressed counter (the classic CMS upper-bound estimate; cells never
+    touched read as 0, though for items drawn from the built stream every
+    cell is populated). The sketch is depth*width rows — broadcast."""
+    q = queries.select(F.col(item_col).alias("item")).distinct()
+    probes = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_hash60(
+                                F.concat(F.lit(f"{j}|"), F.col("item").cast("string"))
+                            )
+                            % F.lit(width)
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("item", "cell.row", "cell.col")
+    return (
+        probes.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(F.col("item").alias(item_col), "est")
+    )

@@ -100,3 +100,30 @@ def test_hll_within_rsd_of_exact(spark):
     for k, n in exact.items():
         # 5x the configured rsd is a generous but non-vacuous bound.
         assert abs(approx[k] - n) <= max(1, 0.1 * n), (k, approx[k], n)
+
+
+def test_cms_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+    from graph_database_spark.operators.sketches import cms_build, cms_estimate
+
+    items = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 30 + ["c"] * 5], "item string"
+    )
+    cms = cms_build(items, "item", width=64)
+    q = spark.createDataFrame([("a",), ("b",), ("c",)], "item string")
+    est = {r["item"]: r["est"] for r in cms_estimate(q, cms, "item", width=64).collect()}
+    # CMS never underestimates
+    assert est["a"] >= 50 and est["b"] >= 30 and est["c"] >= 5
+    # with 3x64 cells and 3 distinct items, estimates should be exact
+    assert est == {"a": 50, "b": 30, "c": 5}
+    # mergeability: sketch(A+B) == cellwise sum of sketch(A), sketch(B)
+    half1 = spark.createDataFrame([(w,) for w in ["a"] * 20], "item string")
+    half2 = spark.createDataFrame([(w,) for w in ["a"] * 30 + ["b"] * 30 + ["c"] * 5], "item string")
+    merged = (
+        cms_build(half1, "item", width=64)
+        .unionByName(cms_build(half2, "item", width=64))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert {(r["row"], r["col"]): r["cnt"] for r in merged.collect()} == whole
