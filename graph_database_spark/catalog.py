@@ -1680,6 +1680,19 @@ def q_copurchase_strength(spark, sf_dir):
     )
 
 
+def q_pagerank_weighted_quantized(spark, sf_dir):
+    # Hash-verified weighted iterative numerics: tie-strength weights are
+    # integer co-purchase counts, so the quantized scheme's message sums
+    # (ratio * weight) stay exact — same ten-CTE unrolled oracle family
+    # as pagerank_quantized.
+    from graph_database_spark.operators.pagerank import pagerank_quantized
+    from graph_database_spark.plans.copurchase import copurchase_edges_weighted
+
+    return pagerank_quantized(
+        copurchase_edges_weighted(spark, sf_dir), weight_col="weight"
+    )
+
+
 def q_pagerank_weighted(spark, sf_dir):
     # Rows-only: PageRank with co-purchase tie strengths as edge
     # weights (numpy parity for the weighted form pytest-pinned).
@@ -2629,13 +2642,31 @@ def _build_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
     )
 
 
-def _build_pagerank_q_sql(iters: int = 10) -> str:
+def _build_pagerank_q_sql(iters: int = 10, weighted: bool = False) -> str:
     # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
     # per round, mirroring pagerank_quantized's expression trees
     # operand-for-operand (see that docstring for why this hash-matches).
+    # ``weighted``: co-purchase tie-strength weights — integer counts, so
+    # strength sums and ratio*weight messages stay exact.
+    if weighted:
+        sym_cte = """
+    we AS (
+        SELECT a.c AS src, b.c AS dst, count(*) AS w
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+        GROUP BY 1, 2
+    ),
+    symw AS (
+        SELECT src AS v, dst AS n, w FROM we
+        UNION ALL
+        SELECT dst AS v, src AS n, w FROM we
+    ),"""
+    else:
+        sym_cte = """
+    symw AS (SELECT v, n, CAST(1 AS BIGINT) AS w FROM sym),"""
     parts = [
-        """
-    deg AS (SELECT v AS id, count(*) AS deg FROM sym GROUP BY v),
+        sym_cte
+        + """
+    deg AS (SELECT v AS id, sum(w) AS deg FROM symw GROUP BY v),
     nn AS (SELECT count(*) AS n FROM deg),
     r0 AS (
         SELECT id, CAST(round(CAST(1000000000 AS DOUBLE)
@@ -2655,9 +2686,9 @@ def _build_pagerank_q_sql(iters: int = 10) -> str:
                CAST(round(
                    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
                        * (CAST(1000000000 AS DOUBLE) / CAST(nn.n AS DOUBLE))
-                   + CAST(0.85 AS DOUBLE) * CAST(sum(m.m) AS DOUBLE),
+                   + CAST(0.85 AS DOUBLE) * CAST(sum(m.m * s.w) AS DOUBLE),
                    0) AS BIGINT) AS r
-        FROM sym s JOIN m{k} m ON m.id = s.v CROSS JOIN nn
+        FROM symw s JOIN m{k} m ON m.id = s.v CROSS JOIN nn
         GROUP BY s.n, nn.n
     )""")
     return (
@@ -2675,6 +2706,7 @@ _RETRIEVAL_TERMS = """
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
+ORACLES["pagerank_weighted_quantized"] = _build_pagerank_q_sql(weighted=True)
 ORACLES["excess_suppliers"] = """
     WITH flt AS (
         SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
@@ -3455,6 +3487,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_semijoin": q_bloom_semijoin,
     "excess_suppliers": q_excess_suppliers,
     "token_counts_cms": q_token_counts_cms,
+    "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

@@ -148,7 +148,10 @@ def pagerank(
 
 
 def pagerank_quantized(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``(id, rank_nano)`` — ``iterations`` PageRank rounds with the rank
     vector snapped to integer nano-units after every round.
@@ -169,9 +172,23 @@ def pagerank_quantized(
     round with the self row smuggling ``deg`` through max().
     """
     scale = 1_000_000_000
-    sym = materialize(symmetrize(edges))
+    # Integer weights (tie-strength counts) keep the weighted form just
+    # as exact: strength sums, the ratio*weight messages, and the
+    # per-vertex message sums are all BIGINT arithmetic.
+    if weight_col is None:
+        sym = symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
+    else:
+        e = edges.select(
+            F.col("src").alias("v"),
+            F.col("dst").alias("n"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("n").alias("v"), F.col("v").alias("n"), "w")
+        )
+    sym = materialize(sym)
     deg = materialize(
-        sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("deg"))
+        sym.groupBy(F.col("v").alias("id")).agg(F.sum("w").alias("deg"))
     )
     n = deg.count()
     if n == 0:
@@ -195,11 +212,13 @@ def pagerank_quantized(
                     0,
                 )
                 .cast("long")
-                .alias("m"),
+                .alias("ratio"),
             ),
             "v",
         ).select(
-            F.col("n").alias("id"), "m", F.lit(None).cast("long").alias("deg")
+            F.col("n").alias("id"),
+            (F.col("ratio") * F.col("w")).alias("m"),
+            F.lit(None).cast("long").alias("deg"),
         )
         selfr = state.select("id", F.lit(0).cast("long").alias("m"), "deg")
         return (
