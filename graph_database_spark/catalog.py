@@ -1342,6 +1342,15 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_random_walks(spark, sf_dir):
+    # Deterministic DeepWalk-style walk corpus over the co-purchase
+    # graph: md5-driven transitions over sorted neighbor lists — fully
+    # replayable, hash-verified against an unrolled SQL oracle.
+    from graph_database_spark.operators.walks import random_walks
+
+    return random_walks(copurchase_edges(spark, sf_dir))
+
+
 def q_token_counts_cms(spark, sf_dir):
     # Count-Min sketch, hash-verified (md5 cell family, integer
     # counters): estimates for the corpus's 20 most frequent tokens vs
@@ -2762,6 +2771,32 @@ ORACLES["bloom_semijoin"] = """
                AS n_false_pos
     FROM checked c LEFT JOIN members m ON c.k = m.k
 """
+def _build_walks_sql(num_walks: int = 32, steps: int = 8) -> str:
+    # Unrolled walk replay: one CTE per hop; the md5 transition index is
+    # mirrored byte-for-byte (see operators/walks.py).
+    parts = [f"""
+    adj AS MATERIALIZED (
+        SELECT v, list_sort(list(n)) AS nbrs FROM sym GROUP BY v
+    ),
+    s0 AS (
+        SELECT v AS walk_id, 0 AS step, v AS node
+        FROM (SELECT v FROM adj ORDER BY v LIMIT {num_walks})
+    )"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+    s{t} AS (
+        SELECT s.walk_id, {t} AS step,
+               a.nbrs[CAST((CAST(('0x' || substring(md5(
+                       CAST(s.walk_id AS VARCHAR) || '|{t}|'
+                       || CAST(s.node AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % len(a.nbrs)) + 1 AS INTEGER)] AS node
+        FROM s{t - 1} s JOIN adj a ON a.v = s.node
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(steps + 1))
+    return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
+
+
+ORACLES["random_walks"] = _build_walks_sql()
 ORACLES["token_counts_cms"] = f"""
     WITH {_RETRIEVAL_TERMS},
     cms AS (
@@ -3488,6 +3523,7 @@ QUERIES: dict[str, QueryFn] = {
     "excess_suppliers": q_excess_suppliers,
     "token_counts_cms": q_token_counts_cms,
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
+    "random_walks": q_random_walks,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

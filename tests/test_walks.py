@@ -1,0 +1,27 @@
+"""Deterministic random walks: validity, determinism, coverage."""
+
+from __future__ import annotations
+
+from graph_database_spark.operators.walks import random_walks
+
+EDGES = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)]
+
+
+def test_walks_follow_edges_and_are_deterministic(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    adj = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = random_walks(df, num_walks=3, steps=5).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert set(walks) == {1, 2, 3}  # three smallest vertex ids
+    for wid, path in walks.items():
+        assert path[0] == wid and len(path) == 6
+        for t in range(1, 6):
+            assert path[t] in adj[path[t - 1]]  # every hop is a real edge
+    # determinism: a second run yields the identical walk set
+    again = random_walks(df, num_walks=3, steps=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
