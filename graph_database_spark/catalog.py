@@ -1342,6 +1342,17 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_graph_mis(spark, sf_dir):
+    # Luby MIS over the co-purchase graph (deterministic per-round md5
+    # priorities), hash-verified vs an unrolled-round oracle. The same
+    # operator is the near-dup keeper-selection strategy (MIS over a
+    # duplicate-pair graph keeps no two near-dups while every dropped
+    # doc has a kept neighbor).
+    from graph_database_spark.operators.mis import luby_mis
+
+    return luby_mis(copurchase_edges(spark, sf_dir))
+
+
 def q_random_walks(spark, sf_dir):
     # Deterministic DeepWalk-style walk corpus over the co-purchase
     # graph: md5-driven transitions over sorted neighbor lists — fully
@@ -2796,6 +2807,41 @@ def _build_walks_sql(num_walks: int = 32, steps: int = 8) -> str:
     return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
 
 
+def _build_mis_sql(rounds: int = 10) -> str:
+    # Unrolled Luby rounds (measured: 4 to empty at sf0.01; rounds past
+    # an empty undecided set yield empty winner sets, so 10 is safe
+    # margin). Priorities mirror operators/mis.py byte-for-byte.
+    parts = ["""
+    symm2 AS MATERIALIZED (SELECT * FROM sym),
+    und0 AS MATERIALIZED (SELECT DISTINCT v FROM symm2)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    pr{r} AS MATERIALIZED (
+        SELECT v, CAST(('0x' || substring(md5('{r}|' || CAST(v AS VARCHAR)),
+                                          1, 15)) AS BIGINT) AS p
+        FROM und{r - 1}
+    ),
+    win{r} AS MATERIALIZED (
+        SELECT a.v FROM pr{r} a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM symm2 s JOIN pr{r} b ON b.v = s.n
+            WHERE s.v = a.v
+              AND (b.p < a.p OR (b.p = a.p AND b.v < a.v))
+        )
+    ),
+    und{r} AS MATERIALIZED (
+        SELECT u.v FROM und{r - 1} u
+        WHERE u.v NOT IN (SELECT v FROM win{r})
+          AND NOT EXISTS (SELECT 1 FROM symm2 s JOIN win{r} w ON w.v = s.v
+                          WHERE s.n = u.v)
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT v AS id, {r} AS round FROM win{r}" for r in range(1, rounds + 1)
+    )
+    return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
+
+
+ORACLES["graph_mis"] = _build_mis_sql()
 ORACLES["random_walks"] = _build_walks_sql()
 ORACLES["token_counts_cms"] = f"""
     WITH {_RETRIEVAL_TERMS},
@@ -3524,6 +3570,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts_cms": q_token_counts_cms,
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "random_walks": q_random_walks,
+    "graph_mis": q_graph_mis,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

@@ -25,3 +25,20 @@ def test_walks_follow_edges_and_are_deterministic(spark):
     # determinism: a second run yields the identical walk set
     again = random_walks(df, num_walks=3, steps=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    from graph_database_spark.operators.mis import luby_mis
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    mis = {r["id"] for r in luby_mis(df).collect()}
+    adj = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no two MIS members adjacent
+    for v in mis:
+        assert not (adj[v] & mis)
+    # maximality: every non-member has a member neighbor
+    for v in set(adj) - mis:
+        assert adj[v] & mis
