@@ -1342,6 +1342,27 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_walk_skipgrams(spark, sf_dir):
+    # (center, context) skip-gram pairs within a +-2 window over the
+    # deterministic walk corpus — the training examples a node-embedding
+    # job consumes; one self-join on walk_id + one counting groupBy.
+    from graph_database_spark.operators.walks import random_walks
+
+    w = random_walks(copurchase_edges(spark, sf_dir)).localCheckpoint()
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & F.abs(F.col("a.step") - F.col("b.step")).between(1, 2),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_graph_mis(spark, sf_dir):
     # Luby MIS over the co-purchase graph (deterministic per-round md5
     # priorities), hash-verified vs an unrolled-round oracle. The same
@@ -2782,9 +2803,10 @@ ORACLES["bloom_semijoin"] = """
                AS n_false_pos
     FROM checked c LEFT JOIN members m ON c.k = m.k
 """
-def _build_walks_sql(num_walks: int = 32, steps: int = 8) -> str:
+def _walks_ctes(num_walks: int = 32, steps: int = 8) -> tuple[str, str]:
     # Unrolled walk replay: one CTE per hop; the md5 transition index is
-    # mirrored byte-for-byte (see operators/walks.py).
+    # mirrored byte-for-byte (see operators/walks.py). Returns (ctes,
+    # union-select) so walk consumers (skip-grams) can build on it.
     parts = [f"""
     adj AS MATERIALIZED (
         SELECT v, list_sort(list(n)) AS nbrs FROM sym GROUP BY v
@@ -2804,7 +2826,23 @@ def _build_walks_sql(num_walks: int = 32, steps: int = 8) -> str:
         FROM s{t - 1} s JOIN adj a ON a.v = s.node
     )""")
     union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(steps + 1))
-    return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
+    return "".join(parts), union
+
+
+def _build_walks_sql() -> str:
+    ctes, union = _walks_ctes()
+    return f"WITH {GRAPH_CTES},{ctes}\n    {union}"
+
+
+def _build_skipgrams_sql() -> str:
+    ctes, union = _walks_ctes()
+    return f"""WITH {GRAPH_CTES},{ctes},
+    walks AS ({union})
+    SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id AND abs(a.step - b.step) BETWEEN 1 AND 2
+    GROUP BY 1, 2"""
 
 
 def _build_mis_sql(rounds: int = 10) -> str:
@@ -2843,6 +2881,7 @@ def _build_mis_sql(rounds: int = 10) -> str:
 
 ORACLES["graph_mis"] = _build_mis_sql()
 ORACLES["random_walks"] = _build_walks_sql()
+ORACLES["walk_skipgrams"] = _build_skipgrams_sql()
 ORACLES["token_counts_cms"] = f"""
     WITH {_RETRIEVAL_TERMS},
     cms AS (
@@ -3571,6 +3610,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "random_walks": q_random_walks,
     "graph_mis": q_graph_mis,
+    "walk_skipgrams": q_walk_skipgrams,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
