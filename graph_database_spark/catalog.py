@@ -1721,6 +1721,22 @@ def q_copurchase_strength(spark, sf_dir):
     )
 
 
+def q_pagerank_personalized_quantized(spark, sf_dir):
+    # Hash-verified personalized ranks: teleport mass on the 32 smallest
+    # vertex ids - completing the quantized-twin trio (classic/weighted/
+    # personalized all cross-engine exact).
+    from graph_database_spark.operators.pagerank import pagerank_quantized
+
+    edges = copurchase_edges(spark, sf_dir)
+    seeds = (
+        copurchase_vertices(spark, sf_dir, edges)
+        .select("id")
+        .orderBy("id")
+        .limit(32)
+    )
+    return pagerank_quantized(edges, sources=seeds)
+
+
 def q_pagerank_weighted_quantized(spark, sf_dir):
     # Hash-verified weighted iterative numerics: tie-strength weights are
     # integer co-purchase counts, so the quantized scheme's message sums
@@ -2683,7 +2699,9 @@ def _build_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
     )
 
 
-def _build_pagerank_q_sql(iters: int = 10, weighted: bool = False) -> str:
+def _build_pagerank_q_sql(
+    iters: int = 10, weighted: bool = False, personalized: bool = False
+) -> str:
     # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
     # per round, mirroring pagerank_quantized's expression trees
     # operand-for-operand (see that docstring for why this hash-matches).
@@ -2704,16 +2722,33 @@ def _build_pagerank_q_sql(iters: int = 10, weighted: bool = False) -> str:
     else:
         sym_cte = """
     symw AS (SELECT v, n, CAST(1 AS BIGINT) AS w FROM sym),"""
+    if personalized:
+        # Teleport preference: 1e9/|S| on the 32 smallest vertex ids, 0
+        # elsewhere - mirrors pagerank_quantized(sources=...).
+        pref_cte = """
+    srcs AS (SELECT DISTINCT v AS id FROM symw ORDER BY id LIMIT 32),
+    ns AS (SELECT count(*) AS c FROM srcs),
+    prefs AS MATERIALIZED (
+        SELECT d.id,
+               CASE WHEN s.id IS NOT NULL
+                    THEN CAST(1000000000 AS DOUBLE) / CAST(ns.c AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS pref
+        FROM deg d LEFT JOIN srcs s ON s.id = d.id CROSS JOIN ns
+    ),
+    r0 AS (SELECT id, CAST(round(pref, 0) AS BIGINT) AS r FROM prefs)"""
+    else:
+        pref_cte = """
+    prefs AS MATERIALIZED (
+        SELECT id, CAST(1000000000 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pref
+        FROM deg CROSS JOIN nn
+    ),
+    r0 AS (SELECT id, CAST(round(pref, 0) AS BIGINT) AS r FROM prefs)"""
     parts = [
         sym_cte
         + """
     deg AS (SELECT v AS id, sum(w) AS deg FROM symw GROUP BY v),
-    nn AS (SELECT count(*) AS n FROM deg),
-    r0 AS (
-        SELECT id, CAST(round(CAST(1000000000 AS DOUBLE)
-                              / CAST(nn.n AS DOUBLE), 0) AS BIGINT) AS r
-        FROM deg CROSS JOIN nn
-    )"""
+    nn AS (SELECT count(*) AS n FROM deg),"""
+        + pref_cte
     ]
     for k in range(1, iters + 1):
         parts.append(f""",
@@ -2725,12 +2760,11 @@ def _build_pagerank_q_sql(iters: int = 10, weighted: bool = False) -> str:
     r{k} AS (
         SELECT s.n AS id,
                CAST(round(
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                       * (CAST(1000000000 AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * pf.pref
                    + CAST(0.85 AS DOUBLE) * CAST(sum(m.m * s.w) AS DOUBLE),
                    0) AS BIGINT) AS r
-        FROM symw s JOIN m{k} m ON m.id = s.v CROSS JOIN nn
-        GROUP BY s.n, nn.n
+        FROM symw s JOIN m{k} m ON m.id = s.v JOIN prefs pf ON pf.id = s.n
+        GROUP BY s.n, pf.pref
     )""")
     return (
         f"WITH {GRAPH_CTES},{''.join(parts)}\n"
@@ -2748,6 +2782,9 @@ ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
 ORACLES["pagerank_weighted_quantized"] = _build_pagerank_q_sql(weighted=True)
+ORACLES["pagerank_personalized_quantized"] = _build_pagerank_q_sql(
+    personalized=True
+)
 ORACLES["excess_suppliers"] = """
     WITH flt AS (
         SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
@@ -3611,6 +3648,7 @@ QUERIES: dict[str, QueryFn] = {
     "random_walks": q_random_walks,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
+    "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

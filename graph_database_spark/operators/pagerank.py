@@ -152,6 +152,7 @@ def pagerank_quantized(
     iterations: int = 10,
     damping: float = 0.85,
     weight_col: str | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, rank_nano)`` — ``iterations`` PageRank rounds with the rank
     vector snapped to integer nano-units after every round.
@@ -193,13 +194,27 @@ def pagerank_quantized(
     n = deg.count()
     if n == 0:
         return deg.select("id", F.lit(0).cast("long").alias("rank_nano"))
-    # Python float ops mirror the oracle's expression tree exactly:
-    # (1.0 - damping) * (scale / n) — same operands, same order.
-    teleport_nano = (1.0 - damping) * (float(scale) / n)
-    init = deg.select(
+    # The nano-scaled teleport preference rides the state as a DOUBLE
+    # column (uniform: scale/n everywhere; personalized: scale/|S| on
+    # the seed set, 0 elsewhere). Python float ops mirror the oracle's
+    # expression tree exactly — same operands, same order.
+    if sources is None:
+        pref_df = deg.select(
+            "id", F.lit(float(scale) / n).alias("pref")
+        )
+    else:
+        src = sources.toDF("id").distinct()
+        s_cnt = src.count()
+        if s_cnt == 0:
+            raise ValueError("personalized pagerank needs a non-empty source set")
+        pref_df = deg.select("id").join(
+            src.withColumn("pref", F.lit(float(scale) / s_cnt)), "id", "left"
+        ).select("id", F.coalesce("pref", F.lit(0.0)).alias("pref"))
+    init = deg.join(pref_df, "id").select(
         "id",
         "deg",
-        F.round(F.lit(float(scale) / n), 0).cast("long").alias("rank_nano"),
+        "pref",
+        F.round(F.col("pref"), 0).cast("long").alias("rank_nano"),
     )
 
     def step(state: DataFrame) -> DataFrame:
@@ -219,20 +234,24 @@ def pagerank_quantized(
             F.col("n").alias("id"),
             (F.col("ratio") * F.col("w")).alias("m"),
             F.lit(None).cast("long").alias("deg"),
+            F.lit(None).cast("double").alias("pref"),
         )
-        selfr = state.select("id", F.lit(0).cast("long").alias("m"), "deg")
+        selfr = state.select(
+            "id", F.lit(0).cast("long").alias("m"), "deg", "pref"
+        )
         return (
             msgs.unionByName(selfr)
             .groupBy("id")
             .agg(
                 F.round(
-                    F.lit(teleport_nano)
+                    F.lit(1.0 - damping) * F.max("pref")
                     + F.lit(damping) * F.sum("m").cast("double"),
                     0,
                 )
                 .cast("long")
                 .alias("rank_nano"),
                 F.max("deg").alias("deg"),
+                F.max("pref").alias("pref"),
             )
         )
 
