@@ -1363,6 +1363,21 @@ def q_walk_skipgrams(spark, sf_dir):
     )
 
 
+def q_community_modularity(spark, sf_dir):
+    # Modularity of the (hash-verified) LPA communities — integer
+    # numerator over the 4m^2 common denominator, one exact division.
+    from graph_database_spark.operators.labelprop import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    return G.modularity(edges, label_propagation(edges))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    # Newman's degree-degree correlation — exact: integer sums, one IEEE
+    # division, no rounding anywhere.
+    return G.degree_assortativity(copurchase_edges(spark, sf_dir))
+
+
 def q_graph_mis(spark, sf_dir):
     # Luby MIS over the co-purchase graph (deterministic per-round md5
     # priorities), hash-verified vs an unrolled-round oracle. The same
@@ -2916,6 +2931,56 @@ def _build_mis_sql(rounds: int = 10) -> str:
     return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
 
 
+ORACLES["community_modularity"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},
+    lp(r, id, community) AS (
+        SELECT 0, v, v FROM (SELECT DISTINCT v FROM sym)
+        UNION ALL
+        SELECT r + 1, id, community FROM (
+            SELECT l.r AS r, s.n AS id, l.community AS community,
+                   count(*) AS cnt
+            FROM lp l JOIN sym s ON s.v = l.id
+            GROUP BY l.r, s.n, l.community
+            QUALIFY row_number() OVER (
+                PARTITION BY s.n ORDER BY cnt DESC, l.community ASC
+            ) = 1
+        ) t WHERE t.r < 10
+    ),
+    comm AS (SELECT id, community FROM lp WHERE r = 10),
+    mm AS (SELECT count(*) AS m FROM edges),
+    intra AS (
+        SELECT count(*) AS e_in
+        FROM edges e JOIN comm a ON a.id = e.src JOIN comm b ON b.id = e.dst
+        WHERE a.community = b.community
+    ),
+    deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
+    dc AS (
+        SELECT c.community, sum(d.d) AS dcs
+        FROM deg d JOIN comm c ON c.id = d.id GROUP BY 1
+    ),
+    s2 AS (SELECT sum(dcs * dcs) AS sdc2, count(*) AS n_comm FROM dc)
+    SELECT CAST(s2.n_comm AS BIGINT) AS n_communities,
+           CAST(4 * mm.m * intra.e_in - s2.sdc2 AS DOUBLE)
+               / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+    FROM mm, intra, s2
+"""
+ORACLES["degree_assortativity"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
+    pairs AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM sym s JOIN deg dx ON dx.id = s.v JOIN deg dy ON dy.id = s.n
+    ),
+    agg AS (
+        SELECT count(*) AS n, sum(dx) AS sx,
+               sum(dx * dy) AS sxy, sum(dx * dx) AS sxx
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+    FROM agg
+"""
 ORACLES["graph_mis"] = _build_mis_sql()
 ORACLES["random_walks"] = _build_walks_sql()
 ORACLES["walk_skipgrams"] = _build_skipgrams_sql()
@@ -3649,6 +3714,8 @@ QUERIES: dict[str, QueryFn] = {
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
+    "degree_assortativity": q_degree_assortativity,
+    "community_modularity": q_community_modularity,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,

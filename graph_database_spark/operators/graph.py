@@ -231,3 +231,86 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return triangle_edges(edges).agg(
         F.expr("sum(triangles) div 3").cast("bigint").alias("n_triangles")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    directed edge pairs): ``(n_pairs, assortativity)`` — one row.
+
+    Newman's r computed over the symmetrized pair list, so both marginals
+    are identical and the two denominator legs coincide:
+
+        r = (n*Sxy - Sx*Sx) / (n*Sxx - Sx*Sx)
+
+    Every sum is an INTEGER (degrees and their products), so the whole
+    statistic is exact up to one IEEE division — hash-verifiable with no
+    rounding. One degree aggregation + one edge join + one global agg;
+    nothing here grows faster than the edge list.
+    """
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    sym = symmetrize(edges).localCheckpoint()
+    deg = sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("v"), F.col("d").alias("dx")), "v")
+        .join(deg.select(F.col("id").alias("n"), F.col("d").alias("dy")), "n")
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        F.col("n").alias("n_pairs"), (num / den).alias("assortativity")
+    )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment:
+    ``(n_communities, modularity)`` — one row.
+
+    Computed over the common denominator 4m² so the numerator
+    ``sum_c (4*m*e_c - d_c²)`` is one INTEGER sum (exact under any
+    partition order); the single closing division is IEEE-exact. Three
+    aggregations (intra-edge count, per-community degree mass, totals) —
+    all map-side combinable.
+    """
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    comm = communities.select("id", "community").localCheckpoint()
+    e2 = edges.select("src", "dst").join(
+        comm.select(F.col("id").alias("src"), F.col("community").alias("ca")),
+        "src",
+    ).join(
+        comm.select(F.col("id").alias("dst"), F.col("community").alias("cb")),
+        "dst",
+    )
+    intra = e2.filter(F.col("ca") == F.col("cb")).agg(
+        F.count("*").alias("e_in")
+    )
+    m_df = edges.agg(F.count("*").alias("m"))
+    deg = (
+        symmetrize(edges)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    dc = deg.join(comm, "id").groupBy("community").agg(F.sum("d").alias("dcs"))
+    s2 = dc.agg(
+        F.sum(F.col("dcs") * F.col("dcs")).alias("sdc2"),
+        F.count("*").alias("n_comm"),
+    )
+    num = (
+        F.lit(4) * F.col("m") * F.col("e_in") - F.col("sdc2")
+    ).cast("double")
+    den = (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+    return (
+        m_df.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            F.col("n_comm").alias("n_communities"),
+            (num / den).alias("modularity"),
+        )
+    )
