@@ -1372,6 +1372,32 @@ def q_community_modularity(spark, sf_dir):
     return G.modularity(edges, label_propagation(edges))
 
 
+def q_user_retention(spark, sf_dir):
+    # Weekly cohort retention — the product-analytics staple: users
+    # bucketed by first-event week; a cell counts cohort members active
+    # k weeks later. Monday-truncated weeks make the day-diff an exact
+    # multiple of 7, so every quantity is an integer.
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     # Newman's degree-degree correlation — exact: integer sums, one IEEE
     # division, no rounding anywhere.
@@ -2964,6 +2990,22 @@ ORACLES["community_modularity"] = f"""
                / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
     FROM mm, intra, s2
 """
+ORACLES["user_retention"] = """
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.wk) / 7 AS INTEGER)
+               AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+"""
 ORACLES["degree_assortativity"] = f"""
     WITH {GRAPH_CTES},
     deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
@@ -3716,6 +3758,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
     "degree_assortativity": q_degree_assortativity,
     "community_modularity": q_community_modularity,
+    "user_retention": q_user_retention,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
