@@ -1323,6 +1323,10 @@ def q_bm25_search(spark, sf_dir):
     return R.bm25_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+def q_bigram_logprob(spark, sf_dir):
+    return R.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_unigram_logprob(spark, sf_dir):
     return R.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
@@ -3181,6 +3185,42 @@ ORACLES["bm25_search"] = f"""
            CAST(sum_micro AS DOUBLE) / 1000000.0 AS score
     FROM ranked WHERE rank <= 20
 """
+ORACLES["bigram_logprob"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+               generate_subscripts(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+'), 1) AS pos
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+               term
+        FROM toks QUALIFY prev IS NOT NULL
+    ),
+    bic AS (SELECT prev, term, count(*) AS cb FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT prev, sum(cb) AS cp FROM bic GROUP BY 1),
+    uni AS (SELECT term, count(*) AS cu FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM toks),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(-ln(CAST(0.75 AS DOUBLE)
+                              * (CAST(bc.cb AS DOUBLE) / CAST(cx.cp AS DOUBLE))
+                              + (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                              * (CAST(u.cu AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+                          * 1000000.0, 0) AS BIGINT) AS nlp_micro
+        FROM bi b
+        JOIN bic bc ON bc.prev = b.prev AND bc.term = b.term
+        JOIN ctx cx ON cx.prev = b.prev
+        JOIN uni u ON u.term = b.term
+        CROSS JOIN tot tt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+           (CAST(sum(nlp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / 1000000.0 AS avg_neglogprob
+    FROM scored GROUP BY 1
+"""
 ORACLES["unigram_logprob"] = f"""
     WITH {_RETRIEVAL_TERMS},
     counts AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
@@ -3762,6 +3802,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 from graph_database_spark.functions.textnorm import tokens
 from graph_database_spark.operators.spread import spread
 
-__all__ = ["tfidf_top_terms", "bm25_search", "unigram_logprob"]
+__all__ = [
+    "tfidf_top_terms",
+    "bm25_search",
+    "unigram_logprob",
+    "bigram_logprob",
+]
 
 _MICRO = 1_000_000.0
 
@@ -214,4 +219,63 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
                 / F.lit(_MICRO)
             ).alias("avg_neglogprob"),
         )
+    )
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram LM score per document:
+    ``(doc_id, n_scored, avg_neglogprob)`` — the closer SQL-expressible
+    analog of CCNet's KenLM quality filter than the unigram model.
+
+    Each position i >= 2 costs ``-ln(lam * p(w_i | w_{i-1}) +
+    (1 - lam) * p(w_i))`` with MLE corpus counts; ``lam`` defaults to a
+    DYADIC 0.75 so both interpolation products are exactly representable
+    weights. Per-position costs snap to integer micro-units before the
+    per-doc sum (module docstring); docs with < 2 tokens don't appear.
+
+    Plan: one window (lag over token position, keyed by doc) builds the
+    bigram stream; the bigram and unigram models are vocabulary-sized
+    aggregations broadcast back onto it; the per-doc sum is one
+    combinable integer shuffle.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .localCheckpoint()
+    )
+    bi = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .localCheckpoint()
+    )
+    bic = bi.groupBy("prev", "term").agg(F.count("*").alias("cb"))
+    ctx = bic.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    tot = toks.agg(F.count("*").alias("t"))
+    lamc = F.lit(float(lam))
+    p = lamc * (
+        F.col("cb").cast("double") / F.col("cp").cast("double")
+    ) + (F.lit(1.0) - lamc) * (
+        F.col("cu").cast("double") / F.col("t").cast("double")
+    )
+    scored = (
+        bi.join(bic, ["prev", "term"])
+        .join(ctx, "prev")
+        .join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", _micro(-F.log(p)).alias("nlp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        (
+            (
+                F.sum("nlp_micro").cast("double")
+                / F.count("*").cast("double")
+            )
+            / F.lit(_MICRO)
+        ).alias("avg_neglogprob"),
     )

@@ -94,3 +94,18 @@ def test_md5_lsh_pairs_match_production_shape(spark):
     assert all(3 not in k for k in found)
     # estimator is k/16 exactly
     assert all(abs(v * 16 - round(v * 16)) < 1e-12 for v in found.values())
+
+
+def test_bigram_logprob_interpolation(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a a a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in R.bigram_logprob(docs).collect()}
+    assert out[1]["n_scored"] == 3 and out[2]["n_scored"] == 3
+    # corpus: tokens a=6,b=2,T=8; bigrams: (a,b)=2,(b,a)=1,(a,a)=3; ctx a=5,b=1
+    # doc2 positions all (a,a): p = .75*(3/5) + .25*(6/8)
+    want = -math.log(0.75 * (3 / 5) + 0.25 * (6 / 8))
+    assert abs(out[2]["avg_neglogprob"] - want) < 1e-5
+    # doc1's (a,b)/(b,a) transitions are rarer -> more surprise
+    assert out[1]["avg_neglogprob"] > out[2]["avg_neglogprob"]
