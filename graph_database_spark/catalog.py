@@ -1323,6 +1323,31 @@ def q_bm25_search(spark, sf_dir):
     return R.bm25_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    # Tokenizer induction, step one: corpus-wide adjacent character-pair
+    # frequencies within tokens — the argmax of this table is the first
+    # BPE merge. Top-30 with (count, pair) total order; one map-side-
+    # combinable shuffle over the exploded pairs.
+    toks = R._doc_terms(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        toks.filter(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 1),"
+                    " i -> substring(term, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     return R.bigram_logprob(load_table(spark, sf_dir, "documents"))
 
@@ -3185,6 +3210,17 @@ ORACLES["bm25_search"] = f"""
            CAST(sum_micro AS DOUBLE) / 1000000.0 AS score
     FROM ranked WHERE rank <= 20
 """
+ORACLES["bpe_pair_counts"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    pairs AS (
+        SELECT substring(term, CAST(i AS INTEGER), 2) AS pair
+        FROM terms, UNNEST(range(1, length(term))) AS u(i)
+        WHERE length(term) >= 2
+    ),
+    cnt AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM cnt
+    ORDER BY cnt DESC, pair LIMIT 30
+"""
 ORACLES["bigram_logprob"] = """
     WITH toks AS (
         SELECT doc_id,
@@ -3803,6 +3839,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "simhash_signatures": q_simhash_signatures,
     "nation_market_share": q_nation_market_share,
     "product_profit": q_product_profit,
