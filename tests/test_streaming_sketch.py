@@ -1,0 +1,53 @@
+"""Streaming CMS sink: stream-merged sketch == batch sketch; replay-safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators.sketches import cms_build
+from graph_database_spark.sources.parquet import load_table
+from graph_database_spark.streaming.events import read_events_stream
+from graph_database_spark.streaming.sketch import (
+    cms_stream,
+    merge_batch_into_cms,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cells(spark, path):
+    return {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
+    path = str(tmp_path / "cms")
+    q = cms_stream(
+        read_events_stream(spark, SF_DIR),
+        "event_type",
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = _cells(spark, path)
+    batch = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(
+            load_table(spark, SF_DIR, "events"), "event_type"
+        ).collect()
+    }
+    assert streamed == batch  # cell-wise merge == one-shot build
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    path = str(tmp_path / "cms")
+    ev = load_table(spark, SF_DIR, "events").limit(100).cache()
+    merge_batch_into_cms(ev, 0, path, "event_type")
+    once = _cells(spark, path)
+    merge_batch_into_cms(ev, 0, path, "event_type")  # at-least-once replay
+    assert _cells(spark, path) == once
+    merge_batch_into_cms(ev, 1, path, "event_type")  # a real new batch adds
+    assert sum(_cells(spark, path).values()) == 2 * sum(once.values())
