@@ -1441,7 +1441,7 @@ def q_graph_mis(spark, sf_dir):
     # doc has a kept neighbor).
     from graph_database_spark.operators.mis import luby_mis
 
-    return luby_mis(copurchase_edges(spark, sf_dir))
+    return luby_mis(copurchase_edges(spark, sf_dir), max_iterations=16)
 
 
 def q_random_walks(spark, sf_dir):
@@ -2656,8 +2656,16 @@ ORACLES["minhash_signatures"] = """
         FROM documents
     ),
     sh AS (
+        -- mirrors _shingles_from incl. the short-doc fallback: docs with
+        -- < 3 tokens contribute ONE whole-text shingle, not zero rows
         SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
         FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        -- coalesce: DuckDB array_to_string([]) is NULL, Spark's
+        -- concat_ws on an empty array is '' — the fallback must match
+        SELECT doc_id, coalesce(array_to_string(t, ' '), '') AS s
+        FROM toks WHERE len(t) < 3
     )
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
            min(CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || s),
@@ -2952,10 +2960,13 @@ def _build_skipgrams_sql() -> str:
     GROUP BY 1, 2"""
 
 
-def _build_mis_sql(rounds: int = 10) -> str:
-    # Unrolled Luby rounds (measured: 4 to empty at sf0.01; rounds past
-    # an empty undecided set yield empty winner sets, so 10 is safe
-    # margin). Priorities mirror operators/mis.py byte-for-byte.
+def _build_mis_sql(rounds: int = 16) -> str:
+    # Unrolled Luby rounds (measured: 4-5 to empty at sf0.001/0.01/0.1;
+    # rounds past an empty undecided set yield empty winner sets, so 16
+    # is 3x margin). q_graph_mis pins the Spark side to the SAME budget,
+    # so a dataset needing more rounds raises loudly there instead of
+    # silently hash-mismatching here. Priorities mirror operators/mis.py
+    # byte-for-byte.
     parts = ["""
     symm2 AS MATERIALIZED (SELECT * FROM sym),
     und0 AS MATERIALIZED (SELECT DISTINCT v FROM symm2)"""]
@@ -3126,8 +3137,16 @@ ORACLES["dedup_minhash_md5"] = """
         FROM documents
     ),
     sh AS (
+        -- mirrors _shingles_from incl. the short-doc fallback: docs with
+        -- < 3 tokens contribute ONE whole-text shingle, not zero rows
         SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
         FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        -- coalesce: DuckDB array_to_string([]) is NULL, Spark's
+        -- concat_ws on an empty array is '' — the fallback must match
+        SELECT doc_id, coalesce(array_to_string(t, ' '), '') AS s
+        FROM toks WHERE len(t) < 3
     ),
     sigrow AS (
         SELECT doc_id, seed,

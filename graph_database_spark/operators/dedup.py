@@ -133,6 +133,35 @@ def minhash_signature_from_tokens(toks: Column, num_perm: int = 64, shingle_k: i
     )
 
 
+def _md5_sig_wide(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Wide md5 MinHash frame ``(id, h0..h{n-1})`` — the single source of
+    the cross-engine hash family shared by ``minhash_signatures_md5``
+    (math pin) and ``minhash_lsh_pairs_md5`` (banding pin); a drift
+    between the two would silently break the documented verification
+    chain, so there is exactly one implementation."""
+    t = _tokens_df(docs, text_col, id_col)
+    sh = t.select(
+        "id", F.explode(_shingles_from(F.col("toks"), shingle_k)).alias("s")
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures_md5(
     docs: DataFrame,
     text_col: str = "text",
@@ -157,21 +186,7 @@ def minhash_signatures_md5(
     ``n_hashes`` mins in a single pass, then an unpivot (stack) to long
     form. Duplicate shingles need no dedup — min is idempotent.
     """
-    t = _tokens_df(docs, text_col, id_col)
-    sh = t.select(
-        "id", F.explode(_shingles_from(F.col("toks"), shingle_k)).alias("s")
-    )
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = _md5_sig_wide(docs, text_col, id_col, n_hashes, shingle_k)
     stack_args = ", ".join(f"{j}, h{j}" for j in range(n_hashes))
     return sig.selectExpr(
         f"id AS {id_col}",
@@ -206,23 +221,8 @@ def minhash_lsh_pairs_md5(
     scalar rows.
     """
     rows = n_hashes // bands
-    t = _tokens_df(docs, text_col, id_col)
-    sh = t.select(
-        "id", F.explode(_shingles_from(F.col("toks"), shingle_k)).alias("s")
-    )
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
     sig = (
-        sh.groupBy("id")
-        .agg(*aggs)
+        _md5_sig_wide(docs, text_col, id_col, n_hashes, shingle_k)
         .select(
             "id",
             F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig"),

@@ -280,8 +280,12 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     """
     from graph_database_spark.plans.copurchase import symmetrize
 
+    # edges feeds three consumers (intra join, m count, degrees) — 
+    # checkpoint so the co-purchase self-join pipeline runs once
+    # (CLAUDE.md reuse rule; un-checkpointed this plan hit 33 Exchanges).
+    edges = edges.select("src", "dst").localCheckpoint()
     comm = communities.select("id", "community").localCheckpoint()
-    e2 = edges.select("src", "dst").join(
+    e2 = edges.join(
         comm.select(F.col("id").alias("src"), F.col("community").alias("ca")),
         "src",
     ).join(

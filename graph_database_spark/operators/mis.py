@@ -39,9 +39,16 @@ def luby_mis(edges: DataFrame, max_iterations: int = 32) -> DataFrame:
     und = materialize(sym.select("v").distinct())
     spark = edges.sparkSession
     won: list[DataFrame] = []
-    for r in range(1, max_iterations + 1):
-        if und.isEmpty():
-            break
+    r = 0
+    while not und.isEmpty():
+        # Emptiness is probed BEFORE the round-budget check so a set
+        # that empties exactly on the last allowed round still returns
+        # (the for/else formulation raised spuriously there).
+        r += 1
+        if r > max_iterations:
+            raise RuntimeError(
+                f"luby_mis did not finish in {max_iterations} rounds"
+            )
         pr = materialize(
             und.select(
                 "v",
@@ -76,8 +83,6 @@ def luby_mis(edges: DataFrame, max_iterations: int = 32) -> DataFrame:
         und = materialize(
             und.join(win, "v", "left_anti").join(eliminated, "v", "left_anti")
         )
-    else:
-        raise RuntimeError(f"luby_mis did not finish in {max_iterations} rounds")
     if not won:
         return spark.createDataFrame([], "id long, round int")
     res = won[0]

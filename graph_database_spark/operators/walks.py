@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from graph_database_spark.operators.fixpoint import materialize
 from graph_database_spark.operators.sketches import md5_hash60
 from graph_database_spark.plans.copurchase import symmetrize
 
@@ -38,19 +39,21 @@ def random_walks(
     hops from each of the ``num_walks`` smallest vertex ids (walk_id =
     the start vertex). Step 0 is the start vertex itself."""
     sym = symmetrize(edges)
-    adj = (
-        sym.groupBy(F.col("v"))
-        .agg(F.sort_array(F.collect_list("n")).alias("nbrs"))
-        .localCheckpoint()
+    adj = materialize(
+        sym.groupBy(F.col("v")).agg(
+            F.sort_array(F.collect_list("n")).alias("nbrs")
+        )
     )
     starts = (
         adj.select(F.col("v").alias("walk_id"))
         .orderBy("walk_id")
         .limit(num_walks)
     )
-    state = starts.select(
-        "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
-    ).localCheckpoint()
+    state = materialize(
+        starts.select(
+            "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
+        )
+    )
     out = [state]
     for t in range(1, steps + 1):
         idx = md5_hash60(
@@ -61,16 +64,14 @@ def random_walks(
                 F.col("node").cast("string"),
             )
         ) % F.size("nbrs")
-        state = (
-            state.join(adj, state.node == adj.v)
-            .select(
+        state = materialize(
+            state.join(adj, state.node == adj.v).select(
                 "walk_id",
                 F.lit(t).alias("step"),
                 F.element_at("nbrs", (idx + F.lit(1)).cast("int")).alias(
                     "node"
                 ),
             )
-            .localCheckpoint()
         )
         out.append(state)
     res = out[0]

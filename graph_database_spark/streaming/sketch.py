@@ -11,9 +11,14 @@ a persisted cell table.
 
 The persisted state is at most ``depth * width`` cells, so the merge is
 a driver-side dictionary update by design (this is the entire point of
-a sketch — the state that fits anywhere). Replays are idempotent: the
-table carries the last merged ``batch_id`` and a replayed batch (the
-at-least-once recovery contract) is skipped instead of double-added.
+a sketch — the state that fits anywhere). Durability rides the
+versioned-snapshot sink (sinks/versioned.py): every merged state is a
+new ``v=N`` directory published by an atomic manifest replace, so a
+crash mid-write leaves an unreferenced directory — never a torn or
+silently-reset sketch (the earlier read-overwrite-same-path scheme
+could lose the whole accumulated state to one mid-write crash). Replays
+are idempotent: the cells carry the last merged ``batch_id`` and a
+replayed batch (the at-least-once recovery contract) is skipped.
 """
 
 from __future__ import annotations
@@ -21,8 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from graph_database_spark.operators.sketches import cms_build
+from graph_database_spark.sinks.versioned import (
+    list_versions,
+    read_version,
+    write_version,
+)
 
 _SCHEMA = "row int, col long, cnt long, last_batch long"
+
+
+def read_cms(spark, path: str) -> dict[tuple[int, int], int]:
+    """Latest committed sketch as a {(row, col): count} dict (empty if
+    nothing has been committed yet)."""
+    if not list_versions(path):
+        return {}
+    return {
+        (r["row"], r["col"]): r["cnt"]
+        for r in read_version(spark, path).collect()
+    }
 
 
 def merge_batch_into_cms(
@@ -38,21 +59,21 @@ def merge_batch_into_cms(
     spark = batch_df.sparkSession
     cells: dict[tuple[int, int], int] = {}
     last = -1
-    try:
-        for r in spark.read.parquet(path).collect():
+    if list_versions(path):
+        for r in read_version(spark, path).collect():
             cells[(r["row"], r["col"])] = r["cnt"]
             last = max(last, r["last_batch"])
-    except Exception:
-        pass  # first batch: no sketch yet
     if batch_id <= last:
         return  # replayed batch — already merged, idempotent skip
     for r in cms_build(batch_df, item_col, depth, width).collect():
         key = (r["row"], r["col"])
         cells[key] = cells.get(key, 0) + r["cnt"]
     out = [(row, col, cnt, batch_id) for (row, col), cnt in cells.items()]
-    spark.createDataFrame(out, _SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    write_version(
+        spark.createDataFrame(out, _SCHEMA).coalesce(1),
+        path,
+        note=f"cms batch {batch_id}",
+    )
 
 
 def cms_stream(

@@ -16,10 +16,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _cells(spark, path):
-    return {
-        (r["row"], r["col"]): r["cnt"]
-        for r in spark.read.parquet(path).collect()
-    }
+    from graph_database_spark.streaming.sketch import read_cms
+
+    return read_cms(spark, path)
 
 
 def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
@@ -51,3 +50,17 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert _cells(spark, path) == once
     merge_batch_into_cms(ev, 1, path, "event_type")  # a real new batch adds
     assert sum(_cells(spark, path).values()) == 2 * sum(once.values())
+
+
+def test_crash_mid_write_preserves_committed_sketch(spark, tmp_path):
+    # A torn write must never reset the sketch: an unpublished v= dir
+    # (no manifest update) is invisible to readers.
+    import os
+
+    path = str(tmp_path / "cms")
+    ev = load_table(spark, SF_DIR, "events").limit(100).cache()
+    merge_batch_into_cms(ev, 0, path, "event_type")
+    committed = _cells(spark, path)
+    # simulate a crash: orphan data directory without a manifest commit
+    os.makedirs(os.path.join(path, "v=99"), exist_ok=True)
+    assert _cells(spark, path) == committed
