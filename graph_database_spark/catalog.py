@@ -1401,6 +1401,52 @@ def q_community_modularity(spark, sf_dir):
     return G.modularity(edges, label_propagation(edges))
 
 
+def q_rich_club(spark, sf_dir):
+    # Rich-club coefficient at degree thresholds 4/8/16/32: phi(k) =
+    # 2*E_k / (N_k*(N_k-1)) over the subgraph of nodes with degree > k.
+    # Integer counts + one exact IEEE division per row (NULL when the
+    # rich set has < 2 nodes).
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        symmetrize(edges)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], "k int")
+    nk = (
+        ks.crossJoin(deg)
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_rich"))
+    )
+    ek = (
+        ks.crossJoin(
+            edges.join(deg.select(F.col("id").alias("src"), F.col("d").alias("da")), "src")
+            .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("db")), "dst")
+        )
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_rich"))
+    )
+    phi = F.when(
+        F.col("n_rich") >= 2,
+        (F.lit(2) * F.col("e_rich")).cast("double")
+        / (F.col("n_rich") * (F.col("n_rich") - F.lit(1))).cast("double"),
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_rich",
+            F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+            phi.alias("phi"),
+        )
+    )
+
+
 def q_user_retention(spark, sf_dir):
     # Weekly cohort retention — the product-analytics staple: users
     # bucketed by first-event week; a cell counts cohort members active
@@ -3030,6 +3076,28 @@ ORACLES["community_modularity"] = f"""
                / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
     FROM mm, intra, s2
 """
+ORACLES["rich_club"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
+    ks AS (SELECT unnest([4, 8, 16, 32]) AS k),
+    nk AS (
+        SELECT k, count(*) AS n_rich FROM ks, deg WHERE d > k GROUP BY k
+    ),
+    ek AS (
+        SELECT k, count(*) AS e_rich
+        FROM ks, edges e
+        JOIN deg a ON a.id = e.src JOIN deg b ON b.id = e.dst
+        WHERE a.d > k AND b.d > k
+        GROUP BY k
+    )
+    SELECT CAST(nk.k AS INTEGER) AS k, CAST(nk.n_rich AS BIGINT) AS n_rich,
+           CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+           CASE WHEN nk.n_rich >= 2
+                THEN CAST(2 * ek.e_rich AS DOUBLE)
+                     / CAST(nk.n_rich * (nk.n_rich - 1) AS DOUBLE)
+           END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+"""
 ORACLES["user_retention"] = """
     WITH first AS (
         SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -3854,6 +3922,7 @@ QUERIES: dict[str, QueryFn] = {
     "degree_assortativity": q_degree_assortativity,
     "community_modularity": q_community_modularity,
     "user_retention": q_user_retention,
+    "rich_club": q_rich_club,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
