@@ -186,7 +186,9 @@ def q_pagerank_personalized(spark, sf_dir):
     # numpy parity pinned in tests/test_graph_analytics.py.
     from graph_database_spark.operators.pagerank import pagerank
 
-    edges = copurchase_edges(spark, sf_dir)
+    # edges feeds the seed derivation (twice) AND the pagerank build —
+    # checkpoint so the co-purchase pipeline is planned once.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     seeds = (
         edges.selectExpr("src AS id")
         .unionByName(edges.selectExpr("dst AS id"))
@@ -253,7 +255,11 @@ def q_betweenness(spark, sf_dir):
     # (_build_betweenness_sql). The reference's own attempt never
     # completed (src/main.js:108-125).
     edges = copurchase_edges(spark, sf_dir)
-    return betweenness(edges, num_sources=32)
+    # Level budget pinned to the oracle's 12 unrolled BFS levels
+    # (_build_betweenness_sql): a dataset whose sampled-source
+    # eccentricity exceeds it makes the engine RAISE instead of
+    # hash-mismatching a truncated oracle (q_graph_mis pattern).
+    return betweenness(edges, num_sources=32, max_iterations=12)
 
 
 # ---------------------------------------------------------------------------
@@ -1397,7 +1403,11 @@ def q_community_modularity(spark, sf_dir):
     # numerator over the 4m^2 common denominator, one exact division.
     from graph_database_spark.operators.labelprop import label_propagation
 
-    edges = copurchase_edges(spark, sf_dir)
+    # Both callees checkpoint internally, but each received the
+    # unmaterialized co-purchase expression and so re-derived the
+    # two-wide-shuffle build once apiece — one shared checkpoint halves
+    # the query's scan work (VERDICT r5 #3).
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     return G.modularity(edges, label_propagation(edges))
 
 
@@ -1431,9 +1441,11 @@ def q_rich_club(spark, sf_dir):
         .groupBy("k")
         .agg(F.count("*").alias("e_rich"))
     )
+    # coalesce INSIDE the numerator: a rich subgraph with >= 2 nodes but
+    # zero internal edges is phi = 0.0, not NULL (ADVICE r5).
     phi = F.when(
         F.col("n_rich") >= 2,
-        (F.lit(2) * F.col("e_rich")).cast("double")
+        (F.lit(2) * F.coalesce(F.col("e_rich"), F.lit(0))).cast("double")
         / (F.col("n_rich") * (F.col("n_rich") - F.lit(1))).cast("double"),
     )
     return (
@@ -1843,7 +1855,9 @@ def q_pagerank_personalized_quantized(spark, sf_dir):
     # personalized all cross-engine exact).
     from graph_database_spark.operators.pagerank import pagerank_quantized
 
-    edges = copurchase_edges(spark, sf_dir)
+    # edges feeds the vertex derivation AND the pagerank build — one
+    # shared checkpoint instead of two co-purchase derivations.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     seeds = (
         copurchase_vertices(spark, sf_dir, edges)
         .select("id")
@@ -1984,6 +1998,14 @@ _NORM_TEXT = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
 )
+# DuckDB mirror of functions/textnorm.tokens (strip-then-split over the
+# normalized text). The extraction form regexp_extract_all('[a-z0-9]+')
+# diverges on intra-word punctuation ('e-mail' -> ['email'] here but
+# ['e','mail'] there) and on non-space whitespace — any oracle mirroring
+# a tokens()-based Spark operator must use THIS fragment (ADVICE r5).
+# Pattern-COUNT oracles (len(regexp_extract_all(...))) mirror
+# _count_pattern and stay extraction-based on both sides.
+_DUCK_TOKENS = f"list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '')"
 _TOKEN_RE = "[a-z0-9]+"
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 _ALL_MARKERS = "|".join(w for _, ws in T.LANG_MARKERS for w in ws)
@@ -2381,8 +2403,7 @@ ORACLES: dict[str, str] = {
                        PARTITION BY lang ORDER BY count(*) DESC, token
                    ) AS rank
             FROM (
-                SELECT lang,
-                       unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+                SELECT lang, unnest({_DUCK_TOKENS}) AS token
                 FROM documents
             ) t
             GROUP BY lang, token
@@ -2413,11 +2434,11 @@ ORACLES: dict[str, str] = {
                CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
         FROM (SELECT doc_id, text,
                      md5(array_to_string(list_slice(
-                         regexp_extract_all(lower(text), '{_TOKEN_RE}'), 1, 10), ' ')) AS fp
+                         {_DUCK_TOKENS}, 1, 10), ' ')) AS fp
               FROM documents) a
         JOIN (SELECT doc_id, text,
                      md5(array_to_string(list_slice(
-                         regexp_extract_all(lower(text), '{_TOKEN_RE}'), 1, 10), ' ')) AS fp
+                         {_DUCK_TOKENS}, 1, 10), ' ')) AS fp
               FROM documents) b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
     """,
@@ -2696,9 +2717,9 @@ ORACLES["idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     GROUP BY 1
 """
-ORACLES["minhash_signatures"] = """
+ORACLES["minhash_signatures"] = f"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        SELECT doc_id, {_DUCK_TOKENS} AS t
         FROM documents
     ),
     sh AS (
@@ -2896,9 +2917,9 @@ def _build_pagerank_q_sql(
     )
 
 
-_RETRIEVAL_TERMS = """
+_RETRIEVAL_TERMS = f"""
     terms AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
         FROM documents
     )
 """
@@ -3093,7 +3114,7 @@ ORACLES["rich_club"] = f"""
     SELECT CAST(nk.k AS INTEGER) AS k, CAST(nk.n_rich AS BIGINT) AS n_rich,
            CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
            CASE WHEN nk.n_rich >= 2
-                THEN CAST(2 * ek.e_rich AS DOUBLE)
+                THEN CAST(2 * coalesce(ek.e_rich, 0) AS DOUBLE)
                      / CAST(nk.n_rich * (nk.n_rich - 1) AS DOUBLE)
            END AS phi
     FROM nk LEFT JOIN ek ON ek.k = nk.k
@@ -3199,9 +3220,9 @@ ORACLES["events_ewma"] = """
                / 1000000.0 AS ewma
     FROM wv
 """
-ORACLES["dedup_minhash_md5"] = """
+ORACLES["dedup_minhash_md5"] = f"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        SELECT doc_id, {_DUCK_TOKENS} AS t
         FROM documents
     ),
     sh AS (
@@ -3308,12 +3329,11 @@ ORACLES["bpe_pair_counts"] = f"""
     SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM cnt
     ORDER BY cnt DESC, pair LIMIT 30
 """
-ORACLES["bigram_logprob"] = """
+ORACLES["bigram_logprob"] = f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-               generate_subscripts(regexp_extract_all(lower(text),
-                                                      '[a-z0-9]+'), 1) AS pos
+               unnest({_DUCK_TOKENS}) AS term,
+               generate_subscripts({_DUCK_TOKENS}, 1) AS pos
         FROM documents
     ),
     bi AS (
@@ -3360,9 +3380,9 @@ ORACLES["unigram_logprob"] = f"""
     FROM terms JOIN model m USING (term)
     GROUP BY 1
 """
-ORACLES["simhash_signatures"] = """
+ORACLES["simhash_signatures"] = f"""
     WITH toks AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
         FROM documents
     ),
     h AS (
@@ -3381,9 +3401,9 @@ ORACLES["simhash_signatures"] = """
                AS simhash
     FROM bitsum GROUP BY 1
 """
-ORACLES["decontamination"] = """
+ORACLES["decontamination"] = f"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        SELECT doc_id, {_DUCK_TOKENS} AS t
         FROM documents
     ),
     grams AS (

@@ -81,6 +81,7 @@ def betweenness(
     # just-materialized frame) instead of a separate frontier.isEmpty()
     # job that would force the expansion twice.
     prev_count = visited.count()
+    converged = False
     for level in range(1, max_iterations + 1):
         frontier = visited.where(F.col("dist") == level - 1)
         # TWO shuffles per level, not three: raw frontier messages union
@@ -123,8 +124,19 @@ def betweenness(
         )
         count = visited.count()
         if count == prev_count:
+            converged = True
             break
         prev_count = count
+    if not converged:
+        # A truncated BFS would silently understate sigma/g for the
+        # unreached fringe — and desynchronize from any fixed-level
+        # unrolled oracle. Raise loudly instead (q_graph_mis pattern:
+        # both engine and oracle are pinned to the same budget, and
+        # overflow is an error, not a wrong answer).
+        raise RuntimeError(
+            f"betweenness: BFS still growing after {max_iterations} levels; "
+            "raise max_iterations (and the oracle's unroll depth) together"
+        )
 
     max_dist = visited.agg(F.max("dist")).first()[0] or 0
 

@@ -84,14 +84,19 @@ def bloom_probe_stats(
     }
     arr = ", ".join(f"{words.get(w, 0)}L" for w in range(n_words))
     bloom_lit = f"array({arr})"
-    hits = []
-    for j in range(n_hash):
-        p = _pos_sql(f"cast(k as string)", j, m_bits)
-        hits.append(
-            f"(element_at({bloom_lit}, cast(({p}) div 32 as int) + 1)"
-            f" & shiftleft(1L, cast(({p}) % 32 as int))) != 0L"
-        )
-    pass_expr = " AND ".join(hits)
+    # Materialize each hash position as a column ONCE, then derive
+    # word/bit from the column — the hit test would otherwise embed the
+    # md5/conv chain twice per probe (CLAUDE.md materialize-expensive-
+    # expressions rule, applied consistently).
+    pos_cols = {
+        f"p{j}": F.expr(_pos_sql("cast(k as string)", j, m_bits))
+        for j in range(n_hash)
+    }
+    pass_expr = " AND ".join(
+        f"(element_at({bloom_lit}, cast(p{j} div 32 as int) + 1)"
+        f" & shiftleft(1L, cast(p{j} % 32 as int))) != 0L"
+        for j in range(n_hash)
+    )
     members = (
         build_keys.select(F.col(build_col).alias("k"))
         .distinct()
@@ -99,6 +104,7 @@ def bloom_probe_stats(
     )
     flagged = (
         probe.select(F.col(probe_col).alias("k"))
+        .withColumns(pos_cols)
         .withColumn("pass", F.expr(pass_expr))
         .join(F.broadcast(members), "k", "left")
     )

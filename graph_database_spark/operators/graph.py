@@ -191,7 +191,12 @@ def link_prediction(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> 
     100 TB the wedge join is the same hub-bounded shuffle triangle
     counting pays; AQE skew-splits the hot vertices.
     """
-    sym = symmetrize(edges)
+    # edges feeds four consumers (both wedge sides via sym, the anti-join
+    # probe, and degree twice) — checkpoint both so the upstream build
+    # (e.g. the co-purchase self-join pipeline) is planned once
+    # (CLAUDE.md reuse rule; un-checkpointed this plan hit 42 Exchanges).
+    edges = edges.select("src", "dst").localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
     w1, w2 = sym.alias("w1"), sym.alias("w2")
     pairs = (
         w1.join(w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n")))

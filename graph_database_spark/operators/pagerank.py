@@ -76,10 +76,20 @@ def pagerank(
     if sources is None:
         pref_df = deg.select("id", F.lit(1.0 / n).alias("pref"))
     else:
-        src = sources.toDF("id").distinct()
+        # Count only IN-GRAPH seeds: the left join below drops seeds
+        # absent from deg, and counting them anyway would silently leak
+        # the absent seeds' share of the teleport mass (ADVICE r5).
+        src = (
+            sources.toDF("id")
+            .distinct()
+            .join(deg.select("id"), "id", "left_semi")
+            .localCheckpoint()
+        )
         s_cnt = src.count()
         if s_cnt == 0:
-            raise ValueError("personalized pagerank needs a non-empty source set")
+            raise ValueError(
+                "personalized pagerank needs a non-empty in-graph source set"
+            )
         pref_df = deg.select("id").join(
             src.withColumn("pref", F.lit(1.0 / s_cnt)), "id", "left"
         ).select("id", F.coalesce("pref", F.lit(0.0)).alias("pref"))
@@ -203,10 +213,20 @@ def pagerank_quantized(
             "id", F.lit(float(scale) / n).alias("pref")
         )
     else:
-        src = sources.toDF("id").distinct()
+        # Count only IN-GRAPH seeds: the left join below drops seeds
+        # absent from deg, and counting them anyway would silently leak
+        # the absent seeds' share of the teleport mass (ADVICE r5).
+        src = (
+            sources.toDF("id")
+            .distinct()
+            .join(deg.select("id"), "id", "left_semi")
+            .localCheckpoint()
+        )
         s_cnt = src.count()
         if s_cnt == 0:
-            raise ValueError("personalized pagerank needs a non-empty source set")
+            raise ValueError(
+                "personalized pagerank needs a non-empty in-graph source set"
+            )
         pref_df = deg.select("id").join(
             src.withColumn("pref", F.lit(float(scale) / s_cnt)), "id", "left"
         ).select("id", F.coalesce("pref", F.lit(0.0)).alias("pref"))
