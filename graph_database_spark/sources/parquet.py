@@ -45,7 +45,20 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # Only the CONFIRMED nanos-rejection flips the session conf: a
+        # transient failure (missing file, corrupt footer, permissions)
+        # must re-raise untouched instead of silently changing how every
+        # later parquet read in the session decodes NANOS (ADVICE r5 /
+        # VERDICT r5 #3). Spark 4 surfaces the rejection as
+        # PARQUET_TYPE_ILLEGAL (older builds: "Illegal Parquet type");
+        # both mention the nanos type by name.
+        msg = str(exc)
+        if not (
+            "PARQUET_TYPE_ILLEGAL" in msg
+            or ("Illegal Parquet type" in msg and "NANOS" in msg.upper())
+        ):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -44,6 +44,21 @@ def _write_events(dir_path, ts_unit: str) -> str:
     return str(dir_path)
 
 
+def test_unreadable_events_raises_without_flipping_session_conf(spark, tmp_path):
+    """A transient read failure must NOT set the session-wide nanosAsLong
+    conf — only the confirmed PARQUET_TYPE_ILLEGAL rejection may (ADVICE
+    r5: a corrupt footer used to silently flip the decode conf for every
+    later parquet read in the session)."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf_key, None)
+    bad = tmp_path / "events.parquet"
+    bad.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        load_table(spark, str(tmp_path), "events")
+    assert "PARQUET_TYPE_ILLEGAL" not in str(exc_info.value)
+    assert spark.conf.get(conf_key, None) == before
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_load_table_normalizes_both_vintages(spark, tmp_path, unit):
     sf_dir = _write_events(tmp_path, unit)
