@@ -84,6 +84,35 @@ def test_label_propagation_two_cliques(spark):
     assert out[0] != out[10]
 
 
+def test_label_propagation_counted_path_matches_sorted(spark):
+    # The hub-safe two-stage (counted) mode must produce IDENTICAL labels
+    # to the sorted-array mode on a hub-heavy graph: a 40-spoke star
+    # (vertex 0 the hub) with two 4-cliques hanging off spokes, plus a
+    # bridge — exercises majority ties (every spoke sees only the hub),
+    # hub argmax, and multi-round convergence.
+    from graph_database_spark.operators.labelprop import label_propagation
+
+    star = [(0, i) for i in range(1, 41)]
+    c1 = [(a, b) for a in range(50, 54) for b in range(a + 1, 54)]
+    df = spark.createDataFrame(
+        star + c1 + [(1, 50)], "src long, dst long"
+    )
+    by_mode = {}
+    for mode in ("sorted", "counted"):
+        by_mode[mode] = {
+            r["id"]: r["community"]
+            for r in label_propagation(df, mode=mode).collect()
+        }
+    assert by_mode["sorted"] == by_mode["counted"]
+    # auto on a hub graph with a tiny threshold takes the counted path
+    # and still agrees.
+    auto = {
+        r["id"]: r["community"]
+        for r in label_propagation(df, mode="auto", hub_threshold=8).collect()
+    }
+    assert auto == by_mode["sorted"]
+
+
 # ---------------------------------------------------------------------------
 # BFS distances
 # ---------------------------------------------------------------------------
