@@ -62,9 +62,68 @@ def test_frame_sample_stride(docs):
     assert [r["frame_idx"] for r in by_id[2]] == [0]
 
 
-def test_decode_image_is_gated(docs):
+def _make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid solid-color RGB PNG via stdlib only (zlib + struct):
+    the decode tests stay self-contained — no imaging library needed to
+    BUILD a test image, only to decode one."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(
+    MM._pil_image() is not None, reason="imaging library present"
+)
+def test_decode_image_is_gated_without_pil(docs):
     with pytest.raises(NotImplementedError):
         MM.decode_image(MM.attach_media(docs))
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(MM.attach_media(docs), decode="image")
+
+
+@pytest.mark.skipif(MM._pil_image() is None, reason="PIL not installed")
+def test_decode_image_real(spark):
+    media = spark.createDataFrame(
+        [
+            (1, _make_png(4, 2, (255, 255, 255)), ("image/png", 0, "t")),
+            (2, _make_png(3, 3, (0, 0, 0)), ("image/png", 0, "t")),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in MM.decode_image(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
+    assert (rows[2]["width"], rows[2]["height"]) == (3, 3)
+    assert rows[1]["mean_luma"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[2]["mean_luma"] == pytest.approx(0.0, abs=1e-6)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in MM.extract_features(media, decode="image").collect()
+    }
+    # Solid white: all pixels in the TOP luminance bin; solid black: all
+    # in the bottom bin. Histograms are pixel-mass fractions (sum to 1).
+    assert feats[1][-1] == pytest.approx(1.0, abs=1e-6)
+    assert feats[2][0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_extract_features_rejects_unknown_decode(docs):
+    with pytest.raises(ValueError):
+        MM.extract_features(MM.attach_media(docs), decode="audio")
 
 
 def test_resize_media_decimates(docs):
