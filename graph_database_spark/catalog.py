@@ -340,6 +340,18 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(queries, emb, k=10)
 
 
+def q_ann_lsh_md5(spark, sf_dir):
+    # Hash-verified twin of ann_lsh (dedup_minhash_md5 philosophy): md5
+    # hyperplane signs + integer micro-unit sums make the bucketing
+    # order-exact, and the in-bucket rounded cosine is the form
+    # similarity_topk already verifies — so the full LSH machinery
+    # (signs -> sums -> bit-fold -> bucket join -> re-rank) is
+    # cross-engine checked; production ann_lsh keeps xxhash64 signs.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk_md5(queries, emb, k=10, n_bits=6, n_tables=8)
+
+
 def q_snap_metrics(spark, sf_dir):
     """Reference-dataset parity: per ego network, the golden node/edge
     counts and proof-1 numerator/denominator (golden values pinned in
@@ -2923,6 +2935,78 @@ _RETRIEVAL_TERMS = f"""
         FROM documents
     )
 """
+def _build_ann_lsh_md5_sql(
+    dim: int = 64, n_bits: int = 6, n_tables: int = 8, k: int = 10
+) -> str:
+    # Mirrors operators/similarity.lsh_topk_md5 exactly: md5-parity ±1
+    # signs (derived IN SQL — the sign family itself is verified, not
+    # trusted), integer micro-unit hyperplane sums (order-exact), bucket
+    # = big-endian bit-fold (shifts < 31 bits), rounded-6 in-bucket
+    # cosine + (sim DESC, cand_id) row_number — the similarity_topk
+    # oracle's re-rank form.
+    total_bits = n_bits * n_tables
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    xm AS (
+        SELECT vec_id, i, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM ex
+    ),
+    signs AS (
+        SELECT ii.i, jj.j,
+               (CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) || '|' ||
+                                            CAST(jj.j AS VARCHAR)), 1, 1))
+                     AS BIGINT) % 2) * 2 - 1 AS s
+        FROM (SELECT unnest(range(0, {dim})) AS i) ii,
+             (SELECT unnest(range(0, {total_bits})) AS j) jj
+    ),
+    hs AS (
+        SELECT m.vec_id, s.j, sum(m.xm * s.s) AS h
+        FROM xm m JOIN signs s ON s.i = m.i - 1
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(j // {n_bits} AS INTEGER) AS tbl,
+               sum(CASE WHEN h > 0 THEN 1 ELSE 0 END
+                   * (CAST(1 AS BIGINT) << ({n_bits} - 1 - (j % {n_bits}))))
+                   AS bucket
+        FROM hs GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT qa.vec_id AS query_id, cb.vec_id AS cand_id
+        FROM buckets qa
+        JOIN buckets cb ON cb.tbl = qa.tbl AND cb.bucket = qa.bucket
+        WHERE qa.vec_id % 50 = 0 AND qa.vec_id <> cb.vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.cand_id, sum(a.x * b.x) AS dp
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.query_id
+        JOIN ex b ON b.vec_id = c.cand_id AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, cand_id
+               ) AS rank
+        FROM scored
+    ) r WHERE rank <= {k}
+"""
+
+
+ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -3855,6 +3939,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_md5": q_ann_lsh_md5,
     "ann_ivf": q_ann_ivf,
     "label_propagation": q_label_propagation,
     "docs_hash_sample": q_docs_hash_sample,

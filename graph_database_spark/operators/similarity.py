@@ -37,6 +37,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_pairs_above",
     "lsh_topk",
+    "lsh_topk_md5",
     "lsh_pairs_above",
 ]
 
@@ -301,6 +302,132 @@ def lsh_topk(
     # two dim-double vectors per candidate (~1 KB/row at dim=64; with
     # small n_bits a query collides with most of the corpus in some
     # table, so the candidate stream is the biggest frame in the query).
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.col("ida").alias("query_id"), F.col("idb").alias("cand_id"),
+            _pair_sim(6).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# md5-twin sign matrices (lsh_topk_md5): literal ARRAY<ARRAY<BIGINT>>,
+# cached like _SIGN_CACHE and built by one driver-side Spark job so the
+# ±1 family is Spark's own md5, not a Python reimplementation.
+_MD5_SIGN_CACHE: dict[tuple[int, int], object] = {}
+
+
+def _md5_sign_matrix(df: DataFrame, dim: int, total_bits: int):
+    """``s[i][j] = (parity of first md5 hex digit of "i|j") * 2 - 1`` —
+    the oracle-expressible hyperplane family: DuckDB derives the SAME
+    signs from md5 in SQL, so the bucket assignment is cross-engine
+    verifiable (the xxhash64 family in _sign_matrix is not)."""
+    key = (dim, total_bits)
+    if key not in _MD5_SIGN_CACHE:
+        spark = df.sparkSession
+        idx = spark.range(dim).select(F.col("id").cast("int").alias("i"))
+        cols = [
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.col("i"), F.lit(j))), 1, 1
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias(f"s{j}")
+            for j in range(total_bits)
+        ]
+        rows = sorted(idx.select("i", *cols).collect(), key=lambda r: r["i"])
+        _MD5_SIGN_CACHE[key] = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    f"{r[f's{j}']}L" for j in range(total_bits)
+                ) + ")"
+                for r in rows
+            ) + ")"
+        )
+    return _MD5_SIGN_CACHE[key]
+
+
+def lsh_topk_md5(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Hash-verifiable twin of ``lsh_topk``: same plan shape (ONE shuffle
+    on (table, bucket), exact in-bucket cosine re-rank), but every
+    engine-divergent ingredient replaced by a cross-engine-exact one —
+    the ``dedup_minhash_md5`` philosophy applied to ANN (VERDICT r5 #7):
+
+    - hyperplane signs from md5 parity (oracle derives them in SQL),
+    - hyperplane sums over INTEGER micro-units
+      (``round(x * 1e6) AS BIGINT``), so the per-bit accumulation is an
+      order-independent integer sum — no IEEE drift in the bucketing,
+    - bucket codes are integer bit-folds,
+    - the re-rank cosine is the rounded-6 form ``similarity_topk``
+      already hash-verifies.
+
+    Production keeps ``lsh_topk`` (xxhash64 signs, float sums — faster);
+    this twin certifies the banding/bucketing/re-rank MACHINERY against
+    DuckDB. Both share bucket occupancy behavior at equal n_bits."""
+    total_bits = n_bits * n_tables
+    dim = _vec_dim(candidates, vec_col)
+    signs = _md5_sign_matrix(candidates, dim, total_bits)
+
+    def with_buckets(df: DataFrame, suffix: str) -> DataFrame:
+        base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
+            "vm",
+            F.transform(
+                F.col(f"v{suffix}"),
+                lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+            ),
+        )
+        pairs = F.zip_with(
+            F.col("vm"),
+            F.sequence(F.lit(0), F.size("vm") - 1),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        )
+        hsums = F.aggregate(
+            pairs,
+            F.array_repeat(F.lit(0).cast("long"), total_bits),
+            lambda acc, p: F.zip_with(
+                acc,
+                F.element_at(signs, p["i"] + 1),
+                lambda a, s: a + p["x"] * s,
+            ),
+        )
+        base = base.withColumn("hs", hsums)
+        buckets = []
+        for t in range(n_tables):
+            acc = F.lit(0)
+            for j in range(n_bits):
+                bit = (F.element_at("hs", t * n_bits + j + 1) > 0).cast("int")
+                acc = acc * 2 + bit
+            buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+        return base.select(
+            f"id{suffix}", f"v{suffix}", f"n{suffix}",
+            F.explode(F.array(*buckets)).alias("tb"),
+        ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
+
+    qb = with_buckets(queries, "a")
+    cb = with_buckets(candidates, "b")
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("ida") != F.col("idb"))

@@ -62,6 +62,24 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.6, f"recall@10 = {recall:.3f}"
 
 
+def test_lsh_topk_md5_twin_recall_and_determinism(emb):
+    """The md5 twin is real ANN machinery, not a degenerate oracle prop:
+    its recall@10 vs brute force clears the same floor as lsh_topk, and
+    two runs are bit-identical (integer bucketing + rounded re-rank)."""
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk(queries, emb, k=10)
+    truth = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    run = lambda: sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in S.lsh_topk_md5(queries, emb, k=10, n_bits=4, n_tables=8).collect()
+    )
+    first = run()
+    approx = {(q, c) for q, c, _, _ in first}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"recall@10 = {recall:.3f}"
+    assert first == run()
+
+
 def test_lsh_pairs_above_recall(emb):
     exact = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs_above(emb, 0.35).collect()}
     approx = {(r["id_a"], r["id_b"]) for r in S.lsh_pairs_above(emb, 0.35).collect()}
