@@ -352,6 +352,13 @@ def q_ann_lsh_md5(spark, sf_dir):
     return S.lsh_topk_md5(queries, emb, k=10, n_bits=6, n_tables=8)
 
 
+def q_embedding_neardup_lsh_md5(spark, sf_dir):
+    # Hash-verified twin of embedding_neardup_lsh on the same md5
+    # bucketing leg as ann_lsh_md5 (shared _md5_buckets).
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_pairs_above_md5(emb, threshold=0.35, n_bits=6, n_tables=8)
+
+
 def q_snap_metrics(spark, sf_dir):
     """Reference-dataset parity: per ego network, the golden node/edge
     counts and proof-1 numerator/denominator (golden values pinned in
@@ -2935,18 +2942,14 @@ _RETRIEVAL_TERMS = f"""
         FROM documents
     )
 """
-def _build_ann_lsh_md5_sql(
-    dim: int = 64, n_bits: int = 6, n_tables: int = 8, k: int = 10
-) -> str:
-    # Mirrors operators/similarity.lsh_topk_md5 exactly: md5-parity ±1
+def _md5_bucket_ctes(dim: int, n_bits: int, n_tables: int) -> str:
+    # Mirrors operators/similarity._md5_buckets exactly: md5-parity ±1
     # signs (derived IN SQL — the sign family itself is verified, not
     # trusted), integer micro-unit hyperplane sums (order-exact), bucket
-    # = big-endian bit-fold (shifts < 31 bits), rounded-6 in-bucket
-    # cosine + (sim DESC, cand_id) row_number — the similarity_topk
-    # oracle's re-rank form.
+    # = big-endian bit-fold (shifts < 31 bits).
     total_bits = n_bits * n_tables
     return f"""
-    WITH ex AS (
+    ex AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
@@ -2975,7 +2978,17 @@ def _build_ann_lsh_md5_sql(
                    * (CAST(1 AS BIGINT) << ({n_bits} - 1 - (j % {n_bits}))))
                    AS bucket
         FROM hs GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _build_ann_lsh_md5_sql(
+    dim: int = 64, n_bits: int = 6, n_tables: int = 8, k: int = 10
+) -> str:
+    # Bucketing CTEs + rounded-6 in-bucket cosine and the
+    # (sim DESC, cand_id) row_number re-rank — the similarity_topk
+    # oracle's form. Mirrors lsh_topk_md5.
+    return f"""
+    WITH {_md5_bucket_ctes(dim, n_bits, n_tables)},
     cand AS (
         SELECT DISTINCT qa.vec_id AS query_id, cb.vec_id AS cand_id
         FROM buckets qa
@@ -3006,7 +3019,36 @@ def _build_ann_lsh_md5_sql(
 """
 
 
+def _build_lsh_pairs_md5_sql(
+    dim: int = 64, n_bits: int = 6, n_tables: int = 8, threshold: float = 0.35
+) -> str:
+    # Mirrors lsh_pairs_above_md5: same bucketing CTEs, candidate pairs
+    # are id_a < id_b sharing any (table, bucket), rounded-6 verify.
+    return f"""
+    WITH {_md5_bucket_ctes(dim, n_bits, n_tables)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a
+        JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
+        WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b, sum(a.x * b.x) AS dp
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.id_a
+        JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dp / (na.nrm * nb.nrm), 6) >= CAST({threshold} AS DOUBLE)
+"""
+
+
 ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
+ORACLES["embedding_neardup_lsh_md5"] = _build_lsh_pairs_md5_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -3940,6 +3982,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_md5": q_ann_lsh_md5,
+    "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "ann_ivf": q_ann_ivf,
     "label_propagation": q_label_propagation,
     "docs_hash_sample": q_docs_hash_sample,

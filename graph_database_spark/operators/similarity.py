@@ -39,6 +39,7 @@ __all__ = [
     "lsh_topk",
     "lsh_topk_md5",
     "lsh_pairs_above",
+    "lsh_pairs_above_md5",
 ]
 
 
@@ -362,6 +363,51 @@ def _md5_sign_matrix(df: DataFrame, dim: int, total_bits: int):
     return _MD5_SIGN_CACHE[key]
 
 
+def _md5_buckets(
+    df: DataFrame, id_col: str, vec_col: str, suffix: str,
+    n_bits: int, n_tables: int, dim: int,
+) -> DataFrame:
+    """The cross-engine-exact bucketing leg shared by the md5 twins:
+    integer micro-unit hyperplane sums (order-independent) against the
+    md5-parity sign matrix, then big-endian bit-fold bucket codes.
+    Same output shape as _with_buckets."""
+    total_bits = n_bits * n_tables
+    signs = _md5_sign_matrix(df, dim, total_bits)
+    base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
+        "vm",
+        F.transform(
+            F.col(f"v{suffix}"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ),
+    )
+    pairs = F.zip_with(
+        F.col("vm"),
+        F.sequence(F.lit(0), F.size("vm") - 1),
+        lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+    )
+    hsums = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), total_bits),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.element_at(signs, p["i"] + 1),
+            lambda a, s: a + p["x"] * s,
+        ),
+    )
+    base = base.withColumn("hs", hsums)
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(0)
+        for j in range(n_bits):
+            bit = (F.element_at("hs", t * n_bits + j + 1) > 0).cast("int")
+            acc = acc * 2 + bit
+        buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+    return base.select(
+        f"id{suffix}", f"v{suffix}", f"n{suffix}",
+        F.explode(F.array(*buckets)).alias("tb"),
+    ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
+
+
 def lsh_topk_md5(
     queries: DataFrame,
     candidates: DataFrame,
@@ -387,47 +433,9 @@ def lsh_topk_md5(
     Production keeps ``lsh_topk`` (xxhash64 signs, float sums — faster);
     this twin certifies the banding/bucketing/re-rank MACHINERY against
     DuckDB. Both share bucket occupancy behavior at equal n_bits."""
-    total_bits = n_bits * n_tables
     dim = _vec_dim(candidates, vec_col)
-    signs = _md5_sign_matrix(candidates, dim, total_bits)
-
-    def with_buckets(df: DataFrame, suffix: str) -> DataFrame:
-        base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
-            "vm",
-            F.transform(
-                F.col(f"v{suffix}"),
-                lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
-            ),
-        )
-        pairs = F.zip_with(
-            F.col("vm"),
-            F.sequence(F.lit(0), F.size("vm") - 1),
-            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
-        )
-        hsums = F.aggregate(
-            pairs,
-            F.array_repeat(F.lit(0).cast("long"), total_bits),
-            lambda acc, p: F.zip_with(
-                acc,
-                F.element_at(signs, p["i"] + 1),
-                lambda a, s: a + p["x"] * s,
-            ),
-        )
-        base = base.withColumn("hs", hsums)
-        buckets = []
-        for t in range(n_tables):
-            acc = F.lit(0)
-            for j in range(n_bits):
-                bit = (F.element_at("hs", t * n_bits + j + 1) > 0).cast("int")
-                acc = acc * 2 + bit
-            buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
-        return base.select(
-            f"id{suffix}", f"v{suffix}", f"n{suffix}",
-            F.explode(F.array(*buckets)).alias("tb"),
-        ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
-
-    qb = with_buckets(queries, "a")
-    cb = with_buckets(candidates, "b")
+    qb = _md5_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
+    cb = _md5_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("ida") != F.col("idb"))
@@ -441,6 +449,35 @@ def lsh_topk_md5(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def lsh_pairs_above_md5(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Hash-verifiable twin of ``lsh_pairs_above`` on the shared
+    ``_md5_buckets`` leg — same plan (bucket join, score-then-dedup on
+    scalar rows), cross-engine-exact bucketing, rounded-6 verify."""
+    dim = _vec_dim(vectors, vec_col)
+    b = _md5_buckets(vectors, id_col, vec_col, "a", n_bits, n_tables, dim)
+    other = b.select(
+        F.col("ida").alias("idb"), F.col("va").alias("vb"),
+        F.col("na").alias("nb"), "table", "bucket",
+    )
+    return (
+        b.join(other, ["table", "bucket"])
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
