@@ -903,6 +903,18 @@ def q_token_packing(spark, sf_dir):
     return token_chunks(d, budget=2048).select("doc_id", "lang", "n_tokens", "chunk_id")
 
 
+def q_ann_ivf_md5(spark, sf_dir):
+    # Hash-verified twin of ann_ivf: md5-ordered centroid draw + integer
+    # micro-unit cell assignment make the inverted-file machinery
+    # (model draw -> assignment -> probe ranking -> in-cell re-rank)
+    # order-exact cross-engine; production ann_ivf keeps xxhash64.
+    from graph_database_spark.operators.ivf import ivf_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk_md5(queries, emb, k=10, n_centroids=16, n_probe=4)
+
+
 def q_ann_ivf(spark, sf_dir):
     # Rows-only: IVF-cell ANN (data-adaptive counterpart of ann_lsh);
     # recall floor vs brute force pinned by tests/test_ivf.py.
@@ -3047,8 +3059,101 @@ def _build_lsh_pairs_md5_sql(
 """
 
 
+def _build_ann_ivf_md5_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    # Mirrors operators/ivf.ivf_topk_md5: md5-ordered centroid draw;
+    # nrm via list_sum(list_transform(...)) — LIST-ORDER sequential
+    # summation matching Python's sum() over the same elements, with
+    # IEEE sqrt/divide exact in both; integer micro-unit cell sims;
+    # candidate cell = argmax with FIRST-index tiebreak (s DESC, c ASC);
+    # probe cells from reverse(array_sort(struct(s,c))) = (s DESC,
+    # c DESC); rounded-6 re-rank.
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    xm AS (
+        SELECT vec_id, i, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM ex
+    ),
+    cent AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {n_centroids}
+    ),
+    cnrm AS (
+        SELECT c, sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM cent JOIN embeddings e ON e.vec_id = cid
+    ),
+    cm AS (
+        SELECT n.c, ex.i,
+               CAST(round(ex.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END)
+                          * 1000000.0, 0) AS BIGINT) AS cm
+        FROM cent JOIN ex ON ex.vec_id = cid JOIN cnrm n USING (c)
+    ),
+    sims AS (
+        SELECT v.vec_id, c.c, sum(v.xm * c.cm) AS s
+        FROM xm v JOIN cm c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    cand_cell AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, c ASC
+                   ) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, c DESC
+                   ) AS rn
+            FROM sims WHERE vec_id % 50 = 0
+        ) t WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, cc.vec_id AS cand_id
+        FROM probe p JOIN cand_cell cc USING (cell)
+        WHERE p.vec_id <> cc.vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.cand_id, sum(a.x * b.x) AS dp
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.query_id
+        JOIN ex b ON b.vec_id = c.cand_id AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, cand_id
+               ) AS rank
+        FROM scored
+    ) r WHERE rank <= {k}
+"""
+
+
 ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
 ORACLES["embedding_neardup_lsh_md5"] = _build_lsh_pairs_md5_sql()
+ORACLES["ann_ivf_md5"] = _build_ann_ivf_md5_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -3984,6 +4089,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_md5": q_ann_lsh_md5,
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_md5": q_ann_ivf_md5,
     "label_propagation": q_label_propagation,
     "docs_hash_sample": q_docs_hash_sample,
     "corpus_mixture": q_corpus_mixture,

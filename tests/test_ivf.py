@@ -45,6 +45,24 @@ def test_ivf_more_probes_more_recall(spark, emb):
     assert recall(2) <= r_all
 
 
+def test_ivf_md5_twin_recall_and_determinism(spark, emb):
+    """The md5 twin is real IVF machinery: probing all cells is exact
+    (recall 1.0, like ivf_topk), and repeated runs are bit-identical
+    (integer cell sims + rounded re-rank)."""
+    from graph_database_spark.operators.ivf import ivf_topk_md5
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    truth = {(r["query_id"], r["cand_id"])
+             for r in S.brute_force_topk(queries, emb, k=10).collect()}
+    exhaustive = {(r["query_id"], r["cand_id"])
+                  for r in ivf_topk_md5(queries, emb, k=10, n_centroids=16,
+                                        n_probe=16).collect()}
+    assert len(truth & exhaustive) / len(truth) == 1.0
+    a = sorted(map(tuple, ivf_topk_md5(queries, emb, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk_md5(queries, emb, k=5).collect()))
+    assert a == b
+
+
 def test_ivf_deterministic(spark, emb):
     queries = emb.where(F.col("vec_id") % 100 == 0)
     a = sorted(map(tuple, ivf_topk(queries, emb, k=5).collect()))
