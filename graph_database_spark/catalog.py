@@ -299,6 +299,22 @@ def q_text_embedding_neardup(spark, sf_dir):
     return S.cosine_pairs_above(emb, threshold=0.8, id_col="doc_id", vec_col="embedding")
 
 
+def q_text_embedding_neardup_md5(spark, sf_dir):
+    # Hash-verified twin of text_embedding_neardup: md5 bucket/sign
+    # hashing-trick features kept as RAW integer count vectors (cosine
+    # is scale-invariant, so skipping normalization preserves the
+    # similarity semantics while making dot products exact integer sums
+    # and norms IEEE sqrt of exact integers). Zero vectors (all buckets
+    # cancelled) are excluded on BOTH sides — their cosine is 0/0 = NaN,
+    # which compares as 'large' in both engines.
+    emb = T.hash_embedding_md5(
+        load_table(spark, sf_dir, "documents"), dim=64
+    ).where(F.exists("embedding", lambda x: x != 0.0))
+    return S.cosine_pairs_above(
+        emb, threshold=0.8, id_col="doc_id", vec_col="embedding"
+    )
+
+
 def q_staged_dedup(spark, sf_dir):
     # Rows-only (the near-dup tier is hash-based): the staged production
     # pipeline — normalized-fingerprint collapse, then MinHash components
@@ -1871,7 +1887,10 @@ def q_copurchase_strength(spark, sf_dir):
     # weighted-PageRank rows-only query.
     from graph_database_spark.plans.copurchase import copurchase_edges_weighted
 
-    we = copurchase_edges_weighted(spark, sf_dir)
+    # we is referenced by both union branches — checkpoint so the
+    # weighted co-purchase build (join + distinct + self-join + groupBy)
+    # is derived once, not twice (CLAUDE.md reuse rule).
+    we = copurchase_edges_weighted(spark, sf_dir).localCheckpoint()
     wsym = we.selectExpr("src AS id", "weight").unionByName(
         we.selectExpr("dst AS id", "weight")
     )
@@ -3154,6 +3173,34 @@ def _build_ann_ivf_md5_sql(
 ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
 ORACLES["embedding_neardup_lsh_md5"] = _build_lsh_pairs_md5_sql()
 ORACLES["ann_ivf_md5"] = _build_ann_ivf_md5_sql()
+ORACLES["text_embedding_neardup_md5"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 64 AS b,
+               (CAST(('0x' || substring(md5('s|' || t), 1, 1)) AS BIGINT) % 2)
+                   * 2 - 1 AS s
+        FROM toks
+    ),
+    vec AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY 1, 2),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+        FROM vec GROUP BY 1
+        HAVING sum(v * v) > 0
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.v * b.v) AS dp
+        FROM vec a JOIN vec b ON a.b = b.b AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(dp AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE round(CAST(dp AS DOUBLE) / (na.nrm * nb.nrm), 6)
+          >= CAST(0.8 AS DOUBLE)
+"""
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -4079,6 +4126,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "staged_dedup": q_staged_dedup,
     "text_embedding_neardup": q_text_embedding_neardup,
+    "text_embedding_neardup_md5": q_text_embedding_neardup_md5,
     "text_token_stats": q_text_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

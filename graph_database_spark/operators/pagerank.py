@@ -57,11 +57,13 @@ def pagerank(
     if weight_col is None:
         sym = symmetrize(edges).withColumn("w", F.lit(1.0))
     else:
+        # e feeds both union branches — checkpoint so a derived weighted
+        # edge build (e.g. copurchase_edges_weighted) is planned once.
         e = edges.select(
             F.col("src").alias("v"),
             F.col("dst").alias("n"),
             F.col(weight_col).cast("double").alias("w"),
-        )
+        ).localCheckpoint()
         sym = e.unionByName(
             e.select(F.col("n").alias("v"), F.col("v").alias("n"), "w")
         )
@@ -189,11 +191,13 @@ def pagerank_quantized(
     if weight_col is None:
         sym = symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
     else:
+        # e feeds both union branches — checkpoint so a derived weighted
+        # edge build (e.g. copurchase_edges_weighted) is planned once.
         e = edges.select(
             F.col("src").alias("v"),
             F.col("dst").alias("n"),
             F.col(weight_col).cast("long").alias("w"),
-        )
+        ).localCheckpoint()
         sym = e.unionByName(
             e.select(F.col("n").alias("v"), F.col("v").alias("n"), "w")
         )

@@ -32,6 +32,8 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprints",
+    "hash_embedding",
+    "hash_embedding_md5",
     "repetition_stats",
     "common_ngrams",
     "quality_rules",
@@ -197,6 +199,61 @@ def hash_embedding(
     return raw_df.select(
         id_col,
         F.transform("raw", lambda x: x / F.col("nrm")).alias("embedding"),
+    )
+
+
+def hash_embedding_md5(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-verifiable twin of ``hash_embedding`` (the md5-twin
+    philosophy): bucket and sign from md5 (oracle-reproducible in SQL),
+    and the vector is the RAW ±1 count histogram — INTEGER-valued, no
+    normalization. Cosine is scale-invariant, so downstream similarity
+    over these vectors equals the normalized form's, while every
+    coordinate is an order-independent integer sum: dot products are
+    exact, norms are IEEE sqrt of exact integers — the whole
+    featurize-then-match composition becomes cross-engine checkable.
+    Same plan shape as hash_embedding (one HOF pass, no shuffle)."""
+    from graph_database_spark.functions.textnorm import tokens
+    from graph_database_spark.operators.spread import spread
+
+    # Hashes computed ONCE per token into (bucket, sign) structs — the
+    # HOF capture rule (referencing them in the per-slot lambda would
+    # re-evaluate the md5 chain dim times per token).
+    pairs = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.struct(
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+                F.lit(dim),
+            ).alias("b"),
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("s|"), t)), 1, 1), 16, 10
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias("s"),
+        ),
+    )
+    raw = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda a, i: F.when(i == p["b"], a + p["s"]).otherwise(a),
+        ),
+    )
+    return spread(docs).select(
+        F.col(id_col),
+        F.transform(raw, lambda x: x.cast("double")).alias("embedding"),
     )
 
 
