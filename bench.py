@@ -81,6 +81,14 @@ HEADLINE = [
     "bloom_semijoin",
     "embedding_quantize",
     "excess_suppliers",
+    # r6 additions: the remaining major families the headline set
+    # didn't yet time (IVF ANN, community quality, CMS sketch, cohort
+    # retention, walk corpus).
+    "ann_ivf",
+    "community_modularity",
+    "token_counts_cms",
+    "user_retention",
+    "random_walks",
 ]
 
 
