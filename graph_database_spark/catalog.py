@@ -299,6 +299,24 @@ def q_text_embedding_neardup(spark, sf_dir):
     return S.cosine_pairs_above(emb, threshold=0.8, id_col="doc_id", vec_col="embedding")
 
 
+def q_doc_chunks(spark, sf_dir):
+    # RAG / training-window chunking: overlapping 32-token windows with
+    # stride 24 — row-local HOFs, no shuffle; hash-verified incl. the
+    # chunk text itself.
+    return T.doc_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    # MOSS winnowing (Schleimer et al. 2003): guaranteed-overlap
+    # substring fingerprints — md5 60-bit shingle hashes, rightmost-min
+    # window selection, hash-verified cross-engine.
+    return D.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=5, window=4
+    )
+
+
 def q_text_embedding_neardup_md5(spark, sf_dir):
     # Hash-verified twin of text_embedding_neardup: md5 bucket/sign
     # hashing-trick features kept as RAW integer count vectors (cosine
@@ -3173,6 +3191,56 @@ def _build_ann_ivf_md5_sql(
 ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
 ORACLES["embedding_neardup_lsh_md5"] = _build_lsh_pairs_md5_sql()
 ORACLES["ann_ivf_md5"] = _build_ann_ivf_md5_sql()
+ORACLES["doc_chunks"] = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    c AS (
+        SELECT doc_id, t, CAST(cid AS BIGINT) AS chunk_id
+        FROM toks, UNNEST(range(0, (len(t) - 1) // 24 + 1)) AS u(cid)
+        WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * 24 AS start_tok,
+           CAST(least(32, len(t) - chunk_id * 24) AS BIGINT) AS n_tok_chunk,
+           coalesce(array_to_string(
+               t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '), '')
+               AS chunk_text
+    FROM c
+"""
+ORACLES["winnow_fingerprints"] = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS (
+        -- k=5 shingles with the _shingles_from short-doc fallback
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s,
+               CAST(i AS BIGINT) AS i
+        FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        WHERE len(t) >= 5
+        UNION ALL
+        SELECT doc_id, coalesce(array_to_string(t, ' '), '') AS s,
+               CAST(1 AS BIGINT) AS i
+        FROM toks WHERE len(t) < 5
+    ),
+    h AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hv
+        FROM sh
+    ),
+    nn AS (SELECT doc_id, max(i) AS n FROM h GROUP BY 1),
+    -- windows of w = least(4, n) hashes starting at p = 1 .. n-w+1;
+    -- per window keep the min hash, RIGHTMOST position on ties
+    pick AS (
+        SELECT h.doc_id, p.p, h.i, h.hv,
+               row_number() OVER (
+                   PARTITION BY h.doc_id, p.p ORDER BY h.hv ASC, h.i DESC
+               ) AS rn
+        FROM nn,
+             UNNEST(range(1, nn.n - least(4, nn.n) + 2)) AS p(p),
+             h
+        WHERE h.doc_id = nn.doc_id
+          AND h.i BETWEEN p.p AND p.p + least(4, nn.n) - 1
+    )
+    SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, hv AS fp
+    FROM pick WHERE rn = 1
+"""
 ORACLES["text_embedding_neardup_md5"] = f"""
     WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
     h AS (
@@ -4127,6 +4195,8 @@ QUERIES: dict[str, QueryFn] = {
     "staged_dedup": q_staged_dedup,
     "text_embedding_neardup": q_text_embedding_neardup,
     "text_embedding_neardup_md5": q_text_embedding_neardup_md5,
+    "doc_chunks": q_doc_chunks,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "text_token_stats": q_text_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

@@ -34,6 +34,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "winnow_fingerprints",
     "ngram_jaccard_pairs",
     "staged_dedup",
 ]
@@ -355,6 +356,62 @@ def _minhash_pairs_from_tokens(
     return (
         pairs.select("id_a", "id_b", (agree / F.lit(float(num_perm))).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): ``(doc_id, pos, fp)`` — per sliding window of
+    ``window`` consecutive k-token-shingle hashes, keep the minimal hash
+    (ties -> RIGHTMOST position), then distinct per document. Guarantees
+    any shared run of ``window + k - 1`` tokens between two documents
+    yields a shared fingerprint — the robust substring-overlap primitive
+    exact-hash dedup misses and MinHash only approximates.
+
+    Hashes are the md5 60-bit family (cross-engine exact); selection and
+    dedup are row-local HOFs + one explode/distinct — no joins, no
+    Python. Docs with fewer than ``k + window - 1`` tokens contribute
+    their (possibly single-shingle) minimum so short docs still
+    fingerprint."""
+    toks_df = _tokens_df(docs, text_col, id_col)
+    sh = _shingles_from(F.col("toks"), k)
+    # Hash each shingle ONCE into a materialized column (HOF capture
+    # rule); 60-bit md5 prefix — the minhash oracle family.
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    hdf = toks_df.select(F.col("id").alias(id_col), hashes.alias("h"))
+    n = F.size("h")
+    w = F.least(F.lit(window), n)  # short docs: one window over all
+    # Window starting at p (1-based) spans h[p .. p+w-1]; the struct min
+    # over (hash, -pos) picks the smallest hash, rightmost on ties.
+    mins = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda p: F.array_min(
+            F.transform(
+                F.sequence(p, p + w - 1),
+                lambda q: F.struct(
+                    F.element_at(F.col("h"), q).alias("fp"),
+                    (-q).alias("neg_pos"),
+                ),
+            )
+        ),
+    )
+    return (
+        hdf.select(id_col, F.explode(mins).alias("m"))
+        .select(
+            id_col,
+            (-F.col("m.neg_pos")).cast("int").alias("pos"),
+            F.col("m.fp").alias("fp"),
+        )
+        .distinct()
     )
 
 

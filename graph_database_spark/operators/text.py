@@ -34,6 +34,7 @@ __all__ = [
     "fingerprints",
     "hash_embedding",
     "hash_embedding_md5",
+    "doc_chunks",
     "repetition_stats",
     "common_ngrams",
     "quality_rules",
@@ -254,6 +255,66 @@ def hash_embedding_md5(
     return spread(docs).select(
         F.col(id_col),
         F.transform(raw, lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking: ``(doc_id, chunk_id,
+    start_tok, n_tok_chunk, chunk_text)`` — the context-window prep
+    every RAG / training-example pipeline runs before embedding or
+    packing. Chunk i covers tokens [i*stride, i*stride + chunk_tokens);
+    a chunk exists for every stride offset < n_tokens. Token-less docs
+    produce no chunks.
+
+    Row-local HOFs only (tokenize once, slice per chunk) — no shuffle,
+    no Python; scales as a narrow map whatever the corpus size."""
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from graph_database_spark.functions.textnorm import tokens
+    from graph_database_spark.operators.spread import spread
+
+    toks_df = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    # number of chunks = 1 + floor((n - 1) / stride) limited to windows
+    # that start before n; identical closed form on both engines.
+    n_chunks = F.when(n > 0, ((n - 1) / stride).cast("long") + 1).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        toks_df.withColumn("n_chunks", n_chunks)
+        .where(F.col("n_chunks") > 0)
+        .select(
+            id_col,
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                F.size("toks") - F.col("chunk_id") * stride,
+            ).alias("n_tok_chunk"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    chunk_tokens,
+                ),
+            ).alias("chunk_text"),
+        )
     )
 
 

@@ -105,3 +105,47 @@ def test_hash_embedding_properties(docs, spark):
     assert sims[(1, 2)] == 1.0
     assert sims[(1, 3)] > 0.9        # one-token edit
     assert sims[(1, 4)] < 0.5        # unrelated text
+
+
+def test_winnow_fingerprints_guarantee_and_tiebreak(docs, spark):
+    """Winnowing invariants: (a) identical docs share the identical
+    fingerprint set; (b) docs sharing a long run (window+k-1 tokens)
+    share at least one fp VALUE; (c) positions are within the shingle
+    range; (d) short docs (< k tokens) still produce one fingerprint."""
+    out = D.winnow_fingerprints(docs, k=5, window=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert by_doc[1] == by_doc[2]  # exact dup -> identical (pos, fp) set
+    fps = {d: {fp for _, fp in s} for d, s in by_doc.items()}
+    assert fps[1] & fps[3]   # near-dup shares a guaranteed window
+    assert fps[1] & fps[5]   # punctuation/case variant normalizes equal
+    assert not (fps[1] & fps[4])  # unrelated text shares nothing
+    short = spark.createDataFrame([(9, "just three tokens")], "doc_id long, text string")
+    srows = D.winnow_fingerprints(short, k=5, window=4).collect()
+    assert len(srows) == 1 and srows[0]["pos"] == 1
+
+
+def test_doc_chunks_windows(spark):
+    from graph_database_spark.operators.text import doc_chunks
+
+    toks = " ".join(f"t{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = doc_chunks(df, chunk_tokens=4, stride=3)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok_chunk"], r["chunk_text"])
+        for r in out.collect()
+    )
+    # doc 1: starts at 0,3,6,9 -> lengths 4,4,4,1
+    assert [(c, s, n) for d, c, s, n, _ in rows if d == 1] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+    ]
+    assert rows[0][4] == "t0 t1 t2 t3"
+    assert rows[3][4] == "t9"
+    # doc 2 (3 tokens < chunk): one chunk, full text
+    assert [(c, s, n, t) for d, c, s, n, t in rows if d == 2] == [(0, 0, 3, "a b c")]
+    # empty doc: no chunks
+    assert not [r for r in rows if r[0] == 3]
