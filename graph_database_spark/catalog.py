@@ -31,6 +31,7 @@ from graph_database_spark.operators import similarity as S
 from graph_database_spark.operators import temporal as TP
 from graph_database_spark.operators import text as T
 from graph_database_spark.operators.betweenness import betweenness
+from graph_database_spark.operators.hits import hits_quantized
 from graph_database_spark.functions.textnorm import text_fingerprint
 from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
 from graph_database_spark.sources.parquet import load_table
@@ -1819,6 +1820,18 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_hits_scores(spark, sf_dir):
+    # Kleinberg HITS on the bipartite customer->part purchase graph,
+    # quantized to nano-units so the whole iteration hash-matches the
+    # unrolled DuckDB oracle (operators/hits.py docstring).
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    return hits_quantized(bip)
+
+
 def q_banded_revenue(spark, sf_dir):
     # TPC-H Q6 analog: the pure scan shape — no join, every predicate
     # (date range, discount band, quantity cap) pushed to the parquet
@@ -3269,6 +3282,49 @@ ORACLES["text_embedding_neardup_md5"] = f"""
     WHERE round(CAST(dp AS DOUBLE) / (na.nrm * nb.nrm), 6)
           >= CAST(0.8 AS DOUBLE)
 """
+def _build_hits_sql(iters: int = 6) -> str:
+    # Unrolled HITS: one (auth-raw, auth, hub-raw, hub) CTE quartet per
+    # round, mirroring hits_quantized's expression trees operand-for-
+    # operand — integer message sums are order-free, and the L1
+    # normalization is the single float expression
+    # round(1e9 * raw / tot) on both sides.
+    parts = ["""
+    bip AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT hub, CAST(1000000000 AS BIGINT) AS score FROM bip)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    ar{k} AS MATERIALIZED (
+        SELECT b.auth, sum(h.score) AS raw
+        FROM bip b JOIN h{k - 1} h ON h.hub = b.hub GROUP BY b.auth
+    ),
+    a{k} AS (
+        SELECT auth,
+               CAST(round(CAST(1000000000 AS DOUBLE) * CAST(raw AS DOUBLE)
+                          / CAST(t.t AS DOUBLE), 0) AS BIGINT) AS score
+        FROM ar{k} CROSS JOIN (SELECT sum(raw) AS t FROM ar{k}) t
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT b.hub, sum(a.score) AS raw
+        FROM bip b JOIN a{k} a ON a.auth = b.auth GROUP BY b.hub
+    ),
+    h{k} AS (
+        SELECT hub,
+               CAST(round(CAST(1000000000 AS DOUBLE) * CAST(raw AS DOUBLE)
+                          / CAST(t.t AS DOUBLE), 0) AS BIGINT) AS score
+        FROM hr{k} CROSS JOIN (SELECT sum(raw) AS t FROM hr{k}) t
+    )""")
+    return (
+        "WITH" + "".join(parts) + f"""
+    SELECT hub AS id, 'hub' AS kind, score AS score_nano FROM h{iters}
+    UNION ALL
+    SELECT auth AS id, 'auth' AS kind, score AS score_nano FROM a{iters}"""
+    )
+
+
+ORACLES["hits_scores"] = _build_hits_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
@@ -4281,6 +4337,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "pagerank_quantized": q_pagerank_quantized,
+    "hits_scores": q_hits_scores,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,
