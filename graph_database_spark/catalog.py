@@ -1820,6 +1820,13 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_link_scores(spark, sf_dir):
+    # Adamic-Adar / resource-allocation / Jaccard over the same
+    # non-adjacent wedge pairs as link_prediction — micro-unit integer
+    # sums make the libm scores hash-exact (operators/graph.py).
+    return G.link_scores(copurchase_edges(spark, sf_dir))
+
+
 def q_hits_scores(spark, sf_dir):
     # Kleinberg HITS on the bipartite customer->part purchase graph,
     # quantized to nano-units so the whole iteration hash-matches the
@@ -3974,6 +3981,39 @@ ORACLES["link_prediction"] = f"""
     JOIN deg db ON db.id = o.id_b
     ORDER BY jaccard DESC, id_a, id_b LIMIT 100
 """
+ORACLES["link_scores"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v AS id, count(*) AS degree FROM sym GROUP BY 1),
+    nbr AS (
+        SELECT s.v, s.n,
+               CASE WHEN d.degree > 1 THEN
+                   CAST(round(CAST(1000000.0 AS DOUBLE)
+                              / ln(CAST(d.degree AS DOUBLE)), 0) AS BIGINT)
+               END AS aa_unit,
+               CAST(round(CAST(1000000.0 AS DOUBLE)
+                          / CAST(d.degree AS DOUBLE), 0) AS BIGINT) AS ra_unit
+        FROM sym s JOIN deg d ON d.id = s.v
+    ),
+    wedge AS (
+        SELECT a.n AS id_a, b.n AS id_b, count(*) AS common,
+               sum(a.aa_unit) AS aa_micro, sum(a.ra_unit) AS ra_micro
+        FROM nbr a JOIN nbr b ON a.v = b.v AND a.n < b.n
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    open_pairs AS (
+        SELECT w.* FROM wedge w
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = w.id_a AND e.dst = w.id_b)
+    )
+    SELECT o.id_a, o.id_b, CAST(o.common AS BIGINT) AS common,
+           o.aa_micro, o.ra_micro,
+           round(o.common / CAST(da.degree + db.degree - o.common AS DOUBLE), 6)
+               AS jaccard
+    FROM open_pairs o
+    JOIN deg da ON da.id = o.id_a
+    JOIN deg db ON db.id = o.id_b
+    ORDER BY aa_micro DESC, id_a, id_b LIMIT 100
+"""
 ORACLES["closeness_sampled"] = f"""
     WITH RECURSIVE {GRAPH_CTES},
     roots AS (SELECT DISTINCT v AS s FROM sym ORDER BY s LIMIT 8),
@@ -4338,6 +4378,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "pagerank_quantized": q_pagerank_quantized,
     "hits_scores": q_hits_scores,
+    "link_scores": q_link_scores,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

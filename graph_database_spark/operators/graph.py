@@ -238,6 +238,86 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def link_scores(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> DataFrame:
+    """Link-prediction score family over non-adjacent wedge pairs:
+    ``(id_a, id_b, common, aa_micro, ra_micro, jaccard)`` — common
+    neighbors, Adamic-Adar (sum 1/ln deg(w)), resource allocation
+    (sum 1/deg(w)), neighborhood Jaccard — top ``top_k`` by Adamic-Adar.
+
+    The per-common-neighbor weights are snapped to integer micro-units
+    BEFORE the wedge join (CLAUDE.md: libm-derived per-item scores sum
+    as integers, partition-order-exact — the one ln() per vertex is a
+    single IEEE expression mirrored in the oracle), so the grouped sums
+    hash-match DuckDB exactly. Same hub-bounded wedge-join plan as
+    link_prediction; the weight columns ride the symmetrized edge rows,
+    adding no shuffle."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    deg = degree(edges)
+    # Units attach to the wedge CENTER once, per vertex — never inside
+    # the pair join (re-evaluation per wedge row) and never via a
+    # post-join lookup (a third join). degree > 1 guard: a wedge center
+    # has >= 2 neighbors, but nbr also carries degree-1 vertices whose
+    # ln() would be 0 in the projected column.
+    nbr = (
+        symmetrize(edges)
+        .join(deg.select(F.col("id").alias("v"), "degree"), "v")
+        .select(
+            "v",
+            "n",
+            F.when(
+                F.col("degree") > 1,
+                F.round(
+                    F.lit(1000000.0) / F.log(F.col("degree").cast("double")), 0
+                ),
+            )
+            .cast("long")
+            .alias("aa_unit"),
+            F.round(F.lit(1000000.0) / F.col("degree").cast("double"), 0)
+            .cast("long")
+            .alias("ra_unit"),
+        )
+        .localCheckpoint()  # feeds both sides of the self-join
+    )
+    w1, w2 = nbr.alias("w1"), nbr.alias("w2")
+    pairs = (
+        w1.join(w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n")))
+        .groupBy(F.col("w1.n").alias("id_a"), F.col("w2.n").alias("id_b"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum("w1.aa_unit").alias("aa_micro"),
+            F.sum("w1.ra_unit").alias("ra_micro"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    open_pairs = pairs.join(
+        edges,
+        (F.col("id_a") == F.col("src")) & (F.col("id_b") == F.col("dst")),
+        "left_anti",
+    )
+    scored = (
+        open_pairs.join(
+            deg.select(F.col("id").alias("id_a"), F.col("degree").alias("deg_a")),
+            "id_a",
+        )
+        .join(
+            deg.select(F.col("id").alias("id_b"), F.col("degree").alias("deg_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            "aa_micro",
+            "ra_micro",
+            F.round(
+                F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("aa_micro").desc(), "id_a", "id_b").limit(top_k)
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity (Pearson correlation of endpoint degrees over
     directed edge pairs): ``(n_pairs, assortativity)`` — one row.

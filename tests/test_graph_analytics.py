@@ -255,3 +255,34 @@ def test_pagerank_quantized_tracks_float(spark):
     for v, r in want.items():
         assert abs(got[v] - r) < 1e-6
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_link_scores_brute_force(spark):
+    # AA/RA/Jaccard over non-adjacent wedge pairs vs a python oracle.
+    import math
+
+    from graph_database_spark.operators.graph import link_scores
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    adj: dict[int, set[int]] = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = adj[u] & adj[v]
+            if len(cn) < 2:
+                continue
+            aa = sum(round(1e6 / math.log(len(adj[w]))) for w in cn)
+            ra = sum(round(1e6 / len(adj[w])) for w in cn)
+            jac = round(len(cn) / (len(adj[u]) + len(adj[v]) - len(cn)), 6)
+            want[(u, v)] = (len(cn), aa, ra, jac)
+    got = {
+        (r.id_a, r.id_b): (r.common, r.aa_micro, r.ra_micro, r.jaccard)
+        for r in link_scores(df).collect()
+    }
+    assert got == want
