@@ -1820,6 +1820,15 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_embedding_standardize(spark, sf_dir):
+    # Per-dimension z-score standardization rolled up per vector —
+    # integer-moment micro-units make mean/var/z hash-exact
+    # (operators/quantize.standardize_profile).
+    from graph_database_spark.operators.quantize import standardize_profile
+
+    return standardize_profile(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_link_scores(spark, sf_dir):
     # Adamic-Adar / resource-allocation / Jaccard over the same
     # non-adjacent wedge pairs as link_prediction — micro-unit integer
@@ -3608,6 +3617,41 @@ ORACLES["embedding_quantize"] = """
                 END AS INTEGER) AS code
     FROM ex e JOIN stats s USING (i)
 """
+ORACLES["embedding_standardize"] = """
+    WITH ex0 AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, i, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM ex0
+    ),
+    st AS (
+        SELECT i, count(*) AS n, sum(xm) AS s, sum(xm * xm) AS ss
+        FROM ex GROUP BY i
+    ),
+    zrows AS (
+        SELECT e.vec_id,
+               CASE WHEN (CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+                         > CAST(0.0 AS DOUBLE)
+                    THEN CAST(round(
+                        (CAST(e.xm AS DOUBLE)
+                         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / sqrt((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)
+               END AS z
+        FROM ex e JOIN st USING (i)
+    )
+    SELECT vec_id, CAST(sum(z) AS BIGINT) AS z_sum_micro,
+           CAST(min(z) AS BIGINT) AS z_min_micro,
+           CAST(max(z) AS BIGINT) AS z_max_micro
+    FROM zrows GROUP BY vec_id
+"""
 ORACLES["events_ewma"] = """
     WITH q AS (
         SELECT user_id, ts, event_id,
@@ -4379,6 +4423,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_quantized": q_pagerank_quantized,
     "hits_scores": q_hits_scores,
     "link_scores": q_link_scores,
+    "embedding_standardize": q_embedding_standardize,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from graph_database_spark.operators.spread import spread
 
-__all__ = ["scalar_quantize"]
+__all__ = ["scalar_quantize", "standardize_profile"]
 
 
 def scalar_quantize(
@@ -69,4 +69,73 @@ def scalar_quantize(
     )
     return ex.join(F.broadcast(stats), "i").select(
         id_col, "i", code.alias("code")
+    )
+
+
+def standardize_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension z-score standardization, summarized per vector:
+    ``(vec_id, z_sum_micro, z_min_micro, z_max_micro)``.
+
+    The feature-normalization step of an embedding training pipeline,
+    made hash-exact: elements snap to integer micro-units first, so the
+    per-dimension moment sums (sum, sum-of-squares) are BIGINT sums —
+    partition-order-exact — and mean/variance/z are then single IEEE
+    expression trees over exact integers, mirrored operand-for-operand
+    in the oracle. The per-vector roll-up sums the integer z-scores, so
+    it too is order-free.
+
+    Plan: one narrow posexplode, one 64-group moment aggregation, tiny
+    broadcast back, one groupBy vec_id — two small shuffles total, no
+    driver-side model. Overflow bound: sum(xm^2) per dim stays under
+    2^63 up to ~9e6 unit-scale vectors per dimension; past that, shard
+    the moment aggregation by vector range and merge (the sums are
+    mergeable by construction).
+
+    Constant dimensions (variance 0) contribute NULL z-scores, excluded
+    from the roll-up on both sides.
+    """
+    ex = (
+        spread(emb)
+        .select(id_col, F.posexplode(vec_col).alias("pos", "xf"))
+        .select(
+            id_col,
+            (F.col("pos") + F.lit(1)).cast("int").alias("i"),
+            F.round(F.col("xf").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("xm"),
+        )
+        .localCheckpoint()  # feeds the moment agg AND the z projection
+    )
+    stats = ex.groupBy("i").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    z = F.when(
+        var > F.lit(0.0),
+        F.round(
+            (F.col("xm").cast("double") - mu) / F.sqrt(var) * F.lit(1000000.0),
+            0,
+        ),
+    ).cast("long")
+    return (
+        ex.join(F.broadcast(stats), "i")
+        .select(id_col, z.alias("z"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("z").alias("z_sum_micro"),
+            F.min("z").alias("z_min_micro"),
+            F.max("z").alias("z_max_micro"),
+        )
     )

@@ -92,3 +92,41 @@ def test_scalar_quantize_constant_dim_is_zero(spark):
         [(1, [5.0]), (2, [5.0])], "vec_id long, embedding array<float>"
     )
     assert {r["code"] for r in scalar_quantize(emb).collect()} == {0}
+
+
+def test_standardize_profile_matches_numpy(spark):
+    import numpy as np
+
+    from graph_database_spark.operators.quantize import standardize_profile
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 5)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["z_sum_micro"], r["z_min_micro"], r["z_max_micro"])
+        for r in standardize_profile(emb).collect()
+    }
+    xm = np.round(mat.astype("float64") * 1e6)
+    mu = xm.mean(axis=0)
+    sd = xm.std(axis=0, ddof=1)
+    z = np.round((xm - mu) / sd * 1e6).astype("int64")
+    for i in range(mat.shape[0]):
+        want = (int(z[i].sum()), int(z[i].min()), int(z[i].max()))
+        assert got[i] == want
+
+
+def test_standardize_profile_constant_dim_excluded(spark):
+    from graph_database_spark.operators.quantize import standardize_profile
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 4.0]), (2, [1.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in standardize_profile(emb).collect()}
+    # dim 1 is constant -> only dim 2 contributes; z over {2,4,6} std 2e6.
+    assert rows[0]["z_sum_micro"] == rows[0]["z_min_micro"] == -1_000_000
+    assert rows[2]["z_max_micro"] == 1_000_000
+    assert rows[1]["z_sum_micro"] == 0
