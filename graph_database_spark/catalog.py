@@ -1820,6 +1820,45 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_quantile_hist(spark, sf_dir):
+    # Mergeable histogram-quantile sketch: equi-width bucket counts
+    # (map-side combinable, mergeable across shards — the 100 TB path
+    # where percentile()'s full sort is not), inverted by cumulative
+    # count to bracket each target percentile. All-integer arithmetic
+    # end-to-end, so the estimate hash-matches any ANSI engine; the
+    # cumulative window orders BUCKETS (resolution-bounded, ~100 rows),
+    # never data rows. Exact twin: order_price_quantiles.
+    li = load_table(spark, sf_dir, "lineitem")
+    width = 1000
+    counts = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / F.lit(width)).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds the total AND the cumulative inversion
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("bucket", F.sum("n").over(w).alias("cum"))
+    qs = spark.createDataFrame([(q,) for q in (1, 5, 25, 50, 75, 90, 95, 99)], "q int")
+    ranks = qs.crossJoin(F.broadcast(total)).select(
+        "q", F.expr("(total * q + 99) div 100").cast("long").alias("rank")
+    )
+    return (
+        cum.crossJoin(F.broadcast(ranks))
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "q",
+            "rank",
+            (F.col("b") * width).alias("est_lo"),
+            ((F.col("b") + F.lit(1)) * width).alias("est_hi"),
+        )
+    )
+
+
 def q_embedding_standardize(spark, sf_dir):
     # Per-dimension z-score standardization rolled up per vector —
     # integer-moment micro-units make mean/var/z hash-exact
@@ -3617,6 +3656,26 @@ ORACLES["embedding_quantize"] = """
                 END AS INTEGER) AS code
     FROM ex e JOIN stats s USING (i)
 """
+ORACLES["quantile_hist"] = """
+    WITH b AS (
+        SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket
+        FROM lineitem
+    ),
+    counts AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    cum AS (
+        SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM counts
+    ),
+    qs AS (SELECT unnest([1, 5, 25, 50, 75, 90, 95, 99]) AS q),
+    ranks AS (
+        SELECT q, (total * q + 99) // 100 AS rank FROM qs CROSS JOIN tot
+    )
+    SELECT CAST(q AS INTEGER) AS q, CAST(rank AS BIGINT) AS rank,
+           CAST(min(bucket) * 1000 AS BIGINT) AS est_lo,
+           CAST((min(bucket) + 1) * 1000 AS BIGINT) AS est_hi
+    FROM cum JOIN ranks ON cum.cum >= ranks.rank
+    GROUP BY q, rank
+"""
 ORACLES["embedding_standardize"] = """
     WITH ex0 AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -4424,6 +4483,7 @@ QUERIES: dict[str, QueryFn] = {
     "hits_scores": q_hits_scores,
     "link_scores": q_link_scores,
     "embedding_standardize": q_embedding_standardize,
+    "quantile_hist": q_quantile_hist,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

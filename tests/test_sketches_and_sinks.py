@@ -127,3 +127,21 @@ def test_cms_overestimates_and_merges(spark):
     )
     whole = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
     assert {(r["row"], r["col"]): r["cnt"] for r in merged.collect()} == whole
+
+
+def test_quantile_hist_brackets_exact_percentiles(spark):
+    # The histogram inversion must bracket the exact order statistic.
+    from graph_database_spark.catalog import q_quantile_hist
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["q"]: (r["est_lo"], r["est_hi"]) for r in q_quantile_hist(spark, sf).collect()}
+    from graph_database_spark.sources.parquet import load_table
+
+    vals = sorted(
+        r["l_extendedprice"]
+        for r in load_table(spark, sf, "lineitem").select("l_extendedprice").collect()
+    )
+    n = len(vals)
+    for q, (lo, hi) in got.items():
+        exact = vals[min(n - 1, (n * q + 99) // 100 - 1)]
+        assert lo <= exact < hi, (q, lo, exact, hi)
