@@ -89,6 +89,12 @@ HEADLINE = [
     "token_counts_cms",
     "user_retention",
     "random_walks",
+    # r6 second wave: HITS, link-score family, feature standardization,
+    # histogram quantiles.
+    "hits_scores",
+    "link_scores",
+    "embedding_standardize",
+    "quantile_hist",
 ]
 
 

@@ -1820,6 +1820,121 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_graph_drift(spark, sf_dir):
+    # Month-over-month co-purchase graph delta: per consecutive month
+    # pair, edge counts and edge-set Jaccard — the incremental-graph-
+    # maintenance measurement (how much of the graph would an
+    # incremental rebuild touch?). Per-month edges keep the month key
+    # instead of collapsing it (same (part, month) shuffle as the
+    # global build); the month-shifted self-join is keyed (src, dst,
+    # month) — uniform. em feeds three consumers -> checkpoint.
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cpm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("w"),
+        )
+        .distinct()
+    )
+    a, b = cpm.alias("a"), cpm.alias("b")
+    em = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .select(F.col("a.c").alias("src"), F.col("b.c").alias("dst"), F.col("a.w").alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = em.groupBy("w").agg(F.count("*").alias("n_edges")).localCheckpoint()
+    nxt = em.select("src", "dst", (F.col("w") + F.expr("INTERVAL 1 MONTH")).alias("w"))
+    inter = (
+        em.join(nxt, ["src", "dst", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        sizes.alias("cur")
+        .join(
+            sizes.select(
+                (F.col("w") + F.expr("INTERVAL 1 MONTH")).alias("w"),
+                F.col("n_edges").alias("n_prev"),
+            ).alias("prv"),
+            "w",
+        )
+        .join(inter, "w", "left")
+        .select(
+            F.date_format("w", "yyyy-MM").alias("month"),
+            "n_prev",
+            "n_edges",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("n_prev") + F.col("n_edges") - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_zipf_slope(spark, sf_dir):
+    # Zipf fit over the top-1000 corpus terms: ln-rank/ln-freq snapped
+    # to integer micro-units (CLAUDE.md libm rule), OLS slope as one
+    # mirrored IEEE tree over the exact integer moment sums. The global
+    # sort is a top-k limit (vocabulary-bounded), and the rank window
+    # runs on <= 1000 rows — the retrieval.py distributed-top-k shape.
+    docs = load_table(spark, sf_dir, "documents")
+    from graph_database_spark.functions.textnorm import tokens
+
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(1000)
+    )
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "term")),
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    mom = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("slope"),
+    )
+
+
 def q_quantile_hist(spark, sf_dir):
     # Mergeable histogram-quantile sketch: equi-width bucket counts
     # (map-side combinable, mergeable across shards — the 100 TB path
@@ -3656,6 +3771,60 @@ ORACLES["embedding_quantize"] = """
                 END AS INTEGER) AS code
     FROM ex e JOIN stats s USING (i)
 """
+ORACLES["graph_drift"] = f"""
+    WITH cpm AS ({_CP}),
+    em AS (
+        SELECT DISTINCT a.c AS src, b.c AS dst, a.w AS w
+        FROM cpm a JOIN cpm b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+    ),
+    sizes AS (SELECT w, count(*) AS n_edges FROM em GROUP BY w),
+    inter AS (
+        SELECT n.w, count(*) AS n_common
+        FROM em e
+        JOIN (SELECT src, dst, w + INTERVAL 1 MONTH AS w FROM em) n
+          ON e.src = n.src AND e.dst = n.dst AND e.w = n.w
+        GROUP BY n.w
+    )
+    SELECT strftime(cur.w, '%Y-%m') AS month,
+           CAST(prv.n_edges AS BIGINT) AS n_prev,
+           CAST(cur.n_edges AS BIGINT) AS n_edges,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(i.n_common, 0)
+                 / CAST(prv.n_edges + cur.n_edges - coalesce(i.n_common, 0)
+                        AS DOUBLE), 6) AS jaccard
+    FROM sizes cur
+    JOIN (SELECT w + INTERVAL 1 MONTH AS w, n_edges FROM sizes) prv
+      ON prv.w = cur.w
+    LEFT JOIN inter i ON i.w = cur.w
+"""
+ORACLES["zipf_slope"] = f"""
+    WITH tk AS (
+        SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    freqs AS (
+        SELECT term, count(*) AS freq FROM tk GROUP BY term
+        ORDER BY freq DESC, term LIMIT 1000
+    ),
+    ranked AS (
+        SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                                  AS DOUBLE)) * CAST(1000000.0 AS DOUBLE), 0)
+                    AS BIGINT) AS x,
+               CAST(round(ln(CAST(freq AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS y
+        FROM freqs
+    ),
+    mom AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+    FROM mom
+"""
 ORACLES["quantile_hist"] = """
     WITH b AS (
         SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket
@@ -4484,6 +4653,8 @@ QUERIES: dict[str, QueryFn] = {
     "link_scores": q_link_scores,
     "embedding_standardize": q_embedding_standardize,
     "quantile_hist": q_quantile_hist,
+    "graph_drift": q_graph_drift,
+    "zipf_slope": q_zipf_slope,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

@@ -286,3 +286,22 @@ def test_link_scores_brute_force(spark):
         for r in link_scores(df).collect()
     }
     assert got == want
+
+
+def test_graph_drift_consecutive_months(spark):
+    from graph_database_spark.catalog import q_graph_drift
+
+    rows = q_graph_drift(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one consecutive month pair"
+    for r in rows:
+        assert 0 <= r.n_common <= min(r.n_prev, r.n_edges)
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_zipf_slope_negative_on_power_law(spark):
+    from graph_database_spark.catalog import q_zipf_slope
+
+    r = q_zipf_slope(spark, "/root/testdata/sf0.001").collect()[0]
+    # Frequencies fall with rank, so the ln-ln OLS slope must be negative.
+    assert r.n_terms > 10
+    assert r.slope < 0
