@@ -32,7 +32,7 @@ from graph_database_spark.operators import temporal as TP
 from graph_database_spark.operators import text as T
 from graph_database_spark.operators.betweenness import betweenness
 from graph_database_spark.operators.hits import hits_quantized
-from graph_database_spark.functions.textnorm import text_fingerprint
+from graph_database_spark.functions.textnorm import text_fingerprint, tokens
 from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
 from graph_database_spark.sources.parquet import load_table
 
@@ -1818,6 +1818,70 @@ def q_link_prediction(spark, sf_dir):
     # Topology-driven "people you may know": top non-adjacent pairs by
     # neighborhood Jaccard — wedge join + anti-join on existing edges.
     return G.link_prediction(copurchase_edges(spark, sf_dir))
+
+
+def q_event_transitions(spark, sf_dir):
+    # Markov transition matrix over per-user event streams — the
+    # sequence-model prep aggregate (operators/events.transitions).
+    _utc(spark)
+    return E.transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_token_pmi(spark, sf_dir):
+    # Pointwise mutual information over document-level token
+    # co-occurrence (word-association mining, the embedding-era
+    # collocation primitive). Doc-frequency counts and pair counts are
+    # exact integers; the one ln() per pair snaps to micro-units
+    # (CLAUDE.md libm rule). The pair join is per-document (bounded by
+    # tokens-per-doc², never vocab x corpus), and the vocab-sized
+    # doc-frequency side broadcasts.
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .localCheckpoint()  # feeds doc-frequency, total, and both pair sides
+    )
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    nd = dt.agg(F.count_distinct("doc_id").alias("nd"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("nd").cast("double")
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), "term_a", "term_b").limit(100)
 
 
 def q_graph_drift(spark, sf_dir):
@@ -3771,6 +3835,44 @@ ORACLES["embedding_quantize"] = """
                 END AS INTEGER) AS code
     FROM ex e JOIN stats s USING (i)
 """
+ORACLES["event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type, count(*) AS n FROM seq
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS tot FROM counts GROUP BY 1)
+    SELECT c.prev_type, c.event_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM counts c JOIN tot t USING (prev_type)
+"""
+ORACLES["token_pmi"] = f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS term
+        FROM documents
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.term_a, p.term_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+           CAST(round(ln(CAST(p.c_ab AS DOUBLE) * CAST(nd.nd AS DOUBLE)
+                         / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)))
+                      * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN dfreq da ON da.term = p.term_a
+    JOIN dfreq db ON db.term = p.term_b
+    CROSS JOIN nd
+    ORDER BY pmi_micro DESC, term_a, term_b LIMIT 100
+"""
 ORACLES["graph_drift"] = f"""
     WITH cpm AS ({_CP}),
     em AS (
@@ -4655,6 +4757,8 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_hist": q_quantile_hist,
     "graph_drift": q_graph_drift,
     "zipf_slope": q_zipf_slope,
+    "event_transitions": q_event_transitions,
+    "token_pmi": q_token_pmi,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

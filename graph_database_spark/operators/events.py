@@ -71,3 +71,32 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """Event-type Markov transitions per user stream: ``(prev_type,
+    event_type, n, prob)`` — the sequence-model prep aggregate (what a
+    next-event predictor or funnel simulator trains on).
+
+    One window pass partitioned by user (high-cardinality key, same
+    shuffle sessionize pays) with the (ts, event_id) tiebreak making
+    the lag deterministic; the transition matrix is event-type² rows —
+    tiny — so its row-normalization totals join broadcast. prob is one IEEE
+    division over exact integer counts, hash-stable."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(order)
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds row totals AND probabilities
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )

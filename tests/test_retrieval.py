@@ -109,3 +109,20 @@ def test_bigram_logprob_interpolation(spark):
     assert abs(out[2]["avg_neglogprob"] - want) < 1e-5
     # doc1's (a,b)/(b,a) transitions are rarer -> more surprise
     assert out[1]["avg_neglogprob"] > out[2]["avg_neglogprob"]
+
+
+def test_token_pmi_symmetric_and_bounded(spark):
+    import math
+
+    from graph_database_spark.catalog import q_token_pmi
+    from graph_database_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_token_pmi(spark, sf).collect()
+    assert rows
+    n_docs = load_table(spark, sf, "documents").count()
+    for r in rows:
+        assert r.term_a < r.term_b
+        # PMI can never exceed ln(N / c_ab) (when the pair is perfectly
+        # correlated, df_a = df_b = c_ab).
+        assert r.pmi_micro <= round(math.log(n_docs / r.c_ab) * 1e6) + 1

@@ -80,3 +80,16 @@ def test_ewma_trailing_dyadic_weights(spark):
     # [1,2,4]: (1*1 + 2*2 + 4*4) / 7
     assert abs(out[3] - 3.0) < 1e-9
     assert out[4] == 7.5
+
+
+def test_event_transitions_probabilities(spark):
+    from graph_database_spark.catalog import q_event_transitions
+
+    rows = q_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.prob <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
