@@ -1820,6 +1820,64 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_triad_census(spark, sf_dir):
+    # Undirected triad census: wedges (paths of length 2), closed
+    # triangles, open wedges, and the global transitivity ratio
+    # 3*triangles/wedges — the one-row structural summary. Wedges come
+    # from degrees alone (no wedge join!); triangles reuse the existing
+    # wedge-join counter. Integer arithmetic end-to-end except one
+    # mirrored IEEE division.
+    edges = _edges(spark, sf_dir)
+    wedges = G.degree(edges).agg(
+        F.expr("sum(degree * (degree - 1) div 2)").cast("long").alias("n_wedges")
+    )
+    tri = G.triangle_count(edges)
+    return (
+        wedges.crossJoin(F.broadcast(tri))
+        .select(
+            "n_wedges",
+            "n_triangles",
+            (F.col("n_wedges") - F.lit(3) * F.col("n_triangles")).alias("n_open"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def q_degree_powerlaw(spark, sf_dir):
+    # Clauset-Shalizi-Newman discrete MLE for the power-law exponent of
+    # the degree distribution, at fixed dmin=2: alpha = 1 + n/sum ln(d/2).
+    # Per-vertex ln snapped to micro-units -> order-exact integer sum;
+    # the final alpha is one mirrored IEEE tree. Complements zipf_slope
+    # (corpus side) with the graph-side heavy-tail diagnostic.
+    deg = G.degree(_edges(spark, sf_dir))
+    tail = deg.where(F.col("degree") >= 2).select(
+        F.round(
+            F.log(F.col("degree").cast("double") / F.lit(2.0)) * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("lnd")
+    )
+    mom = tail.agg(F.count("*").alias("n_tail"), F.sum("lnd").alias("s"))
+    return mom.select(
+        "n_tail",
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                * F.lit(1000000.0)
+                / F.col("s").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     # Markov transition matrix over per-user event streams — the
     # sequence-model prep aggregate (operators/events.transitions).
@@ -3835,6 +3893,44 @@ ORACLES["embedding_quantize"] = """
                 END AS INTEGER) AS code
     FROM ex e JOIN stats s USING (i)
 """
+ORACLES["triad_census"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v),
+    wg AS (
+        SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    wedges AS (
+        SELECT a.v AS v, a.n AS n1, b.n AS n2
+        FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+    ),
+    closed AS (
+        SELECT w.v FROM wedges w JOIN edges e ON w.n1 = e.src AND w.n2 = e.dst
+    ),
+    tri AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_triangles FROM closed)
+    SELECT n_wedges, n_triangles,
+           CAST(n_wedges - 3 * n_triangles AS BIGINT) AS n_open,
+           round(CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE), 6) AS transitivity
+    FROM wg CROSS JOIN tri
+"""
+ORACLES["degree_powerlaw"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v),
+    tail AS (
+        SELECT CAST(round(ln(CAST(degree AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS lnd
+        FROM deg WHERE degree >= 2
+    ),
+    mom AS (SELECT count(*) AS n_tail, sum(lnd) AS s FROM tail)
+    SELECT CAST(n_tail AS BIGINT) AS n_tail,
+           CASE WHEN s > 0 THEN
+               round(CAST(1.0 AS DOUBLE)
+                     + CAST(n_tail AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+                       / CAST(s AS DOUBLE), 6)
+           END AS alpha
+    FROM mom
+"""
 ORACLES["event_transitions"] = """
     WITH seq AS (
         SELECT event_type,
@@ -4759,6 +4855,8 @@ QUERIES: dict[str, QueryFn] = {
     "zipf_slope": q_zipf_slope,
     "event_transitions": q_event_transitions,
     "token_pmi": q_token_pmi,
+    "triad_census": q_triad_census,
+    "degree_powerlaw": q_degree_powerlaw,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,
     "bloom_semijoin": q_bloom_semijoin,

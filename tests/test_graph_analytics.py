@@ -305,3 +305,19 @@ def test_zipf_slope_negative_on_power_law(spark):
     # Frequencies fall with rank, so the ln-ln OLS slope must be negative.
     assert r.n_terms > 10
     assert r.slope < 0
+
+
+def test_triad_census_identity(spark):
+    from graph_database_spark.catalog import q_triad_census
+
+    r = q_triad_census(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_wedges == r.n_open + 3 * r.n_triangles
+    assert abs(r.transitivity - round(3 * r.n_triangles / r.n_wedges, 6)) < 1e-9
+
+
+def test_degree_powerlaw_alpha_positive(spark):
+    from graph_database_spark.catalog import q_degree_powerlaw
+
+    r = q_degree_powerlaw(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_tail > 0
+    assert r.alpha is not None and r.alpha > 1.0
