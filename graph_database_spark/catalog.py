@@ -1820,6 +1820,15 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_coreness(spark, sf_dir):
+    # Full k-shell decomposition via the h-index fixpoint
+    # (operators/kcore.coreness) — all shells in one iteration, integer
+    # state, unrolled-round oracle with a pinned budget.
+    from graph_database_spark.operators.kcore import coreness
+
+    return coreness(_edges(spark, sf_dir))
+
+
 def q_triad_census(spark, sf_dir):
     # Undirected triad census: wedges (paths of length 2), closed
     # triangles, open wedges, and the global transitivity ratio
@@ -3616,6 +3625,32 @@ def _build_hits_sql(iters: int = 6) -> str:
     )
 
 
+def _build_coreness_sql(rounds: int = 16) -> str:
+    # Unrolled h-index iteration: one (messages, state) CTE pair per
+    # round mirroring operators/kcore.coreness — row_number with the
+    # same (value desc, neighbor id) tiebreak, max(least(rn, cn))
+    # h-index, all integer. The fixpoint is reached well inside the
+    # budget; extra unrolled rounds are no-ops on the stable state.
+    parts = [""",
+    c0 AS (SELECT v AS id, count(*) AS c FROM sym GROUP BY v)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} AS (
+        SELECT s.v AS id, c.c AS cn,
+               row_number() OVER (PARTITION BY s.v
+                                  ORDER BY c.c DESC, s.n) AS rn
+        FROM sym s JOIN c{k - 1} c ON c.id = s.n
+    ),
+    c{k} AS MATERIALIZED (
+        SELECT id, max(least(rn, cn)) AS c FROM m{k} GROUP BY id
+    )""")
+    return (
+        f"WITH {GRAPH_CTES}{''.join(parts)}\n"
+        f"    SELECT id, CAST(c AS BIGINT) AS core FROM c{rounds}"
+    )
+
+
+ORACLES["coreness"] = _build_coreness_sql()
 ORACLES["hits_scores"] = _build_hits_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
@@ -4856,6 +4891,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": q_event_transitions,
     "token_pmi": q_token_pmi,
     "triad_census": q_triad_census,
+    "coreness": q_coreness,
     "degree_powerlaw": q_degree_powerlaw,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,

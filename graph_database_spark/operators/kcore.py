@@ -17,12 +17,12 @@ exhaustion rather than returning a non-core.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_database_spark.operators.fixpoint import fixpoint, materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
-__all__ = ["k_core"]
+__all__ = ["k_core", "coreness"]
 
 
 def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
@@ -61,3 +61,54 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
 
     core_edges = fixpoint(sym0, step, converged, max_iterations, name="k_core")
     return degrees(core_edges)
+
+
+def coreness(edges: DataFrame, rounds: int = 16) -> DataFrame:
+    """``(id, core)`` — full k-shell decomposition: every vertex's core
+    number, via the h-index fixpoint (Lu-Chen-Zhang-Zhou 2016): start
+    from degree and repeatedly set c(v) to the h-index of its neighbors'
+    values; the stable point is exactly coreness.
+
+    Why this formulation and not nested peeling: peeling computes one k
+    per pass (k_core above); the h-index iteration computes ALL shells
+    simultaneously with pure local updates — two keyed shuffles per
+    round (message join + the per-vertex window/agg, which share the
+    vertex-id partitioning), integer state, and typically just a few
+    rounds on real graphs. All arithmetic is integer (row_number,
+    least, max), so the whole iteration hash-verifies against an
+    unrolled oracle.
+
+    Contract: runs to fixpoint within ``rounds`` or raises — the oracle
+    unrolls exactly ``rounds`` rounds, and raising on non-convergence
+    (the graph_mis budget-pinning pattern) beats silently returning a
+    non-coreness iterate. Values only decrease, so an early fixpoint
+    stays fixed and the oracle's extra rounds are no-ops.
+    """
+    sym = materialize(symmetrize(edges))
+    state = materialize(
+        sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cn").desc(), F.col("n"))
+    for i in range(rounds):
+        msgs = (
+            sym.join(state.select(F.col("id").alias("n"), F.col("c").alias("cn")), "n")
+            .select(F.col("v").alias("id"), "n", "cn")
+            .withColumn("rn", F.row_number().over(w))
+        )
+        new = materialize(
+            msgs.groupBy("id").agg(
+                F.max(F.least(F.col("rn"), F.col("cn"))).alias("c")
+            )
+        )
+        # Monotone-decreasing integer state: total sum is a cheap,
+        # order-free convergence probe (equal sums <=> identical state).
+        if (
+            new.agg(F.sum("c")).first()[0]
+            == state.agg(F.sum("c")).first()[0]
+        ):
+            return new.select("id", F.col("c").alias("core"))
+        state = new
+    raise RuntimeError(
+        f"coreness did not converge in {rounds} rounds; raise the budget "
+        "(the oracle unroll depth must match)"
+    )

@@ -321,3 +321,47 @@ def test_degree_powerlaw_alpha_positive(spark):
     r = q_degree_powerlaw(spark, "/root/testdata/sf0.001").collect()[0]
     assert r.n_tail > 0
     assert r.alpha is not None and r.alpha > 1.0
+
+
+def brute_coreness(edges):
+    """Sequential peeling — the textbook coreness oracle."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    alive = dict(adj)
+    k = 0
+    while alive:
+        k += 1
+        changed = True
+        while changed:
+            dead = [v for v, ns in alive.items() if len(ns) < k + 1]
+            changed = bool(dead)
+            for v in dead:
+                core[v] = k
+                for u in alive[v]:
+                    alive[u].discard(v)
+                del alive[v]
+    return core
+
+
+def test_coreness_matches_brute_force(spark):
+    from graph_database_spark.operators.kcore import coreness
+
+    # Two triangles sharing a vertex + a pendant path: cores 1 and 2.
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.core for r in coreness(df).collect()}
+    assert got == brute_coreness(edges)
+
+
+def test_coreness_consistent_with_k_core(spark):
+    from graph_database_spark.operators.kcore import coreness, k_core
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    cores = {r.id: r.core for r in coreness(df).collect()}
+    assert {r.id: r.core for r in coreness(df).collect()} == brute_coreness(EDGES)
+    for k in (1, 2, 3):
+        members = {r["id"] for r in k_core(df, k).collect()}
+        assert members == {v for v, c in cores.items() if c >= k}
