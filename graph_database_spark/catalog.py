@@ -1820,6 +1820,70 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(copurchase_edges(spark, sf_dir))
 
 
+def q_heaps_fit(spark, sf_dir):
+    # Heaps'-law fit: vocabulary size V vs cumulative token count T at 20
+    # deterministic doc-id checkpoints, OLS slope of ln V on ln T = the
+    # growth exponent beta (sub-linear vocab growth is the expected
+    # corpus signature; a beta near 1 flags synthetic/templated text).
+    # Scale shape: per-term first-occurrence and per-doc token counts are
+    # one groupBy each; the 20-point grid broadcasts, so no window ever
+    # runs over data-sized rows (the naive cumulative-window form would).
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint()  # feeds first-occurrence AND per-doc counts
+    maxd = toks.agg(F.max("doc_id").alias("maxd"))
+    ends = (
+        spark.createDataFrame([(j,) for j in range(1, 21)], "j int")
+        .crossJoin(F.broadcast(maxd))
+        .select("j", F.expr("(maxd * j) div 20").cast("long").alias("d_end"))
+        .localCheckpoint()
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    vocab = (
+        first.crossJoin(F.broadcast(ends))
+        .where(F.col("fd") <= F.col("d_end"))
+        .groupBy("j")
+        .agg(F.count("*").alias("v"))
+    )
+    percnt = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    toktot = (
+        percnt.crossJoin(F.broadcast(ends))
+        .where(F.col("doc_id") <= F.col("d_end"))
+        .groupBy("j")
+        .agg(F.sum("nt").alias("t"))
+    )
+    pts = vocab.join(toktot, "j").select(
+        F.round(F.log(F.col("t").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("v").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_points"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("beta"),
+    )
+
+
 def q_coreness(spark, sf_dir):
     # Full k-shell decomposition via the h-index fixpoint
     # (operators/kcore.coreness) — all shells in one iteration, integer
@@ -4030,6 +4094,44 @@ ORACLES["graph_drift"] = f"""
       ON prv.w = cur.w
     LEFT JOIN inter i ON i.w = cur.w
 """
+ORACLES["heaps_fit"] = f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    maxd AS (SELECT max(doc_id) AS maxd FROM tk),
+    ends AS (
+        SELECT j, CAST((maxd * j) // 20 AS BIGINT) AS d_end
+        FROM (SELECT unnest(range(1, 21)) AS j) CROSS JOIN maxd
+    ),
+    first AS (SELECT term, min(doc_id) AS fd FROM tk GROUP BY term),
+    vocab AS (
+        SELECT e.j, count(*) AS v
+        FROM first f JOIN ends e ON f.fd <= e.d_end GROUP BY e.j
+    ),
+    percnt AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+    toktot AS (
+        SELECT e.j, sum(p.nt) AS t
+        FROM percnt p JOIN ends e ON p.doc_id <= e.d_end GROUP BY e.j
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(t.t AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(v.v AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS y
+        FROM vocab v JOIN toktot t USING (j)
+    ),
+    mom AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
+    FROM mom
+"""
 ORACLES["zipf_slope"] = f"""
     WITH tk AS (
         SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
@@ -4892,6 +4994,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi": q_token_pmi,
     "triad_census": q_triad_census,
     "coreness": q_coreness,
+    "heaps_fit": q_heaps_fit,
     "degree_powerlaw": q_degree_powerlaw,
     "events_ewma": q_events_ewma,
     "embedding_quantize": q_embedding_quantize,

@@ -126,3 +126,15 @@ def test_token_pmi_symmetric_and_bounded(spark):
         # PMI can never exceed ln(N / c_ab) (when the pair is perfectly
         # correlated, df_a = df_b = c_ab).
         assert r.pmi_micro <= round(math.log(n_docs / r.c_ab) * 1e6) + 1
+
+
+def test_heaps_fit_beta_in_range(spark):
+    from graph_database_spark.catalog import q_heaps_fit
+
+    r = q_heaps_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_points >= 10
+    # Vocabulary growth is monotone, so the ln-ln slope is non-negative
+    # and cannot exceed 1 (vocab can't grow faster than tokens). The
+    # driver's synthetic corpus saturates its tiny vocabulary before the
+    # first checkpoint, so beta == 0.0 exactly there.
+    assert 0.0 <= r.beta <= 1.0
