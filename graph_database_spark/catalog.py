@@ -960,6 +960,27 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(queries, emb, k=10)
 
 
+def q_semdedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): cluster-then-pairwise-cosine semantic
+    # dedup — the embedding-space dedup the hash/shingle family cannot
+    # express. Hash-verified end-to-end: md5-ordered centroid draw +
+    # unit micro-unit vectors make cell assignment and the pairwise
+    # cosine INTEGER dot products (operators/semdedup.py docstring).
+    from graph_database_spark.operators.semdedup import semdedup_md5
+
+    return semdedup_md5(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_sssp_weighted(spark, sf_dir):
+    # Weighted multi-source Bellman-Ford over tie-strength costs
+    # (1e6 div weight, BIGINT end-to-end) — exactly 12 synchronous
+    # rounds on both engines (operators/sssp.py round-budget contract).
+    from graph_database_spark.operators.sssp import sssp_weighted
+    from graph_database_spark.plans.copurchase import copurchase_edges_weighted
+
+    return sssp_weighted(copurchase_edges_weighted(spark, sf_dir))
+
+
 def q_label_propagation(spark, sf_dir):
     # Hash-verified: deterministic-tie-break LPA is an exact fixed-round
     # recurrence over integers, so a DuckDB recursive CTE running the
@@ -3566,6 +3587,124 @@ def _build_ann_ivf_md5_sql(
 """
 
 
+def _build_semdedup_sql(
+    n_centroids: int = 16, tau_micro2: int = 300_000_000_000
+) -> str:
+    # Mirrors operators/semdedup.semdedup_md5: md5-ordered centroid draw
+    # (same CTE as ann_ivf_md5); UNIT micro vectors for every row via
+    # the list-order sequential norm (list_sum matches the Spark
+    # F.aggregate fold and Python's sum() bit-for-bit); centroid micro
+    # vectors ARE the um rows of the drawn ids (the driver-side
+    # _unit_centroid_micro computes the identical IEEE expression);
+    # argmax cell with FIRST-index tiebreak; integer pairwise dots.
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    lnrm AS (
+        SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    um AS (
+        SELECT ex.vec_id, ex.i,
+               CAST(round(ex.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END)
+                          * 1000000.0, 0) AS BIGINT) AS um
+        FROM ex JOIN lnrm n USING (vec_id)
+    ),
+    cent AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {n_centroids}
+    ),
+    cm AS (SELECT cent.c, u.i, u.um AS cm FROM cent JOIN um u ON u.vec_id = cid),
+    sims AS (
+        SELECT u.vec_id, c.c, sum(u.um * c.cm) AS s
+        FROM um u JOIN cm c ON c.i = u.i
+        GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, c ASC
+                   ) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(sum(ua.um * ub.um) AS BIGINT) AS d
+        FROM cell a
+        JOIN cell b ON b.cell = a.cell AND b.vec_id < a.vec_id
+        JOIN um ua ON ua.vec_id = a.vec_id
+        JOIN um ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT ida, min(idb) AS dup_of, max(d) AS best_sim
+        FROM pairs WHERE d >= {tau_micro2} GROUP BY 1
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(CASE WHEN q.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_dup,
+           q.dup_of, q.best_sim
+    FROM cell c LEFT JOIN qual q ON q.ida = c.vec_id
+    ORDER BY c.vec_id
+"""
+
+
+def _build_sssp_sql(num_sources: int = 4, rounds: int = 12) -> str:
+    # Mirrors operators/sssp.sssp_weighted: weighted co-purchase edges
+    # (the copurchase_strength `we` CTE), integer micro-costs via floor
+    # division, K smallest vertex ids as sources, and exactly `rounds`
+    # unrolled min-fold relax rounds (the graph_mis pinned-budget
+    # pattern — both engines run the same recurrence, no convergence
+    # claim needed).
+    parts = [
+        f"""
+    WITH cp AS ({_CP}),
+    we AS (
+        SELECT a.c AS src, b.c AS dst, count(*) AS weight
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+        GROUP BY 1, 2
+    ),
+    wsym AS MATERIALIZED (
+        SELECT src AS v, dst AS n,
+               CAST(1000000 AS BIGINT) // weight AS cost FROM we
+        UNION ALL
+        SELECT dst, src, CAST(1000000 AS BIGINT) // weight FROM we
+    ),
+    roots AS (SELECT DISTINCT v AS s FROM wsym ORDER BY s LIMIT {num_sources}),
+    r0 AS (SELECT s, s AS id, CAST(0 AS BIGINT) AS dist FROM roots)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""",
+    r{k + 1} AS MATERIALIZED (
+        SELECT s, id, min(dist) AS dist FROM (
+            SELECT s, id, dist FROM r{k}
+            UNION ALL
+            SELECT r.s, e.n AS id, r.dist + e.cost AS dist
+            FROM r{k} r JOIN wsym e ON e.v = r.id
+        ) u GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s AS source, id, dist AS dist_micro FROM r{rounds}
+    ORDER BY source, id"""
+    )
+    return "".join(parts)
+
+
+ORACLES["semdedup"] = _build_semdedup_sql()
+ORACLES["sssp_weighted"] = _build_sssp_sql()
 ORACLES["ann_lsh_md5"] = _build_ann_lsh_md5_sql()
 ORACLES["embedding_neardup_lsh_md5"] = _build_lsh_pairs_md5_sql()
 ORACLES["ann_ivf_md5"] = _build_ann_ivf_md5_sql()
@@ -4911,6 +5050,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_md5": q_ann_ivf_md5,
+    "semdedup": q_semdedup,
+    "sssp_weighted": q_sssp_weighted,
     "label_propagation": q_label_propagation,
     "docs_hash_sample": q_docs_hash_sample,
     "corpus_mixture": q_corpus_mixture,
