@@ -1416,6 +1416,14 @@ def q_bm25_search(spark, sf_dir):
     return R.bm25_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+def q_phrase_search(spark, sf_dir):
+    # Positional phrase retrieval (consecutive-term match, 1-based
+    # first_pos) for the corpus's top-3 bigram phrases — the positional
+    # index capability bm25/tfidf cannot express
+    # (operators/retrieval.phrase_search).
+    return R.phrase_search(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     # Tokenizer induction, step one: corpus-wide adjacent character-pair
     # frequencies within tokens — the argmax of this table is the first
@@ -1496,6 +1504,20 @@ def q_community_modularity(spark, sf_dir):
     # the query's scan work (VERDICT r5 #3).
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     return G.modularity(edges, label_propagation(edges))
+
+
+def q_conductance(spark, sf_dir):
+    # Per-community cut quality with the customer-nation partition as
+    # the community assignment (LPA converges to one community on this
+    # graph — nations give ~25 non-trivial cuts). Integer cut/vol
+    # counts, one rounded division (operators/graph.conductance).
+    from graph_database_spark.plans.copurchase import copurchase_vertices
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    comm = copurchase_vertices(spark, sf_dir, edges).select(
+        "id", F.col("attr_a").cast("bigint").alias("community")
+    )
+    return G.conductance(edges, comm)
 
 
 def q_rich_club(spark, sf_dir):
@@ -4029,6 +4051,31 @@ ORACLES["community_modularity"] = f"""
                / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
     FROM mm, intra, s2
 """
+ORACLES["conductance"] = f"""
+    WITH {GRAPH_CTES},
+    comm AS (SELECT id, CAST(attr_a AS BIGINT) AS community FROM verts),
+    mm AS (SELECT 2 * count(*) AS m2 FROM edges),
+    deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
+    vol AS (
+        SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d.d) AS BIGINT) AS vol
+        FROM deg d JOIN comm c ON c.id = d.id GROUP BY 1
+    ),
+    cut AS (
+        SELECT a.community, count(*) AS cut
+        FROM sym s JOIN comm a ON a.id = s.v JOIN comm b ON b.id = s.n
+        WHERE a.community <> b.community
+        GROUP BY 1
+    )
+    SELECT v.community, v.n_nodes, v.vol,
+           CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+           CASE WHEN least(v.vol, mm.m2 - v.vol) > 0
+                THEN round(CAST(coalesce(c.cut, 0) AS DOUBLE)
+                           / CAST(least(v.vol, mm.m2 - v.vol) AS DOUBLE), 6)
+           END AS conductance
+    FROM vol v LEFT JOIN cut c ON c.community = v.community, mm
+    ORDER BY v.community
+"""
 ORACLES["rich_club"] = f"""
     WITH {GRAPH_CTES},
     deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
@@ -4437,6 +4484,21 @@ ORACLES["tfidf_terms"] = f"""
     SELECT doc_id, term, CAST(tfidf_micro AS DOUBLE) / 1000000.0 AS tfidf,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 5
+"""
+ORACLES["phrase_search"] = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    bi AS (
+        SELECT doc_id, i AS first_pos, t[i] || ' ' || t[i + 1] AS phrase
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    top AS (
+        SELECT phrase, count(*) AS cnt FROM bi GROUP BY 1
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, phrase ASC) <= 3
+    )
+    SELECT b.phrase, b.doc_id, CAST(count(*) AS BIGINT) AS matches,
+           CAST(min(b.first_pos) AS BIGINT) AS first_pos
+    FROM bi b JOIN top USING (phrase)
+    GROUP BY 1, 2
 """
 ORACLES["bm25_search"] = f"""
     WITH {_RETRIEVAL_TERMS},
@@ -5149,10 +5211,12 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
     "degree_assortativity": q_degree_assortativity,
     "community_modularity": q_community_modularity,
+    "conductance": q_conductance,
     "user_retention": q_user_retention,
     "rich_club": q_rich_club,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
+    "phrase_search": q_phrase_search,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "bpe_pair_counts": q_bpe_pair_counts,

@@ -43,6 +43,7 @@ __all__ = [
     "bm25_search",
     "unigram_logprob",
     "bigram_logprob",
+    "phrase_search",
 ]
 
 _MICRO = 1_000_000.0
@@ -278,4 +279,64 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
             )
             / F.lit(_MICRO)
         ).alias("avg_neglogprob"),
+    )
+
+
+def phrase_search(docs: DataFrame, n_phrases: int = 3) -> DataFrame:
+    """Positional phrase retrieval: ``(phrase, doc_id, matches,
+    first_pos)`` for the corpus's ``n_phrases`` most frequent bigram
+    phrases — the positional-inverted-index capability (consecutive-term
+    match, not bag-of-words) that bm25_search/tfidf cannot express.
+
+    Bigram instances are built ROW-LOCALLY (transform over the token
+    array — no positional-index self-join, which would shuffle the whole
+    (doc, pos, term) index on doc_id), so the only shuffles are the
+    map-side-combinable phrase count and the match rollup on rows that
+    survive the broadcast semi-join against the top-k phrase model.
+    ``first_pos`` is the 1-based position of the phrase's first word.
+
+    Scale posture: the phrase model is a bounded driver-free broadcast
+    (n_phrases rows after a global top-k); the instance explode is
+    linear in token count and never materializes per-doc arrays through
+    a shuffle.
+    """
+    bi = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            # sequence(1, size-1) is safe under the >= 2 guard (Spark's
+            # sequence DESCENDS when stop < start); t[i-1]/t[i] are the
+            # 0-based bracket reads of the 1-based word pair (i, i+1).
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', t[i-1], t[i]))"
+                )
+            ).alias("idx", "phrase"),
+        )
+        .select(
+            "doc_id",
+            "phrase",
+            (F.col("idx") + 1).cast("long").alias("first_pos"),
+        )
+        # feeds BOTH the phrase ranking and the match rollup
+        .localCheckpoint()
+    )
+    top = (
+        bi.groupBy("phrase")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("phrase"))
+        .limit(n_phrases)
+        .select("phrase")
+    )
+    return (
+        bi.join(F.broadcast(top), "phrase")
+        .groupBy("phrase", "doc_id")
+        .agg(
+            F.count("*").alias("matches"),
+            F.min("first_pos").alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
     )
