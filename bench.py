@@ -95,6 +95,11 @@ HEADLINE = [
     "link_scores",
     "embedding_standardize",
     "quantile_hist",
+    # r6 third wave: span-level dedup, geometry-derived graph, and the
+    # point-process temporal family.
+    "span_dedup",
+    "knn_graph",
+    "event_burstiness",
 ]
 
 

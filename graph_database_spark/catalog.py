@@ -2479,6 +2479,27 @@ def q_common_ngrams(spark, sf_dir):
     return T.common_ngrams(load_table(spark, sf_dir, "documents"), n=5, top=20)
 
 
+def q_event_burstiness(spark, sf_dir):
+    # Goh-Barabasi burstiness of per-user inter-event gaps; integer-
+    # second moments are partition-order-exact, the mu/sigma expression
+    # tree is mirrored operand-for-operand in the oracle.
+    return E.burstiness(load_table(spark, sf_dir, "events"))
+
+
+def q_span_dedup(spark, sf_dir):
+    # ExactSubstr-style duplicate-span coverage (Lee et al. 2022) at
+    # n=8 tokens; md5-keyed spans make the Spark and DuckDB sides
+    # compute identical 60-bit span ids.
+    return D.duplicate_span_coverage(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def q_knn_graph(spark, sf_dir):
+    # Mutual-kNN graph over the embeddings table — the geometry-derived
+    # graph (exact top-10 cosine both ways) that SemDeDup-style cluster
+    # pruning runs on.
+    return S.mutual_knn_graph(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -5054,6 +5075,102 @@ ORACLES["corpus_curation"] = f"""
     GROUP BY 1, 2
 """
 
+ORACLES["event_burstiness"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS s1,
+               CAST(sum(gap * gap) AS BIGINT) AS s2
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    -- mu/sigma mirror the Spark expression tree operand-for-operand:
+    -- integer moments are order-exact, then one fixed IEEE chain.
+    d AS (
+        SELECT user_id, n_gaps,
+               s1 / CAST(n_gaps AS DOUBLE) AS mu,
+               sqrt(greatest(CAST(0 AS DOUBLE),
+                             s2 / CAST(n_gaps AS DOUBLE)
+                             - (s1 / CAST(n_gaps AS DOUBLE))
+                               * (s1 / CAST(n_gaps AS DOUBLE)))) AS sigma
+        FROM m WHERE n_gaps >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(mu, 6) AS mean_gap,
+           round(CASE WHEN mu > 0 THEN sigma / mu END, 6) AS cv,
+           round(CASE WHEN sigma + mu > 0
+                      THEN (sigma - mu) / (sigma + mu) END, 6) AS burstiness
+    FROM d
+"""
+ORACLES["span_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substring(md5(array_to_string(t[i:i+7], ' ')),
+                                       1, 15)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ),
+    dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt
+            FROM spans
+        ) s WHERE cnt > 1
+    ),
+    cov AS (
+        SELECT d.doc_id,
+               CAST(count(DISTINCT d.i) AS BIGINT) AS dup_spans,
+               CAST(count(DISTINCT p.pos) AS BIGINT) AS covered_tokens
+        FROM dup d, UNNEST(range(d.i, d.i + 8)) AS p(pos)
+        GROUP BY 1
+    ),
+    lens AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT l.doc_id, l.n_tokens,
+           coalesce(c.dup_spans, 0) AS dup_spans,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN l.n_tokens > 0
+                THEN CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / l.n_tokens
+                ELSE CAST(0 AS DOUBLE) END AS coverage
+    FROM lens l LEFT JOIN cov c ON c.doc_id = l.doc_id
+"""
+ORACLES["knn_graph"] = f"""
+    WITH {_SIM_CTES},
+    dots AS (
+        SELECT q.vec_id AS qa, c.vec_id AS qb, sum(q.x * c.x) AS dp
+        FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT qa, qb, round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots
+        JOIN norms na ON na.vec_id = qa
+        JOIN norms nb ON nb.vec_id = qb
+    ),
+    tk AS (
+        SELECT qa, qb, sim,
+               row_number() OVER (PARTITION BY qa
+                                  ORDER BY sim DESC, qb) AS rnk
+        FROM sims QUALIFY rnk <= 10
+    )
+    SELECT f.qa AS id_a, f.qb AS id_b, f.sim,
+           CAST(f.rnk AS INTEGER) AS rank_ab,
+           CAST(r.rnk AS INTEGER) AS rank_ba
+    FROM tk f JOIN tk r ON r.qa = f.qb AND r.qb = f.qa
+    WHERE f.qa < f.qb
+"""
+
 # Rows-only operators: declared in QUERIES with no oracle entry — the
 # driver records the weaker rows-only check (custom/iterative algorithms:
 # LSH candidate generation, SimHash banding, sampled betweenness).
@@ -5229,6 +5346,9 @@ QUERIES: dict[str, QueryFn] = {
     "parts_supplier_counts": q_parts_supplier_counts,
     "brand_quantity_revenue": q_brand_quantity_revenue,
     "waiting_supplier_rank": q_waiting_supplier_rank,
+    "event_burstiness": q_event_burstiness,
+    "span_dedup": q_span_dedup,
+    "knn_graph": q_knn_graph,
 }
 
 

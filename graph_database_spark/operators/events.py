@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["json_extract_stats", "hourly_rollup", "sessionize"]
+__all__ = ["json_extract_stats", "hourly_rollup", "sessionize", "burstiness"]
 
 
 def json_extract_stats(events: DataFrame) -> DataFrame:
@@ -99,4 +99,49 @@ def transitions(events: DataFrame) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """Per-user inter-event-time statistics: ``(user_id, n_gaps,
+    mean_gap, cv, burstiness)`` — the point-process burstiness
+    coefficient B = (sigma - mu) / (sigma + mu) of Goh & Barabasi
+    (EPL 81, 2008). B -> -1 for periodic streams, 0 for Poisson, -> 1
+    for bursty ones; a curation pipeline uses it to separate organic
+    user activity from machine-generated (periodic) event streams.
+
+    The reference has no temporal analytics at all (src/main.js is
+    static-graph only); this extends the X6 window family. One window
+    pass partitioned by user_id (high-cardinality, same shuffle
+    sessionize pays) computes integer-second gaps via lag, then ONE
+    map-side-combinable agg per user. Gaps are exact BIGINTs, so
+    sum/sum-of-squares are partition-order-exact; mu/sigma are derived
+    from the exact integer moments with a fixed IEEE expression tree
+    (population variance as E[x^2] - E[x]^2, guarded against the
+    catastrophic-cancellation negatives by greatest(0)), so the oracle
+    mirrors it operand-for-operand and the final round(6) is stable."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(order).cast("long")
+    gaps = (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("gap", gap)
+        .where(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s1") / n
+    var = F.greatest(F.lit(0.0), F.col("s2") / n - mu * mu)
+    sigma = F.sqrt(var)
+    return agg.where(F.col("n_gaps") >= 2).select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap"),
+        F.round(F.when(mu > 0, sigma / mu), 6).alias("cv"),
+        F.round(
+            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), 6
+        ).alias("burstiness"),
     )
