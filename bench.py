@@ -100,6 +100,7 @@ HEADLINE = [
     "span_dedup",
     "knn_graph",
     "event_burstiness",
+    "events_resample",
 ]
 
 

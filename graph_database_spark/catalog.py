@@ -2500,6 +2500,26 @@ def q_knn_graph(spark, sf_dir):
     return S.mutual_knn_graph(load_table(spark, sf_dir, "embeddings"), k=10)
 
 
+def q_events_resample(spark, sf_dir):
+    # Gap-filling hourly resample with forward-fill + linear
+    # interpolation over each user's complete hour grid.
+    return TP.resample_hourly(load_table(spark, sf_dir, "events"))
+
+
+def q_cumulative_users(spark, sf_dir):
+    # Running distinct-user count by day (first-seen rewrite — no
+    # distinct-over-window exists in any engine; this is the rewrite).
+    return E.cumulative_users(load_table(spark, sf_dir, "events"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sample (md5-deterministic draws,
+    # ln() snapped to micro-units before ranking).
+    from graph_database_spark.operators.sampling import weighted_sample_es
+
+    return weighted_sample_es(load_table(spark, sf_dir, "documents"), k=50)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -5171,6 +5191,100 @@ ORACLES["knn_graph"] = f"""
     WHERE f.qa < f.qb
 """
 
+ORACLES["events_resample"] = """
+    WITH hrs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value FROM events
+    ),
+    obs AS (
+        SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS v_hour
+        FROM hrs GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hrs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, u.hour
+        FROM span, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(hour)
+    ),
+    g AS (
+        SELECT gr.user_id, gr.hour, o.n_events, o.v_hour
+        FROM grid gr LEFT JOIN obs o
+          ON o.user_id = gr.user_id AND o.hour = gr.hour
+    ),
+    fills AS (
+        SELECT user_id, hour, n_events, v_hour,
+               last_value(v_hour IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN v_hour IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER wp AS prev_h,
+               first_value(v_hour IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN v_hour IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER wn AS next_h
+        FROM g
+        WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           coalesce(n_events, 0) AS n_events,
+           v_hour,
+           CASE WHEN v_hour IS NULL THEN 1 ELSE 0 END AS is_gap,
+           round(prev_v, 6) AS v_ffill,
+           -- interpolation as ONE IEEE division of exact integer
+           -- micro-units (mirrors operators/temporal.py resample_hourly
+           -- operand-for-operand): float round(6) disagreed with Spark
+           -- on .xxxxxx5 boundaries
+           CASE WHEN v_hour IS NOT NULL THEN v_hour
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN CAST(CAST(round(prev_v * CAST(10000.0 AS DOUBLE), 0)
+                               AS BIGINT)
+                          * CAST(epoch(next_h) - epoch(prev_h) AS BIGINT)
+                          + (CAST(round(next_v * CAST(10000.0 AS DOUBLE), 0)
+                                  AS BIGINT)
+                             - CAST(round(prev_v * CAST(10000.0 AS DOUBLE), 0)
+                                    AS BIGINT))
+                            * CAST(epoch(hour) - epoch(prev_h) AS BIGINT)
+                          AS DOUBLE)
+                     / CAST(CAST(epoch(next_h) - epoch(prev_h) AS BIGINT)
+                            * 10000 AS DOUBLE)
+                ELSE coalesce(prev_v, next_v) END AS v_interp
+    FROM fills
+"""
+ORACLES["cumulative_users"] = """
+    WITH first_seen AS (
+        -- date_trunc('day') yields DATE in DuckDB but TIMESTAMP in
+        -- Spark; the cast keeps the hashed string forms identical
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+"""
+ORACLES["weighted_sample"] = """
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(round(
+                   -ln((CAST(('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        + 1)
+                       / CAST(1152921504606846976 AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE)
+                   * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS key_micro
+        FROM documents
+    )
+    SELECT doc_id, weight, key_micro
+    FROM keyed ORDER BY key_micro, doc_id LIMIT 50
+"""
+
 # Rows-only operators: declared in QUERIES with no oracle entry — the
 # driver records the weaker rows-only check (custom/iterative algorithms:
 # LSH candidate generation, SimHash banding, sampled betweenness).
@@ -5349,6 +5463,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_burstiness": q_event_burstiness,
     "span_dedup": q_span_dedup,
     "knn_graph": q_knn_graph,
+    "events_resample": q_events_resample,
+    "cumulative_users": q_cumulative_users,
+    "weighted_sample": q_weighted_sample,
 }
 
 

@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["json_extract_stats", "hourly_rollup", "sessionize", "burstiness"]
+__all__ = [
+    "json_extract_stats",
+    "hourly_rollup",
+    "sessionize",
+    "burstiness",
+    "cumulative_users",
+]
 
 
 def json_extract_stats(events: DataFrame) -> DataFrame:
@@ -144,4 +150,27 @@ def burstiness(events: DataFrame) -> DataFrame:
         F.round(
             F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), 6
         ).alias("burstiness"),
+    )
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Daily audience growth: ``(day, new_users, cum_users)`` — users
+    counted on the day of their FIRST event, with a running total. The
+    running-distinct-count every growth dashboard needs, computed
+    without any distinct-over-window (which Spark cannot express and
+    an engine must rewrite exactly like this): first-seen per user is
+    one min-agg, the daily rollup is map-side combinable, and the
+    cumulative sum runs over the tiny day-grain frame (one partition
+    by construction — bounded by days-of-history, not data size)."""
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
     )

@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_sample", "stratified_cap", "token_chunks", "sample_threshold_hex"]
+__all__ = [
+    "hash_sample",
+    "stratified_cap",
+    "token_chunks",
+    "sample_threshold_hex",
+    "weighted_sample_es",
+]
 
 
 def sample_threshold_hex(fraction: float, digits: int = 4) -> str:
@@ -94,4 +100,42 @@ def token_chunks(
     return docs.select(
         "*",
         F.floor(start / F.lit(budget)).cast("bigint").alias("chunk_id"),
+    )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, Efraimidis-
+    Spirakis A-ES: each row draws an exponential key -ln(u)/w and the k
+    SMALLEST keys win — inclusion probability proportional to weight,
+    exactly the corpus-mixture draw an LLM data pipeline makes when
+    upsampling high-quality sources. The uniform u is md5-derived from
+    the id (engine-portable, retry-stable — the same reasoning as
+    hash_sample; df.sample's RNG is neither), so every executor, retry,
+    and the DuckDB oracle draw the SAME sample.
+
+    The libm ln() is snapped to integer micro-units BEFORE ranking
+    (CLAUDE.md float rule: cross-engine last-ulp ln() disagreement must
+    not flip an ordering; ties then break on id). Narrow map + one
+    top-k sort of k rows — no full shuffle at any scale."""
+    u = (
+        (F.conv(_hash_hex(id_col).substr(1, 15), 16, 10).cast("long") + 1)
+        .cast("double")
+        / F.lit(1152921504606846976.0)  # 2^60
+    )
+    key_micro = F.round(
+        -F.log(u) / F.col(weight_col).cast("double") * F.lit(1000000.0), 0
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            key_micro.alias("key_micro"),
+        )
+        .orderBy("key_micro", id_col)
+        .limit(k)
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_count", "ewma_trailing"]
+__all__ = ["asof_join", "range_count", "ewma_trailing", "resample_hourly"]
 
 
 def ewma_trailing(
@@ -172,4 +172,90 @@ def range_count(
         joined.groupBy(F.col("_rowid"), *[lid[c] for c in left.columns])
         .agg(F.count("_k").alias(count_alias))
         .drop("_rowid")
+    )
+
+
+def resample_hourly(events: DataFrame) -> DataFrame:
+    """Gap-filling hourly resample per user: ``(user_id, hour, n_events,
+    v_hour, is_gap, v_ffill, v_interp)`` over every user's COMPLETE
+    hour grid from their first to last event — missing hours appear with
+    n_events = 0, a forward-filled value, and a linearly interpolated
+    one. The time-series regularization step (telemetry, finance bars,
+    feature windows) that turns an irregular event stream into
+    model-ready fixed-step input; the reference has no temporal surface
+    at all (src/main.js is static-graph only).
+
+    Plan: ONE groupBy (user, hour) for the observed bars, one tiny
+    per-user min/max agg whose hour grid is generated with sequence()
+    (JVM-side, no driver loop), a broadcast-sized join back, then two
+    window passes over the user-partitioned grid (carry-last and
+    carry-next with ignorenulls). The grid is |users| x their active
+    span in hours — linear state, one shuffle key, no range join.
+
+    Float posture: the per-hour double sum is snapped to round(4)
+    (partition-order ulp, catalog convention), the interpolation weight
+    is a ratio of exact epoch-second integers, and the final values are
+    round(6) over a fixed IEEE tree the oracle mirrors."""
+    hours = events.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    obs = hours.groupBy("user_id", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("v_hour"),
+    )
+    span = hours.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    g = grid.join(obs, ["user_id", "hour"], "left")
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_obs = F.col("v_hour").isNotNull()
+    prev_v = F.last(F.when(is_obs, F.col("v_hour")), ignorenulls=True).over(w_prev)
+    prev_h = F.last(F.when(is_obs, F.col("hour")), ignorenulls=True).over(w_prev)
+    next_v = F.first(F.when(is_obs, F.col("v_hour")), ignorenulls=True).over(w_next)
+    next_h = F.first(F.when(is_obs, F.col("hour")), ignorenulls=True).over(w_next)
+
+    # Interpolation in exact integers: v0 + (v1-v0)*k/m computed as ONE
+    # IEEE division (v0m*m + (v1m-v0m)*k) / (m*1e4) of exact BIGINTs —
+    # bit-identical across engines. A float round(6) here landed on
+    # .xxxxxx5 boundaries (4-decimal bars x dyadic hour ratios) and
+    # Spark's BigDecimal HALF_UP disagreed with DuckDB's binary round
+    # on 9/105k rows.
+    v0m = F.round(prev_v * F.lit(10000.0), 0).cast("long")
+    v1m = F.round(next_v * F.lit(10000.0), 0).cast("long")
+    k_s = F.col("hour").cast("long") - prev_h.cast("long")
+    m_s = next_h.cast("long") - prev_h.cast("long")
+    num = v0m * m_s + (v1m - v0m) * k_s
+    den = m_s * F.lit(10000)
+    interp = F.when(is_obs, F.col("v_hour")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            num.cast("double") / den.cast("double"),
+        ).otherwise(F.coalesce(prev_v, next_v))
+    )
+    return g.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "v_hour",
+        (~is_obs).cast("int").alias("is_gap"),
+        F.round(prev_v, 6).alias("v_ffill"),
+        interp.alias("v_interp"),
     )
