@@ -101,6 +101,8 @@ HEADLINE = [
     "knn_graph",
     "event_burstiness",
     "events_resample",
+    "katz_centrality",
+    "label_centroid_sim",
 ]
 
 

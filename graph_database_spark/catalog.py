@@ -2520,6 +2520,40 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample_es(load_table(spark, sf_dir, "documents"), k=50)
 
 
+def q_katz_centrality(spark, sf_dir):
+    # Truncated Katz with exact dyadic beta=1/2 weights over integer
+    # walk counts — partition-order-exact, unrolled join-for-join in
+    # the oracle.
+    from graph_database_spark.operators.katz import katz_centrality
+
+    return katz_centrality(_edges(spark, sf_dir), horizon=4)
+
+
+def q_graph_global_stats(spark, sf_dir):
+    # One-row dataset card: density, avg degree, wedges, triangles,
+    # Newman transitivity — all exact ints + single IEEE divisions.
+    return G.global_stats(_edges(spark, sf_dir))
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    # Pairwise cosine between class centroids (micro-unit-exact sums).
+    return S.label_centroid_sim(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_order_percentiles(spark, sf_dir):
+    # percent_rank / cume_dist surface — both are single IEEE divisions
+    # of exact rank integers, so no rounding is needed on either side.
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -5269,6 +5303,105 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["katz_centrality"] = f"""
+    WITH {GRAPH_CTES},
+    symm AS MATERIALIZED (SELECT * FROM sym),
+    w1 AS MATERIALIZED (
+        SELECT s.v AS id, CAST(count(*) AS BIGINT) AS w
+        FROM symm s GROUP BY 1
+    ),
+    w2 AS MATERIALIZED (
+        SELECT s.v AS id, CAST(sum(w.w) AS BIGINT) AS w
+        FROM symm s JOIN w1 w ON w.id = s.n GROUP BY 1
+    ),
+    w3 AS MATERIALIZED (
+        SELECT s.v AS id, CAST(sum(w.w) AS BIGINT) AS w
+        FROM symm s JOIN w2 w ON w.id = s.n GROUP BY 1
+    ),
+    w4 AS (
+        SELECT s.v AS id, CAST(sum(w.w) AS BIGINT) AS w
+        FROM symm s JOIN w3 w ON w.id = s.n GROUP BY 1
+    )
+    SELECT w1.id,
+           CAST(w1.w * 8 + w2.w * 4 + w3.w * 2 + w4.w AS BIGINT) AS katz_num,
+           CAST(w1.w * 8 + w2.w * 4 + w3.w * 2 + w4.w AS DOUBLE)
+               / CAST(16 AS DOUBLE) AS katz
+    FROM w1
+    JOIN w2 ON w2.id = w1.id
+    JOIN w3 ON w3.id = w1.id
+    JOIN w4 ON w4.id = w1.id
+"""
+ORACLES["graph_global_stats"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    ds AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) AS BIGINT) AS deg_sum,
+               CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS wedges
+        FROM deg
+    ),
+    wj AS (
+        SELECT a.v AS v, a.n AS n1, b.n AS n2
+        FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+    ),
+    closed AS (
+        SELECT w.v FROM wj w JOIN edges e ON w.n1 = e.src AND w.n2 = e.dst
+    ),
+    tri AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_triangles FROM closed)
+    SELECT n_nodes,
+           CAST(deg_sum // 2 AS BIGINT) AS n_edges,
+           CAST(deg_sum AS DOUBLE)
+               / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) AS density,
+           CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
+           wedges,
+           n_triangles,
+           CASE WHEN wedges > 0
+                THEN CAST(3 * n_triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+           END AS transitivity
+    FROM ds, tri
+"""
+ORACLES["label_centroid_sim"] = """
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS xm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, CAST(sum(xm) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT label, i, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        FROM cent
+    ),
+    norms AS (
+        SELECT label, sqrt(sum(m * m)) AS nrm, max(n) AS n_vecs
+        FROM m GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dp
+        FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           CAST(na.n_vecs AS BIGINT) AS n_a,
+           CAST(nb.n_vecs AS BIGINT) AS n_b,
+           round(dp / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+"""
+ORACLES["order_percentiles"] = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+"""
 ORACLES["weighted_sample"] = """
     WITH keyed AS (
         SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
@@ -5466,6 +5599,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_resample": q_events_resample,
     "cumulative_users": q_cumulative_users,
     "weighted_sample": q_weighted_sample,
+    "katz_centrality": q_katz_centrality,
+    "graph_global_stats": q_graph_global_stats,
+    "label_centroid_sim": q_label_centroid_sim,
+    "order_percentiles": q_order_percentiles,
 }
 
 

@@ -464,3 +464,46 @@ def conductance(edges: DataFrame, communities: DataFrame) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+def global_stats(edges: DataFrame) -> DataFrame:
+    """One-row whole-graph summary: ``(n_nodes, n_edges, density,
+    avg_degree, wedges, n_triangles, transitivity)`` — the dataset-card
+    numbers (global transitivity = 3T / wedges is Newman's clustering
+    coefficient; density = 2E / V(V-1)). The reference reports node and
+    edge counts per ego network (src/main.js:66-86); this is that
+    metrics block completed with the second-order statistics.
+
+    All inputs are exact integers (degree sums, corner counts); every
+    emitted ratio is a single IEEE division, so the row hashes
+    identically cross-engine with no rounding. The caller should pass a
+    checkpointed edge frame — degree and the wedge join both consume
+    it (CLAUDE.md reuse rule)."""
+    deg = degree(edges)
+    deg_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("deg_sum"),
+        # wedges = sum C(d, 2); d*(d-1) is even so `div` is exact
+        F.expr("sum(degree * (degree - 1)) div 2").alias("wedges"),
+    )
+    tri = triangle_count(edges)
+    return (
+        deg_stats.crossJoin(tri)  # two single-row frames
+        .select(
+            "n_nodes",
+            F.expr("deg_sum div 2").cast("bigint").alias("n_edges"),
+            (
+                F.col("deg_sum").cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double")
+            ).alias("density"),
+            (F.col("deg_sum").cast("double") / F.col("n_nodes").cast("double")
+             ).alias("avg_degree"),
+            "wedges",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )

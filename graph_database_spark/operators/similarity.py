@@ -41,6 +41,7 @@ __all__ = [
     "lsh_pairs_above",
     "lsh_pairs_above_md5",
     "mutual_knn_graph",
+    "label_centroid_sim",
 ]
 
 
@@ -562,4 +563,85 @@ def mutual_knn_graph(
     )
     return fwd.join(rev, ["id_a", "id_b"]).select(
         "id_a", "id_b", "sim", "rank_ab", "rank_ba"
+    )
+
+
+def label_centroid_sim(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class centroid geometry: pairwise cosine similarity between
+    class centroids — ``(label_a, label_b, n_a, n_b, sim)``, label_a <
+    label_b. The class-confusability probe every embedding-space audit
+    runs (nearly-parallel centroids predict classifier confusion and
+    mark label families for SemDeDup-style merge).
+
+    Exactness: elements snap to integer micro-units before the centroid
+    sums (the hash-verified embedding_standardize idiom — per-dim sums
+    of BIGINTs are partition-order-exact), the per-dim mean is one IEEE
+    division, and the 64-term centroid dot/norm sums follow the
+    _SIM_CTES pattern with a final round(6).
+
+    Scale: one (label, dim) shuffle with map-side partial aggregation —
+    |labels| x dim cells of state regardless of row count — then the
+    pairwise join runs on the tiny centroid frame (|labels| x dim)."""
+    ex = (
+        spread(vectors)
+        .select(label_col, F.posexplode(vec_col).alias("pos", "xf"))
+        .select(
+            label_col,
+            (F.col("pos") + F.lit(1)).cast("int").alias("i"),
+            F.round(F.col("xf").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("xm"),
+        )
+    )
+    cent = (
+        ex.groupBy(label_col, "i")
+        .agg(F.sum("xm").alias("s"), F.count("*").alias("n"))
+        .select(
+            label_col,
+            "i",
+            "n",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+        )
+        .localCheckpoint()  # feeds norms AND the pairwise dot join
+    )
+    norms = cent.groupBy(label_col).agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"),
+        F.max("n").alias("n_vecs"),
+    )
+    a = cent.select(
+        F.col(label_col).alias("label_a"), "i", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col(label_col).alias("label_b"), "i", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "i")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dp"))
+    )
+    na = norms.select(
+        F.col(label_col).alias("label_a"),
+        F.col("nrm").alias("na"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    nb = norms.select(
+        F.col(label_col).alias("label_b"),
+        F.col("nrm").alias("nb"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
     )
