@@ -103,6 +103,9 @@ HEADLINE = [
     "events_resample",
     "katz_centrality",
     "label_centroid_sim",
+    "hybrid_search",
+    "ngram_containment",
+    "compression_ratio",
 ]
 
 

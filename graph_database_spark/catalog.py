@@ -2540,6 +2540,27 @@ def q_label_centroid_sim(spark, sf_dir):
     return S.label_centroid_sim(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    # Asymmetric containment (|A∩B|/|A|) — the quote/subsumption
+    # detector Jaccard resemblance misses; same scalar-only inverted-
+    # index plan as ngram_jaccard_exact.
+    return D.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_hybrid_search(spark, sf_dir):
+    # BM25 + md5-hash-embedding cosine legs fused with Reciprocal Rank
+    # Fusion — the full modern-RAG ranking stack, oracle-checkable end
+    # to end because the dense leg uses the md5 twin.
+    return R.hybrid_rrf_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
+
+
+def q_compression_ratio(spark, sf_dir):
+    # zlib compressibility quality signal — the one text-family Arrow
+    # path (DEFLATE has no SQL analog): rows-only, exact values pinned
+    # by tests/test_r6_operators.py.
+    return T.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def q_order_percentiles(spark, sf_dir):
     # percent_rank / cume_dist surface — both are single IEEE divisions
     # of exact rank integers, so no rounding is needed on either side.
@@ -5303,6 +5324,113 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["ngram_containment"] = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS cont_a,
+           CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE) AS cont_b
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= CAST(0.6 AS DOUBLE)
+       OR CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE) >= CAST(0.6 AS DOUBLE)
+"""
+ORACLES["hybrid_search"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                      / (tf + CAST(1.2 AS DOUBLE)
+                           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * (CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE))))))
+                   * 1000000.0, 0) AS BIGINT) AS s_micro
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (SELECT doc_id, sum(s_micro) AS sum_micro FROM scored GROUP BY 1),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sum_micro DESC, doc_id) AS r_lex
+        FROM agg QUALIFY r_lex <= 50
+    ),
+    -- dense leg: md5 hash-trick embeddings (mirrors
+    -- text.hash_embedding_md5 / the text_embedding_neardup_md5 oracle)
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 64 AS b,
+               (CAST(('0x' || substring(md5('s|' || t), 1, 1)) AS BIGINT) % 2)
+                   * 2 - 1 AS s
+        FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents)
+    ),
+    vec AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY 1, 2),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+        FROM vec GROUP BY 1 HAVING sum(v * v) > 0
+    ),
+    qh AS (
+        SELECT CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 64 AS b,
+               (CAST(('0x' || substring(md5('s|' || t), 1, 1)) AS BIGINT) % 2)
+                   * 2 - 1 AS s
+        FROM (SELECT unnest(string_split('spark join window', ' ')) AS t)
+    ),
+    qvec AS (SELECT b, sum(s) AS v FROM qh GROUP BY 1),
+    qnorm AS (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM qvec),
+    dots AS (
+        SELECT d.doc_id, sum(d.v * q.v) AS dp
+        FROM vec d JOIN qvec q ON d.b = q.b GROUP BY 1
+    ),
+    sims AS (
+        SELECT n.doc_id,
+               round(CAST(coalesce(dt.dp, 0) AS DOUBLE) / (n.nrm * qn.nrm),
+                     6) AS sim
+        FROM norms n
+        LEFT JOIN dots dt ON dt.doc_id = n.doc_id
+        CROSS JOIN qnorm qn
+    ),
+    dense AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+        FROM sims QUALIFY r_dense <= 50
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS in_lex,
+               CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS in_dense,
+               CAST(coalesce(CAST(round(CAST(1000000.0 AS DOUBLE)
+                                        / (l.r_lex + 60), 0) AS BIGINT), 0)
+                    + coalesce(CAST(round(CAST(1000000.0 AS DOUBLE)
+                                          / (d.r_dense + 60), 0) AS BIGINT), 0)
+                    AS BIGINT) AS rrf_micro
+        FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS INTEGER) AS rank,
+           doc_id, in_lex, in_dense, rrf_micro
+    FROM fused QUALIFY rank <= 20
+"""
 ORACLES["katz_centrality"] = f"""
     WITH {GRAPH_CTES},
     symm AS MATERIALIZED (SELECT * FROM sym),
@@ -5436,6 +5564,7 @@ ROWS_ONLY = frozenset({
     "distinct_users_sketch",
     "staged_dedup",
     "text_embedding_neardup",
+    "compression_ratio",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -5603,6 +5732,9 @@ QUERIES: dict[str, QueryFn] = {
     "graph_global_stats": q_graph_global_stats,
     "label_centroid_sim": q_label_centroid_sim,
     "order_percentiles": q_order_percentiles,
+    "ngram_containment": q_ngram_containment,
+    "hybrid_search": q_hybrid_search,
+    "compression_ratio": q_compression_ratio,
 }
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "staged_dedup",
     "duplicate_span_coverage",
+    "ngram_containment_pairs",
 ]
 
 
@@ -831,4 +832,59 @@ def duplicate_span_coverage(
             F.coalesce("covered_tokens", F.lit(0)).cast("double")
             / F.col("n_tokens"),
         ).otherwise(F.lit(0.0)).alias("coverage"),
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: ``(id_a, id_b, inter, n_a, n_b,
+    cont_a, cont_b)`` with cont_a = |A∩B| / |A| — the asymmetric twin of
+    ngram_jaccard_exact_pairs that resemblance misses: a short document
+    quoted wholesale inside a long one has near-1 containment but tiny
+    Jaccard. This is the quote/subsumption detector (Broder's original
+    containment from the 1997 resemblance paper), the shape test-set
+    decontamination actually wants. Pairs kept when EITHER direction
+    reaches ``threshold``.
+
+    Identical scalar-only plan to the Jaccard twin (dedup.py:661-670):
+    the intersection size is the count of shared inverted-index entries;
+    each side's distinct-shingle count rides the index rows, so no
+    shingle arrays are ever shuffled or re-intersected."""
+    toks = _tokens_df(docs, text_col, id_col)
+    inv = (
+        toks.where(F.size("toks") >= shingle_k)
+        .select(
+            "id",
+            F.array_distinct(_shingles_from(F.col("toks"), shingle_k)).alias("sh"),
+        )
+        .select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    )
+    pairs = (
+        inv.toDF("id_a", "na", "g")
+        .join(inv.toDF("id_b", "nb", "g"), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    cont_a = F.col("inter").cast("double") / F.col("na").cast("double")
+    cont_b = F.col("inter").cast("double") / F.col("nb").cast("double")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .where(
+            (F.col("cont_a") >= F.lit(threshold))
+            | (F.col("cont_b") >= F.lit(threshold))
+        )
     )

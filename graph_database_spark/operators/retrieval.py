@@ -44,6 +44,7 @@ __all__ = [
     "unigram_logprob",
     "bigram_logprob",
     "phrase_search",
+    "hybrid_rrf_search",
 ]
 
 _MICRO = 1_000_000.0
@@ -339,4 +340,73 @@ def phrase_search(docs: DataFrame, n_phrases: int = 3) -> DataFrame:
             F.min("first_pos").alias("first_pos"),
         )
         .orderBy("phrase", "doc_id")
+    )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top: int = 20,
+    leg_k: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher 2009): ``(rank, doc_id, in_lex, in_dense,
+    rrf_micro)``. The standard modern-RAG ranking stack — BM25 leg and
+    embedding-cosine leg each produce a top-``leg_k`` list, and fusion
+    scores sum ``1/(rrf_k + rank)`` across the lists.
+
+    Legs: the lexical side is bm25_search unchanged; the dense side
+    embeds the corpus AND the query with the md5 hash-trick twin
+    (text.hash_embedding_md5 — integer vectors, cross-engine exact) and
+    ranks by exact cosine, so the ENTIRE hybrid pipeline stays
+    oracle-checkable. Per-leg RRF contributions are snapped to integer
+    micro-units before summing (1e6/(rrf_k+r) never lands on a .5
+    boundary for r <= 1000), making fusion order-exact.
+
+    Scale: both legs end in distributed top-k (bounded lists); fusion
+    joins two <= leg_k-row frames — driver-free, broadcast-trivial."""
+    from graph_database_spark.functions.vectors import l2_norm
+    from graph_database_spark.operators.similarity import brute_force_topk
+    from graph_database_spark.operators.text import hash_embedding_md5
+
+    lex = bm25_search(docs, query_terms, top=leg_k).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    # Zero-norm vectors (every token's sign cancelled) would make cosine
+    # NaN and Spark sorts NaN first — excluded on both sides.
+    dvec = hash_embedding_md5(docs, dim=dim).where(
+        l2_norm(F.col("embedding")) > 0
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [(-1, " ".join(query_terms))], "doc_id long, text string"
+    )
+    qvec = hash_embedding_md5(qdf, dim=dim)
+    dense = brute_force_topk(
+        qvec, dvec, k=leg_k, id_col="doc_id", max_broadcast_rows=None
+    ).select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+
+    def contrib(r):
+        return F.when(
+            r.isNotNull(),
+            F.round(F.lit(1000000.0) / (r + F.lit(rrf_k)), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_lex").isNotNull().cast("int").alias("in_lex"),
+            F.col("r_dense").isNotNull().cast("int").alias("in_dense"),
+            (contrib(F.col("r_lex")) + contrib(F.col("r_dense"))).alias(
+                "rrf_micro"
+            ),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "in_lex", "in_dense", "rrf_micro"
     )

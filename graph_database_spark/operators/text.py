@@ -39,6 +39,7 @@ __all__ = [
     "common_ngrams",
     "quality_rules",
     "mixture_weights",
+    "compression_ratio",
 ]
 
 
@@ -457,4 +458,51 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.round(
             F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / total, 6
         ).alias("weight"),
+    )
+
+
+def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compressibility: ``(doc_id, n_bytes,
+    n_compressed, ratio)`` with ratio = n_compressed / n_bytes. The
+    classic cheap-to-compute quality/redundancy signal (low ratio =
+    repetitive boilerplate or generated spam; near-1 = high-entropy
+    noise) that RefinedWeb/Gopher-style curation thresholds alongside
+    the repetition rules.
+
+    zlib has no SQL analog, so this is the repo's one text-family
+    Arrow path: mapInPandas with the DEFLATE call per row (that call
+    IS the operator) and everything else batch-level; bytes cross the
+    JVM boundary once per Arrow batch, and the output is 4 scalar
+    columns — no payload survives downstream. Deterministic for a
+    fixed zlib level, so tests/test_r6_operators.py pins exact values
+    (rows-only at the driver gate: no oracle can express DEFLATE)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from graph_database_spark.operators.spread import spread
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pd.Series([len(b) for b in raw], dtype="int64"),
+                "n_compressed": pd.Series(comp, dtype="int64"),
+            })
+
+    out = spread(docs).select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, n_bytes long, n_compressed long"
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"),
+        ).alias("ratio"),
     )

@@ -1,0 +1,254 @@
+"""Hand-computed fixtures for the round-6 additions: duplicate-span
+coverage, mutual-kNN, burstiness, hourly resample, weighted sampling,
+Katz, global stats, label centroids."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators.dedup import duplicate_span_coverage
+from graph_database_spark.operators.events import burstiness, cumulative_users
+from graph_database_spark.operators.graph import global_stats
+from graph_database_spark.operators.katz import katz_centrality
+from graph_database_spark.operators.sampling import weighted_sample_es
+from graph_database_spark.operators.similarity import (
+    label_centroid_sim,
+    mutual_knn_graph,
+)
+from graph_database_spark.operators.temporal import resample_hourly
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_duplicate_span_coverage_counts(spark):
+    # doc 1 and doc 2 share the 3-gram "a b c"; doc 3 is clean.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c z"),
+            (3, "u v w r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_coverage(docs, n=3).collect()
+    }
+    assert out[1]["dup_spans"] == 1 and out[1]["covered_tokens"] == 3
+    assert out[2]["dup_spans"] == 1 and out[2]["covered_tokens"] == 3
+    assert out[3]["dup_spans"] == 0 and out[3]["covered_tokens"] == 0
+    assert out[1]["coverage"] == 3 / 5
+
+
+def test_duplicate_span_coverage_overlapping_spans_union(spark):
+    # "a a a a a" twice: every 2-gram duplicated; union covers ALL
+    # positions, not 2 x spans.
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "a a a a a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in duplicate_span_coverage(docs, n=2).collect()}
+    assert out[1]["dup_spans"] == 4
+    assert out[1]["covered_tokens"] == 5
+    assert out[1]["coverage"] == 1.0
+
+
+def test_mutual_knn_graph_symmetry_and_ranks(spark):
+    # 1 and 2 are each other's top neighbor; 3 is far from both.
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = mutual_knn_graph(vecs, k=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["rank_ab"] == 1 and r["rank_ba"] == 1
+    # with k=2 every pair is mutual on 3 points
+    assert mutual_knn_graph(vecs, k=2).count() == 3
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    # user 1: perfectly periodic (sigma=0 -> B=-1); user 2: bursty gaps.
+    rows = []
+    for i in range(5):
+        rows.append((1, i, ts(f"2024-01-01T0{i}:00:00")))
+    for i, h in enumerate([0, 1, 1, 1, 9]):
+        rows.append((2, 10 + i, ts(f"2024-01-01T0{h}:00:0{i}")))
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {r["user_id"]: r.asDict() for r in burstiness(ev).collect()}
+    assert out[1]["burstiness"] == -1.0
+    assert out[1]["cv"] == 0.0
+    assert out[1]["mean_gap"] == 3600.0
+    assert out[2]["burstiness"] > 0  # heavy-tailed gaps
+
+
+def test_resample_hourly_interpolation(spark):
+    # observations at hours 0 and 3 (values 1.0 and 4.0): hours 1, 2 are
+    # gaps with linear interpolation 2.0, 3.0 and ffill 1.0.
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:10:00"), 1.0),
+            (1, ts("2024-01-01T03:20:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["hour"].hour: r.asDict() for r in resample_hourly(ev).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["is_gap"] == 0 and out[0]["v_interp"] == 1.0
+    assert out[1]["is_gap"] == 1 and out[1]["v_interp"] == 2.0
+    assert out[2]["v_interp"] == 3.0 and out[2]["v_ffill"] == 1.0
+    assert out[3]["n_events"] == 1 and out[3]["v_interp"] == 4.0
+
+
+def test_cumulative_users_first_seen(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T05:00:00")),
+            (1, ts("2024-01-02T05:00:00")),  # repeat user: not new on day 2
+            (2, ts("2024-01-02T06:00:00")),
+            (3, ts("2024-01-02T07:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {r["day"].day: r.asDict() for r in cumulative_users(ev).collect()}
+    assert out[1]["new_users"] == 1 and out[1]["cum_users"] == 1
+    assert out[2]["new_users"] == 2 and out[2]["cum_users"] == 3
+
+
+def test_weighted_sample_matches_local_replica(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, 10 + 7 * (i % 13)) for i in range(200)],
+        "doc_id long, n_chars long",
+    )
+    got = [r["doc_id"] for r in weighted_sample_es(docs, k=20).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / 1152921504606846976.0
+        return round(-math.log(u) / w * 1e6)
+
+    expect = sorted(
+        ((key(i, 10 + 7 * (i % 13)), i) for i in range(200))
+    )[:20]
+    assert got == [i for _, i in expect]
+
+
+def test_katz_on_path_graph(spark):
+    # path 1-2-3: by hand, horizon 2, beta=1/2:
+    # w1 = degrees (1,2,1); w2(1)=w1(2)=2, w2(2)=w1(1)+w1(3)=2, w2(3)=2
+    # katz_num(v) = 2*w1 + w2 -> 1:4, 2:6, 3:4 ; katz = num/4
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r["id"]: r.asDict() for r in katz_centrality(edges, horizon=2).collect()}
+    assert out[1]["katz_num"] == 4 and out[1]["katz"] == 1.0
+    assert out[2]["katz_num"] == 6 and out[2]["katz"] == 1.5
+    assert out[3]["katz_num"] == 4
+
+
+def test_global_stats_triangle_plus_tail(spark):
+    # triangle 1-2-3 plus pendant 4 on 1: V=4, E=4, T=1,
+    # degrees (3,2,2,1) -> wedges = 3+1+1+0 = 5, transitivity 3/5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    r = global_stats(edges.localCheckpoint()).collect()[0].asDict()
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["wedges"] == 5 and r["n_triangles"] == 1
+    assert r["transitivity"] == 3 / 5
+    assert r["avg_degree"] == 2.0
+    assert r["density"] == 8 / 12
+
+
+def test_label_centroid_sim_orthogonal_vs_identical(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r["label_a"], r["label_b"]): r.asDict()
+        for r in label_centroid_sim(vecs).collect()
+    }
+    assert out[(0, 1)]["sim"] == 0.0
+    assert out[(0, 2)]["sim"] == 1.0
+    assert out[(1, 2)]["sim"] == 0.0
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+
+def test_compression_ratio_pins_zlib(spark):
+    import zlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a a a"),       # highly compressible
+            (2, "the quick brown fox jumps"),     # ordinary text
+        ],
+        "doc_id long, text string",
+    )
+    from graph_database_spark.operators.text import compression_ratio
+
+    out = {r["doc_id"]: r.asDict() for r in compression_ratio(docs).collect()}
+    for i, t in [(1, "a a a a a a a a a a a a"), (2, "the quick brown fox jumps")]:
+        raw = t.encode()
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert out[i]["ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+    assert out[1]["ratio"] < out[2]["ratio"]
+
+
+def test_ngram_containment_subsumption(spark):
+    from graph_database_spark.operators.dedup import ngram_containment_pairs
+
+    # doc 1 is fully contained in doc 2 (prefix quote); Jaccard is only
+    # ~3/8 but containment_a = 1.0.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["cont_a"] == 1.0 and r["cont_a"] > r["cont_b"]
+    assert r["inter"] == r["n_a"] == 3
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from graph_database_spark.operators.retrieval import hybrid_rrf_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark join"),
+            (2, "spark window table"),
+            (3, "completely unrelated words here"),
+            (4, "join window spark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = hybrid_rrf_search(docs, ["spark", "join", "window"], top=4).collect()
+    by_id = {r["doc_id"]: r.asDict() for r in out}
+    # every matching doc appears in both legs; doc 3 only in dense (all
+    # docs get a dense rank — cosine 0 still ranks)
+    assert by_id[1]["in_lex"] == 1 and by_id[1]["in_dense"] == 1
+    assert by_id[3]["in_lex"] == 0 and by_id[3]["in_dense"] == 1
+    # fused ranking is total and 1-based
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
+    assert by_id[3]["rank"] == 4
