@@ -106,6 +106,8 @@ HEADLINE = [
     "hybrid_search",
     "ngram_containment",
     "compression_ratio",
+    "events_rolling_median",
+    "graph_coloring",
 ]
 
 

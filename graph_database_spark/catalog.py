@@ -2561,6 +2561,21 @@ def q_compression_ratio(spark, sf_dir):
     return T.compression_ratio(load_table(spark, sf_dir, "documents"))
 
 
+def q_events_rolling_median(spark, sf_dir):
+    # Trailing 15-row median per user — the robust twin of events_ewma;
+    # micro-unit integers make the median exact cross-engine.
+    return TP.rolling_median(load_table(spark, sf_dir, "events"))
+
+
+def q_graph_coloring(spark, sf_dir):
+    # Jones-Plassmann greedy coloring with md5 priorities — rows-only
+    # (round count is data-dependent); properness/determinism/bound
+    # pinned by tests/test_r6_operators.py.
+    from graph_database_spark.operators.coloring import graph_coloring
+
+    return graph_coloring(copurchase_edges(spark, sf_dir))
+
+
 def q_order_percentiles(spark, sf_dir):
     # percent_rank / cume_dist surface — both are single IEEE divisions
     # of exact rank integers, so no rounding is needed on either side.
@@ -5324,6 +5339,31 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["events_rolling_median"] = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micro
+        FROM events WHERE value IS NOT NULL
+    ),
+    wv AS (
+        SELECT user_id, event_id,
+               list(v_micro) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS vals
+        FROM q
+    ),
+    sv AS (
+        SELECT user_id, event_id, list_sort(vals) AS sv, len(vals) AS m
+        FROM wv
+    )
+    SELECT user_id, event_id,
+           (CASE WHEN m % 2 = 1 THEN CAST(sv[(m + 1) // 2] AS DOUBLE)
+                 ELSE (CAST(sv[m // 2] AS DOUBLE)
+                       + CAST(sv[m // 2 + 1] AS DOUBLE))
+                      / CAST(2.0 AS DOUBLE) END)
+           / 1000000.0 AS roll_median
+    FROM sv
+"""
 ORACLES["ngram_containment"] = f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
     sh AS (
@@ -5565,6 +5605,7 @@ ROWS_ONLY = frozenset({
     "staged_dedup",
     "text_embedding_neardup",
     "compression_ratio",
+    "graph_coloring",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -5735,6 +5776,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment": q_ngram_containment,
     "hybrid_search": q_hybrid_search,
     "compression_ratio": q_compression_ratio,
+    "events_rolling_median": q_events_rolling_median,
+    "graph_coloring": q_graph_coloring,
 }
 
 

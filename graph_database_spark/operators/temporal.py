@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_count", "ewma_trailing", "resample_hourly"]
+__all__ = [
+    "asof_join",
+    "range_count",
+    "ewma_trailing",
+    "resample_hourly",
+    "rolling_median",
+]
 
 
 def ewma_trailing(
@@ -258,4 +264,61 @@ def resample_hourly(events: DataFrame) -> DataFrame:
         (~is_obs).cast("int").alias("is_gap"),
         F.round(prev_v, 6).alias("v_ffill"),
         interp.alias("v_interp"),
+    )
+
+
+def rolling_median(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    window_rows: int = 15,
+) -> DataFrame:
+    """Trailing-window median per key: ``(user_id, event_id,
+    roll_median)`` over the last ``window_rows`` events — the robust
+    twin of ewma_trailing (a median shrugs off the outlier spikes that
+    drag any mean-based smoother; this is the anomaly-resistant
+    baseline signal).
+
+    No built-in windowed median exists in either engine; the rewrite is
+    collect_list over the bounded frame + one array_sort per row. Exact
+    cross-engine: values snap to integer micro-units first, the median
+    of integers is either an integer or a dyadic half (x.5 — exact in
+    a double), and the final unscaling is one IEEE division. The frame
+    is bounded at ``window_rows`` rows regardless of key skew, so the
+    sort is O(w log w) per row with w constant."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    micro = (
+        F.round(F.col(value_col) * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("v_micro")
+    )
+    # Nulls excluded up front for the same engine-parity reason as
+    # ewma_trailing (Spark collect_list drops them, DuckDB list keeps).
+    vals = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(key_col, *order_cols, micro)
+        .withColumn("vals", F.collect_list("v_micro").over(w))
+        # sorted array materialized ONCE (CLAUDE.md: the median CASE
+        # below references it three times)
+        .withColumn("sv", F.array_sort("vals"))
+    )
+    med_micro = F.expr(
+        "CASE WHEN size(sv) % 2 = 1"
+        "     THEN CAST(element_at(sv, CAST((size(sv) + 1) div 2 AS INT))"
+        "               AS DOUBLE)"
+        "     ELSE (CAST(element_at(sv, CAST(size(sv) div 2 AS INT))"
+        "                AS DOUBLE)"
+        "           + CAST(element_at(sv, CAST(size(sv) div 2 + 1 AS INT))"
+        "                  AS DOUBLE))"
+        "          / CAST(2.0 AS DOUBLE) END"
+    )
+    return vals.select(
+        key_col,
+        order_cols[1],
+        (med_micro / F.lit(1_000_000.0)).alias("roll_median"),
     )

@@ -252,3 +252,38 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     # fused ranking is total and 1-based
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
     assert by_id[3]["rank"] == 4
+
+
+def test_rolling_median_hand_values(spark):
+    from graph_database_spark.operators.temporal import rolling_median
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, ts("2024-01-01T00:00:00"), 5.0),
+            (1, 2, ts("2024-01-01T01:00:00"), 1.0),
+            (1, 3, ts("2024-01-01T02:00:00"), 9.0),
+            (1, 4, ts("2024-01-01T03:00:00"), 2.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r["roll_median"] for r in rolling_median(ev).collect()}
+    assert out[1] == 5.0          # [5]
+    assert out[2] == 3.0          # [1,5] -> (1+5)/2
+    assert out[3] == 5.0          # [1,5,9]
+    assert out[4] == 3.5          # [1,2,5,9] -> (2+5)/2
+
+
+def test_graph_coloring_proper_and_deterministic(spark):
+    from graph_database_spark.operators.coloring import graph_coloring
+
+    # wheel-ish graph: hub 0 to 1..6 plus a 6-cycle — max degree 6
+    spokes = [(0, i) for i in range(1, 7)]
+    cycle = [(i, i % 6 + 1) for i in range(1, 7)]
+    edges = spark.createDataFrame(spokes + cycle, "src long, dst long")
+    colors = {r["id"]: r["color"] for r in graph_coloring(edges).collect()}
+    assert set(colors) == set(range(7))
+    for s, d in spokes + cycle:
+        assert colors[s] != colors[d], (s, d)
+    assert max(colors.values()) <= 6  # Jones-Plassmann bound: maxdeg + 1 colors
+    colors2 = {r["id"]: r["color"] for r in graph_coloring(edges).collect()}
+    assert colors == colors2  # md5 priorities: pure function of the graph
