@@ -108,6 +108,8 @@ HEADLINE = [
     "compression_ratio",
     "events_rolling_median",
     "graph_coloring",
+    "densest_subgraph",
+    "column_entropy",
 ]
 
 

@@ -2561,6 +2561,70 @@ def q_compression_ratio(spark, sf_dir):
     return T.compression_ratio(load_table(spark, sf_dir, "documents"))
 
 
+_ENTROPY_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderpriority", "o_orderstatus"],
+}
+
+
+def _unpivot_cats(df, cols):
+    return df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("val"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.*")
+
+
+def q_column_entropy(spark, sf_dir):
+    # Shannon entropy per categorical column — the cardinality/skew
+    # profiling signal next to column_stats' min/max/NDV. ONE scan per
+    # table: each table's categorical columns unpivot via explode into
+    # (column, val) pairs, one shuffle groups them, and the entropy
+    # terms -p*ln(p) are snapped to integer micro-units per DISTINCT
+    # VALUE before the per-column sum (CLAUDE.md libm rule), so the
+    # sum is partition-order-exact.
+    pairs = _unpivot_cats(
+        load_table(spark, sf_dir, "lineitem"), _ENTROPY_COLS["lineitem"]
+    ).unionByName(
+        _unpivot_cats(load_table(spark, sf_dir, "orders"), _ENTROPY_COLS["orders"])
+    )
+    counts = pairs.groupBy("column", "val").agg(F.count("*").alias("c"))
+    tot = F.sum("c").over(Window.partitionBy("column"))
+    p = F.col("c").cast("double") / tot.cast("double")
+    term = F.round(-F.log(p) * p * F.lit(1000000.0), 0).cast("long")
+    return (
+        counts.withColumn("term", term)
+        .groupBy("column")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("term").alias("entropy_micro"),
+        )
+        .select(
+            "column",
+            "n_distinct",
+            "entropy_micro",
+            (F.col("entropy_micro").cast("double") / F.lit(1000000.0)).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+def q_densest_subgraph(spark, sf_dir):
+    # Bahmani eps=1/2 greedy peel — the whole iterative optimization is
+    # hash-verified: integer peel conditions make every round a pure
+    # function of the graph, replayed by a recursive-CTE oracle.
+    from graph_database_spark.operators.densest import densest_subgraph
+
+    return densest_subgraph(copurchase_edges(spark, sf_dir))
+
+
 def q_events_rolling_median(spark, sf_dir):
     # Trailing 15-row median per user — the robust twin of events_ewma;
     # micro-unit integers make the median exact cross-engine.
@@ -5339,6 +5403,76 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["column_entropy"] = """
+    WITH pairs AS (
+        SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+    ),
+    counts AS (
+        SELECT "column", val, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT "column", c,
+               CAST(sum(c) OVER (PARTITION BY "column") AS BIGINT) AS tot
+        FROM counts
+    ),
+    terms AS (
+        SELECT "column",
+               CAST(round(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT) AS term
+        FROM wt
+    )
+    SELECT "column",
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(term) AS BIGINT) AS entropy_micro,
+           CAST(sum(term) AS DOUBLE) / 1000000.0 AS entropy
+    FROM terms GROUP BY 1
+"""
+ORACLES["densest_subgraph"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},
+    -- Bahmani eps=1/2 peel, synchronous rounds as recursive state
+    -- (kcore-oracle pattern): a row survives iff BOTH endpoints beat
+    -- 1.5x the round's average degree — d * 2|V| > 3 * sum_deg keeps
+    -- every comparison integer. Recursion ends when a round removes
+    -- everything (guaranteed: the min-degree vertex never survives).
+    peel(r, v, n) AS (
+        SELECT 0, v, n FROM sym
+        UNION ALL
+        SELECT r + 1, v, n FROM (
+            SELECT r, v, n, d_v, d_n, sum_d, max(dr) OVER () AS n_v
+            FROM (
+                SELECT p.r, p.v, p.n,
+                       count(*) OVER (PARTITION BY p.v) AS d_v,
+                       count(*) OVER (PARTITION BY p.n) AS d_n,
+                       count(*) OVER () AS sum_d,
+                       dense_rank() OVER (ORDER BY p.v) AS dr
+                FROM peel p
+            ) a
+        ) b
+        WHERE d_v * 2 * n_v > 3 * sum_d
+          AND d_n * 2 * n_v > 3 * sum_d
+          AND r < 48
+    ),
+    rounds AS (
+        SELECT r, count(DISTINCT v) AS n_nodes, count(*) // 2 AS e
+        FROM peel GROUP BY r
+    )
+    SELECT CAST(r AS INTEGER) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(e AS BIGINT) AS n_edges,
+           CAST(e AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS density
+    FROM rounds
+    QUALIFY row_number() OVER (
+        ORDER BY CAST(e AS DOUBLE) / CAST(n_nodes AS DOUBLE) DESC, r
+    ) = 1
+"""
 ORACLES["events_rolling_median"] = """
     WITH q AS (
         SELECT user_id, ts, event_id,
@@ -5778,6 +5912,8 @@ QUERIES: dict[str, QueryFn] = {
     "compression_ratio": q_compression_ratio,
     "events_rolling_median": q_events_rolling_median,
     "graph_coloring": q_graph_coloring,
+    "densest_subgraph": q_densest_subgraph,
+    "column_entropy": q_column_entropy,
 }
 
 

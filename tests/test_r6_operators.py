@@ -287,3 +287,31 @@ def test_graph_coloring_proper_and_deterministic(spark):
     assert max(colors.values()) <= 6  # Jones-Plassmann bound: maxdeg + 1 colors
     colors2 = {r["id"]: r["color"] for r in graph_coloring(edges).collect()}
     assert colors == colors2  # md5 priorities: pure function of the graph
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from graph_database_spark.operators.densest import densest_subgraph
+
+    # K6 (density 15/6 = 2.5) plus a long sparse path (density ~1):
+    # the peel must isolate the clique.
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(100 + i, 101 + i) for i in range(30)]
+    edges = spark.createDataFrame(k6 + path, "src long, dst long")
+    r = densest_subgraph(edges).collect()[0].asDict()
+    assert r["n_nodes"] == 6 and r["n_edges"] == 15
+    assert r["density"] == 2.5
+
+
+def test_column_entropy_bounds_on_real_table(spark):
+    import math
+
+    from graph_database_spark.catalog import QUERIES
+
+    rows = QUERIES["column_entropy"](spark, "/root/testdata/sf0.001").collect()
+    assert {r["column"] for r in rows} == {
+        "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus"
+    }
+    for r in rows:
+        # 0 <= H <= ln(k), with micro-unit snapping slack
+        assert 0 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-5, r
+        assert r["entropy_micro"] == round(r["entropy"] * 1e6)
