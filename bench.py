@@ -110,6 +110,7 @@ HEADLINE = [
     "graph_coloring",
     "densest_subgraph",
     "column_entropy",
+    "edge_betweenness",
 ]
 
 

@@ -2616,6 +2616,17 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_edge_betweenness(spark, sf_dir):
+    # Edge stress centrality (the Girvan-Newman community primitive) —
+    # same integer sigma/g machinery as q_betweenness (shared via
+    # _sigma_g), one extra DAG-edge join; level budget pinned to the
+    # oracle's 12 unrolled levels.
+    from graph_database_spark.operators.betweenness import edge_betweenness
+
+    edges = copurchase_edges(spark, sf_dir)
+    return edge_betweenness(edges, num_sources=32, max_iterations=12)
+
+
 def q_densest_subgraph(spark, sf_dir):
     # Bahmani eps=1/2 greedy peel — the whole iterative optimization is
     # hash-verified: integer peel conditions make every round a pure
@@ -3404,7 +3415,7 @@ ORACLES["minhash_signatures"] = f"""
     FROM sh, UNNEST(range(0, 16)) AS v(seed)
     GROUP BY 1, 2
 """
-def _build_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
+def _betweenness_core_parts(levels: int = 12, num_sources: int = 32):
     # Unrolled multi-source BFS + dependency accumulation mirroring
     # operators/betweenness.py exactly: sigma (shortest-path counts) and
     # g (continuation counts) are INTEGERS, so the whole computation is
@@ -3452,19 +3463,51 @@ def _build_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
         f"SELECT * FROM g{l}" for l in range(0, levels)
     )
     parts.append(f""",
-    allg AS ({allg}),
-    score AS (
+    allg AS MATERIALIZED ({allg})""")
+    return "".join(parts), vis
+
+
+def _build_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
+    core, vis = _betweenness_core_parts(levels, num_sources)
+    return (
+        f"WITH {GRAPH_CTES},{core},\n"
+        f"""    score AS (
         SELECT vis.v AS id, sum(vis.sigma * allg.g) AS b
         FROM {vis} vis JOIN allg ON allg.s = vis.s AND allg.v = vis.v
         WHERE vis.dist >= 1
         GROUP BY vis.v
     ),
-    verts2 AS (SELECT DISTINCT v AS id FROM symm)""")
-    return (
-        f"WITH {GRAPH_CTES},{''.join(parts)}\n"
+    verts2 AS (SELECT DISTINCT v AS id FROM symm)\n"""
         "    SELECT verts2.id, CAST(coalesce(score.b, 0) AS BIGINT)"
         " AS betweenness\n"
         "    FROM verts2 LEFT JOIN score ON verts2.id = score.id"
+    )
+
+
+def _build_edge_betweenness_sql(levels: int = 12, num_sources: int = 32) -> str:
+    # Edge stress (Girvan-Newman primitive) over the SAME unrolled
+    # sigma/g CTEs: a DAG edge v->w for source s carries
+    # sigma(s, v) * (1 + g(s, w)) shortest paths; undirected edges
+    # canonicalize via least/greatest before the integer sum.
+    core, vis = _betweenness_core_parts(levels, num_sources)
+    return (
+        f"WITH {GRAPH_CTES},{core},\n"
+        f"""    dag AS (
+        SELECT a.s, a.v, a.sigma, e.n, coalesce(gn.g, 0) AS g_n
+        FROM {vis} a
+        JOIN symm e ON e.v = a.v
+        JOIN {vis} b ON b.s = a.s AND b.v = e.n AND b.dist = a.dist + 1
+        LEFT JOIN allg gn ON gn.s = a.s AND gn.v = e.n
+    ),
+    escore AS (
+        SELECT least(v, n) AS src, greatest(v, n) AS dst,
+               sum(sigma * (g_n + 1)) AS b
+        FROM dag GROUP BY 1, 2
+    )\n"""
+        "    SELECT e.src, e.dst, CAST(coalesce(sc.b, 0) AS BIGINT)"
+        " AS edge_betweenness\n"
+        "    FROM edges e LEFT JOIN escore sc"
+        " ON sc.src = e.src AND sc.dst = e.dst"
     )
 
 
@@ -4053,6 +4096,7 @@ def _build_coreness_sql(rounds: int = 16) -> str:
 ORACLES["coreness"] = _build_coreness_sql()
 ORACLES["hits_scores"] = _build_hits_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
+ORACLES["edge_betweenness"] = _build_edge_betweenness_sql()
 ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["pagerank_quantized"] = _build_pagerank_q_sql()
 ORACLES["pagerank_weighted_quantized"] = _build_pagerank_q_sql(weighted=True)
@@ -5914,6 +5958,7 @@ QUERIES: dict[str, QueryFn] = {
     "graph_coloring": q_graph_coloring,
     "densest_subgraph": q_densest_subgraph,
     "column_entropy": q_column_entropy,
+    "edge_betweenness": q_edge_betweenness,
 }
 
 

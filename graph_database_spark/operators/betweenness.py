@@ -33,21 +33,19 @@ from pyspark.sql import DataFrame, functions as F
 
 from graph_database_spark.plans.copurchase import symmetrize
 
-__all__ = ["betweenness"]
+__all__ = ["betweenness", "edge_betweenness"]
 
 
-def betweenness(
+def _sigma_g(
     edges: DataFrame,
     sources: DataFrame | None = None,
     num_sources: int | None = None,
     max_iterations: int = 64,
-) -> DataFrame:
-    """Stress centrality ``(id, betweenness)`` from sampled sources.
-
-    ``sources``: one-column DataFrame of source vertex ids; default = all
-    vertices (exact), or the ``num_sources`` smallest ids (deterministic
-    sample).
-    """
+):
+    """Shared forward/backward machinery: returns ``(vertices, visited,
+    g, sym)`` — per-(source, vertex) shortest-path counts sigma and
+    continuation counts g, both exact integers. Consumed by the vertex
+    score (betweenness) and the per-edge score (edge_betweenness)."""
     spark = edges.sparkSession
     sym = symmetrize(edges).localCheckpoint()  # (v, n), reused every level
 
@@ -189,7 +187,22 @@ def betweenness(
     else:
         g = spark.createDataFrame([], "s long, v long, g long")
 
-    # ---- score ------------------------------------------------------------
+    return vertices, visited, g, sym
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    num_sources: int | None = None,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Stress centrality ``(id, betweenness)`` from sampled sources.
+
+    ``sources``: one-column DataFrame of source vertex ids; default = all
+    vertices (exact), or the ``num_sources`` smallest ids (deterministic
+    sample).
+    """
+    vertices, visited, g, _ = _sigma_g(edges, sources, num_sources, max_iterations)
     scored = (
         visited.where(F.col("dist") >= 1)  # v != s
         .join(g, ["s", "v"])
@@ -199,4 +212,59 @@ def betweenness(
     return (
         vertices.join(scored, "id", "left")
         .select("id", F.coalesce("betweenness", F.lit(0)).alias("betweenness"))
+    )
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    num_sources: int | None = None,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Per-EDGE stress centrality ``(src, dst, edge_betweenness)`` —
+    the Girvan-Newman primitive (their 2002 community algorithm removes
+    the highest-betweenness edge and recomputes). For a source s and a
+    shortest-path DAG edge v->w (dist_s(w) = dist_s(v) + 1), the number
+    of shortest s->t paths traversing the edge is
+    ``sigma(s, v) * (1 + g(s, w))`` — sigma ways in, the +1 counting
+    paths that END at w, g(s, w) counting every longer continuation.
+    Summed over the source sample and both DAG orientations of the
+    undirected edge (least/greatest canonicalization), all in exact
+    integers — hash-verified against the same unrolled oracle family as
+    the vertex score.
+
+    Cost over betweenness: ONE extra join pass (DAG-edge detection via
+    dist(w) = dist(v)+1 against the already-materialized visited frame)
+    — the forward/backward fixpoints are shared via _sigma_g."""
+    _, visited, g, sym = _sigma_g(edges, sources, num_sources, max_iterations)
+    a = visited.select("s", "v", "dist", "sigma")
+    b = visited.select(
+        "s", F.col("v").alias("n"), F.col("dist").alias("dist_n")
+    )
+    gz = g.select("s", F.col("v").alias("n"), F.col("g").alias("g_n"))
+    dag = (
+        a.join(sym, "v")
+        .join(b, ["s", "n"])
+        .where(F.col("dist_n") == F.col("dist") + 1)
+        .join(gz, ["s", "n"], "left")
+    )
+    scored = (
+        dag.select(
+            F.least("v", "n").alias("src"),
+            F.greatest("v", "n").alias("dst"),
+            (
+                F.col("sigma") * (F.coalesce("g_n", F.lit(0)) + F.lit(1))
+            ).alias("c"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("edge_betweenness"))
+    )
+    return (
+        edges.select("src", "dst")
+        .join(scored, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("edge_betweenness", F.lit(0)).alias("edge_betweenness"),
+        )
     )

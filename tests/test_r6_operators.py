@@ -315,3 +315,35 @@ def test_column_entropy_bounds_on_real_table(spark):
         # 0 <= H <= ln(k), with micro-unit snapping slack
         assert 0 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-5, r
         assert r["entropy_micro"] == round(r["entropy"] * 1e6)
+
+
+def test_edge_betweenness_path_graph(spark):
+    from graph_database_spark.operators.betweenness import edge_betweenness
+
+    # path 0-1-2-3, all sources: middle edge carries the most paths.
+    # Hand count (per source s, paths s->t crossing the edge):
+    # (0,1): 3+1+1+1 = 6;  (1,2): 2+2+2+2 = 8;  (2,3): 6.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = {
+        (r["src"], r["dst"]): r["edge_betweenness"]
+        for r in edge_betweenness(edges).collect()
+    }
+    assert out == {(0, 1): 6, (1, 2): 8, (2, 3): 6}
+
+
+def test_edge_betweenness_diamond_splits_paths(spark):
+    from graph_database_spark.operators.betweenness import edge_betweenness
+
+    # 4-cycle 0-1-3-2-0: two shortest paths between opposite corners,
+    # each edge carries 6 by symmetry (hand-derived).
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {
+        (r["src"], r["dst"]): r["edge_betweenness"]
+        for r in edge_betweenness(edges).collect()
+    }
+    assert set(out.values()) == {6}
+    assert len(out) == 4
