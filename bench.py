@@ -111,6 +111,8 @@ HEADLINE = [
     "densest_subgraph",
     "column_entropy",
     "edge_betweenness",
+    "scd2_intervals",
+    "event_features",
 ]
 
 

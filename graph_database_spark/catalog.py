@@ -2616,6 +2616,78 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_user_event_paths(spark, sf_dir):
+    # Ordered path string per user (first 20 event types in time order)
+    # — the sequence-mining prep every clickstream warehouse derives.
+    # Ordered aggregation is rewritten engine-portably: collect structs,
+    # array_sort (lexicographic on (ts, event_id) — a total order),
+    # slice, then join; DuckDB mirrors with string_agg ORDER BY.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(F.slice("seq", 1, 20), lambda s: s["event_type"]),
+                ">",
+            ).alias("path"),
+        )
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    # Slowly-changing-dimension (type 2) build from the event stream:
+    # one row per RUN of consecutive same-type events per user, with
+    # validity interval — the warehouse dimension-maintenance rewrite
+    # (lag to mark change points, running sum to number runs, then one
+    # group). Two window passes + one agg, all on the user_id shuffle.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(order).isNull()
+        | (F.lag("event_type").over(order) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(order)
+    )
+    return runs.groupBy("user_id", "run_id").agg(
+        # constant within a run by construction; min() is the engine-
+        # portable way to read it without a nondeterministic first()
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_event_features(spark, sf_dir):
+    # ML feature-engineering frame: per event, the lagged values, delta,
+    # and a trailing 5-row sum — the model-input builder shape. Values
+    # snap to micro-units first so the rolling sum is an exact integer.
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trail = order.rowsBetween(-4, 0)
+    v = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
+    base = ev.select("user_id", "event_id", "ts", v.alias("v_micro"))
+    return base.select(
+        "user_id",
+        "event_id",
+        "v_micro",
+        F.lag("v_micro", 1).over(order).alias("lag1_micro"),
+        F.lag("v_micro", 3).over(order).alias("lag3_micro"),
+        (F.col("v_micro") - F.lag("v_micro", 1).over(order)).alias(
+            "delta_micro"
+        ),
+        F.sum("v_micro").over(trail).alias("rsum5_micro"),
+    )
+
+
 def q_edge_betweenness(spark, sf_dir):
     # Edge stress centrality (the Girvan-Newman community primitive) —
     # same integer sigma/g machinery as q_betweenness (shared via
@@ -5447,6 +5519,60 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["user_event_paths"] = """
+    WITH seqs AS (
+        SELECT user_id,
+               list(struct_pack(ts := ts, event_id := event_id,
+                                event_type := event_type)
+                    ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           array_to_string(
+               list_transform(seq[1:20], s -> s.event_type), '>') AS path
+    FROM seqs
+"""
+ORACLES["scd2_intervals"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS run_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+           min(event_type) AS event_type,
+           min(ts) AS valid_from,
+           max(ts) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY 1, 2
+"""
+ORACLES["event_features"] = """
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micro
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id, v_micro,
+           lag(v_micro, 1) OVER w AS lag1_micro,
+           lag(v_micro, 3) OVER w AS lag3_micro,
+           v_micro - lag(v_micro, 1) OVER w AS delta_micro,
+           CAST(sum(v_micro) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rsum5_micro
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
 ORACLES["column_entropy"] = """
     WITH pairs AS (
         SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS val FROM lineitem
@@ -5959,6 +6085,9 @@ QUERIES: dict[str, QueryFn] = {
     "densest_subgraph": q_densest_subgraph,
     "column_entropy": q_column_entropy,
     "edge_betweenness": q_edge_betweenness,
+    "user_event_paths": q_user_event_paths,
+    "scd2_intervals": q_scd2_intervals,
+    "event_features": q_event_features,
 }
 
 
