@@ -113,6 +113,8 @@ HEADLINE = [
     "edge_betweenness",
     "scd2_intervals",
     "event_features",
+    "frequent_itemsets",
+    "key_skew_profile",
 ]
 
 

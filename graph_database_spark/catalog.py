@@ -2616,6 +2616,102 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_frequent_itemsets(spark, sf_dir):
+    # Market-basket frequent triples (A-Priori shape): baskets are
+    # orders' distinct part sets; the two self-joins stay per-basket
+    # (key = orderkey), so cost is sum over baskets of C(k,3), not a
+    # global product. At 100 TB the 1-item support prefilter (A-Priori
+    # pruning) bounds the join inputs — kept explicit here even though
+    # the synthetic baskets are small, because it IS the algorithm.
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    freq1 = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("s1"))
+        .where(F.col("s1") >= 2)
+        .select("l_partkey")
+    )
+    b = baskets.join(freq1, "l_partkey").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    ).localCheckpoint()  # three self-join consumers
+    triples = (
+        b.join(b.toDF("l_orderkey", "item_b"), "l_orderkey")
+        .where(F.col("item") < F.col("item_b"))
+        .join(b.toDF("l_orderkey", "item_c"), "l_orderkey")
+        .where(F.col("item_b") < F.col("item_c"))
+        .groupBy(
+            F.col("item").alias("item_a"), "item_b", "item_c"
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    return triples.orderBy(
+        F.desc("support"), "item_a", "item_b", "item_c"
+    ).limit(20)
+
+
+_SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+
+
+def q_key_skew_profile(spark, sf_dir):
+    # Join-key skew diagnostics for the planner-facing keys: per key
+    # column, the distinct-key count, hottest-key share, and exact
+    # discrete p50/p99 of the per-key row counts (index picked by
+    # integer ceil arithmetic over the sorted counts — deterministic,
+    # no percentile interpolation to mirror). THE report that decides
+    # salting / AQE-skew-join settings before a 100 TB run.
+    frames = []
+    for table, key in _SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.lit(f"{table}.{key}").alias("key_col"),
+                F.col("cnt"),
+            )
+        )
+        frames.append(counts)
+    allc = frames[0]
+    for fr in frames[1:]:
+        allc = allc.unionByName(fr)
+    w = Window.partitionBy("key_col").orderBy("cnt")
+    ranked = allc.select(
+        "key_col",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("key_col")).alias("n_keys"),
+        F.sum("cnt").over(Window.partitionBy("key_col")).alias("total_rows"),
+        F.max("cnt").over(Window.partitionBy("key_col")).alias("max_cnt"),
+    )
+    p50_idx = F.expr("(n_keys + 1) div 2")
+    p99_idx = F.expr("(99 * n_keys + 99) div 100")
+    return (
+        ranked.groupBy("key_col", "n_keys", "total_rows", "max_cnt")
+        .agg(
+            F.max(F.when(F.col("rn") == p50_idx, F.col("cnt"))).alias("p50_cnt"),
+            F.max(F.when(F.col("rn") == p99_idx, F.col("cnt"))).alias("p99_cnt"),
+        )
+        .select(
+            "key_col",
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            (F.col("max_cnt").cast("double") / F.col("total_rows").cast("double")
+             ).alias("top_share"),
+            (F.col("p99_cnt").cast("double") / F.col("p50_cnt").cast("double")
+             ).alias("p99_p50_ratio"),
+        )
+    )
+
+
 def q_user_event_paths(spark, sf_dir):
     # Ordered path string per user (first 20 event types in time order)
     # — the sequence-mining prep every clickstream warehouse derives.
@@ -5519,6 +5615,63 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["frequent_itemsets"] = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq1 AS (
+        SELECT l_partkey FROM baskets GROUP BY 1 HAVING count(*) >= 2
+    ),
+    b AS (
+        SELECT l_orderkey, l_partkey AS item
+        FROM baskets JOIN freq1 USING (l_partkey)
+    )
+    SELECT a.item AS item_a, p.item AS item_b, c.item AS item_c,
+           CAST(count(*) AS BIGINT) AS support
+    FROM b a
+    JOIN b p ON p.l_orderkey = a.l_orderkey AND a.item < p.item
+    -- the c-join's EQUALITY must reference p (not a): with the
+    -- equality on a and the inequality on p, DuckDB's join-order
+    -- optimizer pairs (p, c) on the inequality alone — a piecewise
+    -- merge join over |b|^2 rows (observed 78 GB / no-finish)
+    JOIN b c ON c.l_orderkey = p.l_orderkey AND p.item < c.item
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    ORDER BY support DESC, item_a, item_b, item_c
+    LIMIT 20
+"""
+ORACLES["key_skew_profile"] = """
+    WITH allc AS (
+        SELECT 'orders.o_custkey' AS key_col, count(*) AS cnt
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'events.user_id', count(*) FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT key_col, cnt,
+               row_number() OVER (PARTITION BY key_col ORDER BY cnt) AS rn,
+               CAST(count(*) OVER (PARTITION BY key_col) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) OVER (PARTITION BY key_col) AS BIGINT)
+                   AS total_rows,
+               CAST(max(cnt) OVER (PARTITION BY key_col) AS BIGINT) AS max_cnt
+        FROM allc
+    )
+    SELECT key_col, n_keys, total_rows, max_cnt,
+           CAST(max(CASE WHEN rn = (n_keys + 1) // 2 THEN cnt END)
+                AS BIGINT) AS p50_cnt,
+           CAST(max(CASE WHEN rn = (99 * n_keys + 99) // 100 THEN cnt END)
+                AS BIGINT) AS p99_cnt,
+           CAST(max_cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS top_share,
+           CAST(max(CASE WHEN rn = (99 * n_keys + 99) // 100 THEN cnt END)
+                AS DOUBLE)
+               / CAST(max(CASE WHEN rn = (n_keys + 1) // 2 THEN cnt END)
+                      AS DOUBLE) AS p99_p50_ratio
+    FROM ranked GROUP BY 1, 2, 3, 4
+"""
 ORACLES["user_event_paths"] = """
     WITH seqs AS (
         SELECT user_id,
@@ -6088,6 +6241,8 @@ QUERIES: dict[str, QueryFn] = {
     "user_event_paths": q_user_event_paths,
     "scd2_intervals": q_scd2_intervals,
     "event_features": q_event_features,
+    "frequent_itemsets": q_frequent_itemsets,
+    "key_skew_profile": q_key_skew_profile,
 }
 
 
