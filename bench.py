@@ -115,6 +115,7 @@ HEADLINE = [
     "event_features",
     "frequent_itemsets",
     "key_skew_profile",
+    "events_anomaly_mad",
 ]
 
 

@@ -2616,6 +2616,53 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_events_anomaly_mad(spark, sf_dir):
+    # Robust outlier report per event type: exact discrete median, MAD,
+    # and the Iglewicz-Hoaglin modified-z outlier count (0.6745*dev >
+    # 3.5*MAD, done as dev*6745 > 35000*mad — pure integers, no float
+    # thresholds). Complements the mean/std event_anomalies: a single
+    # spike drags a z-score baseline but not this one. Diagnostic-
+    # family posture (like key_skew_profile): partitions by the
+    # low-cardinality event_type, so the exact median is for reports —
+    # the streaming/production path uses sketch quantiles
+    # (quantile_hist).
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("v"),
+    )
+    wt = Window.partitionBy("event_type")
+    # value at the lower-median index is deterministic under ties even
+    # though row_number among equal v is not — the VALUE is what we keep
+    med = (
+        base.withColumn("rn", F.row_number().over(wt.orderBy("v")))
+        .withColumn("n", F.count("*").over(wt))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("med"), "n")
+    )
+    devs = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    mad = (
+        devs.withColumn("rn", F.row_number().over(wt.orderBy("dev")))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("median_micro"),
+            F.max("mad").alias("mad_micro"),
+            F.sum(
+                (F.col("dev") * F.lit(6745) > F.lit(35000) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def q_frequent_itemsets(spark, sf_dir):
     # Market-basket frequent triples (A-Priori shape): baskets are
     # orders' distinct part sets; the two self-joins stay per-basket
@@ -5615,6 +5662,43 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["events_anomaly_mad"] = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, v AS med, n FROM (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v)
+                       AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM base
+        ) t WHERE rn = (n + 1) // 2
+    ),
+    devs AS (
+        SELECT b.event_type, m.n, m.med, abs(b.v - m.med) AS dev
+        FROM base b JOIN med m ON m.event_type = b.event_type
+    ),
+    mad AS (
+        SELECT event_type, dev AS mad FROM (
+            SELECT event_type, dev, n,
+                   row_number() OVER (PARTITION BY event_type ORDER BY dev)
+                       AS rn
+            FROM devs
+        ) t WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(max(d.n) AS BIGINT) AS n,
+           CAST(max(d.med) AS BIGINT) AS median_micro,
+           CAST(max(a.mad) AS BIGINT) AS mad_micro,
+           CAST(sum(CASE WHEN d.dev * 6745 > 35000 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY 1
+"""
 ORACLES["frequent_itemsets"] = """
     WITH baskets AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -6243,6 +6327,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_features": q_event_features,
     "frequent_itemsets": q_frequent_itemsets,
     "key_skew_profile": q_key_skew_profile,
+    "events_anomaly_mad": q_events_anomaly_mad,
 }
 
 
