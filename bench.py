@@ -116,6 +116,8 @@ HEADLINE = [
     "frequent_itemsets",
     "key_skew_profile",
     "events_anomaly_mad",
+    "embedding_outliers",
+    "token_novelty",
 ]
 
 

@@ -2616,6 +2616,62 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    # The 10 most isolated vectors: rank by exact top-10 cosine mass
+    # (per-neighbor sims snapped to micro ints, so the sum is order-
+    # exact). The SemDeDup-era outlier-pruning signal — vectors whose
+    # whole neighborhood is dissimilar are mislabeled/noise candidates.
+    topk = S.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings"),
+        k=10,
+    )
+    sim_micro = F.round(F.col("sim") * F.lit(1000000.0), 0).cast("long")
+    return (
+        topk.select("query_id", sim_micro.alias("sm"))
+        .groupBy(F.col("query_id").alias("vec_id"))
+        .agg(
+            F.max("sm").alias("max_sim_micro"),
+            F.sum("sm").alias("sum_top10_micro"),
+        )
+        .orderBy("sum_top10_micro", "vec_id")
+        .limit(10)
+    )
+
+
+def q_token_novelty(spark, sf_dir):
+    # Per-document vocabulary novelty in doc_id order: the fraction of
+    # the doc's DISTINCT tokens whose corpus-wide first appearance
+    # (min doc_id) is this document — the Heaps'-law growth curve
+    # resolved to document grain (ordering/curriculum diagnostics).
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .distinct()
+        .localCheckpoint()  # feeds first-seen AND per-doc counts
+    )
+    first = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        toks.join(first, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_first_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "n_first_seen",
+            (
+                F.col("n_first_seen").cast("double")
+                / F.col("n_distinct_tokens").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 def q_events_anomaly_mad(spark, sf_dir):
     # Robust outlier report per event type: exact discrete median, MAD,
     # and the Iglewicz-Hoaglin modified-z outlier count (0.6745*dev >
@@ -5662,6 +5718,52 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["embedding_outliers"] = f"""
+    WITH {_SIM_CTES},
+    dots AS (
+        SELECT q.vec_id AS qa, c.vec_id AS qb, sum(q.x * c.x) AS dp
+        FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT qa, qb, round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots
+        JOIN norms na ON na.vec_id = qa
+        JOIN norms nb ON nb.vec_id = qb
+    ),
+    tk AS (
+        SELECT qa, CAST(round(sim * 1000000.0, 0) AS BIGINT) AS sm
+        FROM (
+            SELECT qa, qb, sim,
+                   row_number() OVER (PARTITION BY qa
+                                      ORDER BY sim DESC, qb) AS rnk
+            FROM sims
+        ) r WHERE rnk <= 10
+    )
+    SELECT qa AS vec_id,
+           CAST(max(sm) AS BIGINT) AS max_sim_micro,
+           CAST(sum(sm) AS BIGINT) AS sum_top10_micro
+    FROM tk GROUP BY 1
+    ORDER BY sum_top10_micro, vec_id
+    LIMIT 10
+"""
+ORACLES["token_novelty"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents)
+    ),
+    first AS (
+        SELECT t, min(doc_id) AS first_doc FROM toks GROUP BY 1
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(CASE WHEN f.first_doc = k.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_seen,
+           CAST(sum(CASE WHEN f.first_doc = k.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+    FROM toks k JOIN first f ON f.t = k.t
+    GROUP BY 1
+"""
 ORACLES["events_anomaly_mad"] = """
     WITH base AS (
         SELECT event_type,
@@ -6328,6 +6430,8 @@ QUERIES: dict[str, QueryFn] = {
     "frequent_itemsets": q_frequent_itemsets,
     "key_skew_profile": q_key_skew_profile,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "embedding_outliers": q_embedding_outliers,
+    "token_novelty": q_token_novelty,
 }
 
 
