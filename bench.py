@@ -118,6 +118,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "embedding_outliers",
     "token_novelty",
+    "supplier_concentration",
 ]
 
 

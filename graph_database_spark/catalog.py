@@ -2616,6 +2616,70 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_order_seasonality(spark, sf_dir):
+    # Monthly demand curve with month-over-month delta and a centered
+    # 3-month moving average — the seasonality readout (integer counts
+    # end-to-end; the MoM ratio and the /3 average are single IEEE
+    # divisions). The month frame is tiny by construction, so the
+    # unpartitioned window is a diagnostic-grain non-issue.
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy("month")
+    w3 = w.rowsBetween(-1, 1)
+    return monthly.select(
+        "month",
+        "n_orders",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("mom_delta"),
+        (F.sum("n_orders").over(w3).cast("double")
+         / F.count("*").over(w3).cast("double")).alias("ma3"),
+    )
+
+
+def q_supplier_concentration(spark, sf_dir):
+    # Herfindahl-Hirschman concentration of supplier revenue per nation
+    # — the market-structure aggregate. Revenue snaps to integer 1e4
+    # units per supplier (order-exact sums), and each squared share
+    # snaps to 1e12-unit integers BEFORE the per-nation sum (CLAUDE.md
+    # libm/derived-score rule), so HHI hashes exactly.
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                4,
+            ).alias("r"),
+        )
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round(F.col("r") * F.lit(10000.0), 0).cast("long").alias("r4"),
+        )
+    )
+    tot = F.sum("r4").over(Window.partitionBy("s_nationkey"))
+    share = F.col("r4").cast("double") / F.col("tot").cast("double")
+    term = F.round(share * share * F.lit(1e12), 0).cast("long")
+    return (
+        rev.withColumn("tot", tot)
+        .withColumn("term", term)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("term").alias("hhi_pico"),
+        )
+        .select(
+            "nationkey",
+            "n_suppliers",
+            "hhi_pico",
+            (F.col("hhi_pico").cast("double") / F.lit(1e12)).alias("hhi"),
+        )
+    )
+
+
 def q_embedding_outliers(spark, sf_dir):
     # The 10 most isolated vectors: rank by exact top-10 cosine mass
     # (per-neighbor sims snapped to micro ints, so the sum is order-
@@ -5718,6 +5782,48 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["order_seasonality"] = """
+    WITH monthly AS (
+        -- CAST: DuckDB date_trunc('month') yields DATE, Spark TIMESTAMP
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           n_orders - lag(n_orders) OVER (ORDER BY month) AS mom_delta,
+           CAST(sum(n_orders) OVER w3 AS DOUBLE)
+               / CAST(count(*) OVER w3 AS DOUBLE) AS ma3
+    FROM monthly
+    WINDOW w3 AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+ORACLES["supplier_concentration"] = """
+    WITH rev AS (
+        SELECT s.s_nationkey, s.s_suppkey,
+               CAST(round(round(sum(l_extendedprice * (1 - l_discount)), 4)
+                          * 10000.0, 0) AS BIGINT) AS r4
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT s_nationkey, r4,
+               CAST(sum(r4) OVER (PARTITION BY s_nationkey) AS BIGINT) AS tot
+        FROM rev
+    ),
+    terms AS (
+        SELECT s_nationkey,
+               CAST(round((CAST(r4 AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * (CAST(r4 AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT)
+                   AS term
+        FROM shares
+    )
+    SELECT s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(term) AS BIGINT) AS hhi_pico,
+           CAST(sum(term) AS DOUBLE)
+               / CAST(1000000000000.0 AS DOUBLE) AS hhi
+    FROM terms GROUP BY 1
+"""
 ORACLES["embedding_outliers"] = f"""
     WITH {_SIM_CTES},
     dots AS (
@@ -6432,6 +6538,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "embedding_outliers": q_embedding_outliers,
     "token_novelty": q_token_novelty,
+    "order_seasonality": q_order_seasonality,
+    "supplier_concentration": q_supplier_concentration,
 }
 
 
