@@ -5782,6 +5782,56 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["graph_coloring"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},
+    -- Jones-Plassmann replay, kcore-oracle style: the recursive state
+    -- is the EDGE list carrying both endpoints' (color, priority), so
+    -- one pass of v- and n-partitioned windows updates both sides
+    -- without a second recursive reference. A vertex claims the
+    -- smallest color absent from its colored neighborhood when no
+    -- UNCOLORED neighbor beats its (md5 priority, id); rows repeat
+    -- unchanged after convergence (measured 39 rounds at sf0.01;
+    -- 64 = the Spark max_iterations budget, pinned together).
+    jp(r, v, n, cv, cn, pv, pn) AS (
+        SELECT 0, v, n,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(('0x' || substring(md5('jp|' || CAST(v AS VARCHAR)),
+                                       1, 15)) AS BIGINT),
+               CAST(('0x' || substring(md5('jp|' || CAST(n AS VARCHAR)),
+                                       1, 15)) AS BIGINT)
+        FROM sym
+        UNION ALL
+        SELECT r + 1, v, n, new_cv, new_cn, pv, pn FROM (
+            SELECT r, v, n, pv, pn,
+                   CASE WHEN cv IS NOT NULL THEN cv
+                        WHEN NOT coalesce(
+                            bool_or(cn IS NULL AND (pn > pv
+                                    OR (pn = pv AND n > v))) OVER wv, FALSE)
+                        THEN CAST(list_filter(
+                                 range(0, len(list(cn) OVER wv) + 1),
+                                 x -> NOT list_contains(
+                                     list_filter(list(cn) OVER wv,
+                                                 c -> c IS NOT NULL), x)
+                             )[1] AS INTEGER)
+                        ELSE NULL END AS new_cv,
+                   CASE WHEN cn IS NOT NULL THEN cn
+                        WHEN NOT coalesce(
+                            bool_or(cv IS NULL AND (pv > pn
+                                    OR (pv = pn AND v > n))) OVER wn, FALSE)
+                        THEN CAST(list_filter(
+                                 range(0, len(list(cv) OVER wn) + 1),
+                                 x -> NOT list_contains(
+                                     list_filter(list(cv) OVER wn,
+                                                 c -> c IS NOT NULL), x)
+                             )[1] AS INTEGER)
+                        ELSE NULL END AS new_cn
+            FROM jp
+            WINDOW wv AS (PARTITION BY v), wn AS (PARTITION BY n)
+        ) t WHERE r < 64
+    )
+    SELECT v AS id, CAST(min(cv) AS INTEGER) AS color
+    FROM jp WHERE r = 64 GROUP BY v
+"""
 ORACLES["order_seasonality"] = """
     WITH monthly AS (
         -- CAST: DuckDB date_trunc('month') yields DATE, Spark TIMESTAMP
@@ -6354,7 +6404,6 @@ ROWS_ONLY = frozenset({
     "staged_dedup",
     "text_embedding_neardup",
     "compression_ratio",
-    "graph_coloring",
 })
 
 QUERIES: dict[str, QueryFn] = {
