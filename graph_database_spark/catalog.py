@@ -2616,6 +2616,62 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_part_return_rate(spark, sf_dir):
+    # Return-rate quality signal per brand: share of lineitems returned
+    # (flag 'R') and the rounded revenue at stake — conditional
+    # aggregation, integer counts, one exact division.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(ret).alias("n_returned"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                    )
+                ),
+                4,
+            ).alias("returned_revenue"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            "returned_revenue",
+            (F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+             ).alias("return_rate"),
+        )
+    )
+
+
+def q_customer_value_deciles(spark, sf_dir):
+    # Customer-lifetime-value deciles: revenue per customer (rounded 4,
+    # order-exact compare), ntile(10) over (revenue desc, custkey) — a
+    # total order, so the decile cut is engine-deterministic; then one
+    # summary row per decile.
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue"), 4).alias("revenue"),
+        )
+    )
+
+
 def q_order_seasonality(spark, sf_dir):
     # Monthly demand curve with month-over-month delta and a centered
     # 3-month moving average — the seasonality readout (integer counts
@@ -5782,6 +5838,36 @@ ORACLES["cumulative_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+ORACLES["part_return_rate"] = """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           round(sum(CASE WHEN l.l_returnflag = 'R'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                     END), 4) AS returned_revenue,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS return_rate
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+"""
+ORACLES["customer_value_deciles"] = """
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile,
+               n_orders, revenue
+        FROM rev
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           round(sum(revenue), 4) AS revenue
+    FROM d GROUP BY 1
+"""
 ORACLES["graph_coloring"] = f"""
     WITH RECURSIVE {GRAPH_CTES},
     -- Jones-Plassmann replay, kcore-oracle style: the recursive state
@@ -6589,6 +6675,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_novelty": q_token_novelty,
     "order_seasonality": q_order_seasonality,
     "supplier_concentration": q_supplier_concentration,
+    "part_return_rate": q_part_return_rate,
+    "customer_value_deciles": q_customer_value_deciles,
 }
 
 
