@@ -3034,9 +3034,11 @@ def q_events_rolling_median(spark, sf_dir):
 
 
 def q_graph_coloring(spark, sf_dir):
-    # Jones-Plassmann greedy coloring with md5 priorities — rows-only
-    # (round count is data-dependent); properness/determinism/bound
-    # pinned by tests/test_r6_operators.py.
+    # Speculate-and-resolve greedy coloring with md5 priorities —
+    # hash-verified via the 24-round recursive-CTE replay below (budget
+    # pinned on BOTH sides; the operator raises on non-convergence).
+    # Properness/determinism/bound additionally pinned by
+    # tests/test_r6_operators.py.
     from graph_database_spark.operators.coloring import graph_coloring
 
     return graph_coloring(copurchase_edges(spark, sf_dir))
@@ -5870,14 +5872,16 @@ ORACLES["customer_value_deciles"] = """
 """
 ORACLES["graph_coloring"] = f"""
     WITH RECURSIVE {GRAPH_CTES},
-    -- Jones-Plassmann replay, kcore-oracle style: the recursive state
-    -- is the EDGE list carrying both endpoints' (color, priority), so
-    -- one pass of v- and n-partitioned windows updates both sides
-    -- without a second recursive reference. A vertex claims the
-    -- smallest color absent from its colored neighborhood when no
-    -- UNCOLORED neighbor beats its (md5 priority, id); rows repeat
-    -- unchanged after convergence (measured 39 rounds at sf0.01;
-    -- 64 = the Spark max_iterations budget, pinned together).
+    -- Speculate-and-resolve replay, kcore-oracle style: the recursive
+    -- state is the EDGE list carrying both endpoints' (color,
+    -- priority). Inner layer: every uncolored vertex tentatively takes
+    -- the smallest color absent from its COLORED neighborhood (windows
+    -- over v / n partitions compute both endpoints' picks in one
+    -- pass). Outer layer: a pick survives unless some uncolored
+    -- neighbor picked the SAME color with a higher (md5 priority, id).
+    -- Rows repeat unchanged after convergence (measured 11 rounds at
+    -- sf0.1; 24 = the Spark max_iterations budget, pinned together —
+    -- the operator RAISES rather than returning an unconverged state).
     jp(r, v, n, cv, cn, pv, pn) AS (
         SELECT 0, v, n,
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
@@ -5887,36 +5891,43 @@ ORACLES["graph_coloring"] = f"""
                                        1, 15)) AS BIGINT)
         FROM sym
         UNION ALL
-        SELECT r + 1, v, n, new_cv, new_cn, pv, pn FROM (
-            SELECT r, v, n, pv, pn,
+        SELECT r + 1, v, n,
+               CASE WHEN cv IS NOT NULL THEN cv
+                    WHEN NOT coalesce(
+                        bool_or(cn IS NULL AND tn = tv
+                                AND (pn > pv OR (pn = pv AND n > v)))
+                            OVER wv, FALSE)
+                    THEN tv ELSE NULL END AS new_cv,
+               CASE WHEN cn IS NOT NULL THEN cn
+                    WHEN NOT coalesce(
+                        bool_or(cv IS NULL AND tv = tn
+                                AND (pv > pn OR (pv = pn AND v > n)))
+                            OVER wn, FALSE)
+                    THEN tn ELSE NULL END AS new_cn,
+               pv, pn
+        FROM (
+            SELECT r, v, n, cv, cn, pv, pn,
                    CASE WHEN cv IS NOT NULL THEN cv
-                        WHEN NOT coalesce(
-                            bool_or(cn IS NULL AND (pn > pv
-                                    OR (pn = pv AND n > v))) OVER wv, FALSE)
-                        THEN CAST(list_filter(
-                                 range(0, len(list(cn) OVER wv) + 1),
+                        ELSE CAST(list_filter(
+                                 range(0, len(list(cn) OVER wv0) + 1),
                                  x -> NOT list_contains(
-                                     list_filter(list(cn) OVER wv,
+                                     list_filter(list(cn) OVER wv0,
                                                  c -> c IS NOT NULL), x)
-                             )[1] AS INTEGER)
-                        ELSE NULL END AS new_cv,
+                             )[1] AS INTEGER) END AS tv,
                    CASE WHEN cn IS NOT NULL THEN cn
-                        WHEN NOT coalesce(
-                            bool_or(cv IS NULL AND (pv > pn
-                                    OR (pv = pn AND v > n))) OVER wn, FALSE)
-                        THEN CAST(list_filter(
-                                 range(0, len(list(cv) OVER wn) + 1),
+                        ELSE CAST(list_filter(
+                                 range(0, len(list(cv) OVER wn0) + 1),
                                  x -> NOT list_contains(
-                                     list_filter(list(cv) OVER wn,
+                                     list_filter(list(cv) OVER wn0,
                                                  c -> c IS NOT NULL), x)
-                             )[1] AS INTEGER)
-                        ELSE NULL END AS new_cn
+                             )[1] AS INTEGER) END AS tn
             FROM jp
-            WINDOW wv AS (PARTITION BY v), wn AS (PARTITION BY n)
-        ) t WHERE r < 64
+            WINDOW wv0 AS (PARTITION BY v), wn0 AS (PARTITION BY n)
+        ) t WHERE r < 24
+        WINDOW wv AS (PARTITION BY v), wn AS (PARTITION BY n)
     )
     SELECT v AS id, CAST(min(cv) AS INTEGER) AS color
-    FROM jp WHERE r = 64 GROUP BY v
+    FROM jp WHERE r = 24 GROUP BY v
 """
 ORACLES["order_seasonality"] = """
     WITH monthly AS (
