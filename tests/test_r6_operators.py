@@ -67,13 +67,44 @@ def test_mutual_knn_graph_symmetry_and_ranks(spark):
         ],
         "vec_id long, embedding array<float>",
     )
-    rows = mutual_knn_graph(vecs, k=1).collect()
+    # method="exact" pins the mutuality/rank semantics on a geometric
+    # fixture (the default lsh_md5 path is bucketed: on 3 near-random
+    # 2-d points candidate recall is not guaranteed).
+    rows = mutual_knn_graph(vecs, k=1, method="exact").collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["rank_ab"] == 1 and r["rank_ba"] == 1
     # with k=2 every pair is mutual on 3 points
-    assert mutual_knn_graph(vecs, k=2).count() == 3
+    assert mutual_knn_graph(vecs, k=2, method="exact").count() == 3
+
+
+def test_mutual_knn_graph_lsh_md5_sims_are_exact(spark):
+    # The LSH path's edges re-rank with the EXACT rounded-6 cosine: any
+    # edge it emits must carry the same sim the brute-force scorer
+    # assigns that pair (candidate recall may drop edges, never rescore
+    # them). Clustered vectors guarantee a non-empty result.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mutual_knn_graph(vecs, k=3, method="lsh_md5")
+    assert got.count() > 0
+    from graph_database_spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(vecs, vecs, k=40, max_broadcast_rows=None).select(
+        F.col("query_id").alias("id_a"),
+        F.col("cand_id").alias("id_b"),
+        F.col("sim").alias("exact_sim"),
+    )
+    joined = got.join(exact, ["id_a", "id_b"], "left")
+    assert joined.where(
+        F.col("exact_sim").isNull() | (F.col("exact_sim") != F.col("sim"))
+    ).isEmpty()
 
 
 def test_burstiness_periodic_vs_bursty(spark):
