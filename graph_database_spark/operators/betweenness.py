@@ -41,11 +41,20 @@ def _sigma_g(
     sources: DataFrame | None = None,
     num_sources: int | None = None,
     max_iterations: int = 64,
+    collect_dag: bool = False,
 ):
     """Shared forward/backward machinery: returns ``(vertices, visited,
-    g, sym)`` — per-(source, vertex) shortest-path counts sigma and
-    continuation counts g, both exact integers. Consumed by the vertex
-    score (betweenness) and the per-edge score (edge_betweenness)."""
+    g, sym, dag_levels)`` — per-(source, vertex) shortest-path counts
+    sigma and continuation counts g, both exact integers. Consumed by
+    the vertex score (betweenness) and the per-edge score
+    (edge_betweenness).
+
+    ``collect_dag=True`` additionally checkpoints, per backward level,
+    the DAG-edge frame ``(s, v, n, sigma, g_next)`` the backward
+    recurrence derives its aggregate from anyway — the edge score is a
+    pure per-row function of it, so edge_betweenness pays NO re-join of
+    the full visited/g state (VERDICT r6 #7: the old 3-way
+    visited x sym x visited join was the widest plan in the suite)."""
     spark = edges.sparkSession
     sym = symmetrize(edges).localCheckpoint()  # (v, n), reused every level
 
@@ -153,9 +162,10 @@ def _sigma_g(
     # join against nxt_with_g (every level-(l+1) node, g defaulted to 0)
     # drops a per-level shuffle.
     level_frames: list[DataFrame] = []
+    dag_levels: list[DataFrame] = []
     g_above: DataFrame | None = None  # g rows for nodes at level + 1
     for level in range(max_dist - 1, -1, -1):
-        nodes_l = visited.where(F.col("dist") == level).select("s", "v")
+        nodes_l = visited.where(F.col("dist") == level).select("s", "v", "sigma")
         nxt = visited.where(F.col("dist") == level + 1).select(
             "s", F.col("v").alias("n")
         )
@@ -169,10 +179,19 @@ def _sigma_g(
                 ["s", "n"],
                 "left",
             ).select("s", "n", F.coalesce("g_next", F.lit(0)).alias("g_next"))
-        succ = (
+        dag_l = (
             nodes_l.join(sym, "v")
             .join(nxt_with_g, ["s", "n"])  # inner: only DAG successors
-            .groupBy("s", "v")
+        )
+        if collect_dag:
+            # Materialize the per-level DAG edges once; the backward
+            # aggregate below becomes a groupBy over the checkpointed
+            # frame (same shuffle it already paid) and the edge score
+            # reads these frames for free.
+            dag_l = dag_l.coalesce(state_parts).localCheckpoint()
+            dag_levels.append(dag_l)
+        succ = (
+            dag_l.groupBy("s", "v")
             .agg(F.sum(F.col("g_next") + 1).alias("g"))
             .coalesce(state_parts)
             .localCheckpoint()
@@ -187,7 +206,7 @@ def _sigma_g(
     else:
         g = spark.createDataFrame([], "s long, v long, g long")
 
-    return vertices, visited, g, sym
+    return vertices, visited, g, sym, dag_levels
 
 
 def betweenness(
@@ -202,7 +221,7 @@ def betweenness(
     vertices (exact), or the ``num_sources`` smallest ids (deterministic
     sample).
     """
-    vertices, visited, g, _ = _sigma_g(edges, sources, num_sources, max_iterations)
+    vertices, visited, g, _, _ = _sigma_g(edges, sources, num_sources, max_iterations)
     scored = (
         visited.where(F.col("dist") >= 1)  # v != s
         .join(g, ["s", "v"])
@@ -233,28 +252,30 @@ def edge_betweenness(
     integers — hash-verified against the same unrolled oracle family as
     the vertex score.
 
-    Cost over betweenness: ONE extra join pass (DAG-edge detection via
-    dist(w) = dist(v)+1 against the already-materialized visited frame)
-    — the forward/backward fixpoints are shared via _sigma_g."""
-    _, visited, g, sym = _sigma_g(edges, sources, num_sources, max_iterations)
-    a = visited.select("s", "v", "dist", "sigma")
-    b = visited.select(
-        "s", F.col("v").alias("n"), F.col("dist").alias("dist_n")
+    Cost over betweenness: NONE beyond per-level checkpoints — the
+    backward pass already joins each level against its DAG successors
+    (with g attached); ``collect_dag=True`` keeps those per-level
+    frames, and the edge score is a per-row product over their union
+    followed by one (src, dst) aggregation. No re-join of the full
+    visited/g state (the r6 form's 3-way visited x sym x visited join
+    was the widest plan in the suite — VERDICT r6 #7)."""
+    spark = edges.sparkSession
+    _, _, _, _, dag_levels = _sigma_g(
+        edges, sources, num_sources, max_iterations, collect_dag=True
     )
-    gz = g.select("s", F.col("v").alias("n"), F.col("g").alias("g_n"))
-    dag = (
-        a.join(sym, "v")
-        .join(b, ["s", "n"])
-        .where(F.col("dist_n") == F.col("dist") + 1)
-        .join(gz, ["s", "n"], "left")
-    )
+    if dag_levels:
+        all_dag = dag_levels[0]
+        for frame in dag_levels[1:]:
+            all_dag = all_dag.union(frame)
+    else:
+        all_dag = spark.createDataFrame(
+            [], "s long, v long, sigma long, n long, g_next long"
+        )
     scored = (
-        dag.select(
+        all_dag.select(
             F.least("v", "n").alias("src"),
             F.greatest("v", "n").alias("dst"),
-            (
-                F.col("sigma") * (F.coalesce("g_n", F.lit(0)) + F.lit(1))
-            ).alias("c"),
+            (F.col("sigma") * (F.col("g_next") + F.lit(1))).alias("c"),
         )
         .groupBy("src", "dst")
         .agg(F.sum("c").alias("edge_betweenness"))
