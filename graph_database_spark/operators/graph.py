@@ -23,9 +23,93 @@ derived graph bounds max degree (plans/copurchase.py docstring).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from graph_database_spark.plans.copurchase import symmetrize
+
+# Max degree beyond which the wedge self-join key is grid-salted.
+# Below it, AQE's skew-join splitting absorbs hot vertices (measured
+# through a 1.8k-degree hub in SCALE.md r5); above it a single join key
+# owns C(deg, 2) wedge rows — a 100k-degree hub is 5e9 rows in ONE
+# task — and splitting the probe side alone cannot spread a self-join.
+_WEDGE_SALT_THRESHOLD = 8192
+
+
+def _grid_blocks_for(max_degree: int | None) -> int:
+    """Grid width for the salted wedge join: 1 (plain self-join) until
+    the probe sees a hub past _WEDGE_SALT_THRESHOLD, then enough blocks
+    that a cell pair holds ~threshold neighbors per side, capped at 16
+    (replication factor is B+1 per row; 16 spreads a 131k-degree hub)."""
+    if max_degree is None or max_degree <= _WEDGE_SALT_THRESHOLD:
+        return 1
+    return min(16, max(2, math.ceil(max_degree / _WEDGE_SALT_THRESHOLD)))
+
+
+def _wedge_pairs(nbr: DataFrame, grid_blocks: int = 1) -> DataFrame:
+    """Wedge enumeration ``(v, n1 < n2, *extras)`` from a symmetrized
+    neighbor list ``(v, n, *extras)``, where ``extras`` are CENTER-v
+    attributes (identical on every row of a center, so they may ride
+    either side of the pair).
+
+    ``grid_blocks=1``: the plain self-join on v — one shuffle, hub cost
+    C(deg, 2) in the hub's single join key.
+
+    ``grid_blocks=B>1``: the cosine_pairs_above block-pair grid applied
+    per center — each neighbor row lands in block b = pmod(xxhash64(n),
+    B) and is replicated to cells (b, j>=b) on the left and (i<=b, b)
+    on the right; the join key becomes (v, gi, gj), so a hub's C(deg,2)
+    wedges spread over B(B+1)/2 independent cells instead of one. Every
+    unordered neighbor pair meets in EXACTLY one cell (cross-block
+    pairs in one orientation — canonicalized by least/greatest — and
+    same-block pairs deduped by n1 < n2), so the output is row-for-row
+    identical to the plain path (pinned by tests/test_graph_skew.py).
+    Shuffle volume is (B+1) x the neighbor list — paid only when the
+    probe saw a hub AQE cannot spread."""
+    extras = [c for c in nbr.columns if c not in ("v", "n")]
+    if grid_blocks <= 1:
+        w1, w2 = nbr.alias("w1"), nbr.alias("w2")
+        return w1.join(
+            w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n"))
+        ).select(
+            F.col("w1.v").alias("v"),
+            F.col("w1.n").alias("n1"),
+            F.col("w2.n").alias("n2"),
+            *[F.col(f"w1.{c}").alias(c) for c in extras],
+        )
+    B = grid_blocks
+    base = nbr.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("n")), F.lit(B)).cast("int")
+    )
+    left = base.select(
+        "v", F.col("n").alias("na"),
+        *[F.col(c).alias(c) for c in extras],
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(B - 1)),
+                lambda j: F.struct(F.col("blk").alias("gi"), j.alias("gj")),
+            )
+        ).alias("cell"),
+    ).select("v", "na", *extras, "cell.gi", "cell.gj")
+    right = base.select(
+        "v", F.col("n").alias("nb"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: F.struct(i.alias("gi"), F.col("blk").alias("gj")),
+            )
+        ).alias("cell"),
+    ).select("v", "nb", "cell.gi", "cell.gj")
+    pairs = left.join(right, ["v", "gi", "gj"]).where(
+        (F.col("gi") != F.col("gj")) | (F.col("na") < F.col("nb"))
+    )
+    return pairs.select(
+        "v",
+        F.least("na", "nb").alias("n1"),
+        F.greatest("na", "nb").alias("n2"),
+        *extras,
+    )
 
 
 def node_count(edges: DataFrame) -> DataFrame:
@@ -125,7 +209,7 @@ def hypothesis_verdict(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_edges(edges: DataFrame) -> DataFrame:
+def triangle_edges(edges: DataFrame, grid_blocks: int | None = None) -> DataFrame:
     """Per-vertex count of edges among its neighbors: ``(id, triangles)``.
 
     The clustering-coefficient numerator (src/main.js:88-89). Plan:
@@ -133,18 +217,22 @@ def triangle_edges(edges: DataFrame) -> DataFrame:
     equi-join against the canonical edge set to keep closed wedges —
     each triangle counted exactly once per corner vertex. Vertices with
     no closed wedge get 0 via the left join with degree.
+
+    Hub posture: the degree frame (checkpointed — it feeds the probe
+    and the final left join) is probed for max degree; past
+    _WEDGE_SALT_THRESHOLD the wedge self-join switches to the salted
+    block-pair grid (_wedge_pairs), which AQE alone cannot provide for
+    a self-join key. ``grid_blocks`` overrides the probe (tests).
     """
-    sym = symmetrize(edges)
-    w1, w2 = sym.alias("w1"), sym.alias("w2")
-    wedges = w1.join(
-        w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n"))
-    ).select(F.col("w1.v").alias("v"), F.col("w1.n").alias("n1"), F.col("w2.n").alias("n2"))
+    deg = degree(edges).localCheckpoint()
+    if grid_blocks is None:
+        grid_blocks = _grid_blocks_for(deg.agg(F.max("degree")).first()[0])
+    wedges = _wedge_pairs(symmetrize(edges), grid_blocks)
     closed = wedges.join(
         edges, (F.col("n1") == F.col("src")) & (F.col("n2") == F.col("dst")), "left_semi"
     )
     tri = closed.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("triangles"))
-    all_ids = degree(edges).select("id")
-    return all_ids.join(tri, "id", "left").select(
+    return deg.select("id").join(tri, "id", "left").select(
         "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
 
@@ -197,10 +285,14 @@ def link_prediction(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> 
     # (CLAUDE.md reuse rule; un-checkpointed this plan hit 42 Exchanges).
     edges = edges.select("src", "dst").localCheckpoint()
     sym = symmetrize(edges).localCheckpoint()
-    w1, w2 = sym.alias("w1"), sym.alias("w2")
+    # deg feeds the hub probe and both scoring joins; the probe selects
+    # the salted wedge grid past _WEDGE_SALT_THRESHOLD (AQE cannot
+    # spread a self-join key).
+    deg = degree(edges).localCheckpoint()
+    blocks = _grid_blocks_for(deg.agg(F.max("degree")).first()[0])
     pairs = (
-        w1.join(w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n")))
-        .select(F.col("w1.n").alias("id_a"), F.col("w2.n").alias("id_b"))
+        _wedge_pairs(sym, blocks)
+        .select(F.col("n1").alias("id_a"), F.col("n2").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
         .where(F.col("common") >= min_common)
@@ -210,7 +302,6 @@ def link_prediction(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> 
         (F.col("id_a") == F.col("src")) & (F.col("id_b") == F.col("dst")),
         "left_anti",
     )
-    deg = degree(edges)
     scored = (
         open_pairs.join(deg.select(F.col("id").alias("id_a"), F.col("degree").alias("deg_a")), "id_a")
         .join(deg.select(F.col("id").alias("id_b"), F.col("degree").alias("deg_b")), "id_b")
@@ -252,7 +343,10 @@ def link_scores(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> Data
     link_prediction; the weight columns ride the symmetrized edge rows,
     adding no shuffle."""
     edges = edges.select("src", "dst").localCheckpoint()
-    deg = degree(edges)
+    # deg feeds the unit attachment, the hub probe, and both scoring
+    # joins — checkpoint once (CLAUDE.md reuse rule).
+    deg = degree(edges).localCheckpoint()
+    blocks = _grid_blocks_for(deg.agg(F.max("degree")).first()[0])
     # Units attach to the wedge CENTER once, per vertex — never inside
     # the pair join (re-evaluation per wedge row) and never via a
     # post-join lookup (a third join). degree > 1 guard: a wedge center
@@ -278,14 +372,15 @@ def link_scores(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> Data
         )
         .localCheckpoint()  # feeds both sides of the self-join
     )
-    w1, w2 = nbr.alias("w1"), nbr.alias("w2")
+    # aa_unit/ra_unit are CENTER attributes (both rows of a pair share
+    # the center), so they ride _wedge_pairs' extras under either path.
     pairs = (
-        w1.join(w2, (F.col("w1.v") == F.col("w2.v")) & (F.col("w1.n") < F.col("w2.n")))
-        .groupBy(F.col("w1.n").alias("id_a"), F.col("w2.n").alias("id_b"))
+        _wedge_pairs(nbr, blocks)
+        .groupBy(F.col("n1").alias("id_a"), F.col("n2").alias("id_b"))
         .agg(
             F.count("*").alias("common"),
-            F.sum("w1.aa_unit").alias("aa_micro"),
-            F.sum("w1.ra_unit").alias("ra_micro"),
+            F.sum("aa_unit").alias("aa_micro"),
+            F.sum("ra_unit").alias("ra_micro"),
         )
         .where(F.col("common") >= min_common)
     )
