@@ -6490,6 +6490,7 @@ ORACLES["weighted_sample"] = """
                    / CAST(n_chars AS DOUBLE)
                    * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS key_micro
         FROM documents
+        WHERE n_chars > 0  -- mirrors weighted_sample_es's A-ES domain guard
     )
     SELECT doc_id, weight, key_micro
     FROM keyed ORDER BY key_micro, doc_id LIMIT 50

@@ -362,8 +362,11 @@ def hybrid_rrf_search(
     (text.hash_embedding_md5 — integer vectors, cross-engine exact) and
     ranks by exact cosine, so the ENTIRE hybrid pipeline stays
     oracle-checkable. Per-leg RRF contributions are snapped to integer
-    micro-units before summing (1e6/(rrf_k+r) never lands on a .5
-    boundary for r <= 1000), making fusion order-exact.
+    micro-units before summing, making fusion order-exact: ranks are
+    capped at leg_k, so the divisor rrf_k + r <= 110 — none of which
+    puts 1e6/(rrf_k+r) on a .5 boundary (for larger divisors some DO,
+    e.g. r = 580 gives exactly 1562.5, but an exact dyadic half rounds
+    identically in both engines anyway — ADVICE r6 correction).
 
     Scale: both legs end in distributed top-k (bounded lists); fusion
     joins two <= leg_k-row frames — driver-free, broadcast-trivial."""

@@ -121,7 +121,13 @@ def weighted_sample_es(
     The libm ln() is snapped to integer micro-units BEFORE ranking
     (CLAUDE.md float rule: cross-engine last-ulp ln() disagreement must
     not flip an ordering; ties then break on id). Narrow map + one
-    top-k sort of k rows — no full shuffle at any scale."""
+    top-k sort of k rows — no full shuffle at any scale.
+
+    Rows with weight <= 0 are EXCLUDED before the draw (ADVICE r6):
+    weight 0 would make the key Infinity/NaN (ANSI long cast throws)
+    and a negative weight silently inverts the ranking; A-ES is only
+    defined for positive weights. The oracle mirrors the predicate."""
+    df = df.where(F.col(weight_col) > 0)
     u = (
         (F.conv(_hash_hex(id_col).substr(1, 15), 16, 10).cast("long") + 1)
         .cast("double")
