@@ -2809,22 +2809,28 @@ def q_events_anomaly_mad(spark, sf_dir):
     # the streaming/production path uses sketch quantiles
     # (quantile_hist).
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # base feeds the median window AND the deviation build — checkpoint
+    # so the scan/projection runs once (r7: the lazy form recomputed the
+    # scan 4x and re-sorted per consumer; 9 s -> the two inherent exact
+    # rank-selection sorts).
     base = ev.select(
         "event_type",
         F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("v"),
-    )
+    ).localCheckpoint()
+    # group sizes once, broadcast (replaces a per-pass count() window)
+    cnt = base.groupBy("event_type").agg(F.count("*").alias("n"))
     wt = Window.partitionBy("event_type")
     # value at the lower-median index is deterministic under ties even
     # though row_number among equal v is not — the VALUE is what we keep
     med = (
         base.withColumn("rn", F.row_number().over(wt.orderBy("v")))
-        .withColumn("n", F.count("*").over(wt))
+        .join(F.broadcast(cnt), "event_type")
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("v").alias("med"), "n")
     )
     devs = base.join(F.broadcast(med), "event_type").select(
         "event_type", "n", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
-    )
+    ).localCheckpoint()  # feeds the MAD window AND the final aggregate
     mad = (
         devs.withColumn("rn", F.row_number().over(wt.orderBy("dev")))
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
@@ -3048,6 +3054,31 @@ def q_graph_coloring(spark, sf_dir):
     from graph_database_spark.operators.coloring import graph_coloring
 
     return graph_coloring(copurchase_edges(spark, sf_dir))
+
+
+def q_audio_features(spark, sf_dir):
+    # Real WAV round-trip, hash-verified (r7): synthesize RIFF/PCM
+    # containers per document, parse them back with the strict chunk
+    # walker, emit integer features (energy = sum s^2, peak, zero
+    # crossings). The oracle recomputes the features straight from the
+    # md5 sample generator — a hash match proves the writer+parser
+    # round-trip is lossless (any header/endianness/offset bug breaks
+    # the integer sums). operators/av.py.
+    from graph_database_spark.operators import av
+
+    docs = load_table(spark, sf_dir, "documents")
+    return av.decode_audio(av.attach_audio(docs))
+
+
+def q_video_motion(spark, sf_dir):
+    # Raw-frame video round-trip, hash-verified (r7): VID0 container
+    # (header + uint8 planes), numpy reshape decode, L1 frame-delta
+    # motion — the temporal-video signal. Same oracle philosophy as
+    # audio_features (generator-side recomputation).
+    from graph_database_spark.operators import av
+
+    docs = load_table(spark, sf_dir, "documents")
+    return av.decode_video(av.attach_video(docs))
 
 
 def q_order_percentiles(spark, sf_dir):
@@ -6702,7 +6733,77 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_concentration": q_supplier_concentration,
     "part_return_rate": q_part_return_rate,
     "customer_value_deciles": q_customer_value_deciles,
+    # r7: real audio/video codec round-trips (operators/av.py)
+    "audio_features": q_audio_features,
+    "video_motion": q_video_motion,
 }
+
+# Mirror operators/av.py's generators exactly: int16 sample
+# s(doc,k) = md5("{doc}|{k}")[:4 hex] - 32768; uint8 pixel row (f,y) =
+# the 16 md5 digest bytes of "{doc}|{f}|{y}" read as hex pairs. All
+# features are integer aggregates, so a hash match certifies the
+# WAV / VID0 container round-trip byte-for-byte.
+ORACLES["audio_features"] = f"""
+    WITH dn AS (
+        SELECT doc_id, {160} + (n_chars % {97}) AS n FROM documents
+    ),
+    ks AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM dn),
+    samp AS (
+        SELECT doc_id, n, k,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                     CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) - 32768 AS s
+        FROM ks
+    ),
+    lagged AS (
+        SELECT doc_id, n, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        FROM samp
+    )
+    SELECT doc_id AS media_id,
+           CAST({8000} AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST((max(n) * 1000000) // {8000} AS BIGINT) AS duration_micro,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+"""
+ORACLES["video_motion"] = f"""
+    WITH dn AS (
+        SELECT doc_id, {4} + (n_chars % {5}) AS nf FROM documents
+    ),
+    fr AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM dn),
+    fy AS (SELECT doc_id, nf, f, unnest(range(0, {16})) AS y FROM fr),
+    rh AS (
+        SELECT doc_id, nf, f, y,
+               md5(CAST(doc_id AS VARCHAR) || '|' || CAST(f AS VARCHAR) ||
+                   '|' || CAST(y AS VARCHAR)) AS h
+        FROM fy
+    ),
+    px AS (
+        SELECT doc_id, nf, f, y, j,
+               CAST(('0x' || substring(h, 2 * j + 1, 2)) AS BIGINT) AS p
+        FROM (SELECT doc_id, nf, f, y, h, unnest(range(0, {16})) AS j FROM rh)
+    ),
+    mot AS (
+        SELECT a.doc_id, CAST(sum(abs(a.p - b.p)) AS BIGINT) AS m
+        FROM px a JOIN px b
+          ON b.doc_id = a.doc_id AND b.f = a.f - 1
+         AND b.y = a.y AND b.j = a.j
+        GROUP BY 1
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(max(p.nf) AS BIGINT) AS n_frames,
+           CAST({16} AS BIGINT) AS width,
+           CAST({16} AS BIGINT) AS height,
+           CAST(sum(p.p) AS BIGINT) AS luma_sum,
+           CAST(max(p.p) AS BIGINT) AS peak_luma,
+           CAST(max(m.m) AS BIGINT) AS motion_sum
+    FROM px p JOIN mot m ON m.doc_id = p.doc_id
+    GROUP BY p.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
