@@ -143,6 +143,9 @@ HEADLINE = [
     "embedding_outliers",
     "token_novelty",
     "supplier_concentration",
+    # r7: real audio/video codec round-trips
+    "audio_features",
+    "video_motion",
 ]
 
 
