@@ -143,9 +143,11 @@ HEADLINE = [
     "embedding_outliers",
     "token_novelty",
     "supplier_concentration",
-    # r7: real audio/video codec round-trips
+    # r7: real audio/video codec round-trips + hygiene layer
     "audio_features",
     "video_motion",
+    "pii_scan",
+    "source_reputation",
 ]
 
 

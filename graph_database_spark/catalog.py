@@ -3056,6 +3056,63 @@ def q_graph_coloring(spark, sf_dir):
     return graph_coloring(copurchase_edges(spark, sf_dir))
 
 
+def q_pii_scan(spark, sf_dir):
+    # PII census + redaction accounting (r7): the corpus has no natural
+    # PII, so deterministic spans are planted first (doc_id-derived —
+    # the attach_media philosophy) and then scanned/redacted with
+    # dialect-portable regexes; the oracle replays plant + scan +
+    # redact. Non-vacuity (hundreds of planted spans at sf0.01) is
+    # pytest-pinned. operators/pii.py.
+    from graph_database_spark.operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii.pii_scan(pii.plant_pii(docs))
+
+
+def q_source_reputation(spark, sf_dir):
+    # Per-source hygiene rollup (r7): exact-duplicate rate (normalized
+    # fingerprints) + PII rate over the planted corpus — the C4-style
+    # blocklist-candidate report a curation pipeline reviews before
+    # admitting a source. Distinct from corpus_curation (token/quality
+    # rollup after dedup): this scores the RAW source. All counts are
+    # integers; the two rates are single IEEE divisions.
+    from graph_database_spark.functions.textnorm import text_fingerprint
+    from graph_database_spark.operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "source", text_fingerprint(F.col("text")).alias("fp")
+    )
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("gs"))
+    dup = fps.join(sizes, "fp").select(
+        "doc_id", "source", (F.col("gs") > 1).cast("long").alias("is_dup")
+    )
+    scan = pii.pii_scan(pii.plant_pii(docs)).select(
+        "doc_id",
+        F.col("has_pii").cast("long").alias("has_pii"),
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("spans"),
+    )
+    return (
+        dup.join(scan, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("dup_docs"),
+            F.sum("has_pii").alias("pii_docs"),
+            F.sum("spans").alias("pii_spans"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            "pii_docs",
+            "pii_spans",
+            (F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")).alias("dup_rate"),
+            (F.col("pii_docs").cast("double") / F.col("n_docs").cast("double")).alias("pii_rate"),
+        )
+    )
+
+
 def q_audio_features(spark, sf_dir):
     # Real WAV round-trip, hash-verified (r7): synthesize RIFF/PCM
     # containers per document, parse them back with the strict chunk
@@ -6736,7 +6793,126 @@ QUERIES: dict[str, QueryFn] = {
     # r7: real audio/video codec round-trips (operators/av.py)
     "audio_features": q_audio_features,
     "video_motion": q_video_motion,
+    # r7: PII hygiene layer (operators/pii.py)
+    "pii_scan": q_pii_scan,
+    "source_reputation": q_source_reputation,
 }
+
+from graph_database_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
+)
+
+ORACLES["pii_scan"] = f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                         '@mail' || CAST(doc_id % 100 AS VARCHAR) || '.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                         '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN ' call ' || CAST(100 + doc_id % 900 AS VARCHAR) ||
+                         '-' || CAST(100 + (doc_id * 3) % 900 AS VARCHAR) ||
+                         '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    staged AS (
+        -- counts follow the staged redaction (mirrors operators/pii.py)
+        SELECT doc_id, text,
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                   AS after_email
+        FROM planted
+    ),
+    staged2 AS (
+        SELECT doc_id, text, after_email,
+               regexp_replace(after_email, '{_PII_IPV4}', '<IP>', 'g')
+                   AS after_ip
+        FROM staged
+    ),
+    scanned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(after_email, '{_PII_IPV4}'))
+                   AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(after_ip, '{_PII_PHONE}'))
+                   AS BIGINT) AS n_phones,
+               CAST(length(regexp_replace(after_ip,
+                    '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+                   AS n_chars_redacted
+        FROM staged2
+    )
+    SELECT doc_id, n_emails, n_ipv4, n_phones,
+           CAST(CASE WHEN n_emails + n_ipv4 + n_phones > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS has_pii,
+           n_chars_redacted
+    FROM scanned
+"""
+
+ORACLES["source_reputation"] = f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               count(*) OVER (PARTITION BY md5({_NORM_TEXT})) AS gs
+        FROM documents
+    ),
+    planted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                         '@mail' || CAST(doc_id % 100 AS VARCHAR) || '.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                         '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN ' call ' || CAST(100 + doc_id % 900 AS VARCHAR) ||
+                         '-' || CAST(100 + (doc_id * 3) % 900 AS VARCHAR) ||
+                         '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                   AS after_email
+        FROM planted
+    ),
+    staged2 AS (
+        SELECT doc_id, text, after_email,
+               regexp_replace(after_email, '{_PII_IPV4}', '<IP>', 'g')
+                   AS after_ip
+        FROM staged
+    ),
+    scan AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                 + len(regexp_extract_all(after_email, '{_PII_IPV4}'))
+                 + len(regexp_extract_all(after_ip, '{_PII_PHONE}')) AS spans
+        FROM staged2
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.gs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           CAST(sum(CASE WHEN s.spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pii_docs,
+           CAST(sum(s.spans) AS BIGINT) AS pii_spans,
+           CAST(sum(CASE WHEN f.gs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate,
+           CAST(sum(CASE WHEN s.spans > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pii_rate
+    FROM fp f JOIN scan s USING (doc_id)
+    GROUP BY f.source
+"""
 
 # Mirror operators/av.py's generators exactly: int16 sample
 # s(doc,k) = md5("{doc}|{k}")[:4 hex] - 32768; uint8 pixel row (f,y) =
