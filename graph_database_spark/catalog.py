@@ -3069,6 +3069,16 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_bpe_merges(spark, sf_dir):
+    # Tokenizer induction (r7): the first 3 BPE merges learned from the
+    # corpus word-frequency table — integer pair counts, deterministic
+    # (count DESC, sym) argmax, greedy left-to-right merges replayed in
+    # the oracle via the gaps-and-islands window formulation.
+    from graph_database_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"), n_merges=3)
+
+
 def q_source_reputation(spark, sf_dir):
     # Per-source hygiene rollup (r7): exact-duplicate rate (normalized
     # fingerprints) + PII rate over the planted corpus — the C4-style
@@ -6796,7 +6806,82 @@ QUERIES: dict[str, QueryFn] = {
     # r7: PII hygiene layer (operators/pii.py)
     "pii_scan": q_pii_scan,
     "source_reputation": q_source_reputation,
+    # r7: tokenizer induction (operators/bpe.py)
+    "bpe_merges": q_bpe_merges,
 }
+
+
+def _build_bpe_sql(n_merges: int = 3) -> str:
+    # Mirrors operators/bpe.bpe_merge_table: word-frequency table over
+    # _DUCK_TOKENS, per-round integer pair counts with (pc DESC, a, b)
+    # argmax, and the greedy left-to-right merge replayed as windows:
+    # islands of consecutive matching positions (only possible when
+    # a = b) keep their even-parity members — provably the fold's
+    # selection; a selected position emits a||b and consumes i+1.
+    parts = [
+        f"""
+    WITH w0 AS (
+        SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
+        GROUP BY 1
+    ),
+    sym1 AS (
+        SELECT w, cnt, CAST(i AS BIGINT) AS i,
+               substring(w, CAST(i AS INTEGER), 1) AS s
+        FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM w0)
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    pair{r} AS (
+        SELECT x.s AS a, y.s AS b, CAST(sum(x.cnt) AS BIGINT) AS pc
+        FROM sym{r} x JOIN sym{r} y ON y.w = x.w AND y.i = x.i + 1
+        GROUP BY 1, 2
+    ),
+    top{r} AS (SELECT a, b, pc FROM pair{r} ORDER BY pc DESC, a, b LIMIT 1),
+    m{r} AS (
+        SELECT x.w, x.cnt, x.i, x.s,
+               CASE WHEN x.s = t.a AND y.s = t.b THEN 1 ELSE 0 END AS m
+        FROM sym{r} x
+        LEFT JOIN sym{r} y ON y.w = x.w AND y.i = x.i + 1
+        CROSS JOIN top{r} t
+    ),
+    isl{r} AS (
+        SELECT *, CASE WHEN m = 1
+                       THEN i - row_number() OVER (PARTITION BY w, m ORDER BY i)
+                  END AS isl
+        FROM m{r}
+    ),
+    sel{r} AS (
+        SELECT *, CASE WHEN m = 1 AND
+                       (i - min(i) OVER (PARTITION BY w, isl)) % 2 = 0
+                       THEN 1 ELSE 0 END AS sel
+        FROM isl{r}
+    ),
+    emit{r} AS (
+        SELECT w, cnt, i,
+               CASE WHEN sel = 1 THEN (SELECT a || b FROM top{r}) ELSE s END AS s,
+               lag(sel) OVER (PARTITION BY w ORDER BY i) AS consumed
+        FROM sel{r}
+    ),
+    sym{r + 1} AS (
+        SELECT w, cnt,
+               CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i,
+               s
+        FROM emit{r} WHERE consumed IS NULL OR consumed = 0
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b,"
+        f" pc AS pair_count FROM top{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+ORACLES["bpe_merges"] = _build_bpe_sql(3)
 
 from graph_database_spark.operators.pii import (  # noqa: E402
     EMAIL_RE as _PII_EMAIL,
