@@ -148,6 +148,7 @@ HEADLINE = [
     "video_motion",
     "pii_scan",
     "source_reputation",
+    "bpe_merges",
 ]
 
 
