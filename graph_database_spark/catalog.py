@@ -3069,6 +3069,32 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_graph_diameter(spark, sf_dir):
+    # Double-sweep diameter lower bound (r7): BFS from the minimum
+    # vertex id, hop to the farthest vertex (dist DESC, id ASC), BFS
+    # again — the classic 2-sweep heuristic whose second eccentricity
+    # is exact on trees and a tight lower bound in practice. Two
+    # fixpoint BFS runs + two bounded one-row collects; the oracle
+    # replays both recursive walks and the argmax hop.
+    from graph_database_spark.operators.bfs import bfs_distances
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    d1 = bfs_distances(edges)
+    far = d1.orderBy(F.desc("dist"), "id").limit(1).first()
+    start = d1.agg(F.min("id")).first()[0]
+    d2 = bfs_distances(edges, source=far["id"])
+    return d2.agg(
+        F.lit(int(start)).cast("long").alias("start_id"),
+        F.lit(int(far["id"])).cast("long").alias("sweep_source"),
+        F.max_by(
+            F.col("id"),
+            F.struct(F.col("dist").alias("d"), (-F.col("id")).alias("ni")),
+        ).alias("peripheral_id"),
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count("*").cast("long").alias("n_reached"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     # Tokenizer induction (r7): the first 3 BPE merges learned from the
     # corpus word-frequency table — integer pair counts, deterministic
@@ -6808,7 +6834,35 @@ QUERIES: dict[str, QueryFn] = {
     "source_reputation": q_source_reputation,
     # r7: tokenizer induction (operators/bpe.py)
     "bpe_merges": q_bpe_merges,
+    "graph_diameter": q_graph_diameter,
 }
+
+ORACLES["graph_diameter"] = f"""
+    WITH RECURSIVE {{GRAPH_CTES}},
+    root AS (SELECT min(v) AS id FROM sym),
+    w1(id, dist) AS (
+        SELECT id, 0 FROM root
+        UNION
+        SELECT s.n, w.dist + 1 FROM w1 w JOIN sym s ON s.v = w.id
+        WHERE w.dist < 64
+    ),
+    d1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+    far AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
+    w2(id, dist) AS (
+        SELECT id, 0 FROM far
+        UNION
+        SELECT s.n, w.dist + 1 FROM w2 w JOIN sym s ON s.v = w.id
+        WHERE w.dist < 64
+    ),
+    d2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
+    SELECT CAST((SELECT min(v) FROM sym) AS BIGINT) AS start_id,
+           CAST((SELECT id FROM far) AS BIGINT) AS sweep_source,
+           CAST((SELECT id FROM d2 ORDER BY dist DESC, id LIMIT 1)
+               AS BIGINT) AS peripheral_id,
+           CAST(max(dist) AS BIGINT) AS diameter_lb,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM d2
+""".format(GRAPH_CTES=GRAPH_CTES)
 
 
 def _build_bpe_sql(n_merges: int = 3) -> str:
