@@ -24,7 +24,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_version", "read_version", "list_versions", "vacuum"]
+__all__ = [
+    "write_version",
+    "read_version",
+    "list_versions",
+    "vacuum",
+    "merge_upsert",
+]
 
 _MANIFEST = "_versions.json"
 
@@ -61,6 +67,48 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     if v not in known:
         raise ValueError(f"version {v} not in manifest (have {sorted(known)})")
     return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Copy-on-write ``MERGE INTO``: the latest snapshot upserted with
+    ``updates`` keyed on ``key_cols`` — matched rows are replaced,
+    unmatched rows inserted, and (when ``delete_col`` names a boolean
+    column on ``updates``) flagged keys are removed. The result lands
+    as the NEXT version, so the merge is atomic (manifest publish),
+    time-travelable, and concurrent readers of the old version are
+    undisturbed — the logical contract of a lakehouse MERGE with
+    nothing but parquet + the manifest.
+
+    Scale posture: one keyed anti-join (current vs update keys) + a
+    union — the copy-on-write shape; executors write the data files,
+    only the manifest touch is driver-side. Returns the new version."""
+    from pyspark.sql import functions as F
+
+    m = _load_manifest(path)
+    if delete_col is not None:
+        deletes = updates.where(F.col(delete_col)).select(*key_cols)
+        ups = updates.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        deletes = None
+        ups = updates
+    if m["latest"] == 0:
+        merged = ups
+    else:
+        current = read_version(spark, path)
+        merged = current.join(
+            ups.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(ups)
+    if deletes is not None:
+        merged = merged.join(deletes.distinct(), key_cols, "left_anti")
+    return write_version(merged, path, note=f"merge on {','.join(key_cols)}")
 
 
 def list_versions(path: str) -> list[dict]:

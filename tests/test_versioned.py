@@ -35,3 +35,33 @@ def test_vacuum_retention(spark, tmp_path):
     assert read_version(spark, path, version=3).count() == 7
     with pytest.raises(ValueError):
         read_version(spark, path, version=1)
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from graph_database_spark.sinks.versioned import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v1 = write_version(base, path, note="base")
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, is_delete boolean",
+    )
+    v2 = merge_upsert(spark, path, updates, ["id"], delete_col="is_delete")
+    assert (v1, v2) == (1, 2)
+    latest = {r["id"]: r["val"] for r in read_version(spark, path).collect()}
+    assert latest == {1: "a", 2: "B", 4: "d"}  # updated, inserted, 3 deleted
+    # time travel: the pre-merge snapshot is untouched
+    old = {r["id"]: r["val"] for r in read_version(spark, path, 1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_upsert_into_empty_table(spark, tmp_path):
+    from graph_database_spark.sinks.versioned import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    ups = spark.createDataFrame([(1, "x")], "id long, val string")
+    assert merge_upsert(spark, path, ups, ["id"]) == 1
+    assert read_version(spark, path).count() == 1
