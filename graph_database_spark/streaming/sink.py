@@ -43,6 +43,53 @@ def write_idempotent(stream: DataFrame, path: str, checkpoint: str):
     )
 
 
+def write_merge(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    delete_col: str | None = None,
+):
+    """Streaming CDC sink: each micro-batch is MERGEd into the
+    versioned parquet table at ``path`` (sinks/versioned.merge_upsert)
+    — upserts keyed on ``key_cols``, optional tombstone deletes. The
+    lakehouse change-data-capture recipe with nothing but parquet + the
+    version manifest.
+
+    Recovery semantics: Structured Streaming may REPLAY the last batch
+    after a crash. The merge is idempotent by construction — re-merging
+    the same updates anti-joins away the rows it previously replaced
+    and re-inserts identical ones, so a replay produces a redundant
+    version with IDENTICAL content, never duplicates. Within a batch,
+    multiple updates to one key are reduced deterministically (the
+    struct-max row over the non-key columns): micro-batches carry no
+    row order, so callers needing true last-writer-wins must include an
+    ordering column and pre-reduce upstream.
+
+    Returns the StreamingQuery."""
+    from graph_database_spark.sinks.versioned import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        others = [c for c in batch_df.columns if c not in key_cols]
+        reduced = (
+            batch_df.groupBy(*key_cols)
+            .agg(F.max(F.struct(*others)).alias("_s"))
+            .select(*key_cols, *[F.col(f"_s.{c}").alias(c) for c in others])
+        )
+        merge_upsert(
+            batch_df.sparkSession, path, reduced, key_cols, delete_col=delete_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def read_since(spark: SparkSession, path: str, after_batch: int = -1) -> DataFrame:
     """Incremental consumer: batches strictly after ``after_batch``,
     resolved by directory pruning on the batch_id partition column."""
