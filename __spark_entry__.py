@@ -48,6 +48,13 @@ _NEXT_TIER = [
     "weighted_sample",
     "quantile_hist",
     "frequent_itemsets",
+    # r7 flagship additions: codec round-trips, hygiene, tokenizer
+    "audio_features",
+    "video_motion",
+    "pii_scan",
+    "source_reputation",
+    "bpe_merges",
+    "graph_diameter",
 ]
 
 
