@@ -36,7 +36,15 @@ def curate(spark, sf_dir: str, out_dir: str, cap: int = 200, sample: float = 1.0
         corpus = Corpus(corpus.sample(sample))
 
     survivors = corpus.staged_dedup().select("doc_id")
-    kept = Corpus(corpus.docs.join(survivors, "doc_id", "left_semi"))
+    deduped = corpus.docs.join(survivors, "doc_id", "left_semi")
+
+    # PII redaction BEFORE annotation: quality/language signals (and the
+    # published corpus) never see raw emails/IPs/phones.
+    from graph_database_spark.operators.pii import redact
+
+    scrubbed = redact(deduped)
+    n_pii = scrubbed.where(F.col("has_pii") == 1).count()
+    kept = Corpus(scrubbed.drop("has_pii"))
 
     annotated = (
         kept.docs.join(kept.quality().select("doc_id", "quality"), "doc_id")
@@ -50,6 +58,7 @@ def curate(spark, sf_dir: str, out_dir: str, cap: int = 200, sample: float = 1.0
     summary = {
         "input_docs": n_in,
         "dedup_survivors": survivors.count(),
+        "pii_redacted_docs": n_pii,
         "kept_docs": n_out,
         "cap_per_stratum": cap,
     }

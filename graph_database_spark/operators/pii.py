@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["EMAIL_RE", "IPV4_RE", "PHONE_RE", "plant_pii", "pii_scan"]
+__all__ = ["EMAIL_RE", "IPV4_RE", "PHONE_RE", "plant_pii", "pii_scan", "redact"]
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}[.]\d{1,3}[.]\d{1,3}[.]\d{1,3}\b"
@@ -61,6 +61,26 @@ def plant_pii(docs: DataFrame) -> DataFrame:
     ).otherwise(F.lit(""))
     return docs.select(
         "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The curation-pipeline form: every column preserved, ``text_col``
+    replaced by its staged redaction (email -> IP -> phone), plus a
+    ``has_pii`` flag. Narrow map — composes before quality/language
+    annotation in the curate chain so no downstream signal ever sees
+    raw PII."""
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
+    n_spans = (
+        F.regexp_count(t, F.lit(EMAIL_RE))
+        + F.regexp_count(after_email, F.lit(IPV4_RE))
+        + F.regexp_count(after_ip, F.lit(PHONE_RE))
+    )
+    return docs.withColumn("has_pii", (n_spans > 0).cast("int")).withColumn(
+        text_col, redacted
     )
 
 

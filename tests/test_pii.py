@@ -56,3 +56,14 @@ def test_planted_corpus_is_non_vacuous(spark):
     )
     assert agg["e"] > 0 and agg["i"] > 0 and agg["p"] > 0
     assert agg["h"] > 0
+
+
+def test_redact_preserves_columns_and_scrubs(spark):
+    docs = spark.createDataFrame(
+        [(1, "write to a.b@c.org today", "src0", 24)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = pii.redact(docs).collect()[0]
+    assert out["source"] == "src0" and out["n_chars"] == 24
+    assert out["has_pii"] == 1
+    assert "@" not in out["text"] and "<EMAIL>" in out["text"]
