@@ -2501,7 +2501,12 @@ def q_knn_graph(spark, sf_dir):
     # refused to run past the 100k-row broadcast guard — VERDICT r6 #1);
     # the oracle replays the same buckets, so this stays hash-verified.
     return S.mutual_knn_graph(
-        load_table(spark, sf_dir, "embeddings"), k=10, method="lsh_md5"
+        load_table(spark, sf_dir, "embeddings"), k=10, method="lsh_md5",
+        # 4-bit buckets suit the shipped corpus scale (500-2k vectors:
+        # auto_bits lands at 4 there too); recall vs exact-mutual = 0.88
+        # at sf0.01 vs 0.32 at the old 6-bit pin. The production `lsh`
+        # method auto-scales bits with N (the 20x stress in SCALE.md).
+        n_bits=4, n_tables=16,
     )
 
 
@@ -2751,7 +2756,7 @@ def q_embedding_outliers(spark, sf_dir):
     # colliding with few/no candidates is by construction LSH-isolated,
     # which is exactly the signal being ranked.
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = S.lsh_topk_md5(emb, emb, k=10, n_bits=6, n_tables=8)
+    topk = S.lsh_topk_md5(emb, emb, k=10, n_bits=4, n_tables=16)
     sim_micro = F.round(F.col("sim") * F.lit(1000000.0), 0).cast("long")
     return (
         topk.select("query_id", sim_micro.alias("sm"))
@@ -5905,7 +5910,7 @@ ORACLES["span_dedup"] = """
     FROM lens l LEFT JOIN cov c ON c.doc_id = l.doc_id
 """
 ORACLES["knn_graph"] = f"""
-    WITH {_md5_all_topk_ctes(64, 6, 8, 10)}
+    WITH {_md5_all_topk_ctes(64, 4, 16, 10)}
     SELECT f.query_id AS id_a, f.cand_id AS id_b, f.sim,
            CAST(f.rnk AS INTEGER) AS rank_ab,
            CAST(r.rnk AS INTEGER) AS rank_ba
@@ -6124,7 +6129,7 @@ ORACLES["supplier_concentration"] = """
     FROM terms GROUP BY 1
 """
 ORACLES["embedding_outliers"] = f"""
-    WITH {_md5_all_topk_ctes(64, 6, 8, 10)},
+    WITH {_md5_all_topk_ctes(64, 4, 16, 10)},
     tk AS (
         SELECT query_id AS qa,
                CAST(round(sim * 1000000.0, 0) AS BIGINT) AS sm

@@ -378,3 +378,26 @@ def test_edge_betweenness_diamond_splits_paths(spark):
     }
     assert set(out.values()) == {6}
     assert len(out) == 4
+
+
+def test_mutual_knn_lsh_recall_floor(spark):
+    # The catalog's (n_bits=4, n_tables=16) pin must keep mutual-edge
+    # recall vs the exact graph above 0.8 on the driver corpus (the
+    # synthetic embeddings sit near the random-cosine noise floor —
+    # LSH's hardest case; measured 0.888 at sf0.001, 0.88-0.92 at
+    # sf0.01/0.1). Guards against silently re-narrowing the buckets.
+    from graph_database_spark.operators.similarity import mutual_knn_graph
+    from graph_database_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").localCheckpoint()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_graph(emb, k=10, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_graph(
+            emb, k=10, method="lsh_md5", n_bits=4, n_tables=16
+        ).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.8
