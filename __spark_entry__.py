@@ -55,6 +55,7 @@ _NEXT_TIER = [
     "source_reputation",
     "bpe_merges",
     "graph_diameter",
+    "kmeans_cells",
 ]
 
 

@@ -149,6 +149,7 @@ HEADLINE = [
     "pii_scan",
     "source_reputation",
     "bpe_merges",
+    "kmeans_cells",
 ]
 
 

@@ -3074,6 +3074,20 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_kmeans_cells(spark, sf_dir):
+    # Lloyd's k-means, hash-verified (r7): 3 assign rounds / 2 centroid
+    # updates over integer micro-unit vectors — BIGINT squared
+    # distances, floor-based centroid means (one IEEE division + floor,
+    # bit-identical cross-engine), md5-ordered seeds. The clustering
+    # step SemDeDup-style pipelines presuppose; pagerank_quantized's
+    # verified-iteration philosophy applied to geometry.
+    from graph_database_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=8, rounds=3
+    )
+
+
 def q_graph_diameter(spark, sf_dir):
     # Double-sweep diameter lower bound (r7): BFS from the minimum
     # vertex id, hop to the farthest vertex (dist DESC, id ASC), BFS
@@ -6840,7 +6854,80 @@ QUERIES: dict[str, QueryFn] = {
     # r7: tokenizer induction (operators/bpe.py)
     "bpe_merges": q_bpe_merges,
     "graph_diameter": q_graph_diameter,
+    "kmeans_cells": q_kmeans_cells,
 }
+
+
+def _build_kmeans_sql(k: int = 8, rounds: int = 3) -> str:
+    # Mirrors operators/kmeans.kmeans_assign: micro-int vectors,
+    # md5-ordered seeds (the ann_ivf_md5 draw), BIGINT squared
+    # distances with (d2, c) argmin, floor(sum/count) centroid updates
+    # (IEEE division + floor — no .5 boundary), empty cells keep their
+    # previous centroid.
+    parts = [
+        f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    xm AS (
+        SELECT vec_id, i, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM ex
+    ),
+    cent AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {k}
+    ),
+    cm1 AS (
+        SELECT CAST(cent.c AS INTEGER) AS c, x.i, x.xm AS cm
+        FROM cent JOIN xm x ON x.vec_id = cid
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+        SELECT v.vec_id, c.c,
+               CAST(sum((v.xm - c.cm) * (v.xm - c.cm)) AS BIGINT) AS d2
+        FROM xm v JOIN cm{r} c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    a{r} AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, c
+            ) AS rn FROM d{r}
+        ) t WHERE rn = 1
+    )"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+    cm{r + 1} AS (
+        SELECT p.c, p.i, coalesce(m.cm_new, p.cm) AS cm
+        FROM cm{r} p LEFT JOIN (
+            SELECT a.cell AS c, v.i,
+                   CAST(floor(CAST(sum(v.xm) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS cm_new
+            FROM a{r} a JOIN xm v ON v.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ) m ON m.c = p.c AND m.i = p.i
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT vec_id, cell, CAST(d2 AS BIGINT) AS dist2 FROM a{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["kmeans_cells"] = _build_kmeans_sql(8, 3)
 
 ORACLES["graph_diameter"] = f"""
     WITH RECURSIVE {{GRAPH_CTES}},

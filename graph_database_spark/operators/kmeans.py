@@ -1,0 +1,124 @@
+"""Lloyd's k-means over an embedding column — hash-verified iterations.
+
+The clustering step the SemDeDup / IVF family presupposes: IVF here
+(operators/ivf.py) buckets against FIXED sampled centroids; this runs
+the actual Lloyd loop — assign to nearest centroid, recompute centroids
+as member means, repeat — with every round cross-engine exact, the
+pagerank_quantized philosophy applied to clustering:
+
+- vectors snap to integer micro-units once (``round(x*1e6) AS
+  BIGINT``), so squared Euclidean distances are BIGINT sums
+  (order-independent; 64 dims x (2e6)^2 ~ 2.6e14 << 2^63);
+- assignment argmin tie-breaks on (dist2, cell) via an integer struct
+  min — deterministic;
+- centroid updates use ``floor(sum / count)`` with the division done in
+  DOUBLE on BOTH engines: one IEEE division + floor is bit-identical
+  cross-engine (never a .5-rounding boundary, unlike round()); the
+  floor bias is irrelevant to clustering and identical on both sides;
+- seed centroids are the md5-ordered draw ivf/semdedup already verify;
+- empty cells keep their previous centroid (mirrored in the oracle).
+
+Scale posture: the exploded (vec, dim) frame is computed once and
+checkpointed; each round is one broadcast-joined assignment aggregation
+(k x dim centroid literal frame, always driver-bounded) plus one
+(cell, dim) mean aggregation — map-side-combinable, no O(N^2) anywhere.
+Rounds are the explicit cost knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.spread import spread
+
+__all__ = ["kmeans_assign"]
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cell, dist2)`` — the assignment after ``rounds`` Lloyd
+    iterations (``rounds`` assigns interleaved with ``rounds - 1``
+    centroid updates) from md5-ordered seeds."""
+    ex = (
+        spread(vectors)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("i"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("xm"),
+        )
+        .localCheckpoint()  # feeds every round's assign AND update
+    )
+    # md5-ordered seed draw (the ivf/semdedup oracle-verified pattern)
+    from pyspark.sql import Window
+
+    seed_ids = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            )
+            .alias("c"),
+        )
+        .where(F.col("c") <= k)
+    )
+    cent = (
+        ex.join(seed_ids, "vec_id")
+        .select(F.col("c").cast("int").alias("c"), "i", F.col("xm").alias("cm"))
+        .localCheckpoint()
+    )
+
+    assign = None
+    for r in range(1, rounds + 1):
+        assign = (
+            ex.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+                ).alias("d2")
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d2").alias("d2"), F.col("c").alias("c"))).alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.c").alias("cell"),
+                F.col("best.d2").alias("dist2"),
+            )
+            .localCheckpoint()
+        )
+        if r == rounds:
+            break
+        means = (
+            ex.join(assign, "vec_id")
+            .groupBy(F.col("cell").alias("c"), "i")
+            .agg(
+                F.floor(
+                    F.sum("xm").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("cm_new")
+            )
+        )
+        # empty cells keep their previous centroid
+        cent = (
+            cent.join(means, ["c", "i"], "left")
+            .select(
+                "c", "i", F.coalesce("cm_new", F.col("cm")).alias("cm")
+            )
+            .localCheckpoint()
+        )
+    return assign
