@@ -56,6 +56,7 @@ _NEXT_TIER = [
     "bpe_merges",
     "graph_diameter",
     "kmeans_cells",
+    "events_cusum",
 ]
 
 

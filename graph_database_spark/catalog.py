@@ -3074,6 +3074,14 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_events_cusum(spark, sf_dir):
+    # CUSUM mean-shift detection per user (r7): division-free centered
+    # prefix sums (P_k = cumsum(n*x_micro) - k*total) make the drift
+    # statistics exact BIGINTs — no mean rounding anywhere. The drift
+    # detector a pipeline runs over per-source metric streams.
+    return E.cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
 def q_kmeans_cells(spark, sf_dir):
     # Lloyd's k-means, hash-verified (r7): 3 assign rounds / 2 centroid
     # updates over integer micro-unit vectors — BIGINT squared
@@ -6855,7 +6863,46 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merges": q_bpe_merges,
     "graph_diameter": q_graph_diameter,
     "kmeans_cells": q_kmeans_cells,
+    "events_cusum": q_events_cusum,
 }
+
+ORACLES["events_cusum"] = """
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS xm
+        FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(xm) AS t
+        FROM ev GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, e.event_id, e.ts, tot.n,
+               sum(tot.n * e.xm - tot.t) OVER wk AS pk
+        FROM ev e JOIN tot USING (user_id)
+        WINDOW wk AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT user_id, event_id, ts, n,
+               pk - min(pk) OVER wk AS dev_up,
+               max(pk) OVER wk - pk AS dev_dn
+        FROM p
+        WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY dev_up DESC, ts, event_id
+        ) AS rn FROM d
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(dev_up) AS BIGINT) AS shift_up,
+           CAST(max(dev_dn) AS BIGINT) AS shift_dn,
+           CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+               AS cp_event_id
+    FROM r GROUP BY 1
+"""
 
 
 def _build_kmeans_sql(k: int = 8, rounds: int = 3) -> str:

@@ -15,6 +15,7 @@ __all__ = [
     "sessionize",
     "burstiness",
     "cumulative_users",
+    "cusum_changepoints",
 ]
 
 
@@ -173,4 +174,70 @@ def cumulative_users(events: DataFrame) -> DataFrame:
         "day",
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM mean-shift detection over the time-ordered value
+    series: ``(user_id, n_events, shift_up, shift_dn, cp_event_id)``.
+
+    The classic drift detector a pipeline runs over per-source metric
+    streams: with P_k the centered prefix sum, the largest upward mean
+    shift is ``max_k (P_k - min_{j<=k} P_j)`` and the change point is
+    its argmax (earliest on ties). Centering is DIVISION-FREE: using
+    ``P_k = cumsum(n * x_micro) - k * total_micro`` (both BIGINT) scales
+    every deviation by n, so ``shift_*`` are exact integers in
+    n-micro-units — partition-order-exact cross-engine with no mean
+    rounding at all (the kmeans floor trick made unnecessary).
+
+    One window pass per user (running sum + running min/max), one
+    aggregation. At 100 TB this is the per-key sessionization shape:
+    a single (user) shuffle, sort within partitions.
+    """
+    from pyspark.sql import Window
+
+    ev = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("xm"),
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("xm").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = (
+        ev.join(F.broadcast(totals), "user_id")
+        .withColumn("term", F.col("n") * F.col("xm") - F.col("t"))
+        .withColumn("pk", F.sum("term").over(w))
+        # second projection: windows over a window column cannot nest
+        .withColumn("runmin", F.min("pk").over(w))
+        .withColumn("runmax", F.max("pk").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "n",
+            (F.col("pk") - F.col("runmin")).alias("dev_up"),
+            (F.col("runmax") - F.col("pk")).alias("dev_dn"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("dev_up"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(wr))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("dev_up").alias("shift_up"),
+            F.max("dev_dn").alias("shift_dn"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+                "cp_event_id"
+            ),
+        )
     )

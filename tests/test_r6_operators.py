@@ -401,3 +401,24 @@ def test_mutual_knn_lsh_recall_floor(spark):
         ).collect()
     }
     assert len(exact & lsh) / len(exact) >= 0.8
+
+
+def test_cusum_step_shift(spark):
+    # user 1: mean steps 0 -> 10 halfway. With P_k = cumsum(n*xm - T):
+    # terms (micro) = [-3e7]*3 + [+3e7]*3, P = [-3,-6,-9,-6,-3,0]e7,
+    # dev_up peaks at the last event with 9e7 (n-micro units).
+    from graph_database_spark.operators.events import cusum_changepoints
+
+    rows = [
+        (1, i, ts(f"2024-01-01T0{i}:00:00"), 0.0 if i < 4 else 10.0)
+        for i in range(1, 7)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = cusum_changepoints(ev).collect()[0]
+    assert r["n_events"] == 6
+    assert r["shift_up"] == 90_000_000
+    assert r["cp_event_id"] == 6
+    # downward deviation: running max (-3e7) to the trough (-9e7)
+    assert r["shift_dn"] == 60_000_000
