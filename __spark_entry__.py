@@ -57,6 +57,7 @@ _NEXT_TIER = [
     "graph_diameter",
     "kmeans_cells",
     "events_cusum",
+    "two_hop_reach",
 ]
 
 

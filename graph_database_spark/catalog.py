@@ -3074,6 +3074,36 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_two_hop_reach(spark, sf_dir):
+    # Strict two-hop reach per vertex (r7): |N(N(v)) \ (N(v) u {v})| —
+    # the audience-expansion / influence-radius diagnostic. One
+    # center-keyed self-join + distinct + anti-join; integer counts.
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
+    two = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.n") == F.col("b.v"))
+        .select(F.col("a.v").alias("v"), F.col("b.n").alias("w"))
+        .where(F.col("v") != F.col("w"))
+        .distinct()
+    )
+    strict2 = two.join(
+        sym.select("v", F.col("n").alias("w")), ["v", "w"], "left_anti"
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("n1"))
+    n2 = strict2.groupBy("v").agg(F.count("*").alias("n2"))
+    return (
+        deg.join(n2, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            "n1",
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+
+
 def q_events_cusum(spark, sf_dir):
     # CUSUM mean-shift detection per user (r7): division-free centered
     # prefix sums (P_k = cumsum(n*x_micro) - k*total) make the drift
@@ -6864,7 +6894,27 @@ QUERIES: dict[str, QueryFn] = {
     "graph_diameter": q_graph_diameter,
     "kmeans_cells": q_kmeans_cells,
     "events_cusum": q_events_cusum,
+    "two_hop_reach": q_two_hop_reach,
 }
+
+ORACLES["two_hop_reach"] = f"""
+    WITH {{GRAPH_CTES}},
+    two AS (
+        SELECT DISTINCT a.v AS v, b.n AS w
+        FROM sym a JOIN sym b ON b.v = a.n
+        WHERE a.v <> b.n
+    ),
+    strict2 AS (
+        SELECT t.v, t.w FROM two t
+        LEFT JOIN sym s ON s.v = t.v AND s.n = t.w
+        WHERE s.v IS NULL
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS n1 FROM sym GROUP BY v),
+    n2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2 FROM strict2 GROUP BY v)
+    SELECT deg.v AS id, deg.n1,
+           CAST(coalesce(n2.n2, 0) AS BIGINT) AS n2
+    FROM deg LEFT JOIN n2 ON n2.v = deg.v
+""".format(GRAPH_CTES=GRAPH_CTES)
 
 ORACLES["events_cusum"] = """
     WITH ev AS (
