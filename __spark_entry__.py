@@ -58,6 +58,7 @@ _NEXT_TIER = [
     "kmeans_cells",
     "events_cusum",
     "two_hop_reach",
+    "psi_drift",
 ]
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "source_reputation",
     "bpe_merges",
     "kmeans_cells",
+    "psi_drift",
 ]
 
 

@@ -3074,6 +3074,16 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_psi_drift(spark, sf_dir):
+    # Population Stability Index per event type (r7): first vs second
+    # half of the value stream, reference-decile bins, Laplace-smoothed
+    # occupancies, per-bin ln terms snapped to micro before the sum —
+    # the production feature-drift alarm (psi_micro > 200000 ~ retrain).
+    from graph_database_spark.operators.drift import psi_drift
+
+    return psi_drift(load_table(spark, sf_dir, "events"))
+
+
 def q_two_hop_reach(spark, sf_dir):
     # Strict two-hop reach per vertex (r7): |N(N(v)) \ (N(v) u {v})| —
     # the audience-expansion / influence-radius diagnostic. One
@@ -6895,7 +6905,79 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_cells": q_kmeans_cells,
     "events_cusum": q_events_cusum,
     "two_hop_reach": q_two_hop_reach,
+    "psi_drift": q_psi_drift,
 }
+
+ORACLES["psi_drift"] = """
+    WITH ev AS (
+        SELECT event_type, event_id, ts,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS xm
+        FROM events WHERE value IS NOT NULL
+    ),
+    halves AS (
+        SELECT *, ntile(2) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id
+        ) AS half
+        FROM ev
+    ),
+    ref AS (SELECT * FROM halves WHERE half = 1),
+    nref AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref
+        FROM ref GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r.event_type, r.xm, n.n_ref,
+               row_number() OVER (
+                   PARTITION BY r.event_type ORDER BY r.xm
+               ) AS rn
+        FROM ref r JOIN nref n USING (event_type)
+    ),
+    edges AS (
+        SELECT ranked.event_type, k.k, xm AS edge
+        FROM ranked JOIN (SELECT unnest(range(1, 10)) AS k) k
+          ON rn = (n_ref * k.k + 9) // 10
+    ),
+    binned AS (
+        SELECT h.event_type, h.event_id, h.half,
+               1 + sum(CASE WHEN e.edge < h.xm THEN 1 ELSE 0 END) AS bin
+        FROM halves h JOIN edges e USING (event_type)
+        GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT DISTINCT event_type, b.bin
+        FROM halves, (SELECT unnest(range(1, 11)) AS bin) b
+    ),
+    cnts AS (
+        SELECT g.event_type, g.bin,
+               coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN (
+            SELECT event_type, bin,
+                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS cb
+            FROM binned GROUP BY 1, 2
+        ) c ON c.event_type = g.event_type AND c.bin = g.bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM halves GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(max(t.n_a) AS BIGINT) AS n_a,
+           CAST(max(t.n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(round(
+               (CAST(c.ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE)
+                - CAST(c.cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE))
+               * ln(CAST(c.ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE)
+                    / (CAST(c.cb + 1 AS DOUBLE)
+                       / CAST(t.n_b + 10 AS DOUBLE)))
+               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+    FROM cnts c JOIN tot t USING (event_type)
+    GROUP BY 1
+"""
 
 ORACLES["two_hop_reach"] = f"""
     WITH {{GRAPH_CTES}},
