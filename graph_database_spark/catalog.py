@@ -3074,6 +3074,72 @@ def q_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(docs))
 
 
+def q_link_negative_samples(spark, sf_dir):
+    # Negative sampling for link-prediction training (r7): for every
+    # vertex, k=5 deterministic non-neighbors drawn by md5 (proposal
+    # j -> the vertex at md5-rank hash(v|j) mod N, rejected if self or
+    # adjacent, first k accepted by draw index). The (positive edge,
+    # negative pair) training-set builder every graph-ML pipeline
+    # needs; md5 draws make it retry-stable and oracle-replayable.
+    from graph_database_spark.plans.copurchase import symmetrize
+    from graph_database_spark.operators.rank import global_rank
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
+    verts = sym.select(F.col("v").alias("id")).distinct()
+    n = verts.count()
+    # distributed total-order rank (range shuffle + per-partition
+    # offsets) — a bare row_number() window here would drag every
+    # vertex onto one task at cluster scale.
+    ranked = global_rank(
+        verts.withColumn("mk", F.md5(F.col("id").cast("string"))),
+        ["mk", "id"],
+    ).select("id", "r").localCheckpoint()
+    m, k = 12, 5
+    draws = (
+        verts.crossJoin(
+            F.broadcast(
+                spark.range(1, m + 1).select(F.col("id").cast("int").alias("j"))
+            )
+        )
+        .select(
+            "id",
+            "j",
+            (
+                F.conv(
+                    F.md5(
+                        F.concat(
+                            F.col("id").cast("string"), F.lit("|"), F.col("j")
+                        )
+                    ).substr(1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % F.lit(n)
+                + 1
+            ).alias("pr"),
+        )
+        .join(ranked.select(F.col("r").alias("pr"), F.col("id").alias("neg_id")), "pr")
+        .where(F.col("neg_id") != F.col("id"))
+        .join(
+            sym.select(F.col("v").alias("id"), F.col("n").alias("neg_id")),
+            ["id", "neg_id"],
+            "left_anti",
+        )
+    )
+    # dedupe repeated partners (keep the earliest draw), then take the
+    # first k accepted proposals per vertex
+    dedup = draws.groupBy("id", "neg_id").agg(F.min("j").alias("j"))
+    wk = Window.partitionBy("id").orderBy("j", "neg_id")
+    return (
+        dedup.withColumn("pick", F.row_number().over(wk))
+        .where(F.col("pick") <= k)
+        .select("id", "neg_id", F.col("j").alias("draw_idx"))
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -6906,7 +6972,43 @@ QUERIES: dict[str, QueryFn] = {
     "events_cusum": q_events_cusum,
     "two_hop_reach": q_two_hop_reach,
     "psi_drift": q_psi_drift,
+    "link_negative_samples": q_link_negative_samples,
 }
+
+ORACLES["link_negative_samples"] = f"""
+    WITH {{GRAPH_CTES}},
+    nsv AS (SELECT DISTINCT v AS id FROM sym),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nsv),
+    ranked AS (
+        SELECT id, row_number() OVER (
+            ORDER BY md5(CAST(id AS VARCHAR)), id
+        ) AS r
+        FROM nsv
+    ),
+    draws AS (
+        SELECT v.id, j.j,
+               CAST(('0x' || substring(md5(CAST(v.id AS VARCHAR) || '|' ||
+                     CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % nn.n + 1 AS pr
+        FROM nsv v, (SELECT unnest(range(1, 13)) AS j) j, nn
+    ),
+    acc AS (
+        SELECT d.id, rk.id AS neg_id, d.j
+        FROM draws d
+        JOIN ranked rk ON rk.r = d.pr
+        WHERE rk.id <> d.id
+          AND NOT EXISTS (
+              SELECT 1 FROM sym s WHERE s.v = d.id AND s.n = rk.id
+          )
+    ),
+    dd AS (SELECT id, neg_id, min(j) AS j FROM acc GROUP BY 1, 2)
+    SELECT id, neg_id, CAST(j AS INTEGER) AS draw_idx FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY j, neg_id
+        ) AS pick
+        FROM dd
+    ) t WHERE pick <= 5
+""".format(GRAPH_CTES=GRAPH_CTES)
 
 ORACLES["psi_drift"] = """
     WITH ev AS (

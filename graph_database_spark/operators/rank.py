@@ -1,0 +1,63 @@
+"""Distributed global rank without a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+whole frame to one task — fine for a 20-row report, fatal for an
+O(N)-row frame at cluster scale. ``global_rank`` computes the identical
+1-based total-order rank with a range shuffle instead:
+
+1. ``repartitionByRange`` on the order columns, so partition p holds a
+   contiguous key range and every key in partition p sorts before every
+   key in partition p+1;
+2. count rows per partition (a #partitions-sized driver collect — a
+   bounded model, same class as the IVF centroid pull);
+3. rank = cumulative offset of the partition + row_number within it.
+
+The range-partitioned frame is localCheckpoint'ed so the count pass and
+the rank pass see the SAME partition boundaries (RangePartitioner
+samples; two evaluations could otherwise disagree).
+
+The order columns must form a total order (ties would make the rank
+partition-placement-dependent); callers append a unique id as the last
+key, exactly as they would under the window form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(df: DataFrame, order_cols, out_col: str = "r") -> DataFrame:
+    """1-based global rank over a total order, computed distributed.
+
+    ``order_cols`` is a list of column names or Columns defining a total
+    order (ascending). Returns ``df`` plus ``out_col``.
+    """
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    keyed = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = keyed.groupBy("__pid").count().collect()
+    offsets, total = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = total
+        total += row["count"]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("int")).drop("__pid")
+    off_expr = "map(" + ",".join(
+        f"{pid},{off}" for pid, off in offsets.items()
+    ) + ")"
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        keyed.withColumn(
+            out_col,
+            (
+                F.row_number().over(w)
+                + F.expr(off_expr)[F.col("__pid")].cast("long")
+            ).cast("long"),
+        )
+        .drop("__pid")
+    )
