@@ -151,6 +151,10 @@ HEADLINE = [
     "bpe_merges",
     "kmeans_cells",
     "psi_drift",
+    "link_negative_samples",
+    "record_linkage",
+    "vocab_oov",
+    "events_autocorr",
 ]
 
 

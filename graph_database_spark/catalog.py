@@ -3140,6 +3140,103 @@ def q_link_negative_samples(spark, sf_dir):
     )
 
 
+def q_record_linkage(spark, sf_dir):
+    # Blocked fuzzy entity resolution (r7): the production linkage
+    # shape — collapse rows to DISTINCT name strings first (the value
+    # universe is tiny next to the row count), block by the name's head
+    # noun (last token), then exact Levenshtein 1..3 within a block.
+    # The quadratic compare runs over distinct-name blocks only; raw
+    # rows contribute just a count per name. Integer distances
+    # (Wagner-Fischer is bit-identical in both engines).
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+        .localCheckpoint()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .where((F.col("dist") >= 1) & (F.col("dist") <= 3))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.blk").alias("blk"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+    )
+
+
+def q_events_autocorr(spark, sf_dir):
+    # Lag-1 autocorrelation sufficient statistics per event type (r7):
+    # values snapped to milli-units (BIGINT-exact; milli not micro so
+    # the squared-product sums stay far from 2^63), lagged over a
+    # per-type (ts, event_id) window, then the five exact integer sums
+    # from which a driver assembles Pearson r with one local division —
+    # the serial-correlation probe of a metric-stream monitor, with no
+    # cross-engine float anywhere.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1000.0), 0).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev", F.lag("vm").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("prev").alias("sum_x"),
+        F.sum("vm").alias("sum_y"),
+        F.sum(F.col("vm") * F.col("prev")).alias("sum_xy"),
+        F.sum(F.col("prev") * F.col("prev")).alias("sum_x2"),
+        F.sum(F.col("vm") * F.col("vm")).alias("sum_y2"),
+    )
+
+
+def q_vocab_oov(spark, sf_dir):
+    # Tokenizer vocabulary coverage (r7): induce the top-1000 corpus
+    # vocabulary (freq desc, token asc — ranked by the distributed
+    # global_rank helper, not a single-partition window), then the
+    # per-document OOV token count via a broadcast anti-probe. The
+    # coverage/fertility audit run before committing to a tokenizer;
+    # exact integer counts only.
+    from graph_database_spark.operators.rank import global_rank
+    from graph_database_spark.operators.spread import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint()
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    vocab = (
+        global_rank(
+            freq.withColumn("nf", -F.col("freq")), ["nf", "token"]
+        )
+        .where(F.col("r") <= 1000)
+        .select("token")
+    )
+    per_doc = tok.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "token", "left"
+    )
+    return per_doc.groupBy("doc_id").agg(
+        F.count("*").alias("tok_cnt"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias(
+            "oov_cnt"
+        ),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -6973,7 +7070,69 @@ QUERIES: dict[str, QueryFn] = {
     "two_hop_reach": q_two_hop_reach,
     "psi_drift": q_psi_drift,
     "link_negative_samples": q_link_negative_samples,
+    "record_linkage": q_record_linkage,
+    "events_autocorr": q_events_autocorr,
+    "vocab_oov": q_vocab_oov,
 }
+
+ORACLES["record_linkage"] = """
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+               list_extract(string_split(p_name, ' '),
+                            len(string_split(p_name, ' '))) AS blk
+        FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.blk AS blk,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b ON a.blk = b.blk
+    WHERE a.p_name < b.p_name
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+"""
+
+ORACLES["events_autocorr"] = """
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 1000.0) AS BIGINT) AS vm
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_type, vm,
+               lag(vm) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS prev
+        FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(prev) AS BIGINT) AS sum_x,
+           CAST(sum(vm) AS BIGINT) AS sum_y,
+           CAST(sum(vm * prev) AS BIGINT) AS sum_xy,
+           CAST(sum(prev * prev) AS BIGINT) AS sum_x2,
+           CAST(sum(vm * vm) AS BIGINT) AS sum_y2
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY 1
+"""
+
+ORACLES["vocab_oov"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY freq DESC, token) AS rk
+            FROM freq
+        ) r WHERE rk <= 1000
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS tok_cnt,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_cnt
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY 1
+"""
 
 ORACLES["link_negative_samples"] = f"""
     WITH {{GRAPH_CTES}},
