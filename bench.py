@@ -155,6 +155,8 @@ HEADLINE = [
     "record_linkage",
     "vocab_oov",
     "events_autocorr",
+    "distinct_users_sliding",
+    "label_confusion",
 ]
 
 

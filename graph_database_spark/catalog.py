@@ -3237,6 +3237,102 @@ def q_vocab_oov(spark, sf_dir):
     )
 
 
+def q_distinct_users_sliding(spark, sf_dir):
+    # Trailing-7-day distinct users per day from MERGED daily HLL
+    # registers (r7): raw events build O(days x 32) register state
+    # once; each window is a register-wise max over that state, never a
+    # re-scan — the mergeable-sketch shape that replaces exact sliding
+    # count-distinct at 100 TB. Integer register sums + the rounded
+    # one-division estimate are both oracle-checked.
+    from graph_database_spark.operators.sketches import hll_sliding
+
+    return hll_sliding(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_conversion_latency(spark, sf_dir):
+    # View-to-purchase conversion latency histogram (r7): per user, the
+    # first 'view' and the first 'purchase' at-or-after it; exact
+    # epoch-second deltas bucketed by hour. Two filtered min-aggs and
+    # one user-keyed join — the funnel-latency readout next to
+    # event_funnel's conversion-rate one; integers end to end.
+    ev = load_table(spark, sf_dir, "events")
+    v0 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p0 = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .join(v0, "user_id")
+        .where(F.col("p_ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    lat = p0.select(
+        "user_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+        ).alias("lat_sec"),
+    )
+    return (
+        lat.groupBy((F.col("lat_sec") / F.lit(3600)).cast("long").alias("hr"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_label_confusion(spark, sf_dir):
+    # Label-noise audit via nearest-centroid confusion (r7): per-label
+    # floor-mean centroids over micro-unit vectors (kmeans_cells'
+    # verified idiom), each vector re-assigned to its nearest centroid
+    # (BIGINT squared distances, ties to the smaller label), confusion
+    # counts (label, pred_label, n). Off-diagonal mass is the classic
+    # mislabeled/boundary-sample signal an annotation pipeline reviews.
+    from graph_database_spark.operators.spread import spread
+
+    ex = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).cast("int").alias("i"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("xm"),
+        )
+        .localCheckpoint()
+    )
+    cent = ex.groupBy(F.col("label").alias("c"), "i").agg(
+        F.floor(F.sum("xm").cast("double") / F.count("*").cast("double"))
+        .cast("long")
+        .alias("cm")
+    )
+    best = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "c")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("d2")
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("c").alias("c"))
+            ).alias("best")
+        )
+        .select("label", F.col("best.c").alias("pred_label"))
+    )
+    return best.groupBy("label", "pred_label").agg(
+        F.count("*").alias("n")
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7073,7 +7169,98 @@ QUERIES: dict[str, QueryFn] = {
     "record_linkage": q_record_linkage,
     "events_autocorr": q_events_autocorr,
     "vocab_oov": q_vocab_oov,
+    "distinct_users_sliding": q_distinct_users_sliding,
+    "conversion_latency": q_conversion_latency,
+    "label_confusion": q_label_confusion,
 }
+
+ORACLES["distinct_users_sliding"] = """
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             hv % 32 AS b,
+             CASE WHEN hv // 32 = 0 THEN 55
+                  ELSE bit_count(((hv // 32) & -(hv // 32)) - 1) + 1
+             END AS rho
+      FROM (
+        SELECT ts,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT) AS hv
+        FROM events
+      )
+    ), daily AS (
+      SELECT day, b, max(rho) AS reg FROM r GROUP BY 1, 2
+    ), spine AS (
+      SELECT d.day, bb.b
+      FROM (SELECT DISTINCT day FROM daily) d,
+           (SELECT unnest(range(0, 32)) AS b) bb
+    ), dense AS (
+      SELECT s.day, s.b, dl.reg
+      FROM spine s LEFT JOIN daily dl ON s.day = dl.day AND s.b = dl.b
+    ), merged AS (
+      SELECT day, b,
+             max(reg) OVER (
+                 PARTITION BY b ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+             ) AS wreg
+      FROM dense
+    ), s AS (
+      SELECT day,
+             CAST(sum(1::BIGINT << (55 - coalesce(wreg, 0))) AS BIGINT)
+                 AS reg_sum
+      FROM merged GROUP BY 1
+    )
+    SELECT day, reg_sum,
+           round(0.697e0 * 32e0 * 32e0 * 36028797018963968e0
+                 / CAST(reg_sum AS DOUBLE), 4) AS est_distinct
+    FROM s
+"""
+
+ORACLES["conversion_latency"] = """
+    WITH v0 AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), p0 AS (
+        SELECT e.user_id, min(e.ts) AS p_ts, min(v0.v_ts) AS v_ts
+        FROM events e JOIN v0 ON e.user_id = v0.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v0.v_ts
+        GROUP BY 1
+    )
+    SELECT CAST(floor(date_diff('second', v_ts, p_ts) / 3600.0)
+                AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p0 GROUP BY 1
+"""
+
+ORACLES["label_confusion"] = """
+    WITH ex AS (
+        SELECT vec_id, CAST(label AS INTEGER) AS label,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS xm
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS c, i,
+               CAST(floor(CAST(sum(xm) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm
+        FROM ex GROUP BY 1, 2
+    ), d AS (
+        SELECT ex.vec_id, ex.label, cent.c,
+               sum((ex.xm - cent.cm) * (ex.xm - cent.cm)) AS d2
+        FROM ex JOIN cent ON ex.i = cent.i
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT vec_id, label, c AS pred_label
+        FROM (
+            SELECT vec_id, label, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, c
+                   ) AS rk
+            FROM d
+        ) t WHERE rk = 1
+    )
+    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+"""
 
 ORACLES["record_linkage"] = """
     WITH names AS (

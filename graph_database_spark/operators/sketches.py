@@ -245,3 +245,73 @@ def cms_estimate(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .select(F.col("item").alias(item_col), "est")
     )
+
+
+def hll_sliding(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    days: int = 7,
+    m: int = 32,
+    alpha: float = 0.697,
+) -> DataFrame:
+    """``(day, reg_sum, est_distinct)`` — trailing-``days`` distinct
+    estimate per day from MERGED daily HLL registers.
+
+    The 100 TB shape of "distinct users last 7 days": raw events are
+    touched exactly once to build O(days x m) daily registers; every
+    window thereafter is a register-wise ``max`` over the tiny state,
+    never a re-scan. Contrast the exact form (`q_cumulative_users`),
+    whose window must carry every distinct key. Register mechanics,
+    integer summation, and the no-ln estimator are shared with
+    :func:`hll_distinct` (see its docstring for the determinism
+    argument); ``reg_sum`` additionally exposes the pre-division
+    integer sum so the oracle check does not rest on the one rounded
+    double alone. Missing (day, bucket) cells are materialized on a
+    days x m spine (broadcast — m is a constant) so a bucket's window
+    max survives days with no new hits.
+    """
+    from pyspark.sql import Window
+
+    w_ = F.expr(f"_h div {m}")
+    rho = F.when(w_ == 0, F.lit(55)).otherwise(
+        F.bit_count((w_.bitwiseAND(-w_)) - 1) + 1
+    )
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            md5_hash60(F.col(key)).alias("_h"),
+        )
+        .select("day", (F.col("_h") % m).alias("_b"), rho.alias("_rho"))
+        .groupBy("day", "_b")
+        .agg(F.max("_rho").alias("_reg"))
+        .localCheckpoint()
+    )
+    spine = daily.select("day").distinct().crossJoin(
+        F.broadcast(
+            df.sparkSession.range(m).select(F.col("id").alias("_b"))
+        )
+    )
+    dense = spine.join(daily, ["day", "_b"], "left")
+    win = (
+        Window.partitionBy("_b")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-(days - 1) * 86400, 0)
+    )
+    merged = dense.withColumn("_wreg", F.max("_reg").over(win))
+    ssum = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), 55 - coalesce(_wreg, 0))")
+    ).alias("reg_sum")
+    return (
+        merged.groupBy("day")
+        .agg(ssum)
+        .select(
+            "day",
+            "reg_sum",
+            F.round(
+                F.lit(alpha * m * m * 2.0**55)
+                / F.col("reg_sum").cast("double"),
+                4,
+            ).alias("est_distinct"),
+        )
+    )
