@@ -157,6 +157,10 @@ HEADLINE = [
     "events_autocorr",
     "distinct_users_sliding",
     "label_confusion",
+    "conversion_latency",
+    "matryoshka_fidelity",
+    "theil_sen_trend",
+    "max_spanning_forest",
 ]
 
 

@@ -3244,6 +3244,7 @@ def q_distinct_users_sliding(spark, sf_dir):
     # re-scan — the mergeable-sketch shape that replaces exact sliding
     # count-distinct at 100 TB. Integer register sums + the rounded
     # one-division estimate are both oracle-checked.
+    _utc(spark)
     from graph_database_spark.operators.sketches import hll_sliding
 
     return hll_sliding(load_table(spark, sf_dir, "events"), "user_id")
@@ -3255,6 +3256,7 @@ def q_conversion_latency(spark, sf_dir):
     # epoch-second deltas bucketed by hour. Two filtered min-aggs and
     # one user-keyed join — the funnel-latency readout next to
     # event_funnel's conversion-rate one; integers end to end.
+    _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     v0 = (
         ev.where(F.col("event_type") == "view")
@@ -3331,6 +3333,132 @@ def q_label_confusion(spark, sf_dir):
     return best.groupBy("label", "pred_label").agg(
         F.count("*").alias("n")
     )
+
+
+def q_matryoshka_fidelity(spark, sf_dir):
+    # Matryoshka-truncation audit (r7): how much of each vector's
+    # energy survives keeping only the first 8/16/32 dims — the check
+    # run before shipping truncated embeddings to a cheaper index.
+    # Per vector: prefix/total energy as exact BIGINT micro-sums, the
+    # ratio bucketed into 5%-bins with pure integer arithmetic
+    # ((20*pe) div te; both engines truncate nonnegative division).
+    # One explode + one grouped conditional sum — a single shuffle.
+    from graph_database_spark.operators.spread import spread
+
+    ex = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("xm"),
+    )
+    per_vec = ex.groupBy("vec_id").agg(
+        F.sum(F.col("xm") * F.col("xm")).alias("te"),
+        *[
+            F.sum(
+                F.when(F.col("i") <= d, F.col("xm") * F.col("xm")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"pe{d}")
+            for d in (8, 16, 32)
+        ],
+    )
+    long = per_vec.selectExpr(
+        "te",
+        "stack(3, 8, pe8, 16, pe16, 32, pe32) AS (prefix_dim, pe)",
+    )
+    return (
+        long.where(F.col("te") > 0)
+        .groupBy(
+            F.col("prefix_dim").cast("int").alias("prefix_dim"),
+            # integer div, NOT double '/': 20*pe exceeds 2^53 exactness
+            # headroom at larger corpora and FP-then-truncate can land
+            # on the wrong side of a bucket boundary
+            F.expr("CAST((20 * pe) div te AS BIGINT)").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    # Theil-Sen robust trend per event type (r7): median of all
+    # pairwise slopes between DAILY (sum, count) aggregates — the
+    # outlier-proof complement to the MAD/CUSUM/PSI drift family.
+    # Slopes stay exact rationals: slope between days a<b is
+    # (s_b*c_a - s_a*c_b) / (c_a*c_b*(b-a)) over milli-unit sums;
+    # scaled to micro-per-day via the portable floor-division identity
+    # (x - pmod(x, y)) / y (exact division — no trunc-vs-floor
+    # divergence on negative slopes). Day-granularity state is bounded,
+    # so the pairwise step is O(days^2) per type, never O(rows^2).
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * F.lit(1000.0), 0).cast("long").alias("vm"),
+    )
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"), F.sum("vm").alias("s"))
+        .withColumn(
+            "d", (F.unix_timestamp("day") / F.lit(86400)).cast("long")
+        )
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                F.col("b.s") * F.col("a.c") - F.col("a.s") * F.col("b.c")
+            ).alias("num"),
+            (
+                F.col("a.c") * F.col("b.c") * (F.col("b.d") - F.col("a.d"))
+            ).alias("den"),
+        )
+    )
+    scaled = pairs.select(
+        "event_type",
+        # exact-multiple integer division (div, never double '/': the
+        # numerator passes 2^53 at sf0.1 and FP division would wobble)
+        F.expr(
+            "CAST((num * 1000000 - pmod(num * 1000000, den)) div den"
+            " AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    ranked = scaled.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    # lower median (rank ceil(n/2)) — portable, no averaging of two mids
+    return (
+        ranked.where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("slope_micro").alias("theil_sen_micro"))
+    )
+
+
+def q_max_spanning_forest(spark, sf_dir):
+    # Borůvka maximum spanning forest of the weighted co-purchase
+    # graph (r7): the strongest-tie backbone / single-linkage
+    # clustering skeleton. O(log V) rounds, one grouped max per round
+    # over a SHRINKING cross-edge set; the composite (w DESC, src, dst)
+    # order makes the forest unique, so the result is
+    # algorithm-independent. Rows-only in the gate (a Kruskal replay
+    # would need one recursive-CTE iteration per edge); the exact edge
+    # set is pinned against pure-Python Kruskal in
+    # tests/test_r7b_operators.py.
+    from graph_database_spark.operators.msf import max_spanning_forest
+    from graph_database_spark.plans.copurchase import (
+        copurchase_edges_weighted,
+    )
+
+    we = copurchase_edges_weighted(spark, sf_dir).select(
+        "src", "dst", F.col("weight").alias("w")
+    )
+    return max_spanning_forest(we)
 
 
 def q_psi_drift(spark, sf_dir):
@@ -6965,6 +7093,7 @@ ROWS_ONLY = frozenset({
     "staged_dedup",
     "text_embedding_neardup",
     "compression_ratio",
+    "max_spanning_forest",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -7172,7 +7301,70 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_users_sliding": q_distinct_users_sliding,
     "conversion_latency": q_conversion_latency,
     "label_confusion": q_label_confusion,
+    "matryoshka_fidelity": q_matryoshka_fidelity,
+    "theil_sen_trend": q_theil_sen_trend,
+    "max_spanning_forest": q_max_spanning_forest,
 }
+
+ORACLES["matryoshka_fidelity"] = """
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS xm
+        FROM embeddings
+    ), pv AS (
+        SELECT vec_id, sum(xm * xm) AS te,
+               sum(CASE WHEN i <= 8 THEN xm * xm ELSE 0 END) AS pe8,
+               sum(CASE WHEN i <= 16 THEN xm * xm ELSE 0 END) AS pe16,
+               sum(CASE WHEN i <= 32 THEN xm * xm ELSE 0 END) AS pe32
+        FROM ex GROUP BY 1
+    ), lng AS (
+        SELECT te, 8 AS prefix_dim, pe8 AS pe FROM pv
+        UNION ALL SELECT te, 16, pe16 FROM pv
+        UNION ALL SELECT te, 32, pe32 FROM pv
+    )
+    SELECT CAST(prefix_dim AS INTEGER) AS prefix_dim,
+           CAST((20 * pe) // te AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM lng WHERE te > 0 GROUP BY 1, 2
+"""
+
+ORACLES["theil_sen_trend"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(round(value * 1000.0) AS BIGINT) AS vm
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(vm) AS BIGINT) AS s,
+               CAST(date_diff('day', TIMESTAMP '1970-01-01', day)
+                    AS BIGINT) AS d
+        FROM ev GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               b.s * a.c - a.s * b.c AS num,
+               a.c * b.c * (b.d - a.d) AS den
+        FROM daily a JOIN daily b ON a.event_type = b.event_type
+        WHERE a.d < b.d
+    ), scaled AS (
+        SELECT event_type,
+               CAST((num * 1000000
+                     - ((num * 1000000 % den) + den) % den) // den
+                    AS BIGINT) AS slope_micro
+        FROM pairs
+    ), ranked AS (
+        SELECT event_type, slope_micro,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY slope_micro
+               ) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM scaled
+    )
+    SELECT event_type, slope_micro AS theil_sen_micro
+    FROM ranked WHERE rk = (n + 1) // 2
+"""
 
 ORACLES["distinct_users_sliding"] = """
     WITH r AS (

@@ -1,0 +1,124 @@
+"""Borůvka maximum spanning forest over a weighted undirected graph.
+
+The backbone-extraction / single-linkage-clustering primitive: keep, per
+growing component, its strongest outgoing tie until no inter-component
+edge remains. Borůvka is the distributed-native MST algorithm — every
+round each component picks one edge (a single grouped max) and the
+number of components at least halves, so the outer loop is
+O(log |V|) rounds with per-round cost dominated by one edges-to-labels
+join over the SHRINKING cross-edge set (the kcore/coloring edge-state
+pattern from CLAUDE.md).
+
+Determinism: edges are ordered by the composite key
+``(w DESC, src ASC, dst ASC)``. A strict total order on edges is
+equivalent to all-distinct weights, under which the spanning forest is
+UNIQUE — so the output is algorithm-independent and retry-stable, even
+though the driver gate checks it rows-only (a Kruskal replay in a
+recursive CTE would need one iteration per edge; the exact edge set is
+instead pinned by the pure-Python Kruskal pytest in
+tests/test_r7b_operators.py).
+
+Contraction per round reuses :func:`connected_components` on the
+component graph (one node per component, one edge per chosen tie — at
+most |V| rows, halving each round), not on the data graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.components import connected_components
+from graph_database_spark.operators.fixpoint import materialize
+
+
+def max_spanning_forest(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """``(src, dst, w)`` — the unique maximum spanning forest of the
+    canonical (src < dst) weighted edge set under ``(w DESC, src, dst)``
+    tie-breaking. Raises if ``max_rounds`` Borůvka rounds do not
+    exhaust the cross edges (rounds needed ≈ log2 of the largest
+    component, far below the default)."""
+    e = materialize(
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    )
+    labels = materialize(
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    forest_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        cross = materialize(
+            e.join(
+                labels.select(F.col("v").alias("src"), F.col("lbl").alias("cs")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("v").alias("dst"), F.col("lbl").alias("cd")),
+                "dst",
+            )
+            .where(F.col("cs") != F.col("cd"))
+            .select("src", "dst", "w", "cs", "cd")
+        )
+        if cross.isEmpty():
+            break
+        # next round only ever needs edges still crossing components
+        e = cross.select("src", "dst", "w")
+        both = cross.select(
+            F.col("cs").alias("c"), "src", "dst", "w", F.col("cd").alias("oc")
+        ).unionByName(
+            cross.select(
+                F.col("cd").alias("c"), "src", "dst", "w", F.col("cs").alias("oc")
+            )
+        )
+        # strongest tie per component: max w, ties to the smallest
+        # (src, dst). (w, -src, -dst) is unique per edge, so the
+        # trailing payload fields never decide the max.
+        chosen = materialize(
+            both.groupBy("c")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("w"),
+                        (-F.col("src")).alias("ns"),
+                        (-F.col("dst")).alias("nd"),
+                        F.col("src"),
+                        F.col("dst"),
+                        F.col("oc"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "c",
+                F.col("b.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                F.col("b.w").alias("w"),
+                F.col("b.oc").alias("oc"),
+            )
+        )
+        # the same edge is typically chosen from both sides — dedupe
+        forest_parts.append(chosen.select("src", "dst", "w").distinct())
+        # contract the component graph (≤ one edge per component)
+        merge = chosen.select(
+            F.col("c").alias("src"), F.col("oc").alias("dst")
+        )
+        comp = connected_components(merge)
+        labels = materialize(
+            labels.join(
+                comp.select(F.col("id").alias("lbl"), "component"),
+                "lbl",
+                "left",
+            ).select(
+                "v", F.coalesce("component", F.col("lbl")).alias("lbl")
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"max_spanning_forest: not exhausted after {max_rounds} rounds"
+        )
+    if not forest_parts:
+        return e.select("src", "dst", "w").limit(0)
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
