@@ -3446,9 +3446,10 @@ def q_max_spanning_forest(spark, sf_dir):
     # clustering skeleton. O(log V) rounds, one grouped max per round
     # over a SHRINKING cross-edge set; the composite (w DESC, src, dst)
     # order makes the forest unique, so the result is
-    # algorithm-independent. Rows-only in the gate (a Kruskal replay
-    # would need one recursive-CTE iteration per edge); the exact edge
-    # set is pinned against pure-Python Kruskal in
+    # algorithm-independent — which lets the DuckDB oracle run its OWN
+    # lazy Borůvka (recursive-CTE, cut-property-sound selection with
+    # one-hop contraction) and still hash-match the exact edge set.
+    # Also pinned against pure-Python Kruskal in
     # tests/test_r7b_operators.py.
     from graph_database_spark.operators.msf import max_spanning_forest
     from graph_database_spark.plans.copurchase import (
@@ -7093,7 +7094,6 @@ ROWS_ONLY = frozenset({
     "staged_dedup",
     "text_embedding_neardup",
     "compression_ratio",
-    "max_spanning_forest",
 })
 
 QUERIES: dict[str, QueryFn] = {
@@ -7305,6 +7305,60 @@ QUERIES: dict[str, QueryFn] = {
     "theil_sen_trend": q_theil_sen_trend,
     "max_spanning_forest": q_max_spanning_forest,
 }
+
+# Borůvka replay, coloring-oracle style. Soundness rests on the cut
+# property: under the strict total edge order (w DESC, src, dst), EVERY
+# class's maximum cut edge belongs to the unique maximum spanning
+# forest, for ANY label partition — so selection stays correct even
+# while hash-min contraction lags behind, and the oracle's lazy
+# one-hop-per-iteration merge converges to the same unique forest the
+# Spark side reaches via full connected-components contraction. The
+# symmetric bool_or over the canonical pair is load-bearing: the raw
+# selection flag is direction-local (row (u,v) marks "class(u)'s
+# best"), and label-propagating over asymmetric flags lets the two
+# endpoint windows see different neighbor sets, diverging per-vertex
+# labels (measured: 2053 "forest" rows — a cyclic overcount — vs the
+# correct 1498). Budget 60 pinned at 3x the measured sf0.01
+# convergence (N=20); the Spark operator raises on exhaustion.
+ORACLES["max_spanning_forest"] = f"""
+WITH RECURSIVE cp AS ({_CP}),
+we AS (
+    SELECT a.c AS src, b.c AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+    GROUP BY 1, 2
+),
+dsym AS (
+    SELECT src AS s, dst AS d, w FROM we
+    UNION ALL
+    SELECT dst AS s, src AS d, w FROM we
+),
+bv(r, s, d, w, ls, ld, f) AS (
+    SELECT 0, s, d, w, s, d, FALSE FROM dsym
+    UNION ALL
+    SELECT r + 1, s, d, w,
+           least(ls, coalesce(min(CASE WHEN nfs THEN ld END)
+                              OVER (PARTITION BY s), ls)),
+           least(ld, coalesce(min(CASE WHEN nfs THEN ls END)
+                              OVER (PARTITION BY d), ld)),
+           nfs
+    FROM (
+        SELECT r, s, d, w, ls, ld,
+               bool_or(nf) OVER (PARTITION BY least(s, d), greatest(s, d))
+                   AS nfs
+        FROM (
+            SELECT r, s, d, w, ls, ld,
+                   f OR (ls <> ld AND
+                         (w, -least(s, d), -greatest(s, d)) =
+                         max(CASE WHEN ls <> ld
+                             THEN (w, -least(s, d), -greatest(s, d)) END)
+                         OVER (PARTITION BY ls)) AS nf
+            FROM bv
+        ) t0
+    ) t WHERE r < 60
+)
+SELECT DISTINCT least(s, d) AS src, greatest(s, d) AS dst, w
+FROM bv WHERE r = 60 AND f
+"""
 
 ORACLES["matryoshka_fidelity"] = """
     WITH ex AS (

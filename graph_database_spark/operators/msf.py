@@ -12,11 +12,12 @@ pattern from CLAUDE.md).
 Determinism: edges are ordered by the composite key
 ``(w DESC, src ASC, dst ASC)``. A strict total order on edges is
 equivalent to all-distinct weights, under which the spanning forest is
-UNIQUE — so the output is algorithm-independent and retry-stable, even
-though the driver gate checks it rows-only (a Kruskal replay in a
-recursive CTE would need one iteration per edge; the exact edge set is
-instead pinned by the pure-Python Kruskal pytest in
-tests/test_r7b_operators.py).
+UNIQUE — so the output is algorithm-independent and retry-stable. That
+uniqueness is what makes the query hash-verifiable: the DuckDB oracle
+(catalog.ORACLES["max_spanning_forest"]) runs a DIFFERENT Borůvka
+(lazy one-hop contraction in a recursive CTE, sound by the cut
+property) and converges to the identical edge set; a pure-Python
+Kruskal pytest (tests/test_r7b_operators.py) pins it a third way.
 
 Contraction per round reuses :func:`connected_components` on the
 component graph (one node per component, one edge per chosen tie — at
