@@ -3462,6 +3462,40 @@ def q_max_spanning_forest(spark, sf_dir):
     return max_spanning_forest(we)
 
 
+def q_msf_clusters(spark, sf_dir):
+    # Single-linkage clustering by cutting the maximum spanning forest
+    # at tie strength >= 2 (r7): the MST-clustering classic. The Spark
+    # side derives clusters FROM the Borůvka forest (components of the
+    # thresholded forest edges); the oracle instead takes components of
+    # the thresholded ORIGINAL graph — the two agree exactly iff the
+    # computed forest is a true maximum spanning forest, so the hash
+    # check doubles as an independent proof of the single-linkage
+    # equivalence (and of msf.py) along a second derivation path.
+    from graph_database_spark.operators.components import (
+        connected_components,
+    )
+    from graph_database_spark.operators.msf import max_spanning_forest
+    from graph_database_spark.plans.copurchase import (
+        copurchase_edges_weighted,
+    )
+
+    we = (
+        copurchase_edges_weighted(spark, sf_dir)
+        .select("src", "dst", F.col("weight").alias("w"))
+        .localCheckpoint()
+    )
+    keep = max_spanning_forest(we).where(F.col("w") >= 2).select("src", "dst")
+    cc = connected_components(keep)
+    verts = (
+        we.select(F.col("src").alias("id"))
+        .union(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return verts.join(cc, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7304,6 +7338,7 @@ QUERIES: dict[str, QueryFn] = {
     "matryoshka_fidelity": q_matryoshka_fidelity,
     "theil_sen_trend": q_theil_sen_trend,
     "max_spanning_forest": q_max_spanning_forest,
+    "msf_clusters": q_msf_clusters,
 }
 
 # Borůvka replay, coloring-oracle style. Soundness rests on the cut
@@ -7358,6 +7393,37 @@ bv(r, s, d, w, ls, ld, f) AS (
 )
 SELECT DISTINCT least(s, d) AS src, greatest(s, d) AS dst, w
 FROM bv WHERE r = 60 AND f
+"""
+
+# Deliberately NOT a forest replay: components of the thresholded
+# ORIGINAL graph equal components of the thresholded max spanning
+# forest (single-linkage equivalence) — so this cheap oracle verifies
+# q_msf_clusters' forest-derived answer along an independent path.
+ORACLES["msf_clusters"] = f"""
+    WITH RECURSIVE cp AS ({_CP}),
+    we AS (
+        SELECT a.c AS src, b.c AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+        GROUP BY 1, 2
+    ),
+    strong AS (
+        SELECT src AS v, dst AS n FROM we WHERE w >= 2
+        UNION ALL
+        SELECT dst AS v, src AS n FROM we WHERE w >= 2
+    ),
+    reach(id, r0) AS (
+        SELECT DISTINCT v, v FROM strong
+        UNION
+        SELECT s.n, reach.r0 FROM reach JOIN strong s ON s.v = reach.id
+    ),
+    cl AS (SELECT id, min(r0) AS cluster FROM reach GROUP BY id),
+    vv AS (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM we UNION ALL SELECT dst FROM we
+        )
+    )
+    SELECT vv.id, CAST(coalesce(cl.cluster, vv.id) AS BIGINT) AS cluster
+    FROM vv LEFT JOIN cl ON vv.id = cl.id
 """
 
 ORACLES["matryoshka_fidelity"] = """
