@@ -21,7 +21,13 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["state_partitions", "materialize", "fixpoint", "aggregate_messages"]
+__all__ = [
+    "state_partitions",
+    "materialize",
+    "reset_plan_stats",
+    "fixpoint",
+    "aggregate_messages",
+]
 
 
 def state_partitions(spark) -> int:
@@ -107,3 +113,40 @@ def aggregate_messages(
     if include_self:
         incoming = incoming.unionByName(vertices)
     return incoming.groupBy("id", *extra_keys).agg(*agg)
+
+
+def reset_plan_stats(df: DataFrame) -> DataFrame:
+    """Rebuild an already-materialized frame as a fresh ``LogicalRDD``,
+    discarding carried-over plan statistics.
+
+    Spark 4's ``localCheckpoint`` copies the checkpointed plan's
+    COMPUTED statistics into the replacement ``LogicalRDD`` (normally a
+    useful optimization). Join estimation multiplies child
+    ``sizeInBytes``, so an iterative operator that SELF-JOINS its state
+    frame squares the carried estimate every round: the BigInteger
+    doubles in bit-length per iteration, and optimizer passes start
+    spending whole seconds in ``BigInteger.multiplyToomCook3`` on
+    million-bit numbers. Measured on the Borůvka pointer-doubling loop
+    at sf0.1: jumps of a 37-row, 1-partition, flat-plan frame went
+    0.2 s → 0.7 → 1.3 → 2.7 → 6.9 → 145 s while rows, partitions, and
+    plan text stayed constant; jstack showed >100 s of driver CPU in
+    BigInteger multiplication; the stats field doubled 6 → 11 → 20 →
+    40 → … → 622 digits. Operators whose rounds join evolving state
+    with a STATIC frame only grow the estimate linearly in digits
+    (harmless); only self-joins of evolving state need this reset.
+
+    The fresh LogicalRDD reports ``defaultSizeInBytes``; AQE's runtime
+    statistics still drive join-strategy choices, so plans stay sound.
+    Call ONLY on a materialized (checkpointed) frame — ``toRdd`` on a
+    live plan would re-execute it. Falls back to the input frame if the
+    internal constructor is unavailable in a future Spark.
+    """
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        out = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(out, spark)
+    except Exception:
+        return df
