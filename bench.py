@@ -161,6 +161,10 @@ HEADLINE = [
     "matryoshka_fidelity",
     "theil_sen_trend",
     "max_spanning_forest",
+    "hyper_anf",
+    "max_concurrency",
+    "fk_integrity",
+    "benford_prices",
 ]
 
 

@@ -3496,6 +3496,127 @@ def q_msf_clusters(spark, sf_dir):
     )
 
 
+def q_hyper_anf(spark, sf_dir):
+    # HyperANF / approximate neighborhood function (r7, Boldi-Vigna):
+    # per-vertex HLL sketches merged register-wise along edges for 3
+    # hops — |B(v,t)| estimates whose state stays |V| x 16 registers
+    # however dense the balls get (the scalable complement to the
+    # exact q_two_hop_reach). Integer register sums + the one-division
+    # estimate, both oracle-checked against a 3x unrolled SQL replay.
+    from graph_database_spark.operators.sketches import hll_neighborhood
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    return hll_neighborhood(edges)
+
+
+def q_max_concurrency(spark, sf_dir):
+    # Peak concurrent sessions (r7): the sweep-line classic — +1/-1
+    # deltas at session start/end, a GLOBAL running sum (distributed
+    # via rank.global_prefix_sum: range shuffle + broadcast offsets,
+    # never a single-partition window), then the max with earliest-ts
+    # tiebreak. The capacity-planning readout of the session table.
+    from graph_database_spark.operators.rank import global_prefix_sum
+
+    _utc(spark)
+    sess = E.sessionize(load_table(spark, sf_dir, "events"))
+    pts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    # nd = -delta so plain ascending order puts +1 (starts) before -1
+    # (ends) at the same instant: touching sessions count as
+    # overlapping (inclusive endpoints), matching the oracle.
+    pts = pts.withColumn("nd", -F.col("delta"))
+    run = global_prefix_sum(
+        pts, ["ts", "nd", "user_id", "session_id"], "delta", "concurrent"
+    )
+    best = run.agg(
+        F.max(
+            F.struct(
+                F.col("concurrent").alias("c"),
+                # micros, not seconds: sub-second session bounds must
+                # survive the argmax round-trip or at_ts diverges
+                (-F.unix_micros(F.col("ts"))).alias("nt"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.c").alias("max_concurrent"),
+        F.expr("timestamp_micros(-b.nt)").alias("at_ts"),
+    )
+
+
+def q_fk_integrity(spark, sf_dir):
+    # Referential-integrity audit (r7): orphan counts for every
+    # foreign-key edge of the schema plus the events->customer link —
+    # the data-quality gate a warehouse runs after every load. Eight
+    # anti-join counts unioned; each is one keyed shuffle (broadcast
+    # for the dim sides under AQE).
+    def rel(name, child, ckey, parent, pkey):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        return c.agg(F.count("*").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for args in rels:
+        frame = rel(*args)
+        out = frame if out is None else out.unionByName(frame)
+    return out
+
+
+# round(log10(1 + 1/d) * 1e6) — inlined identically in the oracle so
+# no libm call crosses the engine boundary.
+_BENFORD_PPM = "map(1,301030,2,176091,3,124939,4,96910,5,79181,6,66947,7,57992,8,51153,9,45757)"
+
+
+def q_benford_prices(spark, sf_dir):
+    # Benford first-digit profile of line-item prices (r7): the fraud /
+    # synthetic-data smell test. Leading digit extracted from the exact
+    # integer cents' decimal string (double formatting differs across
+    # engines; integer strings don't), expected frequencies inlined as
+    # identical ppm literals on both sides.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    return (
+        li.groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("observed"))
+        .withColumn(
+            "expected_ppm",
+            F.expr(_BENFORD_PPM)[F.col("digit")].cast("long"),
+        )
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7339,7 +7460,173 @@ QUERIES: dict[str, QueryFn] = {
     "theil_sen_trend": q_theil_sen_trend,
     "max_spanning_forest": q_max_spanning_forest,
     "msf_clusters": q_msf_clusters,
+    "hyper_anf": q_hyper_anf,
+    "max_concurrency": q_max_concurrency,
+    "fk_integrity": q_fk_integrity,
+    "benford_prices": q_benford_prices,
 }
+
+ORACLES["max_concurrency"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess0 AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess0 GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT session_start AS ts, 1 AS delta, -1 AS nd,
+               user_id, session_id
+        FROM sess
+        UNION ALL
+        SELECT session_end, -1, 1, user_id, session_id FROM sess
+    ),
+    run AS (
+        SELECT ts,
+               sum(delta) OVER (
+                   ORDER BY ts, nd, user_id, session_id
+               ) AS concurrent
+        FROM pts
+    )
+    SELECT CAST(concurrent AS BIGINT) AS max_concurrent, ts AS at_ts
+    FROM run ORDER BY concurrent DESC, ts ASC LIMIT 1
+"""
+
+ORACLES["fk_integrity"] = """
+    SELECT * FROM (
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+             WHERE NOT EXISTS (SELECT 1 FROM region r
+                               WHERE r.r_regionkey = n.n_regionkey))
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id))
+    ) t
+"""
+
+ORACLES["benford_prices"] = """
+    WITH cents AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+    ),
+    m AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM cents GROUP BY 1
+    )
+    SELECT digit, observed,
+           CAST(map([1,2,3,4,5,6,7,8,9],
+                    [301030,176091,124939,96910,79181,66947,57992,51153,
+                     45757])[digit][1] AS BIGINT) AS expected_ppm
+    FROM m
+"""
+
+ORACLES["hyper_anf"] = f"""
+    WITH {{GRAPH_CTES}},
+    h0 AS (
+        SELECT v, hv % 16 AS b,
+               CASE WHEN hv // 16 = 0 THEN 55
+                    ELSE bit_count(((hv // 16) & -(hv // 16)) - 1) + 1
+               END AS reg
+        FROM (
+            SELECT DISTINCT v,
+                   CAST(('0x' || substring(md5(CAST(v AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS hv
+            FROM sym
+        )
+    ),
+    s1 AS (
+        SELECT v, b, max(reg) AS reg FROM (
+            SELECT v, b, reg FROM h0
+            UNION ALL
+            SELECT s.v, h.b, h.reg FROM sym s JOIN h0 h ON h.v = s.n
+        ) GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT v, b, max(reg) AS reg FROM (
+            SELECT v, b, reg FROM s1
+            UNION ALL
+            SELECT s.v, h.b, h.reg FROM sym s JOIN s1 h ON h.v = s.n
+        ) GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT v, b, max(reg) AS reg FROM (
+            SELECT v, b, reg FROM s2
+            UNION ALL
+            SELECT s.v, h.b, h.reg FROM sym s JOIN s2 h ON h.v = s.n
+        ) GROUP BY 1, 2
+    ),
+    allt AS (
+        SELECT v, 1 AS t, b, reg FROM s1
+        UNION ALL SELECT v, 2, b, reg FROM s2
+        UNION ALL SELECT v, 3, b, reg FROM s3
+    ),
+    sums AS (
+        SELECT v AS id, CAST(t AS INTEGER) AS t,
+               CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+                   + (16 - count(*)) * (1::BIGINT << 55) AS reg_sum
+        FROM allt GROUP BY 1, 2
+    )
+    SELECT id, t, reg_sum,
+           round(0.673e0 * 16e0 * 16e0 * 36028797018963968e0
+                 / CAST(reg_sum AS DOUBLE), 4) AS est_reach
+    FROM sums
+""".format(GRAPH_CTES=GRAPH_CTES)
 
 # Borůvka replay, coloring-oracle style. Soundness rests on the cut
 # property: under the strict total edge order (w DESC, src, dst), EVERY

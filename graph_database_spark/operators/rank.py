@@ -61,3 +61,48 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "r") -> DataFrame:
         )
         .drop("__pid")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols, value_col: str, out_col: str = "running"
+) -> DataFrame:
+    """Running sum of ``value_col`` over a global total order, computed
+    distributed — the sweep-line / cumulative-scan primitive.
+
+    Same shape as :func:`global_rank`: range-partition on the order
+    columns, per-partition window sums, and a #partitions-sized driver
+    collect of partition totals turned into broadcast offsets. A bare
+    ``sum() OVER (ORDER BY ...)`` would drag every row onto one task.
+    """
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    keyed = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = keyed.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
+    offsets, total = {}, 0
+    for row in sorted(sums, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = total
+        total += row["s"] or 0
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    off_expr = "map(" + ",".join(
+        f"{pid},{off}" for pid, off in offsets.items()
+    ) + ")"
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.withColumn(
+            out_col,
+            (
+                F.sum(value_col).over(w)
+                + F.expr(off_expr)[F.col("__pid")].cast("long")
+            ).cast("long"),
+        )
+        .drop("__pid")
+    )

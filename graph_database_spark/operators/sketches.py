@@ -315,3 +315,79 @@ def hll_sliding(
             ).alias("est_distinct"),
         )
     )
+
+
+def hll_neighborhood(
+    edges: DataFrame,
+    hops: int = 3,
+    m: int = 16,
+    alpha: float = 0.673,
+) -> DataFrame:
+    """``(id, t, reg_sum, est_reach)`` — HyperANF (Boldi-Vigna): the
+    approximate neighborhood function, one row per vertex per hop
+    t = 1..``hops``.
+
+    Each vertex starts with the HLL registers of {itself}; every hop
+    merges (register-wise max) its neighbors' registers — after t hops
+    a vertex's sketch summarizes its ≤t-hop ball, so ``est_reach``
+    estimates |B(v, t)| and the per-t sums trace the graph's distance
+    distribution. This is THE scalable alternative to exact multi-hop
+    reach (compare ``q_two_hop_reach``: exact, but its intermediate is
+    the two-hop pair set; here state is a fixed m registers per vertex
+    and each hop is one edge join + one grouped max — at 100 TB the
+    state stays |V| x m rows no matter how dense the balls get).
+
+    Register mechanics and the no-ln estimator follow
+    :func:`hll_distinct` (integer register sums, one IEEE division —
+    cross-engine exact); the ``reg_sum`` column keeps a pure-BIGINT
+    surface in the oracle contract. State is kept SPARSE (absent
+    (v, bucket) rows mean an empty register) — the 2^55-per-empty-
+    bucket term is reconstructed at summary time.
+    """
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    sym = symmetrize(edges).localCheckpoint()
+    w_ = F.expr(f"_h div {m}")
+    rho = F.when(w_ == 0, F.lit(55)).otherwise(
+        F.bit_count((w_.bitwiseAND(-w_)) - 1) + 1
+    )
+    state = (
+        sym.select(F.col("v"))
+        .distinct()
+        .select("v", md5_hash60(F.col("v")).alias("_h"))
+        .select("v", (F.col("_h") % m).alias("b"), rho.alias("reg"))
+        .localCheckpoint()
+    )
+    outs = []
+    for t in range(1, hops + 1):
+        pulled = sym.join(
+            state.select(F.col("v").alias("n"), "b", "reg"), "n"
+        ).select("v", "b", "reg")
+        state = (
+            state.unionByName(pulled)
+            .groupBy("v", "b")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint()
+        )
+        ssum = (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
+        ).alias("reg_sum")
+        outs.append(
+            state.groupBy("v")
+            .agg(ssum)
+            .select(
+                F.col("v").alias("id"),
+                F.lit(t).cast("int").alias("t"),
+                "reg_sum",
+                F.round(
+                    F.lit(alpha * m * m * 2.0**55)
+                    / F.col("reg_sum").cast("double"),
+                    4,
+                ).alias("est_reach"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

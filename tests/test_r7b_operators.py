@@ -151,3 +151,44 @@ def test_max_spanning_forest_on_testdata(spark):
     want = _kruskal_max(rows)  # forest of a forest is itself
     assert set(rows) == want
     assert len(rows) == len(set(rows))
+
+
+def test_hyper_anf_star_graph(spark):
+    # star: center 0, leaves 1..20. At t=1 every vertex's ball is
+    # {v, neighbors}: center sees all 21, each leaf sees {leaf, 0}.
+    # Replicate the md5 register math in Python and compare reg_sum.
+    import hashlib
+
+    from graph_database_spark.operators.sketches import hll_neighborhood
+
+    m = 16
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def reg_sum(members):
+        regs = {}
+        for v in members:
+            h = h60(v)
+            b, w = h % m, h // m
+            rho = 55 if w == 0 else (w & -w).bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return sum(1 << (55 - r) for r in regs.values()) + (
+            m - len(regs)
+        ) * (1 << 55)
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "src long, dst long"
+    )
+    out = {
+        (r["id"], r["t"]): r["reg_sum"]
+        for r in hll_neighborhood(edges, hops=2).collect()
+    }
+    allv = set(range(21))
+    assert out[(0, 1)] == reg_sum(allv)
+    assert out[(5, 1)] == reg_sum({5, 0})
+    # t=2: every leaf reaches everything through the center
+    assert out[(5, 2)] == reg_sum(allv)
+    # monotone: merging registers can only grow coverage
+    for v in range(21):
+        assert out[(v, 2)] <= out[(v, 1)]
