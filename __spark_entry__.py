@@ -59,6 +59,22 @@ _NEXT_TIER = [
     "events_cusum",
     "two_hop_reach",
     "psi_drift",
+    # r7 extended session: Borůvka + sketch/linkage/robust-stats set
+    "max_spanning_forest",
+    "msf_clusters",
+    "hyper_anf",
+    "link_negative_samples",
+    "record_linkage",
+    "distinct_users_sliding",
+    "vocab_oov",
+    "theil_sen_trend",
+    "matryoshka_fidelity",
+    "label_confusion",
+    "max_concurrency",
+    "fk_integrity",
+    "benford_prices",
+    "events_autocorr",
+    "conversion_latency",
 ]
 
 
