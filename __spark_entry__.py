@@ -75,6 +75,8 @@ _NEXT_TIER = [
     "benford_prices",
     "events_autocorr",
     "conversion_latency",
+    "entity_resolution",
+    "events_twap",
 ]
 
 

@@ -165,6 +165,8 @@ HEADLINE = [
     "max_concurrency",
     "fk_integrity",
     "benford_prices",
+    "entity_resolution",
+    "events_twap",
 ]
 
 

@@ -3617,6 +3617,77 @@ def q_benford_prices(spark, sf_dir):
     )
 
 
+def q_entity_resolution(spark, sf_dir):
+    # Entity canonicalization (r7): transitive closure over the blocked
+    # Levenshtein matches of q_record_linkage — connected components on
+    # the name-match graph, each name mapped to its cluster's canonical
+    # name. Names ride as their min part key (one numeric id per
+    # distinct value), so the CC fixpoint stays on BIGINTs; the output
+    # is the survivorship table an MDM pipeline publishes.
+    from graph_database_spark.operators.components import (
+        connected_components,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+        .localCheckpoint()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .where(F.col("a.nid") < F.col("b.nid"))
+        .where(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, 3)
+        )
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+    )
+    cc = connected_components(pairs)
+    canon = names.select(
+        F.col("nid").alias("component"), F.col("p_name").alias("canon_name")
+    )
+    return (
+        names.join(cc.select(F.col("id").alias("nid"), "component"), "nid", "left")
+        .withColumn("component", F.coalesce("component", F.col("nid")))
+        .join(canon, "component")
+        .select("p_name", "canon_name")
+    )
+
+
+def q_events_twap(spark, sf_dir):
+    # Time-weighted average value per (event_type, day) (r7): the
+    # finance/metering aggregate a plain AVG gets wrong under uneven
+    # sampling. Step function held from each event to the next of the
+    # same type within the day; emitted as EXACT integer sufficient
+    # stats (milli-value x micros duration, and the total duration) —
+    # one window pass, no cross-engine division.
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1000.0), 0).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seg = ev.withColumn("nxt", F.lead(F.unix_micros(F.col("ts"))).over(w))
+    seg = seg.where(F.col("nxt").isNotNull()).select(
+        "event_type",
+        "day",
+        (F.col("vm") * (F.col("nxt") - F.unix_micros(F.col("ts")))).alias(
+            "vt"
+        ),
+        (F.col("nxt") - F.unix_micros(F.col("ts"))).alias("dt"),
+    )
+    return seg.groupBy("event_type", "day").agg(
+        F.sum("vt").alias("vt_sum"),
+        F.sum("dt").alias("dur_micros"),
+        F.count("*").alias("n_segments"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7464,7 +7535,60 @@ QUERIES: dict[str, QueryFn] = {
     "max_concurrency": q_max_concurrency,
     "fk_integrity": q_fk_integrity,
     "benford_prices": q_benford_prices,
+    "entity_resolution": q_entity_resolution,
+    "events_twap": q_events_twap,
 }
+
+ORACLES["entity_resolution"] = """
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid,
+               list_extract(string_split(p_name, ' '),
+                            len(string_split(p_name, ' '))) AS blk
+        FROM part GROUP BY 1
+    ),
+    prs AS (
+        SELECT a.nid AS s, b.nid AS d
+        FROM names a JOIN names b ON a.blk = b.blk
+        WHERE a.nid < b.nid
+          AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ),
+    msym AS (
+        SELECT s AS v, d AS n FROM prs
+        UNION ALL SELECT d, s FROM prs
+    ),
+    reach(id, r0) AS (
+        SELECT DISTINCT v, v FROM msym
+        UNION
+        SELECT m.n, reach.r0 FROM reach JOIN msym m ON m.v = reach.id
+    ),
+    cl AS (SELECT id, min(r0) AS component FROM reach GROUP BY id)
+    SELECT nm.p_name, cn.p_name AS canon_name
+    FROM names nm
+    LEFT JOIN cl ON cl.id = nm.nid
+    JOIN names cn ON cn.nid = coalesce(cl.component, nm.nid)
+"""
+
+ORACLES["events_twap"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               ts, event_id,
+               CAST(round(value * 1000.0) AS BIGINT) AS vm
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, day, vm,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+        FROM ev
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+    )
+    SELECT event_type, day,
+           CAST(sum(vm * dt) AS BIGINT) AS vt_sum,
+           CAST(sum(dt) AS BIGINT) AS dur_micros,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY 1, 2
+"""
 
 ORACLES["max_concurrency"] = """
     WITH flagged AS (

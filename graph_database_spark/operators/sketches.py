@@ -271,13 +271,25 @@ def hll_sliding(
     days x m spine (broadcast — m is a constant) so a bucket's window
     max survives days with no new hits.
     """
-    from pyspark.sql import Window
+    return hll_sliding_from_daily(
+        hll_daily_registers(df, key, ts_col, m), days=days, m=m, alpha=alpha
+    )
 
+
+def hll_daily_registers(
+    df: DataFrame, key: str, ts_col: str = "ts", m: int = 32
+) -> DataFrame:
+    """``(day, _b, _reg)`` — per-day HLL registers, the mergeable state
+    both the batch window (:func:`hll_sliding`) and the streaming sink
+    (streaming/sketch.hll_stream) build on. Register-wise ``max`` over
+    ANY split of the input equals the registers of the union, which is
+    what makes micro-batch merging exact, replay-idempotent, and equal
+    to the one-shot batch computation."""
     w_ = F.expr(f"_h div {m}")
     rho = F.when(w_ == 0, F.lit(55)).otherwise(
         F.bit_count((w_.bitwiseAND(-w_)) - 1) + 1
     )
-    daily = (
+    return (
         df.select(
             F.date_trunc("day", F.col(ts_col)).alias("day"),
             md5_hash60(F.col(key)).alias("_h"),
@@ -285,8 +297,21 @@ def hll_sliding(
         .select("day", (F.col("_h") % m).alias("_b"), rho.alias("_rho"))
         .groupBy("day", "_b")
         .agg(F.max("_rho").alias("_reg"))
-        .localCheckpoint()
     )
+
+
+def hll_sliding_from_daily(
+    daily_in: DataFrame,
+    days: int = 7,
+    m: int = 32,
+    alpha: float = 0.697,
+) -> DataFrame:
+    """Windowed summary over ``(day, _b, _reg)`` register state — see
+    :func:`hll_sliding` for the estimator contract."""
+    from pyspark.sql import Window
+
+    df = daily_in
+    daily = daily_in.localCheckpoint()
     spine = daily.select("day").distinct().crossJoin(
         F.broadcast(
             df.sparkSession.range(m).select(F.col("id").alias("_b"))

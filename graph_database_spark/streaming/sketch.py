@@ -94,3 +94,81 @@ def cms_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+_HLL_SCHEMA = "day timestamp, b long, reg int, last_batch long"
+
+
+def read_hll_sliding(spark, path: str, days: int = 7, m: int = 32):
+    """Windowed distinct-count summary over the persisted register
+    state — IDENTICAL to the batch ``hll_sliding`` run over the union
+    of all merged batches (pinned by tests/test_streaming_sketch.py),
+    because register-wise max is split-invariant."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.operators.sketches import (
+        hll_sliding_from_daily,
+    )
+
+    daily = read_version(spark, path).select(
+        "day", F.col("b").alias("_b"), F.col("reg").alias("_reg")
+    )
+    return hll_sliding_from_daily(daily, days=days, m=m)
+
+
+def merge_batch_into_hll(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key: str,
+    ts_col: str = "ts",
+    m: int = 32,
+) -> None:
+    """Fold one micro-batch's daily HLL registers into the persisted
+    state at ``path`` (register-wise max; skip replayed batches — max
+    is idempotent anyway, the skip just avoids a redundant version).
+
+    State is at most days x m rows — the sketch-fits-anywhere argument
+    of the CMS sink applies verbatim, as does its atomic-versioned
+    durability story."""
+    from graph_database_spark.operators.sketches import hll_daily_registers
+
+    spark = batch_df.sparkSession
+    state: dict[tuple, int] = {}
+    last = -1
+    if list_versions(path):
+        for r in read_version(spark, path).collect():
+            state[(r["day"], r["b"])] = r["reg"]
+            last = max(last, r["last_batch"])
+    if batch_id <= last:
+        return
+    for r in hll_daily_registers(batch_df, key, ts_col, m).collect():
+        k = (r["day"], r["_b"])
+        state[k] = max(state.get(k, 0), r["_reg"])
+    out = [(day, b, reg, batch_id) for (day, b), reg in state.items()]
+    write_version(
+        spark.createDataFrame(out, _HLL_SCHEMA).coalesce(1),
+        path,
+        note=f"hll batch {batch_id}",
+    )
+
+
+def hll_stream(
+    stream: DataFrame,
+    key: str,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    m: int = 32,
+):
+    """Start the sliding-HLL register-merging sink; returns the
+    StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_into_hll(batch_df, batch_id, path, key, ts_col, m)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -64,3 +64,52 @@ def test_crash_mid_write_preserves_committed_sketch(spark, tmp_path):
     # simulate a crash: orphan data directory without a manifest commit
     os.makedirs(os.path.join(path, "v=99"), exist_ok=True)
     assert _cells(spark, path) == committed
+
+
+def test_streamed_hll_sliding_equals_batch(spark, tmp_path):
+    # register-wise max is split-invariant, so the stream-merged state
+    # must reproduce the batch hll_sliding summary EXACTLY (reg_sum and
+    # the rounded estimate), not approximately.
+    from graph_database_spark.operators.sketches import hll_sliding
+    from graph_database_spark.streaming.sketch import (
+        hll_stream,
+        read_hll_sliding,
+    )
+
+    path = str(tmp_path / "hll")
+    q = hll_stream(
+        read_events_stream(spark, SF_DIR),
+        "user_id",
+        path,
+        str(tmp_path / "hllckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["day"]: (r["reg_sum"], r["est_distinct"])
+        for r in read_hll_sliding(spark, path).collect()
+    }
+    batch = {
+        r["day"]: (r["reg_sum"], r["est_distinct"])
+        for r in hll_sliding(
+            load_table(spark, SF_DIR, "events"), "user_id"
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_hll_merge_replay_idempotent(spark, tmp_path):
+    from graph_database_spark.streaming.sketch import (
+        merge_batch_into_hll,
+        read_hll_sliding,
+    )
+
+    path = str(tmp_path / "hll2")
+    ev = load_table(spark, SF_DIR, "events").limit(200).cache()
+    merge_batch_into_hll(ev, 0, path, "user_id")
+    once = {r["day"]: r["reg_sum"] for r in read_hll_sliding(spark, path).collect()}
+    merge_batch_into_hll(ev, 0, path, "user_id")  # replay: skipped
+    merge_batch_into_hll(ev, 1, path, "user_id")  # same data again: max no-op
+    assert {
+        r["day"]: r["reg_sum"] for r in read_hll_sliding(spark, path).collect()
+    } == once
