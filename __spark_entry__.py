@@ -77,6 +77,7 @@ _NEXT_TIER = [
     "conversion_latency",
     "entity_resolution",
     "events_twap",
+    "pq_codes",
 ]
 
 

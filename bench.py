@@ -167,6 +167,7 @@ HEADLINE = [
     "benford_prices",
     "entity_resolution",
     "events_twap",
+    "pq_codes",
 ]
 
 

@@ -3688,6 +3688,19 @@ def q_events_twap(spark, sf_dir):
     )
 
 
+def q_pq_codes(spark, sf_dir):
+    # Product quantization (r7): per-subspace k-means codebooks
+    # (4 subspaces x 16 dims x 16 codes over the 64-dim embeddings) —
+    # the IVF-PQ serving layout, completing the compression stack next
+    # to scalar quantization and IVF cells. Training loop hash-verified
+    # end to end via the subspace-generalized kmeans replay
+    # (_build_pq_sql); micro-int distances, floor-exact means, md5
+    # seeds ranked with the distributed global_rank.
+    from graph_database_spark.operators.pq import pq_assign
+
+    return pq_assign(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7537,6 +7550,7 @@ QUERIES: dict[str, QueryFn] = {
     "benford_prices": q_benford_prices,
     "entity_resolution": q_entity_resolution,
     "events_twap": q_events_twap,
+    "pq_codes": q_pq_codes,
 }
 
 ORACLES["entity_resolution"] = """
@@ -8278,6 +8292,83 @@ def _build_kmeans_sql(k: int = 8, rounds: int = 3) -> str:
 
 
 ORACLES["kmeans_cells"] = _build_kmeans_sql(8, 3)
+
+
+def _build_pq_sql(k: int = 16, rounds: int = 2, sub_dims: int = 16) -> str:
+    # _build_kmeans_sql generalized per-subspace (operators/pq.py):
+    # every distance/argmin/update step additionally keys on
+    # s = (i-1) // sub_dims, and the update join pins v.s = a.s so a
+    # vector's code in one subspace never leaks into another's
+    # centroid. Seeds are the same md5-ordered FULL vectors; each
+    # subspace just reads its own dims of them.
+    parts = [
+        f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    xm AS (
+        SELECT vec_id, i, CAST((i - 1) // {sub_dims} AS INTEGER) AS s,
+               CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM ex
+    ),
+    cent AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {k}
+    ),
+    cm1 AS (
+        SELECT CAST(cent.c AS INTEGER) AS c, x.i, x.xm AS cm
+        FROM cent JOIN xm x ON x.vec_id = cid
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+        SELECT v.vec_id, v.s, c.c,
+               CAST(sum((v.xm - c.cm) * (v.xm - c.cm)) AS BIGINT) AS d2
+        FROM xm v JOIN cm{r} c ON c.i = v.i
+        GROUP BY 1, 2, 3
+    ),
+    a{r} AS (
+        SELECT vec_id, s, CAST(c AS INTEGER) AS cell, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, c
+            ) AS rn FROM d{r}
+        ) t WHERE rn = 1
+    )"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+    cm{r + 1} AS (
+        SELECT p.c, p.i, coalesce(m.cm_new, p.cm) AS cm
+        FROM cm{r} p LEFT JOIN (
+            SELECT a.cell AS c, v.i,
+                   CAST(floor(CAST(sum(v.xm) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS cm_new
+            FROM a{r} a JOIN xm v
+              ON v.vec_id = a.vec_id AND v.s = a.s
+            GROUP BY 1, 2
+        ) m ON m.c = p.c AND m.i = p.i
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(s AS INTEGER) AS subspace, cell AS code,
+           CAST(d2 AS BIGINT) AS dist2
+    FROM a{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["pq_codes"] = _build_pq_sql(16, 2, 16)
 
 ORACLES["graph_diameter"] = f"""
     WITH RECURSIVE {{GRAPH_CTES}},
