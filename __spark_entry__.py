@@ -78,6 +78,8 @@ _NEXT_TIER = [
     "entity_resolution",
     "events_twap",
     "pq_codes",
+    "association_rules",
+    "rfm_segments",
 ]
 
 

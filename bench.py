@@ -168,6 +168,8 @@ HEADLINE = [
     "entity_resolution",
     "events_twap",
     "pq_codes",
+    "association_rules",
+    "rfm_segments",
 ]
 
 

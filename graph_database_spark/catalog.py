@@ -3701,6 +3701,104 @@ def q_pq_codes(spark, sf_dir):
     return pq_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_association_rules(spark, sf_dir):
+    # Market-basket association rules (r7): pairs with support >= 3
+    # expanded to directed rules with confidence and lift in exact
+    # floor-ppm integers (conf = P(b|a), lift = conf / P(b) — both as
+    # supp_ab-scaled integer divisions, no cross-engine float). The
+    # rule miner next to frequent_itemsets' triple counter; pair
+    # generation is the bounded per-basket self-join.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+    n_baskets = li.select("o").distinct().count()
+    supp = li.groupBy("p").agg(F.count("*").alias("s")).localCheckpoint()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.o") == F.col("b.o"))
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "s_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "s_ab",
+        )
+    )
+    out = (
+        rules.join(
+            supp.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a")),
+            "antecedent",
+        )
+        .join(
+            supp.select(F.col("p").alias("consequent"), F.col("s").alias("s_b")),
+            "consequent",
+        )
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("s_ab").alias("support"),
+        F.expr("CAST((s_ab * 1000000) div s_a AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            f"CAST((s_ab * CAST({n_baskets} AS BIGINT) * 1000000)"
+            " div (s_a * s_b) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    # RFM segmentation (r7): recency/frequency/monetary quintiles per
+    # customer — the classic marketing cut. Monetary stays exact cents;
+    # quintile q = (rank-1)*5 div n + 1 over the distributed
+    # global_rank (uniform bucketing, identical integer formula in the
+    # oracle — no engine ntile semantics to match). Higher score =
+    # better (most recent / most frequent / highest spend = 5).
+    from graph_database_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    ).localCheckpoint()
+    n = per_cust.count()
+
+    def quintile(df, order_col, out):
+        ranked = global_rank(df, [order_col, "c_custkey"], out_col="__r")
+        return ranked.withColumn(
+            out, F.expr(f"CAST((__r - 1) * 5 div {n} AS INT) + 1")
+        ).drop("__r")
+
+    scored = quintile(per_cust, "last_date", "r_q")
+    scored = quintile(scored, "n_orders", "f_q")
+    scored = quintile(scored, "monetary_cents", "m_q")
+    return scored.select(
+        "c_custkey",
+        "n_orders",
+        "monetary_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7551,7 +7649,63 @@ QUERIES: dict[str, QueryFn] = {
     "entity_resolution": q_entity_resolution,
     "events_twap": q_events_twap,
     "pq_codes": q_pq_codes,
+    "association_rules": q_association_rules,
+    "rfm_segments": q_rfm_segments,
 }
+
+ORACLES["association_rules"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM items),
+    supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS s_ab
+        FROM items a JOIN items b ON a.o = b.o
+        WHERE a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, s_ab FROM pairs
+        UNION ALL
+        SELECT pb, pa, s_ab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.s_ab AS support,
+           CAST((r.s_ab * 1000000) // sa.s AS BIGINT) AS confidence_ppm,
+           CAST((r.s_ab * nb.n * 1000000) // (sa.s * sb.s) AS BIGINT)
+               AS lift_ppm
+    FROM rules r
+    JOIN supp sa ON sa.p = r.antecedent
+    JOIN supp sb ON sb.p = r.consequent
+    CROSS JOIN nb
+"""
+
+ORACLES["rfm_segments"] = """
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               max(o_orderdate) AS last_date,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+    scored AS (
+        SELECT c_custkey, n_orders, monetary_cents,
+               CAST((row_number() OVER (ORDER BY last_date, c_custkey) - 1)
+                    * 5 // nn.n AS INTEGER) + 1 AS r_q,
+               CAST((row_number() OVER (ORDER BY n_orders, c_custkey) - 1)
+                    * 5 // nn.n AS INTEGER) + 1 AS f_q,
+               CAST((row_number() OVER (
+                        ORDER BY monetary_cents, c_custkey) - 1)
+                    * 5 // nn.n AS INTEGER) + 1 AS m_q
+        FROM per_cust CROSS JOIN nn
+    )
+    SELECT c_custkey, n_orders, monetary_cents, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+               || CAST(m_q AS VARCHAR) AS segment
+    FROM scored
+"""
 
 ORACLES["entity_resolution"] = """
     WITH RECURSIVE names AS (
