@@ -80,6 +80,8 @@ _NEXT_TIER = [
     "pq_codes",
     "association_rules",
     "rfm_segments",
+    "bootstrap_replicates",
+    "spend_gini",
 ]
 
 

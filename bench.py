@@ -170,6 +170,8 @@ HEADLINE = [
     "pq_codes",
     "association_rules",
     "rfm_segments",
+    "bootstrap_replicates",
+    "spend_gini",
 ]
 
 

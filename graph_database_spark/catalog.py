@@ -3799,6 +3799,76 @@ def q_rfm_segments(spark, sf_dir):
     )
 
 
+# Poisson(1) inverse CDF in ppm — identical literals in the oracle so
+# the bootstrap needs no RNG and no libm on either engine.
+_POIS_PPM = (
+    (367879, 0), (735759, 1), (919699, 2), (981012, 3),
+    (996340, 4), (999406, 5), (999917, 6), (999990, 7),
+)
+
+
+def q_bootstrap_replicates(spark, sf_dir):
+    # Deterministic Poisson bootstrap (r7): 32 resample replicates of
+    # each event type's value sum in ONE pass — per (row, replicate)
+    # the md5-uniform draw maps through a fixed Poisson(1) inverse-CDF
+    # ppm table to a resample multiplicity. The distributed-bootstrap
+    # primitive (Chamandy et al.'s Poisson trick: no global n needed,
+    # so it streams); replicate sums are exact milli-unit BIGINTs a
+    # consumer turns into CIs. Retry-stable: draws keyed on
+    # (event_id, rep), never on partitioning.
+    from graph_database_spark.operators.sketches import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(1000.0), 0).cast("long").alias("vm"),
+    )
+    reps = spark.range(32).select(F.col("id").cast("int").alias("rep"))
+    drawn = ev.crossJoin(F.broadcast(reps)).withColumn(
+        "u",
+        md5_hash60(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit("|"), F.col("rep")
+            )
+        )
+        % F.lit(1000000),
+    )
+    k = F.lit(8)
+    for ppm, kv in reversed(_POIS_PPM):
+        k = F.when(F.col("u") < ppm, F.lit(kv)).otherwise(k)
+    drawn = drawn.withColumn("k", k.cast("long"))
+    return drawn.groupBy("event_type", "rep").agg(
+        F.sum(F.col("k") * F.col("vm")).alias("sum_milli"),
+        F.sum("k").alias("n_eff"),
+    )
+
+
+def q_spend_gini(spark, sf_dir):
+    # Gini concentration of customer spend (r7): the inequality
+    # readout. G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n needs the
+    # rank-weighted sum over the sorted spend vector — ranks come from
+    # the distributed global_rank (ties broken by custkey), cents stay
+    # exact, and the output is the three integer sufficient statistics,
+    # leaving the two divisions to the consumer.
+    from graph_database_spark.operators.rank import global_rank
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked = global_rank(spend, ["cents", "c"], out_col="r")
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("r") * F.col("cents")).alias("rank_weighted_cents"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7651,7 +7721,60 @@ QUERIES: dict[str, QueryFn] = {
     "pq_codes": q_pq_codes,
     "association_rules": q_association_rules,
     "rfm_segments": q_rfm_segments,
+    "bootstrap_replicates": q_bootstrap_replicates,
+    "spend_gini": q_spend_gini,
 }
+
+ORACLES["bootstrap_replicates"] = """
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 1000.0) AS BIGINT) AS vm
+        FROM events
+    ),
+    drawn AS (
+        SELECT event_type, r.rep, vm,
+               CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                     || '|' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1000000 AS u
+        FROM ev, (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS rep) r
+    ),
+    withk AS (
+        SELECT event_type, rep,
+               CASE WHEN u < 367879 THEN 0
+                    WHEN u < 735759 THEN 1
+                    WHEN u < 919699 THEN 2
+                    WHEN u < 981012 THEN 3
+                    WHEN u < 996340 THEN 4
+                    WHEN u < 999406 THEN 5
+                    WHEN u < 999917 THEN 6
+                    WHEN u < 999990 THEN 7
+                    ELSE 8 END AS k,
+               vm
+        FROM drawn
+    )
+    SELECT event_type, rep,
+           CAST(sum(k * vm) AS BIGINT) AS sum_milli,
+           CAST(sum(k) AS BIGINT) AS n_eff
+    FROM withk GROUP BY 1, 2
+"""
+
+ORACLES["spend_gini"] = """
+    WITH spend AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, c) AS BIGINT) AS r
+        FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(r * cents) AS BIGINT) AS rank_weighted_cents
+    FROM ranked
+"""
 
 ORACLES["association_rules"] = """
     WITH items AS (
