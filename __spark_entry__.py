@@ -82,6 +82,7 @@ _NEXT_TIER = [
     "rfm_segments",
     "bootstrap_replicates",
     "spend_gini",
+    "sequence_logloss",
 ]
 
 

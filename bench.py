@@ -172,6 +172,7 @@ HEADLINE = [
     "rfm_segments",
     "bootstrap_replicates",
     "spend_gini",
+    "sequence_logloss",
 ]
 
 

@@ -3869,6 +3869,51 @@ def q_spend_gini(spark, sf_dir):
     )
 
 
+def q_sequence_logloss(spark, sf_dir):
+    # Next-event log-loss per user (r7): each user's event stream
+    # scored under the corpus-trained Laplace-smoothed transition model
+    # — the sequence-model evaluation next to event_transitions'
+    # training counts (perplexity = exp(loss/n)). Per-transition
+    # -ln p snapped to integer micro-units (CLAUDE micro rule; the
+    # oracle mirrors the expression tree operand-for-operand), so the
+    # per-user sums are partition-order-exact.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    n_types = ev.select("event_type").distinct().count()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("user_id", "prev", "event_type")
+        .localCheckpoint()
+    )
+    c2 = seq.groupBy("prev", "event_type").agg(F.count("*").alias("c2"))
+    c1 = seq.groupBy("prev").agg(F.count("*").alias("c1"))
+    model = c2.join(c1, "prev").select(
+        "prev",
+        "event_type",
+        F.round(
+            -F.log(
+                (F.col("c2").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double") + F.lit(float(n_types)))
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("nlp_micro"),
+    )
+    return (
+        seq.join(F.broadcast(model), ["prev", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum("nlp_micro").alias("loss_micro"),
+        )
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7723,7 +7768,41 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": q_rfm_segments,
     "bootstrap_replicates": q_bootstrap_replicates,
     "spend_gini": q_spend_gini,
+    "sequence_logloss": q_sequence_logloss,
 }
+
+ORACLES["sequence_logloss"] = """
+    WITH seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev,
+               event_type
+        FROM events
+    ),
+    s AS (SELECT * FROM seq WHERE prev IS NOT NULL),
+    nt AS (
+        SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS v FROM events
+    ),
+    c2 AS (
+        SELECT prev, event_type, CAST(count(*) AS BIGINT) AS c2
+        FROM s GROUP BY 1, 2
+    ),
+    c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM s GROUP BY 1),
+    model AS (
+        SELECT c2.prev, c2.event_type,
+               CAST(round(-ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+                              / (CAST(c1.c1 AS DOUBLE) + nt.v))
+                          * 1000000.0) AS BIGINT) AS nlp_micro
+        FROM c2 JOIN c1 ON c1.prev = c2.prev CROSS JOIN nt
+    )
+    SELECT s.user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(m.nlp_micro) AS BIGINT) AS loss_micro
+    FROM s JOIN model m
+      ON m.prev = s.prev AND m.event_type = s.event_type
+    GROUP BY 1
+"""
 
 ORACLES["bootstrap_replicates"] = """
     WITH ev AS (

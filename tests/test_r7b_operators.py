@@ -192,3 +192,71 @@ def test_hyper_anf_star_graph(spark):
     # monotone: merging registers can only grow coverage
     for v in range(21):
         assert out[(v, 2)] <= out[(v, 1)]
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from graph_database_spark.operators.rank import global_prefix_sum
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        ((F.col("id") % 7) - 3).alias("delta"),
+    )
+    got = {
+        (r["id"], r["running"])
+        for r in global_prefix_sum(df, ["key", "id"], "delta").collect()
+    }
+    w = (
+        Window.orderBy("key", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["id"], r["running"])
+        for r in df.select(
+            "id", F.sum("delta").over(w).cast("long").alias("running")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_degenerates_to_kmeans_on_single_subspace(spark):
+    # With sub_dims >= dim there is exactly one subspace, and pq_assign
+    # must reproduce kmeans_assign bit-for-bit (same md5 seed order,
+    # same floor-mean updates, same argmin tiebreak).
+    from graph_database_spark.operators.kmeans import kmeans_assign
+    from graph_database_spark.operators.pq import pq_assign
+    from graph_database_spark.sources.parquet import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pq = {
+        (r["vec_id"], r["code"], r["dist2"])
+        for r in pq_assign(vecs, k=8, rounds=3, sub_dims=1024).collect()
+    }
+    km = {
+        (r["vec_id"], r["cell"], r["dist2"])
+        for r in kmeans_assign(vecs, k=8, rounds=3).collect()
+    }
+    assert pq == km
+
+
+def test_bootstrap_replicates_poisson_mass(spark):
+    # Poisson(1) multiplicities: every replicate's effective sample
+    # size concentrates around N, and replicates differ (the draws are
+    # keyed per (event_id, rep), not constant).
+    from graph_database_spark.catalog import QUERIES
+
+    rows = QUERIES["bootstrap_replicates"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["n_eff"], r["sum_milli"])
+        )
+    for t, reps in by_type.items():
+        assert len(reps) == 32
+        ns = [n for n, _ in reps]
+        mean_n = sum(ns) / len(ns)
+        assert len(set(s for _, s in reps)) > 1
+        # N per type at sf0.001 is ~200; Poisson keeps n_eff near N
+        assert 0.5 * mean_n <= min(ns) and max(ns) <= 1.6 * mean_n
