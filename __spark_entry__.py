@@ -83,6 +83,7 @@ _NEXT_TIER = [
     "bootstrap_replicates",
     "spend_gini",
     "sequence_logloss",
+    "percolation",
 ]
 
 

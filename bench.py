@@ -173,6 +173,7 @@ HEADLINE = [
     "bootstrap_replicates",
     "spend_gini",
     "sequence_logloss",
+    "percolation",
 ]
 
 

@@ -3914,6 +3914,45 @@ def q_sequence_logloss(spark, sf_dir):
     )
 
 
+def q_percolation(spark, sf_dir):
+    # Targeted-attack percolation curve (r7): remove the top-k degree
+    # hubs (k = 0/10/50) and measure the surviving giant component —
+    # the network-robustness readout (scale-free graphs collapse under
+    # targeted removal). Hubs picked by distributed global_rank on
+    # (degree DESC, id); each k re-runs the shared hash-min CC over the
+    # filtered edge set.
+    from graph_database_spark.operators.components import (
+        connected_components,
+    )
+    from graph_database_spark.operators.rank import global_rank
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        symmetrize(edges)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    ranked = global_rank(
+        deg.withColumn("nd", -F.col("d")), ["nd", "id"]
+    ).localCheckpoint()
+    out = None
+    for k in (0, 10, 50):
+        hubs = ranked.where(F.col("r") <= k).select("id")
+        kept = edges.join(
+            hubs.select(F.col("id").alias("src")), "src", "left_anti"
+        ).join(hubs.select(F.col("id").alias("dst")), "dst", "left_anti")
+        cc = connected_components(kept)
+        row = cc.groupBy("component").agg(F.count("*").alias("sz")).agg(
+            F.lit(k).cast("int").alias("k_removed"),
+            F.count("*").alias("n_components"),
+            F.sum("sz").alias("n_vertices"),
+            F.max("sz").alias("giant_size"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7769,7 +7808,61 @@ QUERIES: dict[str, QueryFn] = {
     "bootstrap_replicates": q_bootstrap_replicates,
     "spend_gini": q_spend_gini,
     "sequence_logloss": q_sequence_logloss,
+    "percolation": q_percolation,
 }
+
+ORACLES["percolation"] = f"""
+    WITH RECURSIVE {{GRAPH_CTES}},
+    deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY 1),
+    ranked AS (
+        SELECT id, row_number() OVER (ORDER BY d DESC, id) AS r FROM deg
+    ),
+    k10 AS (SELECT id FROM ranked WHERE r <= 10),
+    k50 AS (SELECT id FROM ranked WHERE r <= 50),
+    s0 AS (SELECT v, n FROM sym),
+    s10 AS (
+        SELECT v, n FROM sym
+        WHERE v NOT IN (SELECT id FROM k10)
+          AND n NOT IN (SELECT id FROM k10)
+    ),
+    s50 AS (
+        SELECT v, n FROM sym
+        WHERE v NOT IN (SELECT id FROM k50)
+          AND n NOT IN (SELECT id FROM k50)
+    ),
+    r0(id, r0) AS (
+        SELECT DISTINCT v, v FROM s0
+        UNION
+        SELECT s.n, r0.r0 FROM r0 JOIN s0 s ON s.v = r0.id
+    ),
+    r10(id, r0) AS (
+        SELECT DISTINCT v, v FROM s10
+        UNION
+        SELECT s.n, r10.r0 FROM r10 JOIN s10 s ON s.v = r10.id
+    ),
+    r50(id, r0) AS (
+        SELECT DISTINCT v, v FROM s50
+        UNION
+        SELECT s.n, r50.r0 FROM r50 JOIN s50 s ON s.v = r50.id
+    ),
+    c0 AS (SELECT id, min(r0) AS component FROM r0 GROUP BY id),
+    c10 AS (SELECT id, min(r0) AS component FROM r10 GROUP BY id),
+    c50 AS (SELECT id, min(r0) AS component FROM r50 GROUP BY id)
+    SELECT 0 AS k_removed,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(max(sz) AS BIGINT) AS giant_size
+    FROM (SELECT component, count(*) OVER (PARTITION BY component) AS sz
+          FROM c0)
+    UNION ALL
+    SELECT 10, count(DISTINCT component), count(*), max(sz)
+    FROM (SELECT component, count(*) OVER (PARTITION BY component) AS sz
+          FROM c10)
+    UNION ALL
+    SELECT 50, count(DISTINCT component), count(*), max(sz)
+    FROM (SELECT component, count(*) OVER (PARTITION BY component) AS sz
+          FROM c50)
+""".format(GRAPH_CTES=GRAPH_CTES)
 
 ORACLES["sequence_logloss"] = """
     WITH seq AS (
