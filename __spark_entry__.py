@@ -84,6 +84,7 @@ _NEXT_TIER = [
     "spend_gini",
     "sequence_logloss",
     "percolation",
+    "lorenz_curve",
 ]
 
 

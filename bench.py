@@ -174,6 +174,7 @@ HEADLINE = [
     "spend_gini",
     "sequence_logloss",
     "percolation",
+    "lorenz_curve",
 ]
 
 

@@ -3953,6 +3953,38 @@ def q_percolation(spark, sf_dir):
     return out
 
 
+def q_lorenz_curve(spark, sf_dir):
+    # Lorenz curve of customer spend (r7): cumulative cents per spend
+    # decile — the distribution readout behind spend_gini's scalar.
+    # Deciles via the same global_rank integer bucket formula as
+    # rfm_segments; the final cumulative window runs over 10 aggregated
+    # rows, so it is legitimately single-partition.
+    from graph_database_spark.operators.rank import global_rank
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked = global_rank(spend, ["cents", "c"], out_col="r").localCheckpoint()
+    n = ranked.count()
+    dec = ranked.withColumn(
+        "decile", F.expr(f"CAST((r - 1) * 10 div {n} AS INT) + 1")
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn(
+        "cum_cents", F.sum("decile_cents").over(w).cast("long")
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # Population Stability Index per event type (r7): first vs second
     # half of the value stream, reference-decile bins, Laplace-smoothed
@@ -7809,7 +7841,37 @@ QUERIES: dict[str, QueryFn] = {
     "spend_gini": q_spend_gini,
     "sequence_logloss": q_sequence_logloss,
     "percolation": q_percolation,
+    "lorenz_curve": q_lorenz_curve,
 }
+
+ORACLES["lorenz_curve"] = """
+    WITH spend AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spend),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, c) AS r
+        FROM spend
+    ),
+    dec AS (
+        SELECT CAST((r - 1) * 10 // nn.n AS INTEGER) + 1 AS decile, cents
+        FROM ranked CROSS JOIN nn
+    ),
+    per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM dec GROUP BY 1
+    )
+    SELECT decile, n_customers, decile_cents,
+           CAST(sum(decile_cents) OVER (
+               ORDER BY decile ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_cents
+    FROM per
+"""
 
 ORACLES["percolation"] = f"""
     WITH RECURSIVE {{GRAPH_CTES}},
