@@ -271,6 +271,17 @@ def main() -> None:
         return json.dumps(o, separators=(",", ":"))
 
     line = render(out)
+    if len(line) > STDOUT_BUDGET and errors:
+        # Errors are unbounded (~300 chars each); on stdout collapse them
+        # to a count + names before dropping any timings — full text is
+        # already durable in BENCH_LOCAL.json (r7 ADVICE).
+        out["errors"] = {n: "see BENCH_LOCAL.json" for n in errors}
+        line = render(out)
+        if len(line) > STDOUT_BUDGET:
+            out["error_count"] = len(errors)
+            out["error_names"] = sorted(errors)[:10]
+            del out["errors"]
+            line = render(out)
     if len(line) > STDOUT_BUDGET:
         ranked = sorted(
             ((t if t is not None else float("inf"), n) for n, t in timings.items()),

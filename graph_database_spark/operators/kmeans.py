@@ -59,21 +59,23 @@ def kmeans_assign(
         )
         .localCheckpoint()  # feeds every round's assign AND update
     )
-    # md5-ordered seed draw (the ivf/semdedup oracle-verified pattern)
-    from pyspark.sql import Window
+    # md5-ordered seed draw (the ivf/semdedup oracle-verified pattern),
+    # ranked via the distributed global_rank exactly as pq.py does — a
+    # bare row_number() over an unpartitioned window would sort the
+    # whole vector table on one task (r7 VERDICT wrong-#2).
+    from graph_database_spark.operators.rank import global_rank
 
     seed_ids = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"),
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
-                )
-            )
-            .alias("c"),
+        global_rank(
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                F.md5(F.col(id_col).cast("string")).alias("mk"),
+            ),
+            ["mk", "vec_id"],
+            out_col="c",
         )
         .where(F.col("c") <= k)
+        .select("vec_id", F.col("c").cast("int").alias("c"))
     )
     cent = (
         ex.join(seed_ids, "vec_id")

@@ -46,7 +46,7 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "r") -> DataFrame:
         offsets[row["__pid"]] = total
         total += row["count"]
     if not offsets:
-        return df.withColumn(out_col, F.lit(0).cast("int")).drop("__pid")
+        return df.withColumn(out_col, F.lit(0).cast("long")).drop("__pid")
     off_expr = "map(" + ",".join(
         f"{pid},{off}" for pid, off in offsets.items()
     ) + ")"

@@ -416,7 +416,7 @@ def lsh_topk_md5(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 6,
+    n_bits: int | None = None,
     n_tables: int = 8,
 ) -> DataFrame:
     """Hash-verifiable twin of ``lsh_topk``: same plan shape (ONE shuffle
@@ -434,7 +434,10 @@ def lsh_topk_md5(
 
     Production keeps ``lsh_topk`` (xxhash64 signs, float sums — faster);
     this twin certifies the banding/bucketing/re-rank MACHINERY against
-    DuckDB. Both share bucket occupancy behavior at equal n_bits."""
+    DuckDB. Both share bucket occupancy behavior at equal n_bits.
+    ``n_bits`` defaults to the corpus-count-derived width (_auto_bits);
+    oracles mirror the same formula via catalog._AUTO_BITS_SQL."""
+    n_bits = _auto_bits(candidates, n_bits)
     dim = _vec_dim(candidates, vec_col)
     qb = _md5_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
     cb = _md5_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
@@ -572,7 +575,7 @@ def mutual_knn_graph(
     elif method == "lsh_md5":
         topk = lsh_topk_md5(
             vectors, vectors, k=k, id_col=id_col, vec_col=vec_col,
-            n_bits=n_bits if n_bits is not None else 6,
+            n_bits=n_bits,  # None -> corpus-count-derived (_auto_bits)
             n_tables=n_tables if n_tables is not None else 8,
         )
     else:
