@@ -7641,6 +7641,122 @@ ORACLES["weighted_sample"] = """
 # Rows-only operators: declared in QUERIES with no oracle entry — the
 # driver records the weaker rows-only check (custom/iterative algorithms:
 # LSH candidate generation, SimHash banding, sampled betweenness).
+def q_scc_components(spark, sf_dir):
+    # Strongly connected components (r8, VERDICT r7 missing-#3): FW-BW
+    # peeling with min-label coloring over the md5-parity orientation of
+    # the co-purchase graph — the first directed analytic. scc_id = min
+    # member id; phases/budget pinned with the oracle unroll
+    # (operators/scc.py docstring has the measured profile: 2 phases at
+    # sf0.01, 3 at sf0.1, giant SCC resolves in phase 1).
+    from graph_database_spark.operators.scc import orient_md5, scc_components
+
+    return scc_components(orient_md5(_edges(spark, sf_dir)))
+
+
+def q_topo_layers(spark, sf_dir):
+    # Topological layers of the SCC condensation DAG (r8): longest-path
+    # depth per component (sources = layer 1) + member counts — the
+    # dependency-depth readout a directed pipeline graph needs. Layer
+    # relaxation is max-label fixpoint over the CONTRACTED edge set
+    # (scc-keyed, small regardless of member counts).
+    from graph_database_spark.operators.scc import (
+        condensation_layers,
+        orient_md5,
+        scc_components,
+    )
+
+    d = orient_md5(_edges(spark, sf_dir)).localCheckpoint()
+    return condensation_layers(d, scc_components(d))
+
+
+def _scc_sql_ctes(phases: int = 4) -> str:
+    # FW-BW peel replay for the ORACLES below. Forward/backward labels
+    # come from UNION-dedup reachability recursions (worklist semantics
+    # — true fixpoints, no round budget to pin) with the min-label prune
+    # t.r < e.v: a label larger than the vertex it lands on can never be
+    # a component minimum downstream, because that vertex itself is a
+    # smaller ancestor/descendant for everything beyond it. MATERIALIZED
+    # base CTEs keep DuckDB from re-opening the parquet scans once per
+    # phase reference (file-handle exhaustion observed at 4-phase
+    # unroll). Phase count pinned with operators/scc.scc_components.
+    par = (
+        "CAST(('0x' || substring(md5('d|' || CAST(src AS VARCHAR) || '|' || "
+        "CAST(dst AS VARCHAR)), 1, 1)) AS BIGINT) % 2"
+    )
+    parts = [
+        f"""
+    dedges AS MATERIALIZED (
+        SELECT CASE WHEN {par} = 0 THEN src ELSE dst END AS u,
+               CASE WHEN {par} = 0 THEN dst ELSE src END AS v
+        FROM edges
+    ),
+    av0 AS MATERIALIZED (SELECT u AS id FROM dedges UNION SELECT v FROM dedges),
+    ae0 AS MATERIALIZED (SELECT u, v FROM dedges)"""
+    ]
+    for p in range(phases):
+        parts.append(f""",
+    fr{p}(id, r) AS (
+        SELECT id, id FROM av{p}
+        UNION
+        SELECT e.v, t.r FROM fr{p} t JOIN ae{p} e ON e.u = t.id
+        WHERE t.r < e.v
+    ),
+    f{p} AS MATERIALIZED (SELECT id, min(r) AS f FROM fr{p} GROUP BY id),
+    ce{p} AS MATERIALIZED (
+        SELECT e.v AS u, e.u AS v
+        FROM ae{p} e JOIN f{p} a ON a.id = e.u JOIN f{p} b ON b.id = e.v
+        WHERE a.f = b.f
+    ),
+    br{p}(id, r) AS (
+        SELECT id, id FROM av{p}
+        UNION
+        SELECT e.v, t.r FROM br{p} t JOIN ce{p} e ON e.u = t.id
+        WHERE t.r < e.v
+    ),
+    b{p} AS MATERIALIZED (SELECT id, min(r) AS b FROM br{p} GROUP BY id),
+    res{p} AS (SELECT f{p}.id AS id, f FROM f{p} JOIN b{p} USING (id) WHERE f = b),
+    av{p + 1} AS MATERIALIZED (
+        SELECT f{p}.id AS id FROM f{p} JOIN b{p} USING (id) WHERE f <> b
+    ),
+    ae{p + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM ae{p} e
+        JOIN av{p + 1} x ON x.id = e.u JOIN av{p + 1} y ON y.id = e.v
+    )""")
+    parts.append(
+        ",\n    scc AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT id, f AS scc_id FROM res{p}" for p in range(phases)
+        )
+        + ")"
+    )
+    return "".join(parts)
+
+
+ORACLES["scc_components"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},{_scc_sql_ctes()}
+    SELECT id, scc_id FROM scc
+"""
+ORACLES["topo_layers"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},{_scc_sql_ctes()},
+    cedges AS (
+        SELECT DISTINCT a.scc_id AS u, b.scc_id AS v
+        FROM dedges e JOIN scc a ON a.id = e.u JOIN scc b ON b.id = e.v
+        WHERE a.scc_id <> b.scc_id
+    ),
+    cverts AS (SELECT DISTINCT scc_id AS id FROM scc),
+    lw(id, d) AS (
+        SELECT id, 1 FROM cverts
+        UNION
+        SELECT e.v, t.d + 1 FROM lw t JOIN cedges e ON e.u = t.id
+    ),
+    lay AS (SELECT id AS scc_id, max(d) AS layer FROM lw GROUP BY id),
+    mem AS (SELECT scc_id, count(*) AS n_members FROM scc GROUP BY scc_id)
+    SELECT m.scc_id, CAST(l.layer AS BIGINT) AS layer,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM mem m JOIN lay l ON l.scc_id = m.scc_id
+"""
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -7882,6 +7998,8 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_logloss": q_sequence_logloss,
     "percolation": q_percolation,
     "lorenz_curve": q_lorenz_curve,
+    "scc_components": q_scc_components,
+    "topo_layers": q_topo_layers,
 }
 
 ORACLES["lorenz_curve"] = """

@@ -1,0 +1,206 @@
+"""Strongly connected components + topological layers (directed family).
+
+The reference's graph is undirected at query time (src/main.js:36,77:
+``-[:FRIENDS]-``); this adds the two directed analytics a "GraphX for
+analytics" north star implies first (r7 VERDICT missing-#3): SCC over a
+deterministic md5-parity orientation of the co-purchase graph, and
+longest-path layering of the SCC condensation DAG.
+
+Algorithm: FW-BW peeling with min-label coloring (Orzan / Hong et al.'s
+coloring step, the standard distributed SCC formulation):
+
+  per phase, over the still-unresolved subgraph:
+    1. forward hash-min fixpoint  f(v) = min id among ancestors âˆª {v};
+    2. backward hash-min fixpoint b(v) = min id among descendants âˆª {v},
+       restricted to edges INSIDE a color class (f(u) = f(v));
+    3. v is resolved with scc_id = f(v) exactly when f(v) = b(v):
+       f(v)=r means r reaches v, b(v)=r means v reaches r within color r
+       (a v->r path cannot leave color r: any w on it has ancestors(w) =
+       ancestors-of-the-cycle, so f(w) = r), hence v and r are mutually
+       reachable. Conversely every member of SCC(r) gets f=b=r.
+    4. peel the resolved vertices and repeat on the remainder.
+
+Each fixpoint round is one keyed shuffle over the active edge list with
+state union-folded into the aggregation (CLAUDE.md fixpoint rule); state
+is coalesced + checkpointed via the shared operators/fixpoint skeleton.
+Phases needed = 2 at sf0.01 / 3 at sf0.1 (measured; giant-SCC graphs
+resolve almost entirely in phase 1), fixpoint rounds <= 8 — budgets are
+pinned 2x above at (4, 16) TOGETHER with the DuckDB oracle's unroll
+(catalog._scc_resolved_ctes), kcore-style.
+
+At 100 TB: state is O(|V|) rows, shuffles key on vertex id (uniform for
+this graph; the salted-wedge probe in operators/skew.py is the fallback
+if a directed hub dominates), and the active set SHRINKS geometrically
+across phases — phase 1 typically resolves the giant SCC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.fixpoint import fixpoint, materialize
+
+__all__ = ["orient_md5", "scc_components", "condensation_layers"]
+
+
+def orient_md5(edges: DataFrame) -> DataFrame:
+    """Deterministic orientation ``(u, v)`` of a canonical undirected
+    edge set ``(src, dst)``: direction by md5 parity of the edge key, so
+    roughly half the edges flip — a reproducible directed graph with a
+    non-trivial SCC structure, replayable in SQL as
+    ``CAST(('0x' || substring(md5(...), 1, 1)) AS BIGINT) % 2``."""
+    parity = (
+        F.conv(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("d"),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ).substr(1, 1),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return edges.select(
+        F.when(parity == 0, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(parity == 0, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+
+
+def _hash_min(
+    verts: DataFrame, edges: DataFrame, out_col: str, max_rounds: int, name: str
+) -> DataFrame:
+    """Hash-min label fixpoint over DIRECTED edges ``(u, v)``: label(x) =
+    min id among {x} union {sources of directed paths into x}. ``verts``
+    is one ``id`` per vertex (isolated ids allowed — they keep their own
+    label). One keyed shuffle per round; state rides the aggregation as
+    union rows (no join-back, CLAUDE.md)."""
+    labels = verts.select("id", F.col("id").alias(out_col))
+
+    def step(state: DataFrame) -> DataFrame:
+        incoming = edges.join(
+            state.select(F.col("id").alias("u"), out_col), "u"
+        ).select(
+            F.col("v").alias("id"),
+            F.col(out_col),
+            F.lit(None).cast("long").alias("prev"),
+        )
+        keep = state.select("id", out_col, F.col(out_col).alias("prev"))
+        return (
+            incoming.unionByName(keep)
+            .groupBy("id")
+            .agg(
+                F.min(out_col).alias(out_col),
+                F.max("prev").alias("prev"),
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col(out_col) != F.col("prev")).isEmpty()
+
+    return fixpoint(labels, step, converged, max_rounds, name=name).select(
+        "id", out_col
+    )
+
+
+def scc_components(
+    directed_edges: DataFrame, phases: int = 4, max_rounds: int = 16
+) -> DataFrame:
+    """``(id, scc_id)`` over directed edges ``(u, v)``; scc_id = the
+    minimum vertex id in the component. Vertex universe = edge
+    endpoints. Raises RuntimeError if unresolved vertices remain after
+    ``phases`` peel phases (pinned with the oracle's unroll)."""
+    edges = materialize(directed_edges.select("u", "v").distinct())
+    verts = materialize(
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    resolved: DataFrame | None = None
+    for phase in range(phases):
+        if verts.isEmpty():
+            break
+        f = _hash_min(verts, edges, "f", max_rounds, f"scc_fwd_p{phase}")
+        # backward propagation stays inside a color class: keep only
+        # edges whose endpoints share f, then flip direction.
+        fu = f.select(F.col("id").alias("u"), F.col("f").alias("fu"))
+        fv = f.select(F.col("id").alias("v"), F.col("f").alias("fv"))
+        ce = materialize(
+            edges.join(fu, "u")
+            .join(fv, "v")
+            .where(F.col("fu") == F.col("fv"))
+            .select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        b = _hash_min(verts, ce, "b", max_rounds, f"scc_bwd_p{phase}")
+        fb = f.join(b, "id")
+        done = fb.where(F.col("f") == F.col("b")).select(
+            "id", F.col("f").alias("scc_id")
+        )
+        resolved = (
+            done if resolved is None else resolved.unionByName(done)
+        )
+        resolved = materialize(resolved)
+        verts = materialize(
+            fb.where(F.col("f") != F.col("b")).select("id")
+        )
+        edges = materialize(
+            edges.join(verts.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(verts.select(F.col("id").alias("v")), "v", "left_semi")
+        )
+    if not verts.isEmpty():
+        raise RuntimeError(
+            f"scc_components did not resolve in {phases} peel phases; "
+            "raise phases (and regenerate the oracle unroll)"
+        )
+    assert resolved is not None
+    return resolved
+
+
+def condensation_layers(
+    directed_edges: DataFrame, scc: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """``(scc_id, layer, n_members)`` — longest-path topological layer
+    of each SCC in the condensation DAG (sources = layer 1). The layer
+    fixpoint is max-label relaxation: layer(s) = 1 + max layer over
+    condensation predecessors; rounds = DAG depth (measured 3 at sf0.01,
+    5 at sf0.1; budget pinned with the oracle unroll). Condensation
+    edges are scc-keyed — the contraction that makes this shuffle small
+    regardless of member counts."""
+    su = scc.select(F.col("id").alias("u"), F.col("scc_id").alias("cu"))
+    sv = scc.select(F.col("id").alias("v"), F.col("scc_id").alias("cv"))
+    cedges = materialize(
+        directed_edges.join(su, "u")
+        .join(sv, "v")
+        .where(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .distinct()
+    )
+    cverts = scc.select(F.col("scc_id").alias("id")).distinct()
+    layers = cverts.select("id", F.lit(1).cast("long").alias("layer"))
+
+    def step(state: DataFrame) -> DataFrame:
+        incoming = cedges.join(
+            state.select(F.col("id").alias("u"), "layer"), "u"
+        ).select(
+            F.col("v").alias("id"),
+            (F.col("layer") + 1).alias("layer"),
+            F.lit(None).cast("long").alias("prev"),
+        )
+        keep = state.select("id", "layer", F.col("layer").alias("prev"))
+        return (
+            incoming.unionByName(keep)
+            .groupBy("id")
+            .agg(F.max("layer").alias("layer"), F.max("prev").alias("prev"))
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("layer") != F.col("prev")).isEmpty()
+
+    out = fixpoint(layers, step, converged, max_rounds, name="condensation_layers")
+    members = scc.groupBy("scc_id").agg(F.count("*").alias("n_members"))
+    return members.join(
+        out.select(F.col("id").alias("scc_id"), "layer"), "scc_id"
+    ).select("scc_id", "layer", "n_members")
