@@ -251,7 +251,11 @@ def ivf_topk(
                 6,
             ).alias("sim"),
         )
-        .dropDuplicates(["query_id", "cand_id"])
+        # No pair dedup: each candidate sits in exactly one cell and the
+        # probed cells are distinct, so (query, cand) pairs are already
+        # unique — a dropDuplicates here was one extra shuffle on the
+        # widest frame (removed r8; the md5 twin keeps its explicit
+        # dedup to mirror the oracle's DISTINCT).
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (

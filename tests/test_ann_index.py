@@ -1,0 +1,62 @@
+"""Persisted IVF index (sinks/ann.py): build-once-probe-many parity with
+the refit path, and index-side shuffle-freedom of the probe join."""
+
+from __future__ import annotations
+
+from graph_database_spark.operators.ivf import ivf_topk
+from graph_database_spark.sinks.ann import build_ivf_index, probe_ivf_index
+from graph_database_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_probe_matches_refit_and_is_reusable(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where((emb.vec_id % 20) == 0)
+    try:
+        build_ivf_index(emb, "ann_ivf_idx", str(tmp_path / "idx"), n_centroids=8)
+        refit = _rows(ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=3))
+        probe1 = _rows(
+            probe_ivf_index(spark, str(tmp_path / "idx"), queries, k=5, n_probe=3)
+        )
+        # build-once-probe-TWICE: the second probe reads only the
+        # persisted table + manifest; no state leaks between probes.
+        probe2 = _rows(
+            probe_ivf_index(spark, str(tmp_path / "idx"), queries, k=5, n_probe=3)
+        )
+        assert probe1 == refit
+        assert probe2 == refit
+        assert len(refit) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_ivf_idx")
+
+
+def test_probe_join_has_no_index_side_shuffle(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where((emb.vec_id % 20) == 0)
+    try:
+        build_ivf_index(emb, "ann_ivf_idx2", str(tmp_path / "idx2"), n_centroids=8)
+        # Force the sort-merge path so the bucketed-scan property is
+        # what avoids the Exchange (broadcast would trivially hide it).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = probe_ivf_index(
+                spark, str(tmp_path / "idx2"), queries, k=5, n_probe=3
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # Exactly two Exchanges are inherent: the (small) query side
+        # repartitioning onto the index's cell buckets, and the final
+        # per-query top-k window. The index side — the data — must scan
+        # bucket-to-bucket with NO Exchange (Bucketed: true below), so
+        # any third one is a regression.
+        assert plan.count("Exchange") <= 2, plan[:3000]
+        bucket_scan = "Bucketed: true"
+        assert bucket_scan in plan, plan[:3000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_ivf_idx2")
