@@ -3171,18 +3171,21 @@ def q_record_linkage(spark, sf_dir):
     # The quadratic compare runs over distinct-name blocks only; raw
     # rows contribute just a count per name. Integer distances
     # (Wagner-Fischer is bit-identical in both engines).
+    # r8: the within-block self-join goes through the skew guard — a
+    # block above the threshold grid-decomposes over n_groups^2 keys
+    # instead of serializing on one task (pair set identical either
+    # way, so the oracle is unchanged; parity pytest in test_linkage).
+    from graph_database_spark.operators.linkage import block_self_pairs
+
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").alias("cnt"))
         .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
-        .localCheckpoint()
     )
-    a, b = names.alias("a"), names.alias("b")
+    pairs = block_self_pairs(names, "blk", "p_name")
     return (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .where(F.col("a.p_name") < F.col("b.p_name"))
-        .withColumn(
+        pairs.withColumn(
             "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
         )
         .where((F.col("dist") >= 1) & (F.col("dist") <= 3))
@@ -3651,6 +3654,8 @@ def q_entity_resolution(spark, sf_dir):
         connected_components,
     )
 
+    from graph_database_spark.operators.linkage import block_self_pairs
+
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
@@ -3658,10 +3663,9 @@ def q_entity_resolution(spark, sf_dir):
         .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
         .localCheckpoint()
     )
-    a, b = names.alias("a"), names.alias("b")
+    # r8: skew-guarded block self-join (see q_record_linkage).
     pairs = (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .where(F.col("a.nid") < F.col("b.nid"))
+        block_self_pairs(names, "blk", "nid")
         .where(
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, 3)
         )

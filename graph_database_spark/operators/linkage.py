@@ -1,0 +1,90 @@
+"""Skew-guarded blocked self-join for the record-linkage family.
+
+Blocking makes fuzzy matching tractable (compare only within a block),
+but the compare is quadratic IN THE BLOCK: a self-join on the block key
+hashes every row of a hot block onto one task, so one oversized block
+(one very common head noun, one dominant zip code) serializes the whole
+stage — AQE's skew splitting cannot help, because splitting a partition
+cannot split a single join KEY's build side.
+
+``block_self_pairs`` is the production guard (r7 VERDICT next-#7):
+blocks at or below ``hot_threshold`` rows take the plain self-join;
+hotter blocks are grid-decomposed — each side of the self-join gets a
+deterministic group id ``g(row) in [0, n_groups)`` and is replicated
+``n_groups`` times, so the block's m^2 pair space splits into
+n_groups^2 independent (ga, gb) cells joined on the composite key
+(block, ga, gb). Every pair lands in exactly one cell (ga pins the left
+row's group, gb the right row's), so the union of the two paths is
+byte-identical to the plain join — pytest-pinned in tests/test_linkage.
+
+Cost model: hot rows are replicated n_groups times (bytes), in exchange
+for m^2/n_groups^2 comparisons per task instead of m^2. Comparisons are
+the dominant term (Levenshtein is O(len^2) per pair), so the trade wins
+whenever a block materially exceeds the threshold; the 20x hot-block
+stress row in SCALE.md has the measured numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["block_self_pairs"]
+
+
+def block_self_pairs(
+    df: DataFrame,
+    blk_col: str,
+    order_col: str,
+    hot_threshold: int = 4096,
+    n_groups: int = 8,
+) -> DataFrame:
+    """All within-block row pairs ``(a, b)`` with ``a[order_col] <
+    b[order_col]``, as two struct columns over ``df``'s schema. Blocks
+    larger than ``hot_threshold`` are grid-decomposed over
+    ``n_groups``^2 composite keys; the rest take the plain self-join.
+    ``order_col`` must be block-unique (it both orders the pair and
+    derives the deterministic grid group)."""
+    cols = df.columns
+    sizes = df.groupBy(blk_col).agg(F.count("*").alias("_bn"))
+    packed = (
+        df.join(sizes, blk_col)
+        .select(blk_col, "_bn", F.struct(*cols).alias("s"))
+        .localCheckpoint()  # feeds both paths' both sides
+    )
+
+    def pair(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            left.join(right, keys)
+            .where(F.col("sa")[order_col] < F.col("sb")[order_col])
+            .select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+        )
+
+    cold = packed.where(F.col("_bn") <= hot_threshold)
+    cold_pairs = pair(
+        cold.select(blk_col, F.col("s").alias("sa")),
+        cold.select(blk_col, F.col("s").alias("sb")),
+        [blk_col],
+    )
+
+    hot = packed.where(F.col("_bn") > hot_threshold)
+    grp = F.pmod(
+        F.xxhash64(F.col("s")[order_col].cast("string")), F.lit(n_groups)
+    ).cast("int")
+    gseq = F.explode(F.expr(f"sequence(0, {n_groups - 1})"))
+    # Explicit repartition BY the composite key with a pinned partition
+    # count: a hot block's grid cells are few BYTES but enormous
+    # COMPUTE (the m^2/g^2 comparisons happen inside the join), and
+    # AQE's byte-based coalescing would fold all cells back onto one
+    # task (measured: 253 s -> one task at 8k names). A user-pinned
+    # repartition is exempt from AQE coalescing and satisfies the
+    # join's distribution requirement, so the cells actually spread.
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    hot_a = hot.select(
+        blk_col, F.col("s").alias("sa"), grp.alias("ga"), gseq.alias("gb")
+    ).repartition(parts, blk_col, "ga", "gb")
+    hot_b = hot.select(
+        blk_col, F.col("s").alias("sb"), gseq.alias("ga"), grp.alias("gb")
+    ).repartition(parts, blk_col, "ga", "gb")
+    hot_pairs = pair(hot_a, hot_b, [blk_col, "ga", "gb"])
+
+    return cold_pairs.unionByName(hot_pairs)
