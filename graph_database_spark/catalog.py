@@ -19,6 +19,7 @@ Engine-portability rules used throughout:
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -3582,19 +3583,17 @@ def q_max_concurrency(spark, sf_dir):
 
 
 def q_fk_integrity(spark, sf_dir):
-    # Referential-integrity audit (r7): orphan counts for every
-    # foreign-key edge of the schema plus the events->customer link —
-    # the data-quality gate a warehouse runs after every load. Eight
-    # anti-join counts unioned; each is one keyed shuffle (broadcast
-    # for the dim sides under AQE).
-    def rel(name, child, ckey, parent, pkey):
-        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
-        orphans = c.join(p, "k", "left_anti")
-        return c.agg(F.count("*").alias("n_rows")).crossJoin(
-            orphans.agg(F.count("*").alias("n_orphans"))
-        ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
-
+    # Referential-integrity audit (r7, restructured r8): orphan counts
+    # for every foreign-key edge of the schema plus the events->customer
+    # link — the data-quality gate a warehouse runs after every load.
+    # r7 shipped 8 independent anti-join legs re-deriving their scans
+    # (32 pre-AQE Exchanges, the widest plan in PLANS.md — VERDICT r7
+    # wrong-#4). r8 folds all edges into ONE cogrouped pass: each table
+    # is scanned once, children and parents union into (relation, key)
+    # streams, existence comes from a single left join against the
+    # relation-tagged parent key groups (same shuffle key as the join,
+    # so the aggregation's partitioning is reused), and both counts of
+    # every relation come out of one final groupBy.
     rels = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -3605,11 +3604,39 @@ def q_fk_integrity(spark, sf_dir):
         ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
         ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
     ]
-    out = None
-    for args in rels:
-        frame = rel(*args)
-        out = frame if out is None else out.unionByName(frame)
-    return out
+    tables: dict[str, DataFrame] = {}
+
+    def tbl(name: str) -> DataFrame:
+        if name not in tables:
+            tables[name] = load_table(spark, sf_dir, name)
+        return tables[name]
+
+    kids = [
+        tbl(child).select(
+            F.lit(name).alias("relation"), F.col(ckey).cast("long").alias("k")
+        )
+        for name, child, ckey, _, _ in rels
+    ]
+    pars = [
+        tbl(parent).select(
+            F.lit(name).alias("relation"), F.col(pkey).cast("long").alias("k")
+        )
+        for name, _, _, parent, pkey in rels
+    ]
+    children = reduce(lambda a, b: a.unionByName(b), kids)
+    parents = (
+        reduce(lambda a, b: a.unionByName(b), pars)
+        .groupBy("relation", "k")
+        .agg(F.lit(1).alias("hit"))
+    )
+    return (
+        children.join(parents, ["relation", "k"], "left")
+        .groupBy("relation")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias("n_orphans"),
+        )
+    )
 
 
 # round(log10(1 + 1/d) * 1e6) — inlined identically in the oracle so
