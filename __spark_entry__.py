@@ -24,78 +24,142 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.q_hypothesis_pct(spark, "/root/testdata/sf0.001")
 
 
-# The driver's gate takes the FIRST 50 keys of queries() (confirmed:
-# CORRECTNESS_r06's 50 names == the first 50 QUERIES keys). That subset
-# has been saturated since r5 (VERDICT r6 #8), so the ordering below
-# keeps those same 50 first — cross-round comparability — and then
-# front-loads the strongest newer hash-verified families (retrieval
-# fusion, span dedup, temporal resample, Katz, the r7 rewrites) so any
-# extra driver-side capacity exercises them before the long tail.
-_NEXT_TIER = [
+# The driver's gate takes the FIRST 50 keys of queries(). That subset
+# had been saturated at the same 39/11/0 since r5 while the catalog grew
+# 121 -> 221 queries, so the external artifact never saw the strongest
+# newer families (VERDICT r7 next-#1). r8 ROTATES the head-50: it keeps
+# the 10 reference-surface queries, the graph core, and every rows-only
+# production path (they get the weaker rows-only check nowhere else),
+# and swaps ~20 long-saturated single-shape OLAP analogs for the
+# never-externally-checked flagships (all locally hash-verified by
+# scripts/check_correctness.py; the rotated-out queries remain in the
+# catalog right after position 50, so extra driver capacity still
+# reaches them first).
+_HEAD_50 = [
+    # reference surface (SURVEY §2.12, src/main.js:29-125)
+    "node_count",
+    "edge_count",
+    "cooccurrence_pairs",
+    "connected_pairs",
+    "hypothesis_pct",
+    "degree",
+    "triangle_edges",
+    "clustering_coefficient",
+    "feature_decode",
+    "circles_membership",
+    # graph core
+    "betweenness",
+    "bfs_distances",
+    "kcore",
+    # rows-only production paths (weaker check, driver-only visibility)
+    "pagerank",
+    "pagerank_personalized",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "staged_dedup",
+    "text_embedding_neardup",
+    "embedding_neardup_lsh",
+    "ann_lsh",
+    "ann_ivf",
+    "snap_metrics",
+    # r6/r7/r8 flagships, locally hash-verified, never driver-checked
     "hybrid_search",
-    "span_dedup",
-    "events_resample",
-    "katz_centrality",
     "graph_coloring",
     "knn_graph",
     "embedding_outliers",
+    "max_spanning_forest",
+    "audio_features",
+    "video_motion",
+    "pii_scan",
+    "bpe_merges",
+    "pq_codes",
+    "span_dedup",
+    "katz_centrality",
+    "percolation",
+    "kmeans_cells",
+    "record_linkage",
+    "entity_resolution",
+    "hyper_anf",
+    "bootstrap_replicates",
+    "lorenz_curve",
+    "psi_drift",
+    "events_cusum",
+    "theil_sen_trend",
+    "spend_gini",
+    "benford_prices",
+    "scc_components",
+    "topo_layers",
+]
+
+# Next tier: the queries rotated out of the historical head-50 plus the
+# strongest remaining families — exercised first by any extra driver
+# capacity beyond 50.
+_NEXT_TIER = [
+    "dedup_exact",
+    "dedup_norm",
+    "doc_fingerprint",
+    "text_embedding_neardup_md5",
+    "doc_chunks",
+    "winnow_fingerprints",
+    "text_token_stats",
+    "lang_id",
+    "quality_score",
+    "similarity_topk",
+    "embedding_neardup",
+    "ann_lsh_md5",
+    "embedding_neardup_lsh_md5",
+    "ann_ivf_md5",
+    "semdedup",
+    "sssp_weighted",
+    "label_propagation",
+    "docs_hash_sample",
+    "corpus_mixture",
+    "token_packing",
+    "json_extract_events",
+    "events_hourly",
+    "events_sessionize",
+    "top3_orders",
+    "pricing_summary",
+    "events_sliding_1h",
+    "events_resample",
     "edge_betweenness",
     "link_scores",
     "densest_subgraph",
-    "semdedup",
     "events_rolling_median",
     "scd2_intervals",
     "weighted_sample",
     "quantile_hist",
     "frequent_itemsets",
-    # r7 flagship additions: codec round-trips, hygiene, tokenizer
-    "audio_features",
-    "video_motion",
-    "pii_scan",
     "source_reputation",
-    "bpe_merges",
     "graph_diameter",
-    "kmeans_cells",
-    "events_cusum",
     "two_hop_reach",
-    "psi_drift",
-    # r7 extended session: Borůvka + sketch/linkage/robust-stats set
-    "max_spanning_forest",
     "msf_clusters",
-    "hyper_anf",
     "link_negative_samples",
-    "record_linkage",
     "distinct_users_sliding",
     "vocab_oov",
-    "theil_sen_trend",
     "matryoshka_fidelity",
     "label_confusion",
     "max_concurrency",
     "fk_integrity",
-    "benford_prices",
     "events_autocorr",
     "conversion_latency",
-    "entity_resolution",
     "events_twap",
-    "pq_codes",
     "association_rules",
     "rfm_segments",
-    "bootstrap_replicates",
-    "spend_gini",
     "sequence_logloss",
-    "percolation",
-    "lorenz_curve",
+    "customer_value_deciles",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.11,
-    ordered: the driver's historical 50-query gate subset first, then
-    the curated next tier, then the remainder in catalog order."""
-    names = list(catalog.QUERIES)
-    head = names[:50]
+    ordered: the curated driver-gate head-50 first, then the rotated-out
+    and strongest remaining queries, then the rest in catalog order."""
+    head = [n for n in _HEAD_50 if n in catalog.QUERIES]
     tier = [n for n in _NEXT_TIER if n in catalog.QUERIES and n not in head]
-    rest = [n for n in names[50:] if n not in tier]
+    seen = set(head) | set(tier)
+    rest = [n for n in catalog.QUERIES if n not in seen]
     return {n: catalog.QUERIES[n] for n in head + tier + rest}
 
 
