@@ -7700,6 +7700,93 @@ def q_topo_layers(spark, sf_dir):
     return condensation_layers(d, scc_components(d))
 
 
+def q_jaccard_prefix_join(spark, sf_dir):
+    # PPJoin-style prefix-filtered exact Jaccard (r8): candidates come
+    # only from rarest-first shingle PREFIXES (lossless by the prefix-
+    # filtering principle), then PPJoin verify. Same result contract as
+    # ngram_jaccard_exact — the catalog runs BOTH algorithms against
+    # the one oracle, cross-validating each other; the prefix variant
+    # is the scale path when boilerplate shingles make the full
+    # inverted index quadratic (reduction pinned in test_ppjoin.py).
+    return D.prefix_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_incremental_agg(spark, sf_dir):
+    # Incremental view maintenance (r8): the standing additive
+    # aggregate (orders before 1996 per priority) refreshed with the
+    # 1996+ delta through operators/ivm.refresh_additive — one shuffle
+    # over |delta| + |groups| rows, never a full-table recompute. The
+    # oracle aggregates the FULL table directly, so a hash-pass is a
+    # proof the refresh is exact (sums in integer cents: additive state
+    # must be partition-order-exact to be maintainable).
+    from graph_database_spark.operators.ivm import additive_agg, refresh_additive
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    cut = "1996-01-01"
+    base = o.where(F.col("o_orderdate") < F.lit(cut))
+    delta = o.where(F.col("o_orderdate") >= F.lit(cut))
+    sums = {"total_cents": "cents"}
+    state = additive_agg(base, ["o_orderpriority"], sums)
+    return refresh_additive(state, delta, ["o_orderpriority"], sums)
+
+
+def q_chi_square_events(spark, sf_dir):
+    # Chi-square independence of event_type x customer market segment
+    # (r8): the drift family's categorical test next to PSI/Benford/
+    # CUSUM. Contingency counts are integers; each cell's expected
+    # count e = row_total*col_total/N is one IEEE division and the
+    # (n-e)^2/e term snaps to micro-units BEFORE the sum (CLAUDE.md:
+    # double group-sums are partition-order-dependent, integer sums are
+    # not). dof = (R-1)(C-1) rides along for the driver-side p-value.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        ev.join(cust, "c_custkey")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds the margins AND the term sum
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("n").alias("rtot"))
+    colsums = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("ctot"))
+    tot = cells.agg(
+        F.sum("n").alias("ntot"),
+        F.count_distinct("event_type").alias("nr"),
+        F.count_distinct("c_mktsegment").alias("nc"),
+    )
+    term = (
+        cells.join(rows, "event_type")
+        .join(colsums, "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            (F.col("rtot") * F.col("ctot")).cast("double")
+            / F.col("ntot").cast("double"),
+        )
+        .withColumn(
+            "t_micro",
+            F.round(
+                (F.col("n").cast("double") - F.col("e"))
+                * (F.col("n").cast("double") - F.col("e"))
+                / F.col("e")
+                * F.lit(1000000.0),
+                0,
+            ).cast("long"),
+        )
+    )
+    return term.groupBy().agg(
+        F.sum("t_micro").alias("chi2_micro"),
+        F.count("*").alias("n_cells"),
+        F.max((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.max("ntot").alias("n_obs"),
+    )
+
+
 def _scc_sql_ctes(phases: int = 4) -> str:
     # FW-BW peel replay for the ORACLES below. Forward/backward labels
     # come from UNION-dedup reachability recursions (worklist semantics
@@ -8031,7 +8118,58 @@ QUERIES: dict[str, QueryFn] = {
     "lorenz_curve": q_lorenz_curve,
     "scc_components": q_scc_components,
     "topo_layers": q_topo_layers,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
+    "incremental_agg": q_incremental_agg,
+    "chi_square_events": q_chi_square_events,
 }
+
+# Two algorithms, one truth: the prefix-filtered join is exact, so it
+# shares ngram_jaccard_exact's oracle verbatim.
+ORACLES["jaccard_prefix_join"] = ORACLES["ngram_jaccard_exact"]
+
+# The IVM proof: the oracle aggregates the FULL table in one pass; the
+# Spark side must reproduce it from base state + delta refresh.
+ORACLES["incremental_agg"] = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1
+"""
+
+ORACLES["chi_square_events"] = """
+    WITH cells AS (
+        SELECT e.event_type, c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+    cl AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS ntot,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nc
+        FROM cells
+    ),
+    term AS (
+        SELECT CAST(round(
+                   (CAST(x.n AS DOUBLE) - x.e) * (CAST(x.n AS DOUBLE) - x.e)
+                   / x.e * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS t_micro
+        FROM (
+            SELECT cells.n,
+                   CAST(r.rtot * cl.ctot AS DOUBLE) / CAST(t.ntot AS DOUBLE) AS e
+            FROM cells
+            JOIN r ON r.event_type = cells.event_type
+            JOIN cl ON cl.c_mktsegment = cells.c_mktsegment
+            CROSS JOIN t
+        ) x
+    )
+    SELECT CAST(sum(t_micro) AS BIGINT) AS chi2_micro,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) FROM t) AS dof,
+           (SELECT ntot FROM t) AS n_obs
+    FROM term
+"""
 
 ORACLES["lorenz_curve"] = """
     WITH spend AS (

@@ -696,6 +696,91 @@ def ngram_jaccard_exact_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold via PPJoin-style PREFIX
+    filtering (Xiao et al., WWW'08) — the third member of the
+    exact-Jaccard family, same result contract as
+    ``ngram_jaccard_exact_pairs`` (the catalog runs both against ONE
+    oracle): ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    The prefix-filtering principle: order every doc's distinct shingles
+    by a GLOBAL rarest-first key (document frequency, then gram); with
+    J(A,B) >= t implying |A∩B| >= ceil(t·|A|), the globally-smallest
+    shared shingle must sit inside BOTH docs' first
+    ``n - ceil(t·n) + 1`` shingles (pigeonhole on the suffix), so
+    indexing ONLY prefixes is lossless. Where the full inverted index
+    pays sum_g C(df_g, 2) over ALL shingle frequencies — quadratic in
+    the document frequency of boilerplate shingles — the prefix index
+    drops exactly those high-df shingles out of most prefixes
+    (rarest-first puts them last), which is the scale path the
+    ngram_jaccard_exact docstring defers to ("drop high-df shingles
+    first"), made exact.
+
+    Plan: one df-count aggregation, one per-doc window for the prefix
+    cut, one prefix-index self-join to DISTINCT candidate pairs (scalar
+    rows), then the PPJoin verify — two id-keyed joins carrying each
+    doc's shingle array once per candidate pair and one row-local
+    array_intersect. The arrays ride candidate-bounded JOINS, never a
+    dedup shuffle (CLAUDE.md); candidate count is what the prefix
+    filter shrinks (reduction pinned by tests/test_ppjoin.py)."""
+    toks = _tokens_df(docs, text_col, id_col)
+    sets_df = (
+        toks.where(F.size("toks") >= shingle_k)
+        .select(
+            "id",
+            F.array_distinct(_shingles_from(F.col("toks"), shingle_k)).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .localCheckpoint()  # feeds the prefix index AND the verify join
+    )
+    inv = sets_df.select("id", "n", F.explode("sh").alias("g"))
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    prefix = (
+        inv.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+        )
+        .select("id", "g")
+    )
+    cand = (
+        prefix.toDF("id_a", "g")
+        .join(prefix.toDF("id_b", "g"), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets_df.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sha"), F.col("n").alias("na")
+    )
+    b = sets_df.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("shb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        # materialize the intersect size before referencing it twice
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def staged_dedup(
     docs: DataFrame,
     text_col: str = "text",
