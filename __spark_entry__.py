@@ -149,6 +149,10 @@ _NEXT_TIER = [
     "rfm_segments",
     "sequence_logloss",
     "customer_value_deciles",
+    # r8 additions beyond the head-50
+    "jaccard_prefix_join",
+    "incremental_agg",
+    "chi_square_events",
 ]
 
 

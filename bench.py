@@ -175,6 +175,12 @@ HEADLINE = [
     "sequence_logloss",
     "percolation",
     "lorenz_curve",
+    # r8 additions
+    "scc_components",
+    "topo_layers",
+    "jaccard_prefix_join",
+    "incremental_agg",
+    "chi_square_events",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Streaming incremental aggregate maintenance (IVM over a stream).
+
+The streaming face of operators/ivm.py: a standing additive aggregate
+(count / sums per key) folded forward once per micro-batch and published
+through the versioned sink, so every batch commit is a pinned snapshot
+of the aggregate table — the "continuously maintained rollup" every
+metrics warehouse runs, in nothing but parquet + a manifest.
+
+Exactly-once semantics: additive refresh is NOT naturally idempotent
+(re-adding a replayed batch double-counts), so each published version
+records the batch id it folded in (`note="batch=<id>"`), and the
+foreachBatch hook SKIPS any batch id at or below the last applied one —
+the replay becomes a no-op instead of a double-count. That is the same
+at-least-once -> exactly-once upgrade the batch-id-partitioned sink
+(streaming/sink.py) uses, adapted to cumulative state.
+
+Replay parity and the skip guard are pytest-pinned
+(tests/test_streaming_ivm.py): stream result == one-shot batch
+aggregate, and re-folding a batch changes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graph_database_spark.operators.ivm import additive_agg, refresh_additive
+from graph_database_spark.sinks.versioned import (
+    list_versions,
+    read_version,
+    write_version,
+)
+
+__all__ = ["additive_agg_stream", "read_aggregate", "last_applied_batch"]
+
+
+def last_applied_batch(path: str) -> int:
+    """Largest batch id folded into the aggregate at ``path`` (-1 if
+    none) — read from the version manifest's notes."""
+    last = -1
+    for v in list_versions(path):
+        note = v.get("note", "")
+        if note.startswith("batch="):
+            last = max(last, int(note.split("=", 1)[1]))
+    return last
+
+
+def additive_agg_stream(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    sums: dict[str, str],
+    checkpoint: str,
+):
+    """Maintain ``additive_agg(all rows so far)`` at ``path``, one
+    version per micro-batch, replay-proof. Returns the StreamingQuery."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied_batch(path):
+            return  # replayed batch: already folded, skip (idempotence)
+        spark = batch_df.sparkSession
+        if last_applied_batch(path) >= 0:
+            state = read_version(spark, path)
+            new_state = refresh_additive(state, batch_df, keys, sums)
+        else:
+            new_state = additive_agg(batch_df, keys, sums)
+        # Materialize BEFORE writing: the plan reads the previous
+        # version directory the writer is about to supersede.
+        write_version(new_state.localCheckpoint(), path, note=f"batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_aggregate(spark: SparkSession, path: str) -> DataFrame:
+    """The current standing aggregate (latest published version)."""
+    return read_version(spark, path)
