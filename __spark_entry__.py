@@ -87,7 +87,7 @@ _HEAD_50 = [
     "events_cusum",
     "theil_sen_trend",
     "spend_gini",
-    "benford_prices",
+    "png_features",
     "scc_components",
     "topo_layers",
 ]
@@ -150,6 +150,7 @@ _NEXT_TIER = [
     "sequence_logloss",
     "customer_value_deciles",
     # r8 additions beyond the head-50
+    "benford_prices",
     "jaccard_prefix_join",
     "incremental_agg",
     "chi_square_events",

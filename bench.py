@@ -181,6 +181,7 @@ HEADLINE = [
     "jaccard_prefix_join",
     "incremental_agg",
     "chi_square_events",
+    "png_features",
 ]
 
 
