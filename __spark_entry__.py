@@ -154,6 +154,7 @@ _NEXT_TIER = [
     "jaccard_prefix_join",
     "incremental_agg",
     "chi_square_events",
+    "incremental_distinct",
 ]
 
 

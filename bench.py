@@ -182,6 +182,7 @@ HEADLINE = [
     "incremental_agg",
     "chi_square_events",
     "png_features",
+    "incremental_distinct",
 ]
 
 

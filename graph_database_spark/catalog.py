@@ -7732,6 +7732,32 @@ def q_incremental_agg(spark, sf_dir):
     return refresh_additive(state, delta, ["o_orderpriority"], sums)
 
 
+def q_incremental_distinct(spark, sf_dir):
+    # Distinct-count IVM (r8): distinct counts are NOT additive, so the
+    # maintainable form is mergeable HLL register state — register-wise
+    # max over any base/delta split equals the registers of the union.
+    # Here the events stream is split at a ts cut, the base registers
+    # are refreshed with the delta (operators/ivm.refresh_hll), and the
+    # estimate must hash-match distinct_users_hll's full-table oracle:
+    # a proof the sketch state is split-invariant, in the same sense
+    # incremental_agg proves the additive path exact.
+    from graph_database_spark.operators.ivm import (
+        hll_estimate,
+        hll_state,
+        refresh_hll,
+    )
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    base = ev.where(F.col("ts") < cut)
+    delta = ev.where(F.col("ts") >= cut)
+    state = hll_state(base, ["event_type"], "user_id")
+    return hll_estimate(
+        refresh_hll(state, delta, ["event_type"], "user_id"), ["event_type"]
+    )
+
+
 def q_chi_square_events(spark, sf_dir):
     # Chi-square independence of event_type x customer market segment
     # (r8): the drift family's categorical test next to PSI/Benford/
@@ -8137,7 +8163,12 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_agg": q_incremental_agg,
     "chi_square_events": q_chi_square_events,
     "png_features": q_png_features,
+    "incremental_distinct": q_incremental_distinct,
 }
+
+# Split-invariance proof: the incrementally maintained registers must
+# estimate exactly what the one-shot full-table sketch does.
+ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
 
 ORACLES["png_features"] = f"""
     WITH rh AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["additive_agg", "refresh_additive"]
+__all__ = ["additive_agg", "refresh_additive", "hll_state", "refresh_hll", "hll_estimate"]
 
 
 def additive_agg(
@@ -46,3 +46,62 @@ def refresh_additive(
         F.sum(name).alias(name) for name in sums
     ]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+# --- distinct counts: NOT additive; maintained via mergeable HLL
+# registers instead (register-wise max over any input split equals the
+# registers of the union — the sketch form of incremental maintenance).
+
+def hll_state(
+    df: DataFrame, keys: list[str], key: str, m: int = 32
+) -> DataFrame:
+    """``(keys..., _b, _reg)`` — per-group HLL register state over the
+    md5-60-bit hash (operators/sketches.hll_distinct's decomposition)."""
+    from graph_database_spark.operators.sketches import md5_hash60
+
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    return (
+        df.select(*keys, md5_hash60(F.col(key)).alias("_h"))
+        .select(*keys, (F.col("_h") % m).alias("_b"), rho.alias("_rho"))
+        .groupBy(*keys, "_b")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+
+
+def refresh_hll(
+    state: DataFrame, delta: DataFrame, keys: list[str], key: str, m: int = 32
+) -> DataFrame:
+    """Fold a delta batch into standing register state: register-wise
+    max — associative, commutative, idempotent (re-folding the same
+    rows changes nothing, unlike the additive path)."""
+    delta_state = hll_state(delta, keys, key, m)
+    return (
+        state.unionByName(delta_state)
+        .groupBy(*keys, "_b")
+        .agg(F.max("_reg").alias("_reg"))
+    )
+
+
+def hll_estimate(
+    state: DataFrame, keys: list[str], m: int = 32, alpha: float = 0.697
+) -> DataFrame:
+    """``(keys..., est_distinct)`` from register state — the integer
+    register sum + one IEEE division estimator hll_distinct
+    hash-verifies (same expression, so the same oracle applies)."""
+    ssum = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
+        + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
+    ).alias("_s")
+    return (
+        state.groupBy(*keys)
+        .agg(ssum)
+        .select(
+            *keys,
+            F.round(
+                F.lit(alpha * m * m * 2.0**55) / F.col("_s").cast("double"), 4
+            ).alias("est_distinct"),
+        )
+    )

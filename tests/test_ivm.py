@@ -62,3 +62,22 @@ def test_new_key_appears(spark):
     delta = o.where(F.col("o_orderpriority") == "1-URGENT")
     got = _rows(refresh_additive(state, delta, KEYS, SUMS))
     assert got == _rows(additive_agg(o, KEYS, SUMS))
+
+
+def test_hll_refresh_split_invariant_and_idempotent(spark):
+    from graph_database_spark.operators.ivm import (
+        hll_estimate,
+        hll_state,
+        refresh_hll,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    full = _rows(hll_estimate(hll_state(ev, ["event_type"], "user_id"), ["event_type"]))
+    base = ev.limit(300)
+    delta = ev.subtract(base)
+    state = hll_state(base, ["event_type"], "user_id")
+    refreshed = refresh_hll(state, delta, ["event_type"], "user_id")
+    assert _rows(hll_estimate(refreshed, ["event_type"])) == full
+    # idempotent: folding the SAME delta again changes nothing
+    twice = refresh_hll(refreshed, delta, ["event_type"], "user_id")
+    assert _rows(hll_estimate(twice, ["event_type"])) == full
