@@ -155,6 +155,7 @@ _NEXT_TIER = [
     "incremental_agg",
     "chi_square_events",
     "incremental_distinct",
+    "scc_reach",
 ]
 
 

@@ -183,6 +183,7 @@ HEADLINE = [
     "chi_square_events",
     "png_features",
     "incremental_distinct",
+    "scc_reach",
 ]
 
 

@@ -7828,6 +7828,23 @@ def q_png_features(spark, sf_dir):
     return png.decode_png(png.attach_png(docs))
 
 
+def q_scc_reach(spark, sf_dir):
+    # Downstream-reach estimation per SCC (r8): HLL registers propagated
+    # backward along condensation edges for depth(DAG) rounds — the
+    # sketch answer to "transitive closure is quadratic". The oracle
+    # replays the registers over the EXACT reach sets (UNION-dedup
+    # recursion), so the hash match proves the propagated state equals
+    # the one-shot sketch of the true closure. operators/scc.py.
+    from graph_database_spark.operators.scc import (
+        orient_md5,
+        scc_components,
+        scc_reach_sketch,
+    )
+
+    d = orient_md5(_edges(spark, sf_dir)).localCheckpoint()
+    return scc_reach_sketch(d, scc_components(d))
+
+
 def _scc_sql_ctes(phases: int = 4) -> str:
     # FW-BW peel replay for the ORACLES below. Forward/backward labels
     # come from UNION-dedup reachability recursions (worklist semantics
@@ -7894,6 +7911,47 @@ def _scc_sql_ctes(phases: int = 4) -> str:
 ORACLES["scc_components"] = f"""
     WITH RECURSIVE {GRAPH_CTES},{_scc_sql_ctes()}
     SELECT id, scc_id FROM scc
+"""
+ORACLES["scc_reach"] = f"""
+    WITH RECURSIVE {GRAPH_CTES},{_scc_sql_ctes()},
+    cedges AS (
+        SELECT DISTINCT a.scc_id AS u, b.scc_id AS v
+        FROM dedges e JOIN scc a ON a.id = e.u JOIN scc b ON b.id = e.v
+        WHERE a.scc_id <> b.scc_id
+    ),
+    cverts AS (SELECT DISTINCT scc_id AS id FROM scc),
+    reach(id, r) AS (
+        SELECT id, id FROM cverts
+        UNION
+        SELECT t.id, e.v FROM reach t JOIN cedges e ON e.u = t.r
+    ),
+    hv AS (
+        SELECT id,
+               CAST(('0x' || substring(md5(CAST(r AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM reach
+    ),
+    rr AS (
+        SELECT id, h % 32 AS b,
+               CASE WHEN h // 32 = 0 THEN 55
+                    ELSE bit_count(((h // 32) & -(h // 32)) - 1) + 1
+               END AS rho
+        FROM hv
+    ),
+    regs AS (SELECT id, b, max(rho) AS reg FROM rr GROUP BY 1, 2),
+    s AS (
+        SELECT id,
+               CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+                 + (32 - count(*)) * (1::BIGINT << 55) AS ssum
+        FROM regs GROUP BY 1
+    ),
+    mem AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM scc GROUP BY 1)
+    SELECT m.scc_id,
+           round(0.697e0 * 32e0 * 32e0 * 36028797018963968e0
+                 / CAST(s.ssum AS DOUBLE), 4) AS est_reach,
+           m.n_members
+    FROM mem m JOIN s ON s.id = m.scc_id
 """
 ORACLES["topo_layers"] = f"""
     WITH RECURSIVE {GRAPH_CTES},{_scc_sql_ctes()},
@@ -8164,6 +8222,7 @@ QUERIES: dict[str, QueryFn] = {
     "chi_square_events": q_chi_square_events,
     "png_features": q_png_features,
     "incremental_distinct": q_incremental_distinct,
+    "scc_reach": q_scc_reach,
 }
 
 # Split-invariance proof: the incrementally maintained registers must

@@ -10,8 +10,8 @@ Algorithm: FW-BW peeling with min-label coloring (Orzan / Hong et al.'s
 coloring step, the standard distributed SCC formulation):
 
   per phase, over the still-unresolved subgraph:
-    1. forward hash-min fixpoint  f(v) = min id among ancestors âˆª {v};
-    2. backward hash-min fixpoint b(v) = min id among descendants âˆª {v},
+    1. forward hash-min fixpoint  f(v) = min id among ancestors + {v};
+    2. backward hash-min fixpoint b(v) = min id among descendants + {v},
        restricted to edges INSIDE a color class (f(u) = f(v));
     3. v is resolved with scc_id = f(v) exactly when f(v) = b(v):
        f(v)=r means r reaches v, b(v)=r means v reaches r within color r
@@ -26,7 +26,7 @@ is coalesced + checkpointed via the shared operators/fixpoint skeleton.
 Phases needed = 2 at sf0.01 / 3 at sf0.1 (measured; giant-SCC graphs
 resolve almost entirely in phase 1), fixpoint rounds <= 8 — budgets are
 pinned 2x above at (4, 16) TOGETHER with the DuckDB oracle's unroll
-(catalog._scc_resolved_ctes), kcore-style.
+(catalog._scc_sql_ctes), kcore-style.
 
 At 100 TB: state is O(|V|) rows, shuffles key on vertex id (uniform for
 this graph; the salted-wedge probe in operators/skew.py is the fallback
@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from graph_database_spark.operators.fixpoint import fixpoint, materialize
 
-__all__ = ["orient_md5", "scc_components", "condensation_layers"]
+__all__ = ["orient_md5", "scc_components", "condensation_layers", "scc_reach_sketch"]
 
 
 def orient_md5(edges: DataFrame) -> DataFrame:
@@ -74,7 +74,7 @@ def _hash_min(
     verts: DataFrame, edges: DataFrame, out_col: str, max_rounds: int, name: str
 ) -> DataFrame:
     """Hash-min label fixpoint over DIRECTED edges ``(u, v)``: label(x) =
-    min id among {x} union {sources of directed paths into x}. ``verts``
+    min id among {x} + {sources of directed paths into x}. ``verts``
     is one ``id`` per vertex (isolated ids allowed — they keep their own
     label). One keyed shuffle per round; state rides the aggregation as
     union rows (no join-back, CLAUDE.md)."""
@@ -157,6 +157,81 @@ def scc_components(
         )
     assert resolved is not None
     return resolved
+
+
+def scc_reach_sketch(
+    directed_edges: DataFrame,
+    scc: DataFrame,
+    m: int = 32,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(scc_id, est_reach, n_members)`` — estimated number of SCCs
+    reachable from each SCC (itself included) in the condensation DAG,
+    via HLL register propagation: each node starts with the registers
+    of {itself}; every round, a node max-merges its successors'
+    registers; after depth(DAG) rounds each node holds the registers of
+    its full downstream set, and the standard integer-sum estimator
+    reads them out. State is O(|condensation| x m) regardless of how
+    dense the reachability relation is — the sketch answer to the
+    "transitive closure is quadratic" problem, same philosophy as
+    hyper_anf on the undirected graph. Cross-engine exact: md5-60-bit
+    hashes, integer register sums, one IEEE division (the
+    distinct_users_hll estimator contract), so the oracle can replay
+    the registers over the EXACT reach sets and must agree."""
+    from graph_database_spark.operators.sketches import md5_hash60
+
+    su = scc.select(F.col("id").alias("u"), F.col("scc_id").alias("cu"))
+    sv = scc.select(F.col("id").alias("v"), F.col("scc_id").alias("cv"))
+    cedges = materialize(
+        directed_edges.join(su, "u")
+        .join(sv, "v")
+        .where(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .distinct()
+    )
+    cverts = scc.select(F.col("scc_id").alias("id")).distinct()
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    regs0 = (
+        cverts.select("id", md5_hash60(F.col("id")).alias("_h"))
+        .select("id", (F.col("_h") % m).alias("_b"), rho.alias("_reg"))
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        # successor registers flow backward to the predecessor
+        incoming = cedges.join(
+            state.select(F.col("id").alias("v"), "_b", "_reg"), "v"
+        ).select(
+            F.col("u").alias("id"), "_b", "_reg",
+            F.lit(None).cast("int").alias("prev"),
+        )
+        keep = state.select(
+            "id", "_b", "_reg", F.col("_reg").cast("int").alias("prev")
+        )
+        return (
+            incoming.unionByName(keep)
+            .groupBy("id", "_b")
+            .agg(F.max("_reg").alias("_reg"), F.max("prev").alias("prev"))
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("_reg") != F.col("prev")).isEmpty()
+
+    regs = fixpoint(regs0, step, converged, max_rounds, name="scc_reach")
+    ssum = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
+        + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
+    ).alias("_s")
+    est = regs.groupBy(F.col("id").alias("scc_id")).agg(ssum).select(
+        "scc_id",
+        F.round(
+            F.lit(0.697 * m * m * 2.0**55) / F.col("_s").cast("double"), 4
+        ).alias("est_reach"),
+    )
+    members = scc.groupBy("scc_id").agg(F.count("*").alias("n_members"))
+    return members.join(est, "scc_id").select("scc_id", "est_reach", "n_members")
 
 
 def condensation_layers(

@@ -73,3 +73,23 @@ def test_orient_md5_is_deterministic_permutation(spark):
     assert a == b
     # every canonical edge appears exactly once, in one direction
     assert sorted(tuple(sorted(e)) for e in a) == [(1, 2), (3, 7), (10, 42)]
+
+
+def test_scc_reach_sketch_hand_graph(spark):
+    from graph_database_spark.operators.scc import scc_reach_sketch
+
+    d = _directed(spark)
+    scc = scc_components(d)
+    got = {
+        r["scc_id"]: (r["est_reach"], r["n_members"])
+        for r in scc_reach_sketch(d, scc).collect()
+    }
+    # condensation: 8 -> 1 -> 5 -> 9; true downstream-set sizes
+    # (incl. self): 8:4, 1:3, 5:2, 9:1. The HLL estimate at m=32 over
+    # <=4 items has wide error bars but is DETERMINISTIC — pin ordering
+    # and membership rather than exact values.
+    assert set(got) == {1, 5, 8, 9}
+    assert got[8][1] == 1 and got[1][1] == 3
+    # more downstream => estimate must not be smaller (register sets
+    # are supersets along the chain 9 -> 5 -> 1 -> 8)
+    assert got[9][0] <= got[5][0] <= got[1][0] <= got[8][0]
