@@ -156,6 +156,7 @@ _NEXT_TIER = [
     "chi_square_events",
     "incremental_distinct",
     "scc_reach",
+    "bpe_encode",
 ]
 
 

@@ -184,6 +184,7 @@ HEADLINE = [
     "png_features",
     "incremental_distinct",
     "scc_reach",
+    "bpe_encode",
 ]
 
 

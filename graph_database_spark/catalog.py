@@ -7732,6 +7732,17 @@ def q_incremental_agg(spark, sf_dir):
     return refresh_additive(state, delta, ["o_orderpriority"], sums)
 
 
+def q_bpe_encode(spark, sf_dir):
+    # Tokenizer APPLY (r8): the vocabulary encoded under the 3 learned
+    # BPE merges — '|'-joined symbol sequences + counts, the artifact
+    # token-count/packing/LM jobs consume. The oracle replays the merge
+    # applications per word (gaps-and-islands) and serializes the final
+    # symbol table, closing the learn->apply loop begun by bpe_merges.
+    from graph_database_spark.operators.bpe import bpe_encode_vocab
+
+    return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
+
+
 def q_incremental_distinct(spark, sf_dir):
     # Distinct-count IVM (r8): distinct counts are NOT additive, so the
     # maintainable form is mergeable HLL register state — register-wise
@@ -8223,6 +8234,7 @@ QUERIES: dict[str, QueryFn] = {
     "png_features": q_png_features,
     "incremental_distinct": q_incremental_distinct,
     "scc_reach": q_scc_reach,
+    "bpe_encode": q_bpe_encode,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -9441,6 +9453,27 @@ def _build_bpe_sql(n_merges: int = 3) -> str:
 
 
 ORACLES["bpe_merges"] = _build_bpe_sql(3)
+
+
+def _build_bpe_encode_sql(n_merges: int = 3) -> str:
+    # The same learn+apply CTE chain as _build_bpe_sql, but the final
+    # select serializes sym{n+1} — the vocabulary AFTER the merges —
+    # instead of the merge list. Shares every CTE verbatim, so the two
+    # oracles cannot drift apart.
+    base = _build_bpe_sql(n_merges)
+    # strip the trailing merge-list SELECT union (starts right after
+    # the last CTE) and substitute the encoding projection.
+    tail = base.index("SELECT CAST(1 AS INTEGER) AS merge_round")
+    return base[:tail] + f"""
+    SELECT w, cnt,
+           CAST(count(*) AS BIGINT) AS n_syms,
+           string_agg(s, '|' ORDER BY i) AS encoding
+    FROM sym{n_merges + 1}
+    GROUP BY w, cnt
+"""
+
+
+ORACLES["bpe_encode"] = _build_bpe_encode_sql(3)
 
 from graph_database_spark.operators.pii import (  # noqa: E402
     EMAIL_RE as _PII_EMAIL,

@@ -32,12 +32,36 @@ from pyspark.sql import DataFrame, functions as F
 from graph_database_spark.functions.textnorm import tokens
 from graph_database_spark.operators.spread import spread
 
-__all__ = ["bpe_merge_table"]
+__all__ = ["bpe_merge_table", "bpe_encode_vocab"]
 
 
 def bpe_merge_table(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     """``(merge_round, sym_a, sym_b, pair_count)`` — the first
     ``n_merges`` BPE merges learned from the corpus word frequencies."""
+    out, _ = _induce(docs, n_merges)
+    return out
+
+
+def bpe_encode_vocab(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """``(w, cnt, n_syms, encoding)`` — the vocabulary ENCODED under
+    the first ``n_merges`` learned merges ('|'-joined symbols): the
+    tokenizer-apply step, i.e. what every downstream token-count /
+    packing / LM-scoring job consumes. Same induction loop as
+    :func:`bpe_merge_table`; the oracle replays the merge applications
+    per word (the gaps-and-islands formulation) and serializes the
+    final symbol table, so the APPLY path is hash-verified too, not
+    just the learned merge list."""
+    _, seqs = _induce(docs, n_merges)
+    return seqs.select(
+        "w",
+        "cnt",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.array_join("syms", "|").alias("encoding"),
+    )
+
+
+def _induce(docs: DataFrame, n_merges: int):
+    """Shared Sennrich loop: returns (merge table DF, final seqs DF)."""
     spark = docs.sparkSession
     words = (
         spread(docs)
@@ -96,6 +120,7 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 3) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("syms"),
         ).localCheckpoint()
-    return spark.createDataFrame(
+    table = spark.createDataFrame(
         out, "merge_round int, sym_a string, sym_b string, pair_count long"
     )
+    return table, seqs
