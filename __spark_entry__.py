@@ -157,6 +157,8 @@ _NEXT_TIER = [
     "incremental_distinct",
     "scc_reach",
     "bpe_encode",
+    "weighted_median",
+    "incremental_quantiles",
 ]
 
 

@@ -185,6 +185,8 @@ HEADLINE = [
     "incremental_distinct",
     "scc_reach",
     "bpe_encode",
+    "weighted_median",
+    "incremental_quantiles",
 ]
 
 

@@ -7743,6 +7743,88 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_weighted_median(spark, sf_dir):
+    # Exact quantity-weighted median price per brand (r8): the robust
+    # per-group location statistic a plain AVG distorts under skewed
+    # order sizes. Scale shape: rows collapse to the (brand, cents)
+    # VALUE UNIVERSE first (distinct price points, bounded by the price
+    # domain — the record_linkage collapse), so the per-brand cumsum
+    # window runs over aggregated points, not raw lineitems; the median
+    # test is 2*cum >= W in integers (no division, no even/odd
+    # interpolation ambiguity: smallest value with half the weight at
+    # or below it).
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_brand",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("p_brand", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("p_brand")
+    ranked = pts.select(
+        "p_brand",
+        "cents",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot).alias("wtot"),
+    ).where(F.col("cum") * 2 >= F.col("wtot"))
+    return ranked.groupBy("p_brand").agg(
+        F.min("cents").alias("median_cents"),
+        F.max("wtot").alias("total_weight"),
+    )
+
+
+def q_incremental_quantiles(spark, sf_dir):
+    # Quantile IVM (r8): fixed-width integer histogram state IS
+    # additive, so quantile maintenance rides the same refresh as
+    # incremental_agg — bins of order totalprice (100-dollar width)
+    # maintained as (bin, n) state through a base/delta split, then
+    # p50/p90/p99 read out as the first bin where 2/10/100 x cum >=
+    # k x total (integer inequalities, no division). The oracle bins
+    # the FULL table directly; a hash match proves the maintained
+    # histogram exact — the metrics-warehouse latency-quantile recipe.
+    from graph_database_spark.operators.ivm import refresh_additive
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "bin", F.floor(F.col("o_totalprice") / 100).cast("long")
+    )
+    cut = "1996-01-01"
+    base = o.where(F.col("o_orderdate") < F.lit(cut))
+    delta = o.where(F.col("o_orderdate") >= F.lit(cut))
+    state = base.groupBy("bin").agg(F.count("*").alias("n_rows"))
+    hist = refresh_additive(state, delta, ["bin"], {}).localCheckpoint()
+    # The cum window runs over the BIN UNIVERSE (price-domain/100 rows,
+    # a few thousand at any sf) — bounded, like lorenz_curve's 10-row
+    # decile window, so the unpartitioned window is a non-issue.
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("n_rows").alias("t"))
+    cum = hist.select(
+        "bin", F.sum("n_rows").over(win).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    qs = []
+    for name, num, den in [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]:
+        qs.append(
+            cum.where(F.col("cum") * den >= F.col("t") * num)
+            .agg(F.min("bin").alias("bin"))
+            .select(F.lit(name).alias("quantile"), (F.col("bin") * 100).alias("bin_lo"))
+        )
+    out = qs[0]
+    for q in qs[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def q_incremental_distinct(spark, sf_dir):
     # Distinct-count IVM (r8): distinct counts are NOT additive, so the
     # maintainable form is mergeable HLL register state — register-wise
@@ -8235,11 +8317,59 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_distinct": q_incremental_distinct,
     "scc_reach": q_scc_reach,
     "bpe_encode": q_bpe_encode,
+    "weighted_median": q_weighted_median,
+    "incremental_quantiles": q_incremental_quantiles,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["weighted_median"] = """
+    WITH pts AS (
+        SELECT p_brand,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT p_brand, cents,
+               sum(w) OVER (PARTITION BY p_brand ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY p_brand) AS wtot
+        FROM pts
+    )
+    SELECT p_brand,
+           CAST(min(cents) AS BIGINT) AS median_cents,
+           CAST(max(wtot) AS BIGINT) AS total_weight
+    FROM r WHERE cum * 2 >= wtot GROUP BY 1
+"""
+
+# The quantile-IVM proof mirrors incremental_agg's: full-table binning.
+ORACLES["incremental_quantiles"] = """
+    WITH h AS (
+        SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT bin,
+               sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               (SELECT sum(n) FROM h) AS t
+        FROM h
+    )
+    SELECT 'p50' AS quantile, CAST(min(bin) * 100 AS BIGINT) AS bin_lo
+    FROM c WHERE cum * 2 >= t * 1
+    UNION ALL
+    SELECT 'p90', CAST(min(bin) * 100 AS BIGINT)
+    FROM c WHERE cum * 10 >= t * 9
+    UNION ALL
+    SELECT 'p99', CAST(min(bin) * 100 AS BIGINT)
+    FROM c WHERE cum * 100 >= t * 99
+"""
 
 ORACLES["png_features"] = f"""
     WITH rh AS (
