@@ -159,6 +159,7 @@ _NEXT_TIER = [
     "bpe_encode",
     "weighted_median",
     "incremental_quantiles",
+    "join_cardinality",
 ]
 
 

@@ -187,6 +187,7 @@ HEADLINE = [
     "bpe_encode",
     "weighted_median",
     "incremental_quantiles",
+    "join_cardinality",
 ]
 
 

@@ -7743,6 +7743,82 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_join_cardinality(spark, sf_dir):
+    # Theta-sketch-style pre-join cardinality estimate (r8): how many
+    # DISTINCT keys do orders.o_custkey and events.user_id share —
+    # answered from two bottom-K KMV sketches instead of a scan-level
+    # join, the statistic a planner (or a pipeline deciding broadcast
+    # vs shuffle) wants for pennies. theta = min of the two kth-smallest
+    # md5-60 hashes (2^60 when a side holds fewer than K distinct —
+    # sampling rate 1); the intersection estimate scales the common
+    # kept hashes below theta by 2^60/theta. Every quantity is derived
+    # from deterministic md5 hashes + one mirrored IEEE division chain,
+    # so the whole estimator is hash-verified — the sketch VALUES, not
+    # just plumbing (the distinct_users_kmv philosophy, two-sided).
+    K = 32
+    span = 1152921504606846976.0  # 2^60
+
+    def side(df, col):
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        d = df.select(h.alias("h")).distinct()
+        kk = d.orderBy("h").limit(K).localCheckpoint()
+        stats = kk.agg(
+            F.max("h").alias("kth"), F.count("*").alias("nk")
+        ).withColumn(
+            "theta",
+            F.when(F.col("nk") < K, F.lit(1 << 60)).otherwise(F.col("kth")),
+        )
+        return kk, stats
+
+    ka, sa = side(load_table(spark, sf_dir, "orders"), "o_custkey")
+    kb, sb = side(load_table(spark, sf_dir, "events"), "user_id")
+    th = (
+        sa.select(
+            F.col("theta").alias("th_a"), F.col("nk").alias("nk_a"),
+            F.col("kth").alias("kth_a"),
+        )
+        .crossJoin(
+            sb.select(
+                F.col("theta").alias("th_b"), F.col("nk").alias("nk_b"),
+                F.col("kth").alias("kth_b"),
+            )
+        )
+        .withColumn("theta", F.least("th_a", "th_b"))
+    )
+    common = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_common_kept"))
+    )
+    est = F.round(
+        F.col("n_common_kept").cast("double")
+        * (F.lit(span) / F.col("theta").cast("double")),
+        4,
+    )
+
+    def est_side(nk, kth):
+        return F.round(
+            F.when(F.col(nk) < K, F.col(nk).cast("double")).otherwise(
+                F.lit(float(K - 1)) / (F.col(kth).cast("double") / F.lit(span))
+            ),
+            4,
+        )
+
+    return (
+        th.crossJoin(common)
+        .select(
+            "n_common_kept",
+            F.col("theta").cast("long").alias("theta"),
+            est_side("nk_a", "kth_a").alias("est_keys_a"),
+            est_side("nk_b", "kth_b").alias("est_keys_b"),
+            est.alias("est_intersection"),
+        )
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     # Exact quantity-weighted median price per brand (r8): the robust
     # per-group location statistic a plain AVG distorts under skewed
@@ -8319,11 +8395,62 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode": q_bpe_encode,
     "weighted_median": q_weighted_median,
     "incremental_quantiles": q_incremental_quantiles,
+    "join_cardinality": q_join_cardinality,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["join_cardinality"] = """
+    WITH ha AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+        FROM orders
+    ),
+    hb AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM ha) WHERE rn <= 32),
+    kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM hb) WHERE rn <= 32),
+    sa AS (SELECT max(h) AS kth, count(*) AS nk,
+                  CASE WHEN count(*) < 32 THEN 1152921504606846976
+                       ELSE max(h) END AS th
+           FROM ka),
+    sb AS (SELECT max(h) AS kth, count(*) AS nk,
+                  CASE WHEN count(*) < 32 THEN 1152921504606846976
+                       ELSE max(h) END AS th
+           FROM kb),
+    th AS (SELECT least(sa.th, sb.th) AS theta,
+                  sa.nk AS nk_a, sa.kth AS kth_a,
+                  sb.nk AS nk_b, sb.kth AS kth_b
+           FROM sa CROSS JOIN sb),
+    common AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common_kept
+        FROM ka JOIN kb ON kb.h = ka.h CROSS JOIN th
+        WHERE ka.h < th.theta
+    )
+    SELECT common.n_common_kept,
+           CAST(th.theta AS BIGINT) AS theta,
+           round(CASE WHEN th.nk_a < 32 THEN CAST(th.nk_a AS DOUBLE)
+                      ELSE CAST(31 AS DOUBLE)
+                           / (CAST(th.kth_a AS DOUBLE)
+                              / CAST(1152921504606846976 AS DOUBLE)) END,
+                 4) AS est_keys_a,
+           round(CASE WHEN th.nk_b < 32 THEN CAST(th.nk_b AS DOUBLE)
+                      ELSE CAST(31 AS DOUBLE)
+                           / (CAST(th.kth_b AS DOUBLE)
+                              / CAST(1152921504606846976 AS DOUBLE)) END,
+                 4) AS est_keys_b,
+           round(CAST(common.n_common_kept AS DOUBLE)
+                 * (CAST(1152921504606846976 AS DOUBLE)
+                    / CAST(th.theta AS DOUBLE)), 4) AS est_intersection
+    FROM th CROSS JOIN common
+"""
 
 ORACLES["weighted_median"] = """
     WITH pts AS (
