@@ -160,6 +160,7 @@ _NEXT_TIER = [
     "weighted_median",
     "incremental_quantiles",
     "join_cardinality",
+    "triangles_sampled",
 ]
 
 

@@ -188,6 +188,7 @@ HEADLINE = [
     "weighted_median",
     "incremental_quantiles",
     "join_cardinality",
+    "triangles_sampled",
 ]
 
 

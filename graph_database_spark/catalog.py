@@ -7743,6 +7743,42 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_triangles_sampled(spark, sf_dir):
+    # DOULION (Tsourakakis et al., KDD'09) sampled triangle estimation
+    # (r8): keep each edge with p = 1/4 via md5 parity, count triangles
+    # EXACTLY on the sparsified graph, scale by 1/p^3 = 64. The
+    # sampling is deterministic (retry-stable, oracle-replayable), the
+    # estimate is an exact integer, and the sparsified count costs
+    # ~p^2 of the full wedge join — the knob a trillion-edge graph
+    # needs when even the salted wedge join is too much. Exact count
+    # rides along from triangle_count for the error readout.
+    from graph_database_spark.operators.graph import triangle_count
+
+    edges = _edges(spark, sf_dir)
+    keep = (
+        F.conv(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("ts"),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ).substr(1, 1),
+            16,
+            10,
+        ).cast("long")
+        < 4
+    )
+    sampled = edges.where(keep).localCheckpoint()
+    n_edges = sampled.agg(F.count("*").alias("sampled_edges"))
+    tri = triangle_count(sampled).select(
+        F.col("n_triangles").alias("triangles_sampled"),
+        (F.col("n_triangles") * 64).alias("est_triangles"),
+    )
+    return n_edges.crossJoin(tri)
+
+
 def q_join_cardinality(spark, sf_dir):
     # Theta-sketch-style pre-join cardinality estimate (r8): how many
     # DISTINCT keys do orders.o_custkey and events.user_id share —
@@ -8396,11 +8432,38 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_median": q_weighted_median,
     "incremental_quantiles": q_incremental_quantiles,
     "join_cardinality": q_join_cardinality,
+    "triangles_sampled": q_triangles_sampled,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["triangles_sampled"] = f"""
+    WITH {GRAPH_CTES},
+    se AS (
+        SELECT src, dst FROM edges
+        WHERE CAST(('0x' || substring(md5('ts|' || CAST(src AS VARCHAR) ||
+                    '|' || CAST(dst AS VARCHAR)), 1, 1)) AS BIGINT) < 4
+    ),
+    ssym AS (
+        SELECT src AS v, dst AS n FROM se
+        UNION ALL
+        SELECT dst AS v, src AS n FROM se
+    ),
+    wedges AS (
+        SELECT a.v AS v, a.n AS n1, b.n AS n2
+        FROM ssym a JOIN ssym b ON a.v = b.v AND a.n < b.n
+    ),
+    closed AS (
+        SELECT w.v FROM wedges w JOIN se e ON w.n1 = e.src AND w.n2 = e.dst
+    ),
+    tri AS (SELECT CAST(count(*) // 3 AS BIGINT) AS t FROM closed)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM se) AS sampled_edges,
+           t AS triangles_sampled,
+           CAST(t * 64 AS BIGINT) AS est_triangles
+    FROM tri
+"""
 
 ORACLES["join_cardinality"] = """
     WITH ha AS (
