@@ -161,6 +161,7 @@ _NEXT_TIER = [
     "incremental_quantiles",
     "join_cardinality",
     "triangles_sampled",
+    "item_cf",
 ]
 
 

@@ -189,6 +189,7 @@ HEADLINE = [
     "incremental_quantiles",
     "join_cardinality",
     "triangles_sampled",
+    "item_cf",
 ]
 
 

@@ -7743,6 +7743,60 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_item_cf(spark, sf_dir):
+    # Item-item collaborative filtering (r8): top-5 most similar parts
+    # by customer-overlap cosine — co/sqrt(n_a*n_b) over the binary
+    # (customer, part) purchase matrix, the classic Amazon-style
+    # item-to-item recommender. Scale shape: co-counts come from ONE
+    # self-join on the customer key grouped by part pair (the scalar
+    # count rides the shuffle, never the basket arrays — CLAUDE.md);
+    # per-part degrees group-by-ride along like ngram_jaccard_exact's;
+    # the per-item top-k is a partitioned window after a distributed
+    # candidate cut. Cosine = integer co / IEEE sqrt of an integer
+    # product, rounded 6 — cross-engine exact.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count("*").alias("n"))
+    idx = cp.join(deg, "p").select("c", "p", "n")
+    pairs = (
+        idx.toDF("c", "pa", "na")
+        .join(idx.toDF("c", "pb", "nb"), "c")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb", "na", "nb")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"),
+        "co", F.col("na").alias("ni"), F.col("nb").alias("no"),
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"),
+            "co", F.col("nb").alias("ni"), F.col("na").alias("no"),
+        )
+    )
+    scored = sym.select(
+        "item", "other",
+        "co",
+        F.round(
+            F.col("co").cast("double")
+            / F.sqrt((F.col("ni") * F.col("no")).cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("other"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("item", "other", "co", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_triangles_sampled(spark, sf_dir):
     # DOULION (Tsourakakis et al., KDD'09) sampled triangle estimation
     # (r8): keep each edge with p = 1/4 via md5 parity, count triangles
@@ -8433,11 +8487,45 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_quantiles": q_incremental_quantiles,
     "join_cardinality": q_join_cardinality,
     "triangles_sampled": q_triangles_sampled,
+    "item_cf": q_item_cf,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["item_cf"] = """
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY 1),
+    idx AS (SELECT cp.c, cp.p, d.n FROM cp JOIN deg d ON d.p = cp.p),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, a.n AS na, b.n AS nb,
+               CAST(count(*) AS BIGINT) AS co
+        FROM idx a JOIN idx b ON b.c = a.c AND a.p < b.p
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT pa AS item, pb AS other, co, na AS ni, nb AS no FROM pairs
+        UNION ALL
+        SELECT pb, pa, co, nb, na FROM pairs
+    ),
+    scored AS (
+        SELECT item, other, co,
+               round(CAST(co AS DOUBLE) / sqrt(CAST(ni * no AS DOUBLE)), 6)
+                   AS cosine
+        FROM sym
+    )
+    SELECT item, other, co, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, other
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
 
 ORACLES["triangles_sampled"] = f"""
     WITH {GRAPH_CTES},
