@@ -162,6 +162,7 @@ _NEXT_TIER = [
     "join_cardinality",
     "triangles_sampled",
     "item_cf",
+    "table_diff",
 ]
 
 

@@ -190,6 +190,7 @@ HEADLINE = [
     "join_cardinality",
     "triangles_sampled",
     "item_cf",
+    "table_diff",
 ]
 
 

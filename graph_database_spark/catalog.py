@@ -7743,6 +7743,35 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_table_diff(spark, sf_dir):
+    # Keyed snapshot reconciliation (r8): v2 is derived from orders by
+    # a deterministic rule (drop keys %89, bump price on keys %97, add
+    # negated-key copies of keys %101), and operators/diff.table_diff
+    # must recover exactly those added/removed/changed/unchanged counts
+    # from row FINGERPRINTS alone (one xxhash64 scalar per side rides
+    # the full-outer join — never a column-by-column compare). The
+    # oracle states the rule's ground truth; the hash match proves the
+    # fingerprint diff reproduces it.
+    from graph_database_spark.operators.diff import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v2 = (
+        o.where(k % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        # added keys = -(k+1): strictly negative even for key 0 (which
+        # exists in the testdata and is %89/%97/%101-divisible — a bare
+        # -k collided with itself and reclassified as unchanged)
+        .unionByName(o.where(k % 101 == 0).withColumn("o_orderkey", -(k + 1)))
+    )
+    return table_diff(o, v2, ["o_orderkey"])
+
+
 def q_item_cf(spark, sf_dir):
     # Item-item collaborative filtering (r8): top-5 most similar parts
     # by customer-overlap cosine — co/sqrt(n_a*n_b) over the binary
@@ -8488,11 +8517,24 @@ QUERIES: dict[str, QueryFn] = {
     "join_cardinality": q_join_cardinality,
     "triangles_sampled": q_triangles_sampled,
     "item_cf": q_item_cf,
+    "table_diff": q_table_diff,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["table_diff"] = """
+    WITH st AS (
+        SELECT CASE WHEN o_orderkey % 89 = 0 THEN 'removed'
+                    WHEN o_orderkey % 97 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM orders
+        UNION ALL
+        SELECT 'added' FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM st GROUP BY 1
+"""
 
 ORACLES["item_cf"] = """
     WITH cp AS (
