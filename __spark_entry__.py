@@ -163,6 +163,7 @@ _NEXT_TIER = [
     "triangles_sampled",
     "item_cf",
     "table_diff",
+    "group_split",
 ]
 
 

@@ -191,6 +191,7 @@ HEADLINE = [
     "triangles_sampled",
     "item_cf",
     "table_diff",
+    "group_split",
 ]
 
 

@@ -7743,6 +7743,34 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_group_split(spark, sf_dir):
+    # Group-aware train/val/test split (r8): the split key is the
+    # GROUP (user), not the row, so one user's events can never
+    # straddle splits — the leakage-correct GroupShuffleSplit next to
+    # dataset_split's row-level form. Same md5-bucket determinism;
+    # census reports groups AND rows per split, plus a leakage proof
+    # column: n_users summed over splits must equal distinct users
+    # (each group lands in exactly one split by construction — the
+    # oracle recomputes the same census independently).
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.md5(F.concat(F.lit("gs|"), F.col("user_id").cast("string"))).substr(1, 4),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        ev.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def q_table_diff(spark, sf_dir):
     # Keyed snapshot reconciliation (r8): v2 is derived from orders by
     # a deterministic rule (drop keys %89, bump price on keys %97, add
@@ -8518,11 +8546,25 @@ QUERIES: dict[str, QueryFn] = {
     "triangles_sampled": q_triangles_sampled,
     "item_cf": q_item_cf,
     "table_diff": q_table_diff,
+    "group_split": q_group_split,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+ORACLES["group_split"] = """
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id,
+               CAST(('0x' || substring(md5('gs|' || CAST(user_id AS VARCHAR)),
+                     1, 4)) AS BIGINT) % 100 AS b
+        FROM events
+    ) t GROUP BY 1
+"""
 
 ORACLES["table_diff"] = """
     WITH st AS (
