@@ -164,6 +164,7 @@ _NEXT_TIER = [
     "item_cf",
     "table_diff",
     "group_split",
+    "adpcm_features",
 ]
 
 

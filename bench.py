@@ -192,6 +192,7 @@ HEADLINE = [
     "item_cf",
     "table_diff",
     "group_split",
+    "adpcm_features",
 ]
 
 

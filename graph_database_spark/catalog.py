@@ -7743,6 +7743,20 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_adpcm_features(spark, sf_dir):
+    # Real COMPRESSED (lossy) audio codec round-trip (r8): IMA ADPCM —
+    # 4 bits/sample against an adaptive integer predictor. The encoder,
+    # nibble packing, strict parse and decoder are all exact integer
+    # state machines, so the DuckDB oracle replays the ENTIRE
+    # encode->decode chain sample-by-sample in a recursive CTE and the
+    # integer features of the decoded waveform must hash-match —
+    # certifying a lossy codec bit-for-bit. operators/adpcm.py.
+    from graph_database_spark.operators import adpcm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adpcm.decode_adpcm(adpcm.attach_adpcm(docs))
+
+
 def q_group_split(spark, sf_dir):
     # Group-aware train/val/test split (r8): the split key is the
     # GROUP (user), not the row, so one user's events can never
@@ -8547,11 +8561,96 @@ QUERIES: dict[str, QueryFn] = {
     "item_cf": q_item_cf,
     "table_diff": q_table_diff,
     "group_split": q_group_split,
+    "adpcm_features": q_adpcm_features,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
 # estimate exactly what the one-shot full-table sketch does.
 ORACLES["incremental_distinct"] = ORACLES["distinct_users_hll"]
+
+def _build_adpcm_sql() -> str:
+    # Replays operators/adpcm's integer state machine: per recursion
+    # step, derive the encoder nibble from (sample - pred) against the
+    # current step size, apply the shared decoder update (diff
+    # accumulation, clamp, index walk), and fold the decoded sample
+    # into the running integer features. List literals are 1-indexed.
+    from graph_database_spark.operators.adpcm import INDEX_TABLE, STEP_TABLE
+
+    st = "[" + ",".join(str(x) for x in STEP_TABLE) + "]"
+    it = "[" + ",".join(str(x) for x in INDEX_TABLE) + "]"
+    return f"""
+    WITH RECURSIVE docs_n AS (
+        SELECT doc_id, 160 + n_chars % 97 AS n FROM documents
+    ),
+    src AS (
+        SELECT doc_id, k,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                     CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) - 32768 AS s
+        FROM (SELECT doc_id, unnest(range(0, n)) AS k FROM docs_n)
+    ),
+    sm(doc_id, k, pred, idx, energy, peak, zc, prev_dec, n) AS (
+        SELECT doc_id, -1, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+        FROM docs_n
+        UNION ALL
+        SELECT doc_id, k,
+               new_pred,
+               greatest(0, least(88, idx + {it}[nib + 1])),
+               energy + new_pred * new_pred,
+               greatest(peak, abs(new_pred)),
+               zc + CASE WHEN prev_dec * new_pred < 0 THEN 1 ELSE 0 END,
+               new_pred,
+               n
+        FROM (
+            SELECT *,
+                   CASE WHEN nib8 = 8
+                        THEN greatest(-32768, least(32767, pred - diff))
+                        ELSE greatest(-32768, least(32767, pred + diff))
+                   END AS new_pred,
+                   nib8 + b4 * 4 + b2 * 2 + b1 AS nib
+            FROM (
+                SELECT *,
+                       (step >> 3) + b4 * step + b2 * (step >> 1)
+                           + b1 * (step >> 2) AS diff
+                FROM (
+                    SELECT *,
+                           CASE WHEN d1 - b2 * (step >> 1) >= (step >> 2)
+                                THEN 1 ELSE 0 END AS b1
+                    FROM (
+                        SELECT *,
+                               CASE WHEN d1 >= (step >> 1) THEN 1 ELSE 0 END AS b2
+                        FROM (
+                            SELECT *, d0 - b4 * step AS d1
+                            FROM (
+                                SELECT t.doc_id, s.k, t.pred, t.idx,
+                                       t.energy, t.peak, t.zc, t.prev_dec,
+                                       t.n, s.s,
+                                       {st}[t.idx + 1] AS step,
+                                       abs(s.s - t.pred) AS d0,
+                                       CASE WHEN s.s - t.pred < 0
+                                            THEN 8 ELSE 0 END AS nib8,
+                                       CASE WHEN abs(s.s - t.pred) >=
+                                                 {st}[t.idx + 1]
+                                            THEN 1 ELSE 0 END AS b4
+                                FROM sm t
+                                JOIN src s ON s.doc_id = t.doc_id
+                                          AND s.k = t.k + 1
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(11 + (n + 1) // 2 AS BIGINT) AS compressed_bytes,
+           energy, peak, zc AS zero_crossings
+    FROM sm WHERE k = n - 1
+"""
+
+
+ORACLES["adpcm_features"] = _build_adpcm_sql()
 
 ORACLES["group_split"] = """
     SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
