@@ -9973,13 +9973,16 @@ ORACLES["graph_diameter"] = f"""
 """.format(GRAPH_CTES=GRAPH_CTES)
 
 
-def _build_bpe_sql(n_merges: int = 3) -> str:
-    # Mirrors operators/bpe.bpe_merge_table: word-frequency table over
+def _bpe_ctes(n_merges: int = 3) -> str:
+    # Mirrors operators/bpe._induce: word-frequency table over
     # _DUCK_TOKENS, per-round integer pair counts with (pc DESC, a, b)
     # argmax, and the greedy left-to-right merge replayed as windows:
     # islands of consecutive matching positions (only possible when
     # a = b) keep their even-parity members — provably the fold's
     # selection; a selected position emits a||b and consumes i+1.
+    # Returns ONLY the CTE chain; both bpe oracles compose their final
+    # SELECT onto it, so the learn and apply oracles share every CTE
+    # by construction (no string surgery — ADVICE r8).
     parts = [
         f"""
     WITH w0 AS (
@@ -10034,28 +10037,25 @@ def _build_bpe_sql(n_merges: int = 3) -> str:
         FROM emit{r} WHERE consumed IS NULL OR consumed = 0
     )"""
         )
+    return "".join(parts)
+
+
+def _build_bpe_sql(n_merges: int = 3) -> str:
     selects = [
         f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b,"
         f" pc AS pair_count FROM top{r}"
         for r in range(1, n_merges + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects))
-    return "".join(parts)
+    return _bpe_ctes(n_merges) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
 ORACLES["bpe_merges"] = _build_bpe_sql(3)
 
 
 def _build_bpe_encode_sql(n_merges: int = 3) -> str:
-    # The same learn+apply CTE chain as _build_bpe_sql, but the final
-    # select serializes sym{n+1} — the vocabulary AFTER the merges —
-    # instead of the merge list. Shares every CTE verbatim, so the two
-    # oracles cannot drift apart.
-    base = _build_bpe_sql(n_merges)
-    # strip the trailing merge-list SELECT union (starts right after
-    # the last CTE) and substitute the encoding projection.
-    tail = base.index("SELECT CAST(1 AS INTEGER) AS merge_round")
-    return base[:tail] + f"""
+    # Same CTE chain, but the final select serializes sym{n+1} — the
+    # vocabulary AFTER the merges — instead of the merge list.
+    return _bpe_ctes(n_merges) + f"""
     SELECT w, cnt,
            CAST(count(*) AS BIGINT) AS n_syms,
            string_agg(s, '|' ORDER BY i) AS encoding

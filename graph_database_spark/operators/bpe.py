@@ -96,7 +96,14 @@ def _induce(docs: DataFrame, n_merges: int):
         )
         top = pairs.orderBy(F.desc("pair_count"), "a", "b").limit(1).collect()
         if not top:
-            break
+            # The unrolled oracle CROSS JOINs top{r}, so an empty merge
+            # round would silently empty its sym{r+1} while this loop
+            # kept the last seqs — fail loudly instead of diverging
+            # (ADVICE r8: degenerate single-char vocabularies).
+            raise ValueError(
+                f"bpe: merge round {r} found no adjacent symbol pairs; "
+                f"corpus vocabulary exhausted before n_merges={n_merges}"
+            )
         a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         out.append((r, a, b, pc))
         merged = a + b

@@ -23,8 +23,20 @@ __all__ = ["table_diff_rows", "table_diff"]
 
 
 def _fingerprint(df: DataFrame, keys: list[str]) -> DataFrame:
+    # Each column hashes as (isNull, cast-to-string) pair, so NULL is
+    # distinguishable from ANY actual value (a '\x00' sentinel was not);
+    # a 128-bit md5 over the same pairs rides alongside the xxhash64 so
+    # a single 64-bit collision cannot classify a changed row unchanged.
     cols = [c for c in df.columns if c not in keys]
-    fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    pairs = [
+        F.struct(F.col(c).isNull().alias("n"), F.col(c).cast("string").alias("v"))
+        for c in cols
+    ]
+    fp = F.concat_ws(
+        ":",
+        F.xxhash64(*pairs).cast("string"),
+        F.md5(F.to_json(F.struct(*pairs))),
+    )
     return df.select(*keys, fp.alias("_fp"))
 
 

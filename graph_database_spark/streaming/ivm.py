@@ -55,10 +55,13 @@ def additive_agg_stream(
     version per micro-batch, replay-proof. Returns the StreamingQuery."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied_batch(path):
+        # One manifest scan per micro-batch (ADVICE r8: calling
+        # last_applied_batch twice doubled the O(versions) read).
+        applied = last_applied_batch(path)
+        if batch_id <= applied:
             return  # replayed batch: already folded, skip (idempotence)
         spark = batch_df.sparkSession
-        if last_applied_batch(path) >= 0:
+        if applied >= 0:
             state = read_version(spark, path)
             new_state = refresh_additive(state, batch_df, keys, sums)
         else:

@@ -38,10 +38,10 @@ def test_null_vs_marker_not_conflated(spark):
     old = spark.createDataFrame([(1, None)], "id long, v string")
     new = spark.createDataFrame([(1, "\x00")], "id long, v string")
     got = table_diff_rows(old, new, ["id"]).collect()[0]["status"]
-    # xxhash64 of identical strings WOULD collide here; the coalesce
-    # marker makes them equal by construction — document the contract:
-    # the sentinel is an accepted ambiguity, the columns equal case.
-    assert got in ("changed", "unchanged")
+    # r9: the fingerprint hashes (isNull, value) pairs, so NULL is
+    # distinguishable from EVERY actual string — including the '\x00'
+    # that used to be the NULL sentinel (ADVICE r8).
+    assert got == "changed"
 
 
 def test_column_order_insensitive(spark):
