@@ -193,6 +193,9 @@ HEADLINE = [
     "table_diff",
     "group_split",
     "adpcm_features",
+    # r9 additions
+    "copurchase_projection",
+    "token_heavy_hitters",
 ]
 
 
@@ -241,15 +244,28 @@ def main() -> None:
         # timings (BENCH_r04 was nulled exactly that way).
         fn = catalog.QUERIES[name]
         samples: list[float] = []
-        for _ in range(repeats):
+
+        def one_sample() -> bool:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 — record and continue
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
+                return False
             samples.append(round(time.time() - t0, 3))
             release_checkpoints()
+            return True
+
+        for _ in range(repeats):
+            if not one_sample():
+                break
+        # Sub-3 s queries get one extra sample (min-of-3): at that cost a
+        # single scheduler hiccup dominates min-of-2 — the three r8
+        # "regressions" (kmeans_cells +39%, audio_features +63%,
+        # entity_resolution +70%) were exactly this noise band (VERDICT
+        # r8 next-#6). The extra sample costs < 3 s by construction.
+        if samples and min(samples) < 3.0 and len(samples) == repeats:
+            one_sample()
         if samples:
             runs[name] = samples
             timings[name] = min(samples)

