@@ -196,6 +196,7 @@ HEADLINE = [
     # r9 additions
     "copurchase_projection",
     "token_heavy_hitters",
+    "video_codec_features",
 ]
 
 

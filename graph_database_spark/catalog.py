@@ -7813,6 +7813,23 @@ def q_adpcm_features(spark, sf_dir):
     return adpcm.decode_adpcm(adpcm.attach_adpcm(docs))
 
 
+def q_video_codec_features(spark, sf_dir):
+    # Motion-compensated predictive video codec (r9): per-4x4-block
+    # motion search against the previous RECONSTRUCTED frame + 4-bit
+    # quantized residuals, serialized as the MCV1 bitstream, then
+    # decoded back WITHOUT the originals — the core loop of every real
+    # video codec, completing lossless/lossy x image/audio/video. All
+    # state is integer, so the oracle replays the full encode ->
+    # serialize -> parse -> reconstruct chain frame-by-frame in a
+    # recursive CTE (the adpcm_features pattern, 2-D edition) and the
+    # decoder-derived features must hash-match. operators/mcv.py.
+    from graph_database_spark.operators.av import attach_video
+    from graph_database_spark.operators.mcv import decode_video_mc, encode_video_mc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_mc(encode_video_mc(attach_video(docs)))
+
+
 def q_group_split(spark, sf_dir):
     # Group-aware train/val/test split (r8): the split key is the
     # GROUP (user), not the row, so one user's events can never
@@ -8648,6 +8665,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_diff": q_table_diff,
     "group_split": q_group_split,
     "adpcm_features": q_adpcm_features,
+    "video_codec_features": q_video_codec_features,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -8737,6 +8755,92 @@ def _build_adpcm_sql() -> str:
 
 
 ORACLES["adpcm_features"] = _build_adpcm_sql()
+
+
+def _build_mcv_sql() -> str:
+    # Replays operators/mcv end to end: pixel (f, y, x) = byte x of
+    # md5(f"{doc}|{f}|{y}") (the attach_video generator); intra frame 0
+    # predicts 128; each inter frame picks, per 4x4 block, the motion
+    # candidate minimizing SAD against the previous RECONSTRUCTION
+    # (tie-break on candidate index — the row_number over (sad, c)),
+    # then quantizes the residual to 4 bits with a positive-numerator
+    # floor division (floor == truncate in both engines) and clamps the
+    # reconstruction to [0, 255]. The recursion steps frames (working
+    # table = previous frame's recon); the final aggregate mirrors the
+    # decoder's integer features exactly. Base pixel CTE is
+    # MATERIALIZED (CLAUDE.md: CTE inlining re-opens parquet per
+    # reference inside the recursion).
+    from graph_database_spark.operators.mcv import CANDS, Q
+
+    cands = ", ".join(f"({c}, {dy}, {dx})" for c, (dy, dx) in enumerate(CANDS))
+    half, big = Q // 2, 2048 * Q
+    return f"""
+    WITH RECURSIVE docs_n AS (
+        SELECT doc_id AS d, 4 + n_chars % 5 AS nf FROM documents
+    ),
+    grid AS (
+        SELECT y.y, x.x
+        FROM (SELECT unnest(range(0, 16)) AS y) y,
+             (SELECT unnest(range(0, 16)) AS x) x
+    ),
+    cands(c, dy, dx) AS (VALUES {cands}),
+    px AS MATERIALIZED (
+        SELECT n.d, f.f, g.y, g.x,
+               CAST(('0x' || substring(md5(CAST(n.d AS VARCHAR) || '|' ||
+                     CAST(f.f AS VARCHAR) || '|' || CAST(g.y AS VARCHAR)),
+                     2 * g.x + 1, 2)) AS BIGINT) AS v
+        FROM docs_n n, (SELECT unnest(range(0, 8)) AS f) f, grid g
+        WHERE f.f < n.nf
+    ),
+    rec(d, f, y, x, recon, c, rq) AS (
+        SELECT d, f, y, x,
+               greatest(0, least(255, 128 + rq * {Q})),
+               CAST(NULL AS INTEGER), rq
+        FROM (
+            SELECT d, f, y, x,
+                   greatest(-8, least(7,
+                       (v - 128 + {half} + {big}) // {Q} - 2048)) AS rq
+            FROM px WHERE f = 0
+        )
+        UNION ALL
+        SELECT d, f, y, x,
+               greatest(0, least(255, pred + rq * {Q})), c, rq
+        FROM (
+            SELECT d, f, y, x, c, pred,
+                   greatest(-8, least(7,
+                       (v - pred + {half} + {big}) // {Q} - 2048)) AS rq,
+                   row_number() OVER (
+                       PARTITION BY d, f, y, x ORDER BY sad, c) AS rn
+            FROM (
+                SELECT p.d, p.f, p.y, p.x, p.v, c.c, s.recon AS pred,
+                       sum(abs(p.v - s.recon)) OVER (
+                           PARTITION BY p.d, p.f, p.y // 4, p.x // 4, c.c
+                       ) AS sad
+                FROM rec s
+                JOIN cands c ON true
+                JOIN px p ON p.d = s.d AND p.f = s.f + 1
+                 AND s.y = greatest(0, least(15, p.y + c.dy))
+                 AND s.x = greatest(0, least(15, p.x + c.dx))
+            )
+        ) WHERE rn = 1
+    )
+    SELECT r.d AS media_id,
+           CAST(n.nf AS BIGINT) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN r.c = 0 THEN 1 END), 0) // 16
+                AS BIGINT) AS mv_zero_blocks,
+           CAST(coalesce(sum(CASE WHEN r.c IS NOT NULL THEN 1 END), 0) // 16
+                AS BIGINT) AS mv_blocks,
+           CAST(sum(abs(r.rq)) AS BIGINT) AS residual_mag,
+           CAST(sum(r.recon) AS BIGINT) AS recon_luma,
+           CAST(sum(r.recon * (1 + (r.y * 16 + r.x) % 7)) AS BIGINT)
+               AS recon_checksum,
+           CAST(17 + 128 + (n.nf - 1) * 144 AS BIGINT) AS stream_bytes
+    FROM rec r JOIN docs_n n ON n.d = r.d
+    GROUP BY r.d, n.nf
+"""
+
+
+ORACLES["video_codec_features"] = _build_mcv_sql()
 
 ORACLES["group_split"] = """
     SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
