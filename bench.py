@@ -197,6 +197,7 @@ HEADLINE = [
     "copurchase_projection",
     "token_heavy_hitters",
     "video_codec_features",
+    "incremental_join",
 ]
 
 

@@ -7788,6 +7788,54 @@ def q_incremental_agg(spark, sf_dir):
     return refresh_additive(state, delta, ["o_orderpriority"], sums)
 
 
+def q_incremental_join(spark, sf_dir):
+    # Incremental JOIN maintenance (r9): the standing revenue view
+    # orders |><| lineitem maintained under inserts on BOTH sides via
+    # the delta-join identity dJ = dA|><|B u A|><|dB u dA|><|dB
+    # (operators/ivm.delta_join) — two delta-sized probes plus a
+    # delta x delta join, never a full recompute. Both tables split
+    # base/delta on md5 parity of the order key (a correlated split:
+    # some orders arrive with lineitems on either side of the cut, so
+    # all three delta terms are non-empty). The maintained view is
+    # aggregated per priority in integer micro-units and the oracle
+    # aggregates the FULL join directly — a hash-pass proves J u dJ is
+    # exactly A' |><| B'.
+    from graph_database_spark.operators.ivm import delta_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+        ).cast("long").alias("rev_micro"),
+    )
+    o_delta_flag = (
+        F.conv(F.md5(F.concat(F.lit("io|"), F.col("o_orderkey").cast("string")))
+               .substr(1, 1), 16, 10).cast("long") % 4 == 0
+    )
+    li_delta_flag = (
+        F.conv(F.md5(F.concat_ws("|", F.lit("il"),
+                                 F.col("l_orderkey").cast("string"),
+                                 F.col("l_linenumber").cast("string")))
+               .substr(1, 1), 16, 10).cast("long") % 4 == 0
+    )
+    base_o, delta_o = o.where(~o_delta_flag), o.where(o_delta_flag)
+    base_li, delta_li = li.where(~li_delta_flag), li.where(li_delta_flag)
+    key = [F.col("o_orderkey") == F.col("l_orderkey")]
+    j0 = base_o.join(base_li, key)
+    dj = delta_join(base_o, delta_o, base_li, delta_li, key)
+    view = j0.select("o_orderpriority", "rev_micro").unionByName(
+        dj.select("o_orderpriority", "rev_micro")
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rev_micro").alias("revenue_micro"),
+    )
+
+
 def q_bpe_encode(spark, sf_dir):
     # Tokenizer APPLY (r8): the vocabulary encoded under the 3 learned
     # BPE merges — '|'-joined symbol sequences + counts, the artifact
@@ -8651,6 +8699,7 @@ QUERIES: dict[str, QueryFn] = {
     "topo_layers": q_topo_layers,
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "incremental_agg": q_incremental_agg,
+    "incremental_join": q_incremental_join,
     "chi_square_events": q_chi_square_events,
     "png_features": q_png_features,
     "incremental_distinct": q_incremental_distinct,
@@ -9075,6 +9124,17 @@ ORACLES["incremental_agg"] = """
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS total_cents
     FROM orders GROUP BY 1
+"""
+
+ORACLES["incremental_join"] = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l.l_extendedprice
+                               * (CAST(1 AS DOUBLE) - l.l_discount)
+                               * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS revenue_micro
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
 """
 
 ORACLES["chi_square_events"] = """

@@ -52,6 +52,7 @@ def fixpoint(
     max_iterations: int,
     name: str = "fixpoint",
     on_exhaust: str = "raise",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``converged(old, new)``.
 
@@ -68,11 +69,17 @@ def fixpoint(
     """
     parts = state_partitions(initial.sparkSession)
     state = materialize(initial, parts)
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         new = materialize(step(state), parts)
         if converged(state, new):
+            if stats is not None:
+                # observability hook: rounds-to-convergence per named
+                # fixpoint (stress runs read this; no behavior change)
+                stats.setdefault("rounds", {})[name] = i + 1
             return new
         state = new
+    if stats is not None:
+        stats.setdefault("rounds", {})[name] = max_iterations
     if on_exhaust == "return":
         return state
     raise RuntimeError(

@@ -71,7 +71,8 @@ def orient_md5(edges: DataFrame) -> DataFrame:
 
 
 def _hash_min(
-    verts: DataFrame, edges: DataFrame, out_col: str, max_rounds: int, name: str
+    verts: DataFrame, edges: DataFrame, out_col: str, max_rounds: int, name: str,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Hash-min label fixpoint over DIRECTED edges ``(u, v)``: label(x) =
     min id among {x} + {sources of directed paths into x}. ``verts``
@@ -101,13 +102,14 @@ def _hash_min(
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.where(F.col(out_col) != F.col("prev")).isEmpty()
 
-    return fixpoint(labels, step, converged, max_rounds, name=name).select(
-        "id", out_col
-    )
+    return fixpoint(
+        labels, step, converged, max_rounds, name=name, stats=stats
+    ).select("id", out_col)
 
 
 def scc_components(
-    directed_edges: DataFrame, phases: int = 4, max_rounds: int = 16
+    directed_edges: DataFrame, phases: int = 4, max_rounds: int = 16,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, scc_id)`` over directed edges ``(u, v)``; scc_id = the
     minimum vertex id in the component. Vertex universe = edge
@@ -123,7 +125,7 @@ def scc_components(
     for phase in range(phases):
         if verts.isEmpty():
             break
-        f = _hash_min(verts, edges, "f", max_rounds, f"scc_fwd_p{phase}")
+        f = _hash_min(verts, edges, "f", max_rounds, f"scc_fwd_p{phase}", stats)
         # backward propagation stays inside a color class: keep only
         # edges whose endpoints share f, then flip direction.
         fu = f.select(F.col("id").alias("u"), F.col("f").alias("fu"))
@@ -134,7 +136,7 @@ def scc_components(
             .where(F.col("fu") == F.col("fv"))
             .select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        b = _hash_min(verts, ce, "b", max_rounds, f"scc_bwd_p{phase}")
+        b = _hash_min(verts, ce, "b", max_rounds, f"scc_bwd_p{phase}", stats)
         fb = f.join(b, "id")
         done = fb.where(F.col("f") == F.col("b")).select(
             "id", F.col("f").alias("scc_id")
@@ -146,6 +148,8 @@ def scc_components(
         verts = materialize(
             fb.where(F.col("f") != F.col("b")).select("id")
         )
+        if stats is not None:
+            stats["phases"] = phase + 1
         edges = materialize(
             edges.join(verts.select(F.col("id").alias("u")), "u", "left_semi")
             .join(verts.select(F.col("id").alias("v")), "v", "left_semi")
