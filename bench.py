@@ -198,6 +198,7 @@ HEADLINE = [
     "token_heavy_hitters",
     "video_codec_features",
     "incremental_join",
+    "weighted_jaccard",
 ]
 
 

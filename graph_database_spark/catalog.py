@@ -2482,6 +2482,19 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     return D.ngram_jaccard_exact_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    # Exact WEIGHTED (multiset) Jaccard near-dups (r9): J_w = sum min /
+    # sum max over term-FREQUENCY vectors — the signal set Jaccard
+    # cannot give on this corpus (31-word vocabulary: every pair shares
+    # nearly every term; only the count profiles differ). All-integer
+    # score (half-up micro division), hot terms grid-guarded via the
+    # weighted bipartite projection (combine="least"). Deterministic
+    # 1/10 doc sample keeps the sum df^2 candidate cost bounded at any
+    # SF — the documented blocking knob for common-vocabulary corpora.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return D.weighted_jaccard_pairs(docs)
+
+
 def q_order_stats_ext(spark, sf_dir):
     # Second-moment aggregate family (corr/covar/stddev/variance) per
     # return flag — map-side-combinable single-pass moments; both
@@ -6863,6 +6876,34 @@ ORACLES["quality_rules"] = """
              AS INTEGER) AS keep
     FROM t
 """
+ORACLES["weighted_jaccard"] = f"""
+    WITH sdocs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    wterms AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM sdocs
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM wterms GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+        FROM tf a JOIN tf b ON b.term = a.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           CAST(ta.t + tb.t - i.inter AS BIGINT) AS n_union,
+           CAST((2 * i.inter * 1000000 + (ta.t + tb.t - i.inter))
+                // (2 * (ta.t + tb.t - i.inter)) AS BIGINT) AS jw_micro
+    FROM inter i
+    JOIN tot ta ON ta.doc_id = i.doc_a
+    JOIN tot tb ON tb.doc_id = i.doc_b
+    WHERE (2 * i.inter * 1000000 + (ta.t + tb.t - i.inter))
+          // (2 * (ta.t + tb.t - i.inter)) >= 500000
+"""
 ORACLES["mixture_weights"] = """
     WITH counts AS (
         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
@@ -8561,6 +8602,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": q_doc_repetition,
     "common_ngrams": q_common_ngrams,
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
+    "weighted_jaccard": q_weighted_jaccard,
     "order_stats_ext": q_order_stats_ext,
     "quality_rules": q_quality_rules,
     "mixture_weights": q_mixture_weights,

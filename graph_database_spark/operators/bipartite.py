@@ -48,27 +48,51 @@ def project_counts(
     n_groups: int = 8,
     min_count: int = 1,
     out_cols: tuple[str, str, str] = ("item_a", "item_b", "co"),
+    weight_col: str | None = None,
+    combine: str = "count",
 ) -> DataFrame:
-    """Shared-group counts for every item pair: ``(item_a, item_b, co)``
-    with ``item_a < item_b`` and ``co >= min_count``. ``df`` must be
-    DISTINCT on (group, item) — duplicates would inflate counts, and
-    deduping here would waste a shuffle when the caller already has the
-    invariant. Groups larger than ``hot_threshold`` take the grid
-    decomposition; the rest the plain self-join."""
+    """Weighted one-mode projection: ``(item_a, item_b, co)`` with
+    ``item_a < item_b`` and ``co >= min_count``, where ``co`` combines
+    the pair's per-group weights:
+
+    - ``combine="count"`` (default): number of shared groups;
+    - ``combine="least"``: ``sum(least(w_a, w_b))`` — the multiset
+      intersection mass (weighted-Jaccard numerator);
+    - ``combine="product"``: ``sum(w_a * w_b)`` — the inner product
+      (co-occurrence cosine numerator).
+
+    ``df`` must be DISTINCT on (group, item) — duplicates would inflate
+    counts, and deduping here would waste a shuffle when the caller
+    already has the invariant. Groups larger than ``hot_threshold``
+    take the grid decomposition; the rest the plain self-join."""
     ia, ib, co = out_cols
+    if combine == "count":
+        pair_w = F.count("*")
+    elif combine == "least":
+        pair_w = F.sum(F.least(F.col("_wa"), F.col("_wb")))
+    elif combine == "product":
+        pair_w = F.sum(F.col("_wa") * F.col("_wb"))
+    else:
+        raise ValueError(f"unknown combine {combine!r}")
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     sizes = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
     packed = (
-        df.select(group_col, item_col)
+        df.select(group_col, item_col, w.alias("_w"))
         .join(sizes, group_col)
         .localCheckpoint()  # feeds both paths' both sides
     )
 
     cold = packed.where(F.col("_gn") <= hot_threshold)
     cold_pairs = (
-        cold.select(group_col, F.col(item_col).alias(ia))
-        .join(cold.select(group_col, F.col(item_col).alias(ib)), group_col)
+        cold.select(group_col, F.col(item_col).alias(ia), F.col("_w").alias("_wa"))
+        .join(
+            cold.select(
+                group_col, F.col(item_col).alias(ib), F.col("_w").alias("_wb")
+            ),
+            group_col,
+        )
         .where(F.col(ia) < F.col(ib))
-        .select(ia, ib)
+        .select(ia, ib, "_wa", "_wb")
     )
 
     hot = packed.where(F.col("_gn") > hot_threshold)
@@ -83,21 +107,29 @@ def project_counts(
     # requirement, so no extra Exchange is added.
     parts = df.sparkSession.sparkContext.defaultParallelism
     hot_a = hot.select(
-        group_col, F.col(item_col).alias(ia), grp.alias("_ga"), gseq.alias("_gb")
+        group_col,
+        F.col(item_col).alias(ia),
+        F.col("_w").alias("_wa"),
+        grp.alias("_ga"),
+        gseq.alias("_gb"),
     ).repartition(parts, group_col, "_ga", "_gb")
     hot_b = hot.select(
-        group_col, F.col(item_col).alias(ib), gseq.alias("_ga"), grp.alias("_gb")
+        group_col,
+        F.col(item_col).alias(ib),
+        F.col("_w").alias("_wb"),
+        gseq.alias("_ga"),
+        grp.alias("_gb"),
     ).repartition(parts, group_col, "_ga", "_gb")
     hot_pairs = (
         hot_a.join(hot_b, [group_col, "_ga", "_gb"])
         .where(F.col(ia) < F.col(ib))
-        .select(ia, ib)
+        .select(ia, ib, "_wa", "_wb")
     )
 
     out = (
         cold_pairs.unionByName(hot_pairs)
         .groupBy(ia, ib)
-        .agg(F.count("*").alias(co))
+        .agg(pair_w.alias(co))
     )
     if min_count > 1:
         out = out.where(F.col(co) >= min_count)

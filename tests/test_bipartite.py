@@ -80,6 +80,38 @@ def test_all_cold_path(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_weighted_combines_match_plain(spark):
+    import pyspark.sql.functions as SF
+
+    rows = [(g, i, (g * 7 + i * 3) % 5 + 1) for g in range(6) for i in range(g, g + 8)]
+    df = spark.createDataFrame(rows, "g long, item long, w long")
+
+    def plain(agg):
+        a = df.select("g", SF.col("item").alias("item_a"), SF.col("w").alias("_wa"))
+        b = df.select("g", SF.col("item").alias("item_b"), SF.col("w").alias("_wb"))
+        return {
+            (r["item_a"], r["item_b"]): r["co"]
+            for r in a.join(b, "g")
+            .where(SF.col("item_a") < SF.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(agg.alias("co"))
+            .collect()
+        }
+
+    for combine, agg in [
+        ("least", SF.sum(SF.least("_wa", "_wb"))),
+        ("product", SF.sum(SF.col("_wa") * SF.col("_wb"))),
+    ]:
+        got = {
+            (r["item_a"], r["item_b"]): r["co"]
+            for r in project_counts(
+                df, "g", "item", hot_threshold=4, n_groups=3,
+                weight_col="w", combine=combine,
+            ).collect()
+        }
+        assert got == plain(agg), combine
+
+
 def test_custom_out_cols(spark):
     df = _synthetic(spark)
     out = project_counts(df, "g", "item", out_cols=("pa", "pb", "n_shared"))
