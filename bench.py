@@ -199,6 +199,8 @@ HEADLINE = [
     "video_codec_features",
     "incremental_join",
     "weighted_jaccard",
+    "audience_overlap",
+    "dp_order_stats",
 ]
 
 

@@ -537,6 +537,36 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_dp_order_stats(spark, sf_dir):
+    # eps-DP release (r9): per-priority order counts and clipped spend
+    # sums with deterministic md5-keyed Laplace noise
+    # (operators/privacy.py) — count sensitivity 1, sum clipped to
+    # $50,000 (sensitivity = the clip). Joined on the group key; only
+    # NOISED values leave the operator. Hash-verified: the inverse-CDF
+    # ln lands in micro-units, everything else is integer.
+    from graph_database_spark.operators.privacy import dp_count, dp_sum_cents
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    keys = ["o_orderpriority"]
+    return dp_count(o, keys, epsilon=1.0).join(
+        dp_sum_cents(o, keys, "cents", clip_cents=5_000_000, epsilon=1.0), keys
+    )
+
+
+def q_audience_overlap(spark, sf_dir):
+    # HLL set algebra (r9): estimated shared-user counts between every
+    # pair of event-type audiences from ONE pass of register state —
+    # register-wise max IS the union's registers, inclusion-exclusion
+    # gives the intersection. The read path sketches exist to serve
+    # (segment overlap), answered without rescanning users per pair.
+    from graph_database_spark.operators.sketches import hll_overlap
+
+    e = load_table(spark, sf_dir, "events")
+    return hll_overlap(e, "event_type", "user_id")
+
+
 def q_shipping_priority(spark, sf_dir):
     # TPC-H Q3 analog: 3-way fact/fact/dim join, top-10 open orders by
     # shipped revenue. Scale posture: both filters reach the parquet
@@ -4918,6 +4948,85 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["dp_order_stats"] = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(greatest(0, least(CAST(round(o_totalprice * 100) AS BIGINT),
+                                    5000000))) AS BIGINT) AS s
+  FROM orders GROUP BY 1
+), noise AS (
+  SELECT o_orderpriority, n, s,
+         CAST(('0x' || substring(md5('dpc|' || o_orderpriority), 1, 15))
+              AS BIGINT) AS hc,
+         CAST(('0x' || substring(md5('dps|' || o_orderpriority), 1, 15))
+              AS BIGINT) AS hs
+  FROM g
+), lap AS (
+  SELECT o_orderpriority, n, s,
+         (CAST(hc AS DOUBLE) / 1152921504606846976e0) - 0.5e0 AS xc,
+         (CAST(hs AS DOUBLE) / 1152921504606846976e0) - 0.5e0 AS xs
+  FROM noise
+)
+SELECT o_orderpriority,
+       n * 1000000 + CAST(round(
+           -1e0 * sign(xc)
+           * ln(greatest(1e0 - 2e0 * abs(xc), 8.673617379884035e-19))
+           * 1000000e0) AS BIGINT) AS n_noisy_micro,
+       s * 1000000 + CAST(round(
+           -5000000e0 * sign(xs)
+           * ln(greatest(1e0 - 2e0 * abs(xs), 8.673617379884035e-19))
+           * 1000000e0) AS BIGINT) AS sum_noisy_cents_micro
+FROM lap
+"""
+
+ORACLES["audience_overlap"] = """
+WITH r AS (
+  SELECT event_type,
+         hv % 32 AS bucket,
+         CASE WHEN hv // 32 = 0 THEN 55
+              ELSE bit_count(((hv // 32) & -(hv // 32)) - 1) + 1 END AS rho
+  FROM (
+    SELECT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    FROM events
+  )
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+), est AS (
+  SELECT event_type,
+         round(0.697e0 * 32e0 * 32e0 * 36028797018963968e0 /
+               CAST(CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+                    + (32 - count(*)) * (1::BIGINT << 55) AS DOUBLE), 4) AS e
+  FROM regs GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS set_a, b.event_type AS set_b
+  FROM (SELECT DISTINCT event_type FROM regs) a
+  JOIN (SELECT DISTINCT event_type FROM regs) b ON a.event_type < b.event_type
+), contrib AS (
+  SELECT p.set_a, p.set_b, r.bucket, r.reg
+  FROM pairs p JOIN regs r ON r.event_type = p.set_a
+  UNION ALL
+  SELECT p.set_a, p.set_b, r.bucket, r.reg
+  FROM pairs p JOIN regs r ON r.event_type = p.set_b
+), uregs AS (
+  SELECT set_a, set_b, bucket, max(reg) AS reg
+  FROM contrib GROUP BY 1, 2, 3
+), uest AS (
+  SELECT set_a, set_b,
+         round(0.697e0 * 32e0 * 32e0 * 36028797018963968e0 /
+               CAST(CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+                    + (32 - count(*)) * (1::BIGINT << 55) AS DOUBLE), 4)
+             AS est_union
+  FROM uregs GROUP BY 1, 2
+)
+SELECT u.set_a, u.set_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
+       round(ea.e + eb.e - u.est_union, 4) AS est_inter
+FROM uest u
+JOIN est ea ON ea.event_type = u.set_a
+JOIN est eb ON eb.event_type = u.set_b
+"""
+
 ORACLES["volume_shipping"] = """
     SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -8566,6 +8675,8 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets_orders": q_grouping_sets_orders,
     "ntile_orders": q_ntile_orders,
     "distinct_users_hll": q_distinct_users_hll,
+    "audience_overlap": q_audience_overlap,
+    "dp_order_stats": q_dp_order_stats,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,

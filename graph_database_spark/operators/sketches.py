@@ -292,6 +292,73 @@ def cms_heavy_hitters(
     return out.limit(k) if k is not None else out
 
 
+def hll_overlap(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    m: int = 32,
+    alpha: float = 0.697,
+) -> DataFrame:
+    """Audience-overlap estimates between every pair of sets from ONE
+    pass of register state: ``(set_a, set_b, est_a, est_b, est_union,
+    est_inter)`` with ``est_inter = est_a + est_b - est_union``
+    (inclusion-exclusion over HLL estimates — the standard sketch
+    answer to "how many users do these two segments share", since
+    register-wise max of two sets' registers IS the union's registers).
+
+    One shuffle builds the per-set registers; pair math runs over
+    |sets|^2 x m rows of register state, never the raw data. The same
+    md5-60 hash family as hll_distinct keeps every register and the
+    integer-sum estimator oracle-replayable."""
+    from graph_database_spark.operators.ivm import hll_state
+
+    regs = hll_state(df.select(set_col, key_col), [set_col], key_col, m)
+    sets = regs.select(F.col(set_col).alias("s")).distinct()
+    pairs = (
+        sets.select(F.col("s").alias("set_a"))
+        .join(sets.select(F.col("s").alias("set_b")))
+        .where(F.col("set_a") < F.col("set_b"))
+    )
+    # union registers: every register row of either side, max per bucket
+    contrib = pairs.join(
+        regs.select(F.col(set_col).alias("set_a"), "_b", "_reg"), "set_a"
+    ).unionByName(
+        pairs.join(
+            regs.select(F.col(set_col).alias("set_b"), "_b", "_reg"), "set_b"
+        )
+    )
+    ssum = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
+        + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
+    )
+    est = lambda s: F.round(  # noqa: E731 — one shared estimator tree
+        F.lit(alpha * m * m * 2.0**55) / s.cast("double"), 4
+    )
+    per_set = regs.groupBy(set_col).agg(est(ssum).alias("e"))
+    union_est = (
+        contrib.groupBy("set_a", "set_b", "_b")
+        .agg(F.max("_reg").alias("_reg"))
+        .groupBy("set_a", "set_b")
+        .agg(est(ssum).alias("est_union"))
+    )
+    return (
+        union_est.join(
+            per_set.select(F.col(set_col).alias("set_a"), F.col("e").alias("est_a")),
+            "set_a",
+        )
+        .join(
+            per_set.select(F.col(set_col).alias("set_b"), F.col("e").alias("est_b")),
+            "set_b",
+        )
+        .select(
+            "set_a", "set_b", "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_inter"),
+        )
+    )
+
+
 def hll_sliding(
     df: DataFrame,
     key: str,
