@@ -201,6 +201,8 @@ HEADLINE = [
     "weighted_jaccard",
     "audience_overlap",
     "dp_order_stats",
+    "doc_kl_divergence",
+    "maximal_matching",
 ]
 
 

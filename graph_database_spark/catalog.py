@@ -537,6 +537,17 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_maximal_matching(spark, sf_dir):
+    # Maximal matching (r9): Israeli-Itai-style deterministic rounds —
+    # the edge twin of graph_mis; the "merge disjoint pairs in parallel
+    # waves" schedule entity consolidation needs. Unrolled-round oracle
+    # replays the md5 priorities byte-for-byte
+    # (operators/matching.py, _build_matching_sql).
+    from graph_database_spark.operators.matching import greedy_matching
+
+    return greedy_matching(_edges(spark, sf_dir))
+
+
 def q_dp_order_stats(spark, sf_dir):
     # eps-DP release (r9): per-priority order counts and clipped spend
     # sums with deterministic md5-keyed Laplace noise
@@ -1486,6 +1497,15 @@ def q_bigram_logprob(spark, sf_dir):
 
 def q_unigram_logprob(spark, sf_dir):
     return R.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_kl_divergence(spark, sf_dir):
+    # Distribution-shift quality signal (r9): per-doc KL(doc || corpus)
+    # over unigram distributions — separates unusual word CHOICE from
+    # unusual word FREQUENCIES (what unigram_logprob's mean surprisal
+    # measures). Integer-weighted micro-unit log-ratios summed exactly;
+    # one division at the end.
+    return R.doc_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
 def q_bloom_semijoin(spark, sf_dir):
@@ -5989,6 +6009,55 @@ def _build_mis_sql(rounds: int = 16) -> str:
     return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
 
 
+def _build_matching_sql(rounds: int = 16) -> str:
+    # Unrolled Israeli-Itai rounds mirroring operators/matching.py
+    # byte-for-byte: an edge wins round r iff its (p, src, dst) is the
+    # minimum at BOTH endpoints; matched endpoints' edges dissolve.
+    # Rounds past an empty live set yield empty winner sets (the MIS
+    # oracle's budget argument applies verbatim).
+    parts = ["""
+    me0 AS MATERIALIZED (SELECT src, dst FROM edges)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    mpr{r} AS MATERIALIZED (
+        SELECT src, dst,
+               CAST(('0x' || substring(md5('{r}|' || CAST(src AS VARCHAR)
+                     || '|' || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+        FROM me{r - 1}
+    ),
+    mvm{r} AS MATERIALIZED (
+        SELECT vert, p, src, dst FROM (
+            SELECT src AS vert, p, src, dst FROM mpr{r}
+            UNION ALL
+            SELECT dst AS vert, p, src, dst FROM mpr{r}
+        ) QUALIFY row_number() OVER (
+            PARTITION BY vert ORDER BY p, src, dst) = 1
+    ),
+    mwin{r} AS MATERIALIZED (
+        SELECT a.src, a.dst
+        FROM mpr{r} a
+        JOIN mvm{r} u ON u.vert = a.src AND u.p = a.p
+                     AND u.src = a.src AND u.dst = a.dst
+        JOIN mvm{r} v ON v.vert = a.dst AND v.p = a.p
+                     AND v.src = a.src AND v.dst = a.dst
+    ),
+    mx{r} AS MATERIALIZED (
+        SELECT src AS x FROM mwin{r} UNION SELECT dst FROM mwin{r}
+    ),
+    me{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM me{r - 1} e
+        WHERE e.src NOT IN (SELECT x FROM mx{r})
+          AND e.dst NOT IN (SELECT x FROM mx{r})
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT src, dst, CAST({r} AS INTEGER) AS round FROM mwin{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
+
+
+ORACLES["maximal_matching"] = _build_matching_sql()
+
 ORACLES["community_modularity"] = f"""
     WITH RECURSIVE {GRAPH_CTES},
     lp(r, id, community) AS (
@@ -6603,6 +6672,30 @@ ORACLES["unigram_logprob"] = f"""
                / 1000000.0 AS avg_neglogprob
     FROM terms JOIN model m USING (term)
     GROUP BY 1
+"""
+ORACLES["doc_kl_divergence"] = f"""
+    WITH {_RETRIEVAL_TERMS},
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM terms GROUP BY 1, 2
+    ),
+    nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+    ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM terms GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM terms),
+    scored AS (
+        SELECT tf.doc_id, nd.n_tokens,
+               tf.c * CAST(round(ln(CAST(tf.c * t.n AS DOUBLE)
+                                    / CAST(nd.n_tokens * ct.ct AS DOUBLE))
+                                 * 1000000.0, 0) AS BIGINT) AS w_micro
+        FROM tf
+        JOIN nd ON nd.doc_id = tf.doc_id
+        JOIN ct ON ct.term = tf.term
+        CROSS JOIN tot t
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(sum(w_micro) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 / 1000000.0, 6) AS kl
+    FROM scored GROUP BY 1, 2
 """
 ORACLES["simhash_signatures"] = f"""
     WITH toks AS (
@@ -8677,6 +8770,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_users_hll": q_distinct_users_hll,
     "audience_overlap": q_audience_overlap,
     "dp_order_stats": q_dp_order_stats,
+    "maximal_matching": q_maximal_matching,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
@@ -8769,6 +8863,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "phrase_search": q_phrase_search,
     "unigram_logprob": q_unigram_logprob,
+    "doc_kl_divergence": q_doc_kl_divergence,
     "bigram_logprob": q_bigram_logprob,
     "bpe_pair_counts": q_bpe_pair_counts,
     "simhash_signatures": q_simhash_signatures,

@@ -43,6 +43,7 @@ __all__ = [
     "bm25_search",
     "unigram_logprob",
     "bigram_logprob",
+    "doc_kl_divergence",
     "phrase_search",
     "hybrid_rrf_search",
 ]
@@ -224,7 +225,51 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
-def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
+def doc_kl_divergence(docs: DataFrame) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution:
+    ``(doc_id, n_tokens, kl)`` with ``KL(doc || corpus) = sum_t p_d(t)
+    ln(p_d(t) / p_c(t))`` — the distribution-shift quality signal that
+    separates "unusual word CHOICE" from "unusual word FREQUENCIES"
+    (unigram_logprob's mean surprisal only sees the latter's corpus
+    side). Always >= 0; high = off-distribution doc.
+
+    Exactness: each term's log-ratio ``ln(c_dt * N / (n_d * C_t))`` is
+    snapped to micro-units and weighted by the INTEGER count c_dt, so
+    the per-doc sum is partition-order-exact; the single division by
+    n_d happens once at the end (the events_resample lesson: derive
+    over integers, divide last). Model tables are vocabulary-sized
+    broadcasts; one combinable shuffle per aggregation."""
+    terms = _doc_terms(docs).localCheckpoint()
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    nd = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    ct = terms.groupBy("term").agg(F.count("*").alias("ct"))
+    total = terms.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(nd, "doc_id")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("c")
+                * _micro(
+                    F.log(
+                        (F.col("c") * F.col("n")).cast("double")
+                        / (F.col("n_tokens") * F.col("ct")).cast("double")
+                    )
+                )
+            ).alias("w_micro"),
+        )
+    )
+    return scored.groupBy("doc_id", "n_tokens").agg(
+        F.round(
+            F.sum("w_micro").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(_MICRO),
+            6,
+        ).alias("kl")
+    ).select("doc_id", "n_tokens", "kl")
     """Interpolated bigram LM score per document:
     ``(doc_id, n_scored, avg_neglogprob)`` — the closer SQL-expressible
     analog of CCNet's KenLM quality filter than the unigram model.
