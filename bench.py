@@ -203,6 +203,7 @@ HEADLINE = [
     "dp_order_stats",
     "doc_kl_divergence",
     "maximal_matching",
+    "events_ohlc",
 ]
 
 

@@ -537,6 +537,28 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_events_ohlc(spark, sf_dir):
+    # Daily OHLC bars (r9): the financial rollup family's missing
+    # member next to TWAP/resample — open/close are (ts, event_id)
+    # argmin/argmax reads (no accumulation, so raw doubles are
+    # cross-engine exact), high/low plain extrema, one combinable
+    # shuffle on the day key. Day-grain truncation CAST in the oracle
+    # (CLAUDE.md: DuckDB date_trunc('day') returns DATE).
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_id",
+        "ts",
+        "value",
+    )
+    return e.groupBy("day").agg(
+        F.min_by("value", F.struct("ts", "event_id")).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close_v"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_maximal_matching(spark, sf_dir):
     # Maximal matching (r9): Israeli-Itai-style deterministic rounds —
     # the edge twin of graph_mis; the "merge disjoint pairs in parallel
@@ -4968,6 +4990,26 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["events_ohlc"] = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id, ts, value
+  FROM events
+), w AS (
+  SELECT day, value,
+         row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC)
+             AS rn_d
+  FROM e
+)
+SELECT day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+"""
+
 ORACLES["dp_order_stats"] = """
 WITH g AS (
   SELECT o_orderpriority,
@@ -8771,6 +8813,7 @@ QUERIES: dict[str, QueryFn] = {
     "audience_overlap": q_audience_overlap,
     "dp_order_stats": q_dp_order_stats,
     "maximal_matching": q_maximal_matching,
+    "events_ohlc": q_events_ohlc,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,

@@ -270,6 +270,9 @@ def doc_kl_divergence(docs: DataFrame) -> DataFrame:
             6,
         ).alias("kl")
     ).select("doc_id", "n_tokens", "kl")
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
     """Interpolated bigram LM score per document:
     ``(doc_id, n_scored, avg_neglogprob)`` — the closer SQL-expressible
     analog of CCNet's KenLM quality filter than the unigram model.
