@@ -204,6 +204,8 @@ HEADLINE = [
     "doc_kl_divergence",
     "maximal_matching",
     "events_ohlc",
+    "parts_skyline",
+    "purchase_attribution",
 ]
 
 

@@ -537,6 +537,66 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_parts_skyline(spark, sf_dir):
+    # 2-D skyline / Pareto frontier (r9): parts not dominated on
+    # (retailprice, size) — dominance = <= in both, < in at least one.
+    # The O(n^2) NOT-EXISTS definition collapses, in 2-D, to one
+    # vocabulary-sized price-group aggregation + a lag window over
+    # DISTINCT prices (strict running min of group-min sizes): a part
+    # survives iff it has the min size of its price group AND that min
+    # beats every strictly-cheaper group's. Scale shape: one groupBy
+    # on price, a window over |distinct prices| rows, one semi-join
+    # back — no pairwise compare anywhere.
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = p.groupBy("p_retailprice").agg(F.min("p_size").alias("msize"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    keep = g.select(
+        "p_retailprice",
+        "msize",
+        F.min("msize").over(w).alias("strict_min"),
+    ).where(
+        F.col("strict_min").isNull() | (F.col("msize") < F.col("strict_min"))
+    )
+    return p.join(
+        keep.select("p_retailprice", "msize"), "p_retailprice"
+    ).where(F.col("p_size") == F.col("msize")).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+def q_purchase_attribution(spark, sf_dir):
+    # Last-touch attribution (r9): each purchase event credits the
+    # user's immediately preceding event (any type) as the converting
+    # channel — the marketing-analytics read the funnel family
+    # (event_funnel, conversion_latency) was missing. One lag window
+    # per user, purchase values in integer cents, one combinable
+    # channel rollup.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    attributed = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("prev_type"), F.lit("none")).alias("channel"),
+            "cents",
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("attributed_cents"),
+    )
+
+
 def q_events_ohlc(spark, sf_dir):
     # Daily OHLC bars (r9): the financial rollup family's missing
     # member next to TWAP/resample — open/close are (ts, event_id)
@@ -4990,6 +5050,36 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["parts_skyline"] = """
+WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+g AS (SELECT p_retailprice, min(p_size) AS msize FROM p GROUP BY 1),
+k AS (
+  SELECT p_retailprice, msize,
+         min(msize) OVER (ORDER BY p_retailprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS strict_min
+  FROM g
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM p JOIN k ON k.p_retailprice = p.p_retailprice AND p.p_size = k.msize
+WHERE k.strict_min IS NULL OR k.msize < k.strict_min
+"""
+
+ORACLES["purchase_attribution"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+)
+SELECT coalesce(prev_type, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM e WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
 ORACLES["events_ohlc"] = """
 WITH e AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id, ts, value
@@ -8814,6 +8904,8 @@ QUERIES: dict[str, QueryFn] = {
     "dp_order_stats": q_dp_order_stats,
     "maximal_matching": q_maximal_matching,
     "events_ohlc": q_events_ohlc,
+    "parts_skyline": q_parts_skyline,
+    "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
