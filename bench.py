@@ -206,6 +206,7 @@ HEADLINE = [
     "events_ohlc",
     "parts_skyline",
     "purchase_attribution",
+    "km_survival",
 ]
 
 

@@ -537,6 +537,74 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_km_survival(spark, sf_dir):
+    # Kaplan-Meier survival curve (r9): per-user activity lifetime
+    # (hours between first and last event), a user "churns" (death
+    # observed) when their last event predates the corpus horizon by
+    # > 6 hours (chosen so the shipped event cadence yields a real
+    # censored/died mix), otherwise censored — the product-limit estimator every
+    # retention team plots. Exactness: each factor (1 - d_i/n_i) enters
+    # as a micro-snapped ln (the micro-unit rule), the cumulative sum
+    # is an exact integer, and survival = exp of that sum rounded 6.
+    # The risk-set window runs over DISTINCT lifetime hours (bounded:
+    # <= corpus span in hours, ~720 — documented bounded universe).
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("hmax"))
+    users = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CAST((unix_micros(t1) - unix_micros(t0)) div 3600000000 AS BIGINT)"
+            ).alias("dur_h"),
+            (
+                F.col("t1") < F.col("hmax") - F.expr("INTERVAL 6 HOURS")
+            ).cast("int").alias("death"),
+        )
+    )
+    total = users.count()  # bounded driver-side model (one integer)
+    by_dur = users.groupBy("dur_h").agg(
+        F.count("*").alias("n_at"),
+        F.sum("death").alias("n_deaths"),
+    )
+    w = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    km = (
+        by_dur.withColumn(
+            "n_risk", F.lit(total) - F.coalesce(F.sum("n_at").over(w), F.lit(0))
+        )
+        # n_risk == n_deaths would be ln(0): the terminal all-die row
+        # (survival exactly 0) is omitted rather than special-cased
+        .where((F.col("n_deaths") > 0) & (F.col("n_risk") > F.col("n_deaths")))
+        .withColumn(
+            "lf_micro",
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_deaths")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+    )
+    w2 = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    return km.select(
+        "dur_h",
+        "n_risk",
+        "n_deaths",
+        F.sum("lf_micro").over(w2).alias("log_surv_micro"),
+    ).select(
+        "dur_h",
+        "n_risk",
+        "n_deaths",
+        "log_surv_micro",
+        F.round(
+            F.exp(F.col("log_surv_micro").cast("double") / F.lit(1e6)), 6
+        ).alias("survival"),
+    )
+
+
 def q_parts_skyline(spark, sf_dir):
     # 2-D skyline / Pareto frontier (r9): parts not dominated on
     # (retailprice, size) — dominance = <= in both, < in at least one.
@@ -5050,6 +5118,46 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["km_survival"] = """
+WITH h AS (SELECT max(ts) AS hmax FROM events),
+users AS (
+  SELECT CAST((epoch_us(max(e.ts)) - epoch_us(min(e.ts))) // 3600000000 AS BIGINT)
+             AS dur_h,
+         CASE WHEN max(e.ts) < (SELECT hmax FROM h) - INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS death
+  FROM events e GROUP BY e.user_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+by_dur AS (
+  SELECT dur_h, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(death) AS BIGINT) AS n_deaths
+  FROM users GROUP BY 1
+),
+risk AS (
+  SELECT dur_h, n_deaths,
+         (SELECT n FROM tot)
+           - coalesce(sum(n_at) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+  FROM by_dur
+),
+km AS (
+  SELECT dur_h, n_risk, n_deaths,
+         CAST(round(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                       / CAST(n_risk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+             AS lf_micro
+  FROM risk WHERE n_deaths > 0 AND n_risk > n_deaths
+)
+SELECT dur_h, n_risk, n_deaths,
+       sum(lf_micro) OVER (ORDER BY dur_h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS log_surv_micro,
+       round(exp(CAST(sum(lf_micro) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 1000000e0), 6) AS survival
+FROM km
+"""
+
 ORACLES["parts_skyline"] = """
 WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part),
 g AS (SELECT p_retailprice, min(p_size) AS msize FROM p GROUP BY 1),
@@ -8905,6 +9013,7 @@ QUERIES: dict[str, QueryFn] = {
     "maximal_matching": q_maximal_matching,
     "events_ohlc": q_events_ohlc,
     "parts_skyline": q_parts_skyline,
+    "km_survival": q_km_survival,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
