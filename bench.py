@@ -207,6 +207,7 @@ HEADLINE = [
     "parts_skyline",
     "purchase_attribution",
     "km_survival",
+    "embedding_gram",
 ]
 
 

@@ -537,6 +537,41 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_embedding_gram(spark, sf_dir):
+    # Quantized Gram matrix X^T X (r9): the covariance building block
+    # behind PCA/whitening, hash-verified — embeddings snap to integer
+    # milli-units first so the d(d+1)/2 cell sums are exact under any
+    # partition order (float dot-sums are not; the PCA path itself
+    # stays rows-only for that reason). Plan shape: the upper-triangle
+    # products are generated ROW-LOCALLY by a nested JVM HOF (no
+    # self-join — a (vec, dim) self-join would shuffle the exploded
+    # frame), then ONE map-side-combinable shuffle on (i, j). 2080
+    # cells at dim 64 regardless of corpus size.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * CAST(1000 AS DOUBLE), 0)"
+            " AS BIGINT))"
+        ).alias("q")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) ->"
+                " transform(slice(q, i + 1, size(q) - i), (xj, jj) ->"
+                " struct(i AS i, i + jj AS j, xi * xj AS p))))"
+            )
+        ).alias("c")
+    )
+    return (
+        pairs.select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("dot"))
+        .select(F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j"), "dot")
+    )
+
+
 def q_km_survival(spark, sf_dir):
     # Kaplan-Meier survival curve (r9): per-user activity lifetime
     # (hours between first and last event), a user "churns" (death
@@ -5118,6 +5153,25 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["embedding_gram"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * CAST(1000 AS DOUBLE))
+                       AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(qv) AS x,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS i
+  FROM q
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       CAST(sum(a.x * b.x) AS BIGINT) AS dot
+FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
 ORACLES["km_survival"] = """
 WITH h AS (SELECT max(ts) AS hmax FROM events),
 users AS (
@@ -9014,6 +9068,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_ohlc": q_events_ohlc,
     "parts_skyline": q_parts_skyline,
     "km_survival": q_km_survival,
+    "embedding_gram": q_embedding_gram,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,

@@ -69,6 +69,17 @@ class Corpus:
         """Connected-component cluster id per near-duplicate document."""
         return dedup_groups(self.near_dup_pairs(threshold=threshold))
 
+    def weighted_jaccard_pairs(self, threshold_micro: int = 500_000) -> DataFrame:
+        """Exact multiset-Jaccard near-dup pairs over term-frequency
+        vectors (r9, operators/dedup.weighted_jaccard_pairs)."""
+        return D.weighted_jaccard_pairs(self.docs, threshold_micro=threshold_micro)
+
+    def kl_divergence(self) -> DataFrame:
+        """Per-doc KL(doc || corpus) distribution-shift score (r9)."""
+        from graph_database_spark.operators.retrieval import doc_kl_divergence
+
+        return doc_kl_divergence(self.docs)
+
     def staged_dedup(self) -> DataFrame:
         return D.staged_dedup(self.docs)
 

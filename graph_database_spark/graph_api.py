@@ -130,3 +130,16 @@ class SparkGraph:
 
     def betweenness(self, num_sources: int | None = None) -> DataFrame:
         return betweenness(self.edges, num_sources=num_sources)
+
+    def maximal_matching(self, max_iterations: int = 16) -> DataFrame:
+        """Deterministic Israeli-Itai maximal matching (r9) — the
+        merge-disjoint-pairs-in-waves schedule (operators/matching.py)."""
+        from graph_database_spark.operators.matching import greedy_matching
+
+        return greedy_matching(self.edges, max_iterations=max_iterations)
+
+    def maximal_independent_set(self, max_iterations: int = 32) -> DataFrame:
+        """Luby MIS over the canonical edges (operators/mis.py)."""
+        from graph_database_spark.operators.mis import luby_mis
+
+        return luby_mis(self.edges, max_iterations=max_iterations)
