@@ -208,6 +208,8 @@ HEADLINE = [
     "purchase_attribution",
     "km_survival",
     "embedding_gram",
+    "readability",
+    "score_auc",
 ]
 
 

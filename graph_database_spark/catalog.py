@@ -537,6 +537,27 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_readability(spark, sf_dir):
+    # Flesch-style readability (r9): vowel-group syllable proxy +
+    # extraction-based counts, score in integer micro-units — the
+    # classic pretraining quality signal quality_score's ratio family
+    # was missing (operators/text.readability).
+    return T.readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_score_auc(spark, sf_dir):
+    # Exact tie-corrected Mann-Whitney AUC (r9): does document LENGTH
+    # separate English from non-English docs? The eval primitive every
+    # quality-signal pipeline needs, computed float-free over the
+    # distinct-score universe (operators/rank.rank_auc).
+    from graph_database_spark.operators.rank import rank_auc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return rank_auc(docs, "n_chars", "is_en")
+
+
 def q_embedding_gram(spark, sf_dir):
     # Quantized Gram matrix X^T X (r9): the covariance building block
     # behind PCA/whitening, hash-verified — embeddings snap to integer
@@ -5153,6 +5174,53 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+             AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables,
+         greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_syllables,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(round((CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE)
+                     * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                  * 1000000e0, 0) AS BIGINT) AS flesch_micro
+FROM c
+"""
+
+ORACLES["score_auc"] = """
+WITH g AS (
+  SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT cnt, pos,
+         pos * (2 * coalesce(sum(cnt) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1) AS pr
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pr) AS BIGINT) AS two_r
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST((2 * (two_r - n_pos * (n_pos + 1)) * 1000000
+             + 2 * n_pos * n_neg) // (2 * 2 * n_pos * n_neg) AS BIGINT)
+           AS auc_micro
+FROM t
+"""
+
 ORACLES["embedding_gram"] = """
 WITH q AS (
   SELECT vec_id,
@@ -9069,6 +9137,8 @@ QUERIES: dict[str, QueryFn] = {
     "parts_skyline": q_parts_skyline,
     "km_survival": q_km_survival,
     "embedding_gram": q_embedding_gram,
+    "readability": q_readability,
+    "score_auc": q_score_auc,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,

@@ -106,3 +106,50 @@ def global_prefix_sum(
         )
         .drop("__pid")
     )
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney AUC of ``score_col`` as a
+    ranker for boolean ``label_col``: one row ``(n_pos, n_neg,
+    auc_micro)`` — the standard eval for "does this quality signal
+    actually separate the classes", computed without floats: average
+    ranks for ties enter doubled (2R is an integer), U = (2R -
+    n_pos(n_pos+1)) / 2, and auc_micro is the half-up integer division
+    (2U * 10^6) / (2 n_pos n_neg).
+
+    Plan: one aggregation to the DISTINCT-score frame, a running-count
+    window over it (bounded by the score universe — the caller's
+    contract, same as quantile_hist's), one final 1-row fold. The raw
+    rows are never ranked individually."""
+    g = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    two_r = g.select(
+        "cnt",
+        "pos",
+        (
+            F.col("pos")
+            * (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+        ).alias("pr"),
+    )
+    return (
+        two_r.agg(
+            F.sum("pos").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+            F.sum("pr").alias("two_r"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "(2 * (two_r - n_pos * (n_pos + 1)) * 1000000"
+                " + 2 * n_pos * n_neg) div (2 * 2 * n_pos * n_neg)"
+            ).alias("auc_micro"),
+        )
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "token_stats",
     "language_id",
     "quality_score",
+    "readability",
     "fingerprints",
     "hash_embedding",
     "hash_embedding_md5",
@@ -102,6 +103,33 @@ def language_id(docs: DataFrame) -> DataFrame:
             best = F.when(s > best, s).otherwise(best)
     return scored.select(
         "doc_id", "lang", pred.alias("pred_lang"), F.round(best, 6).alias("score")
+    )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch-style readability per document: ``(doc_id, n_words,
+    n_syllables, n_sentences, flesch_micro)`` — 206.835 - 1.015 *
+    (words/sentences) - 84.6 * (syllables/words), snapped to integer
+    micro-units. Syllables use the standard vowel-group proxy
+    (``[aeiouy]+`` runs); sentence count floors at 1 (the synthetic
+    corpus has no terminal punctuation — every doc is one "sentence",
+    which still ranks docs by word/syllable density). Counting is
+    extraction-based on both engines (the _count_pattern rule)."""
+    lowered = F.lower(F.col("text"))
+    n_words = F.greatest(_count_pattern(lowered, TOKEN_PATTERN), F.lit(1))
+    n_syll = _count_pattern(lowered, "[aeiouy]+")
+    n_sent = F.greatest(_count_pattern(F.col("text"), "[.!?]"), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(flesch * 1e6, 0).cast("long").alias("flesch_micro"),
     )
 
 
