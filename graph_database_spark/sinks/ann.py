@@ -37,6 +37,7 @@ from graph_database_spark.sources.bucketed import write_bucketed
 
 __all__ = [
     "build_ivf_index",
+    "append_ivf_index",
     "probe_ivf_index",
     "build_lsh_index",
     "probe_lsh_index",
@@ -53,12 +54,14 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_buckets: int = 16,
+    cents: list | None = None,
 ) -> dict:
     """Fit centroids (the deterministic hash-ordered draw ivf_topk
-    uses), assign every candidate to its nearest cell, and persist the
-    assignment as a cell-bucketed parquet table + a centroid manifest.
-    Returns the manifest dict."""
-    cents = _unit_centroids(candidates, id_col, vec_col, n_centroids)
+    uses) — or accept pre-trained ``cents`` — assign every candidate to
+    its nearest cell, and persist the assignment as a cell-bucketed
+    parquet table + a centroid manifest. Returns the manifest dict."""
+    if cents is None:
+        cents = _unit_centroids(candidates, id_col, vec_col, n_centroids)
     assigned = candidates.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
@@ -92,6 +95,48 @@ def build_ivf_index(
 def _load_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         return json.load(f)
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF index WITHOUT rebuilding (r9): assign the
+    new vectors against the manifest's frozen centroids (driver-side
+    KBs — the corpus is never rescanned) and APPEND to the
+    cell-bucketed assignment table; Spark preserves the bucket spec on
+    append, so probes stay shuffle-free on the index side. This is the
+    standard serving lifecycle — train once, keep indexing arrivals —
+    with the known trade-off that centroids drift stale as the
+    distribution moves (rebuild cadence is the operator's knob).
+    Probe parity with a from-scratch build under the SAME centroids is
+    pytest-pinned (tests/test_ann_index.py)."""
+    m = _load_manifest(path)
+    if m.get("kind") != "ivf":
+        raise ValueError(f"index at {path} is kind={m.get('kind')!r}, not ivf")
+    cents = m["centroids"]
+    assigned = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        _cell_sims(F.col(vec_col), cents).alias("sims"),
+    ).select(
+        F.array_position(F.col("sims"), F.array_max(F.col("sims")))
+        .cast("int")
+        .alias("cell"),
+        "vec_id",
+        "embedding",
+        "nrm",
+    )
+    (
+        assigned.write.mode("append")
+        .bucketBy(m["n_buckets"], "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(m["table"])
+    )
 
 
 def _write_manifest(path: str, manifest: dict) -> None:

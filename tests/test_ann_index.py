@@ -35,6 +35,35 @@ def test_probe_matches_refit_and_is_reusable(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ann_ivf_idx")
 
 
+def test_append_grows_index_without_rebuild(spark, tmp_path):
+    from graph_database_spark.operators.ivf import _unit_centroids
+    from graph_database_spark.sinks.ann import append_ivf_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.where((emb.vec_id % 2) == 0)
+    half_b = emb.where((emb.vec_id % 2) == 1)
+    queries = emb.where((emb.vec_id % 20) == 0)
+    cents = _unit_centroids(half_a, "vec_id", "embedding", 8)
+    try:
+        # lifecycle: build on A, append B (assigned against A's frozen
+        # centroids, no rebuild)
+        build_ivf_index(half_a, "ann_grow_idx", str(tmp_path / "g1"), cents=cents)
+        append_ivf_index(half_b, str(tmp_path / "g1"))
+        grown = _rows(
+            probe_ivf_index(spark, str(tmp_path / "g1"), queries, k=5, n_probe=3)
+        )
+        # reference: from-scratch build over A u B under the SAME centroids
+        build_ivf_index(emb, "ann_full_idx", str(tmp_path / "g2"), cents=cents)
+        full = _rows(
+            probe_ivf_index(spark, str(tmp_path / "g2"), queries, k=5, n_probe=3)
+        )
+        assert grown == full
+        assert len(full) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_grow_idx")
+        spark.sql("DROP TABLE IF EXISTS ann_full_idx")
+
+
 def test_probe_join_has_no_index_side_shuffle(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.where((emb.vec_id % 20) == 0)
