@@ -210,6 +210,7 @@ HEADLINE = [
     "embedding_gram",
     "readability",
     "score_auc",
+    "ab_test_welch",
 ]
 
 

@@ -537,6 +537,65 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_ab_test_welch(spark, sf_dir):
+    # Welch's two-sample t (r9): the continuous A/B readout next to
+    # chi_square_events' categorical one — users md5-assigned to arms,
+    # per-user purchase revenue compared. Moments are integer-cents
+    # sums (partition-order-exact); the t statistic is built from them
+    # with only exactly-specified IEEE ops (divide, subtract, sqrt), so
+    # round-6 is cross-engine stable with no micro-snapping needed.
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+        .select(
+            (
+                F.conv(
+                    F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string")))
+                    .substr(1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "cents",
+        )
+    )
+    g = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    a = g.where(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.where(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    mean = lambda s, n: s.cast("double") / n.cast("double")  # noqa: E731
+    var = lambda ss, s, n: (  # unbiased: (n*ss - s^2) / (n*(n-1))  # noqa: E731
+        (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    )
+    ma, mb = mean(F.col("sa"), F.col("na")), mean(F.col("sb"), F.col("nb"))
+    va, vb = var(F.col("ssa"), F.col("sa"), F.col("na")), var(
+        F.col("ssb"), F.col("sb"), F.col("nb")
+    )
+    t = (ma - mb) / F.sqrt(
+        va / F.col("na").cast("double") + vb / F.col("nb").cast("double")
+    )
+    return j.select(
+        "na",
+        "nb",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
 def q_readability(spark, sf_dir):
     # Flesch-style readability (r9): vowel-group syllable proxy +
     # extraction-based counts, score in integer micro-units — the
@@ -5174,6 +5233,36 @@ SELECT event_type,
 FROM s
 """
 
+ORACLES["ab_test_welch"] = """
+WITH pu AS (
+  SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % 2) AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM pu GROUP BY 1
+),
+j AS (
+  SELECT a.n AS na, a.s AS sa, a.ss AS ssa,
+         b.n AS nb, b.s AS sb, b.ss AS ssb
+  FROM (SELECT * FROM g WHERE arm = 0) a, (SELECT * FROM g WHERE arm = 1) b
+)
+SELECT na, nb,
+       round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_a,
+       round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_b,
+       round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt((CAST(na * ssa - sa * sa AS DOUBLE)
+                     / CAST(na * (na - 1) AS DOUBLE)) / CAST(na AS DOUBLE)
+                    + (CAST(nb * ssb - sb * sb AS DOUBLE)
+                       / CAST(nb * (nb - 1) AS DOUBLE)) / CAST(nb AS DOUBLE)),
+             6) AS t_stat
+FROM j
+"""
+
 ORACLES["readability"] = """
 WITH c AS (
   SELECT doc_id,
@@ -9139,6 +9228,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_gram": q_embedding_gram,
     "readability": q_readability,
     "score_auc": q_score_auc,
+    "ab_test_welch": q_ab_test_welch,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
