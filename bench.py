@@ -211,6 +211,7 @@ HEADLINE = [
     "readability",
     "score_auc",
     "ab_test_welch",
+    "fd_violations",
 ]
 
 

@@ -537,6 +537,47 @@ def q_distinct_users_hll(spark, sf_dir):
     return hll_distinct(e, "user_id", group_by="event_type")
 
 
+def q_fd_violations(spark, sf_dir):
+    # Functional-dependency profiling (r9): for candidate FDs A -> B,
+    # count determinant values with more than one dependent value and
+    # the minimum rows to delete to make the FD hold (sum over
+    # violating groups of group_size - max_dep_count) — the data-
+    # quality audit next to fk_integrity/column_stats that schema
+    # discovery tools run. One aggregation per FD over (A, B) counts;
+    # everything integer.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fds = [
+        ("lineitem", "l_orderkey", "l_linestatus", li),
+        ("lineitem", "l_partkey", "l_returnflag", li),
+        ("orders", "o_custkey", "o_orderpriority", o),
+        ("orders", "o_orderkey", "o_orderstatus", o),
+    ]
+    out = None
+    for table, det, dep, df in fds:
+        ab = df.groupBy(F.col(det).alias("a"), F.col(dep).alias("b")).agg(
+            F.count("*").alias("n")
+        )
+        g = ab.groupBy("a").agg(
+            F.count("*").alias("n_dep"),
+            F.sum("n").alias("rows"),
+            F.max("n").alias("max_n"),
+        )
+        row = g.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(det).alias("det_col"),
+            F.lit(dep).alias("dep_col"),
+            F.count("*").alias("n_det_values"),
+            F.sum((F.col("n_dep") > 1).cast("long")).alias("n_violating"),
+            F.sum(F.col("rows") - F.col("max_n")).alias("min_repair_rows"),
+        ).select(
+            "table_name", "det_col", "dep_col",
+            "n_det_values", "n_violating", "min_repair_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_ab_test_welch(spark, sf_dir):
     # Welch's two-sample t (r9): the continuous A/B readout next to
     # chi_square_events' categorical one — users md5-assigned to arms,
@@ -5233,6 +5274,31 @@ SELECT event_type,
 FROM s
 """
 
+def _fd_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{det}' AS det_col, '{dep}' AS dep_col,
+           CAST(count(*) AS BIGINT) AS n_det_values,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(sum(rows - max_n) AS BIGINT) AS min_repair_rows
+    FROM (
+        SELECT a, count(*) AS n_dep, sum(n) AS rows, max(n) AS max_n
+        FROM (SELECT {det} AS a, {dep} AS b, count(*) AS n
+              FROM {table} GROUP BY 1, 2)
+        GROUP BY a
+    )"""
+
+
+ORACLES["fd_violations"] = " UNION ALL ".join(
+    _fd_sql(t, det, dep)
+    for t, det, dep in [
+        ("lineitem", "l_orderkey", "l_linestatus"),
+        ("lineitem", "l_partkey", "l_returnflag"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderkey", "o_orderstatus"),
+    ]
+)
+
 ORACLES["ab_test_welch"] = """
 WITH pu AS (
   SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
@@ -9229,6 +9295,7 @@ QUERIES: dict[str, QueryFn] = {
     "readability": q_readability,
     "score_auc": q_score_auc,
     "ab_test_welch": q_ab_test_welch,
+    "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
