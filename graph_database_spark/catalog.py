@@ -637,6 +637,30 @@ def q_ab_test_welch(spark, sf_dir):
     )
 
 
+def q_bleu_pairs(spark, sf_dir):
+    # BLEU-4 between adjacent-id doc pairs (r9): the generation-eval
+    # metric over the same n-gram machinery the dedup family trusts —
+    # modified precisions + brevity penalty, log-space exact integer
+    # micro-units (operators/evalmetrics.bleu_pairs).
+    from graph_database_spark.operators.evalmetrics import bleu_pairs
+
+    return bleu_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    # Exact isotonic regression (r9): calibration curve of "is English"
+    # on document length — the monotone-fit companion to score_auc's
+    # discrimination readout. Distributed minimax formulation == the
+    # unique PAV solution; pure-integer micro means, no floats
+    # (operators/evalmetrics.isotonic_fit).
+    from graph_database_spark.operators.evalmetrics import isotonic_fit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return isotonic_fit(docs, "n_chars", "is_en")
+
+
 def q_readability(spark, sf_dir):
     # Flesch-style readability (r9): vowel-group syllable proxy +
     # extraction-based counts, score in integer micro-units — the
@@ -5299,6 +5323,76 @@ ORACLES["fd_violations"] = " UNION ALL ".join(
     ]
 )
 
+def _bleu_sql() -> str:
+    # Mirrors operators/evalmetrics.bleu_pairs expression-for-expression
+    # (micro-snapped ln terms, integer half-up quarter + brevity penalty).
+    gram_legs = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {n} AS n,"
+        f" unnest(list_transform(generate_series(1, ln_t - {n} + 1),"
+        f" i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g FROM tk"
+        for n in range(1, 5)
+    )
+    m_cols = ",\n           ".join(
+        f"CAST(coalesce(max(CASE WHEN n = {n} THEN m END), 0) AS BIGINT)"
+        f" AS m{n}"
+        for n in range(1, 5)
+    )
+    t_terms = " + ".join(
+        f"CAST(round(ln(CAST(greatest(m{n}, 1) AS DOUBLE)"
+        f" / CAST(c_len - {n} + 1 AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE), 0) AS BIGINT)"
+        for n in range(1, 5)
+    )
+    bp = (
+        "(CASE WHEN r_len > c_len THEN"
+        " (2 * (r_len - c_len) * 1000000 + c_len) // (2 * c_len)"
+        " ELSE 0 END)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '') AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS ln_t
+        FROM toks WHERE len(t) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, n, g, count(*) AS c FROM (
+{gram_legs}
+        ) GROUP BY 1, 2, 3
+    ),
+    matched AS (
+        SELECT c.doc_id AS pair_id, c.n AS n, sum(least(c.c, r.c)) AS m
+        FROM grams c
+        JOIN grams r ON r.doc_id = c.doc_id + 1 AND r.n = c.n AND r.g = c.g
+        GROUP BY 1, 2
+    ),
+    mw AS (
+        SELECT pair_id,
+           {m_cols}
+        FROM matched GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.ln_t AS c_len, b.ln_t AS r_len
+        FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b, c_len, r_len,
+           CAST(coalesce(m1, 0) AS BIGINT) AS m1,
+           CAST(coalesce(m2, 0) AS BIGINT) AS m2,
+           CAST(coalesce(m3, 0) AS BIGINT) AS m3,
+           CAST(coalesce(m4, 0) AS BIGINT) AS m4,
+           CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
+               -((2 * (-({t_terms})) + 4) // 8) - {bp}
+           ELSE NULL END AS log_bleu_micro
+    FROM pairs LEFT JOIN mw ON mw.pair_id = pairs.doc_a
+"""
+
+
+ORACLES["bleu_pairs"] = _bleu_sql()
+
 ORACLES["ab_test_welch"] = """
 WITH pu AS (
   SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
@@ -9295,6 +9389,7 @@ QUERIES: dict[str, QueryFn] = {
     "readability": q_readability,
     "score_auc": q_score_auc,
     "ab_test_welch": q_ab_test_welch,
+    "bleu_pairs": q_bleu_pairs,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
