@@ -5393,6 +5393,37 @@ def _bleu_sql() -> str:
 
 ORACLES["bleu_pairs"] = _bleu_sql()
 
+ORACLES["isotonic_calibration"] = """
+WITH b0 AS (
+  SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY 1
+),
+bins AS (
+  SELECT score, n, pos,
+         CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS idx,
+         CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+         CAST(sum(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+  FROM b0
+),
+intervals AS (
+  SELECT j.idx AS j, k.idx AS k,
+         (2 * (k.cp - (j.cp - j.pos)) * 1000000 + (k.cn - (j.cn - j.n)))
+           // (2 * (k.cn - (j.cn - j.n))) AS mean_micro
+  FROM bins j JOIN bins k ON k.idx >= j.idx
+),
+m AS (
+  SELECT j, k AS i,
+         min(mean_micro) OVER (
+           PARTITION BY j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM intervals
+),
+fit AS (SELECT i, max(mn) AS fit_micro FROM m GROUP BY 1)
+SELECT b.score, b.n, b.pos, CAST(f.fit_micro AS BIGINT) AS fit_micro
+FROM bins b JOIN fit f ON f.i = b.idx
+"""
+
 ORACLES["ab_test_welch"] = """
 WITH pu AS (
   SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
@@ -9390,6 +9421,7 @@ QUERIES: dict[str, QueryFn] = {
     "score_auc": q_score_auc,
     "ab_test_welch": q_ab_test_welch,
     "bleu_pairs": q_bleu_pairs,
+    "isotonic_calibration": q_isotonic_calibration,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,

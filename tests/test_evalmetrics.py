@@ -1,0 +1,126 @@
+"""Pairwise eval metrics: BLEU-4 and exact isotonic regression.
+
+The isotonic operator's distributed minimax formulation is pinned
+against an independent sequential pool-adjacent-violators (PAV)
+implementation over exact Fractions — the two agree bit-for-bit after
+half-up micro rounding because rounding is monotone and the L2 isotonic
+solution is unique.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators.evalmetrics import bleu_pairs, isotonic_fit
+
+
+def _pav(points):
+    """Sequential PAV over (score, n, pos) sorted by score; returns
+    {score: Fraction fit}."""
+    blocks = []  # [sum_pos, sum_n, [scores]]
+    for score, n, pos in sorted(points):
+        blocks.append([pos, n, [score]])
+        while len(blocks) >= 2 and (
+            Fraction(blocks[-2][0], blocks[-2][1])
+            >= Fraction(blocks[-1][0], blocks[-1][1])
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2].extend(b[2])
+    out = {}
+    for pos, n, scores in blocks:
+        for s in scores:
+            out[s] = Fraction(pos, n)
+    return out
+
+
+def _micro_half_up(fr: Fraction) -> int:
+    return (2 * fr.numerator * 1000000 + fr.denominator) // (
+        2 * fr.denominator
+    )
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    # A deliberately violating sequence: dips and plateaus force pooling.
+    pts = [
+        (1, 4, 3),
+        (2, 2, 0),
+        (3, 5, 1),
+        (4, 3, 3),
+        (5, 1, 0),
+        (6, 6, 5),
+        (7, 2, 2),
+        (8, 4, 1),
+    ]
+    rows = []
+    for score, n, pos in pts:
+        rows += [(score, True)] * pos + [(score, False)] * (n - pos)
+    df = spark.createDataFrame(rows, "score int, label boolean")
+    got = {
+        r["score"]: (r["n"], r["pos"], r["fit_micro"])
+        for r in isotonic_fit(df, "score", "label").collect()
+    }
+    want = _pav(pts)
+    assert set(got) == {s for s, _, _ in pts}
+    for score, n, pos in pts:
+        assert got[score][0] == n and got[score][1] == pos
+        assert got[score][2] == _micro_half_up(want[score]), score
+    # Fits must be monotone non-decreasing in score.
+    fits = [got[s][2] for s, _, _ in sorted(pts)]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    rows = [(1, False), (1, False), (2, False), (2, True), (3, True)]
+    df = spark.createDataFrame(rows, "score int, label boolean")
+    got = {
+        r["score"]: r["fit_micro"]
+        for r in isotonic_fit(df, "score", "label").collect()
+    }
+    assert got == {1: 0, 2: 500000, 3: 1000000}
+
+
+def test_bleu_identical_pair_scores_zero_log(spark):
+    text = "the red fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(10, text), (11, text)], "doc_id long, text string"
+    )
+    rows = bleu_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # Identical docs: every precision is 1, BP = 1 -> log BLEU = 0.
+    assert (r["doc_a"], r["doc_b"]) == (10, 11)
+    assert r["c_len"] == 8 and r["r_len"] == 8
+    assert (r["m1"], r["m2"], r["m3"], r["m4"]) == (8, 7, 6, 5)
+    assert r["log_bleu_micro"] == 0
+
+
+def test_bleu_hand_computed_pair(spark):
+    import math
+
+    cand = "a b c d e"
+    ref = "a b c d f g"
+    df = spark.createDataFrame(
+        [(0, cand), (1, ref)], "doc_id long, text string"
+    )
+    r = bleu_pairs(df).collect()[0]
+    assert (r["m1"], r["m2"], r["m3"], r["m4"]) == (4, 3, 2, 1)
+    t = sum(
+        round(math.log(m / (5 - n + 1)) * 1e6)
+        for n, m in [(1, 4), (2, 3), (3, 2), (4, 1)]
+    )
+    quarter = (2 * (-t) + 4) // 8
+    bp = (2 * (6 - 5) * 1000000 + 5) // (2 * 5)
+    assert r["log_bleu_micro"] == -quarter - bp
+
+
+def test_bleu_disjoint_pair_is_null(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "v w x y z")], "doc_id long, text string"
+    )
+    r = bleu_pairs(df).collect()[0]
+    assert (r["m1"], r["m2"], r["m3"], r["m4"]) == (0, 0, 0, 0)
+    assert r["log_bleu_micro"] is None
