@@ -661,6 +661,25 @@ def q_isotonic_calibration(spark, sf_dir):
     return isotonic_fit(docs, "n_chars", "is_en")
 
 
+def q_decision_stump(spark, sf_dir):
+    # Exact depth-1 decision-tree training (r9): best Gini split per
+    # lineitem feature predicting returned-flag — the distributed
+    # split-search primitive under every tree ensemble, integer-exact
+    # outputs with the impurity double used only for ordering
+    # (operators/evalmetrics.gini_best_splits).
+    from graph_database_spark.operators.evalmetrics import gini_best_splits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = {
+        "qty": F.round(F.col("l_quantity"), 0),
+        "disc": F.round(F.col("l_discount") * 100, 0),
+        "tax": F.round(F.col("l_tax") * 100, 0),
+        "month": F.month("l_shipdate"),
+    }
+    li = li.withColumn("is_ret", (F.col("l_returnflag") == "R").cast("int"))
+    return gini_best_splits(li, feats, "is_ret")
+
+
 def q_readability(spark, sf_dir):
     # Flesch-style readability (r9): vowel-group syllable proxy +
     # extraction-based counts, score in integer micro-units — the
@@ -5424,6 +5443,52 @@ SELECT b.score, b.n, b.pos, CAST(f.fit_micro AS BIGINT) AS fit_micro
 FROM bins b JOIN fit f ON f.i = b.idx
 """
 
+ORACLES["decision_stump"] = """
+WITH flat AS (
+  SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS value,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'month', CAST(month(l_shipdate) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+),
+stats AS (
+  SELECT feature, value, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM flat GROUP BY 1, 2
+),
+pre AS (
+  SELECT feature, value,
+         sum(n) OVER (PARTITION BY feature ORDER BY value) AS n_l,
+         sum(pos) OVER (PARTITION BY feature ORDER BY value) AS pos_l,
+         sum(n) OVER (PARTITION BY feature) AS n_t,
+         sum(pos) OVER (PARTITION BY feature) AS pos_t
+  FROM stats
+),
+scored AS (
+  SELECT feature, value AS threshold, n_l, pos_l,
+         n_t - n_l AS n_r, pos_t - pos_l AS pos_r,
+         CAST(pos_l * (n_l - pos_l) AS DOUBLE) / CAST(n_l AS DOUBLE)
+           + CAST((pos_t - pos_l) * ((n_t - n_l) - (pos_t - pos_l)) AS DOUBLE)
+             / CAST(n_t - n_l AS DOUBLE) AS imp
+  FROM pre WHERE n_l < n_t
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY feature ORDER BY imp ASC, threshold ASC) AS rk
+  FROM scored
+)
+SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+       CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+       CAST(n_r AS BIGINT) AS n_r, CAST(pos_r AS BIGINT) AS pos_r
+FROM r WHERE rk = 1
+"""
+
 ORACLES["ab_test_welch"] = """
 WITH pu AS (
   SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
@@ -9422,6 +9487,7 @@ QUERIES: dict[str, QueryFn] = {
     "ab_test_welch": q_ab_test_welch,
     "bleu_pairs": q_bleu_pairs,
     "isotonic_calibration": q_isotonic_calibration,
+    "decision_stump": q_decision_stump,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,

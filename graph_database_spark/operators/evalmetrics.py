@@ -118,6 +118,71 @@ def isotonic_fit(df: DataFrame, score_col: str, label_col) -> DataFrame:
     )
 
 
+def gini_best_splits(df: DataFrame, features: dict[str, "F.Column"], label) -> DataFrame:
+    """Exact depth-1 decision-tree training (best Gini split per feature).
+
+    For each integer feature, every distinct value is a candidate
+    threshold (split: value <= t vs > t); the chosen split minimizes the
+    weighted Gini impurity. For a binary label the weighted impurity is
+    (up to the constant 2/n) ``pos_l*neg_l/n_l + pos_r*neg_r/n_r`` — two
+    single IEEE divisions of exact integers plus one add, bit-identical
+    across engines, used ONLY for ordering (ties broken by threshold);
+    the emitted columns are pure integers.
+
+    Scale posture: one explode to (feature, value, label), one
+    combinable shuffle to distinct-value stats, then windows over the
+    bounded per-feature value universe (documented bounded-universe
+    windows). Raw rows are never joined or windowed.
+    """
+    from pyspark.sql import Window
+
+    legs = [
+        F.struct(F.lit(name).alias("feature"), expr.cast("long").alias("value"))
+        for name, expr in features.items()
+    ]
+    flat = df.select(
+        F.explode(F.array(*legs)).alias("fv"), F.col(label).cast("long").alias("y")
+    ).select("fv.feature", "fv.value", "y")
+    stats = flat.groupBy("feature", "value").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wp = Window.partitionBy("feature").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("feature")
+    pre = stats.select(
+        "feature",
+        "value",
+        F.sum("n").over(wp).alias("n_l"),
+        F.sum("pos").over(wp).alias("pos_l"),
+        F.sum("n").over(wt).alias("n_t"),
+        F.sum("pos").over(wt).alias("pos_t"),
+    ).where(F.col("n_l") < F.col("n_t"))
+    scored = pre.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        "n_l",
+        "pos_l",
+        (F.col("n_t") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_t") - F.col("pos_l")).alias("pos_r"),
+        (
+            (F.col("pos_l") * (F.col("n_l") - F.col("pos_l"))).cast("double")
+            / F.col("n_l").cast("double")
+            + (
+                (F.col("pos_t") - F.col("pos_l"))
+                * ((F.col("n_t") - F.col("n_l")) - (F.col("pos_t") - F.col("pos_l")))
+            ).cast("double")
+            / (F.col("n_t") - F.col("n_l")).cast("double")
+        ).alias("imp"),
+    )
+    wr = Window.partitionBy("feature").orderBy(F.col("imp").asc(), F.col("threshold").asc())
+    return (
+        scored.select("*", F.row_number().over(wr).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("feature", "threshold", "n_l", "pos_l", "n_r", "pos_r")
+    )
+
+
 def bleu_pairs(docs: DataFrame) -> DataFrame:
     """BLEU-4 between adjacent-id document pairs (cand d, ref d+1).
 

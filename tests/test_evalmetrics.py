@@ -83,6 +83,23 @@ def test_isotonic_already_monotone_is_identity(spark):
     assert got == {1: 0, 2: 500000, 3: 1000000}
 
 
+def test_gini_best_split_hand_case(spark):
+    from graph_database_spark.operators.evalmetrics import gini_best_splits
+
+    rows = (
+        [(1, 1)] * 2 + [(1, 0)]          # x=1: n=3 pos=2
+        + [(2, 0)] * 2                   # x=2: n=2 pos=0
+        + [(3, 1)] * 2                   # x=3: n=2 pos=2
+    )
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = gini_best_splits(df, {"x": F.col("x")}, "y").collect()
+    assert len(got) == 1
+    r = got[0]
+    # t=1: 2*1/3 + 2*2/4 = 1.667; t=2: 2*3/5 + 2*0/2 = 1.2 -> best t=2.
+    assert (r["feature"], r["threshold"]) == ("x", 2)
+    assert (r["n_l"], r["pos_l"], r["n_r"], r["pos_r"]) == (5, 2, 2, 2)
+
+
 def test_bleu_identical_pair_scores_zero_log(spark):
     text = "the red fox jumps over the lazy dog"
     df = spark.createDataFrame(
