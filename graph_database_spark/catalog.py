@@ -680,6 +680,16 @@ def q_decision_stump(spark, sf_dir):
     return gini_best_splits(li, feats, "is_ret")
 
 
+def q_rouge_l(spark, sf_dir):
+    # ROUGE-L F1 between adjacent-id doc pairs (r9): the LCS-based
+    # generation-eval companion to bleu_pairs — DP run row-locally by a
+    # JVM aggregate HOF via the prefix-max row identity; F1 = 2L/(c+r)
+    # stays a pure integer rational (operators/evalmetrics.rouge_l_pairs).
+    from graph_database_spark.operators.evalmetrics import rouge_l_pairs
+
+    return rouge_l_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_readability(spark, sf_dir):
     # Flesch-style readability (r9): vowel-group syllable proxy +
     # extraction-based counts, score in integer micro-units — the
@@ -5443,6 +5453,41 @@ SELECT b.score, b.n, b.pos, CAST(f.fit_micro AS BIGINT) AS fit_micro
 FROM bins b JOIN fit f ON f.i = b.idx
 """
 
+ORACLES["rouge_l"] = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '')[1:48] AS t
+    FROM documents
+),
+tk AS (SELECT doc_id, t, len(t) AS ln_t FROM toks WHERE len(t) >= 1),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS ta, b.t AS tb,
+           CAST(a.ln_t AS BIGINT) AS c_len, CAST(b.ln_t AS BIGINT) AS r_len
+    FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+),
+dp AS (
+    SELECT doc_a, doc_b, ta, tb, c_len, r_len, 0 AS i,
+           list_transform(generate_series(0, CAST(r_len AS INTEGER)),
+                          x -> CAST(0 AS BIGINT)) AS row
+    FROM pairs
+    UNION ALL
+    SELECT doc_a, doc_b, ta, tb, c_len, r_len, i + 1,
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, CAST(r_len AS INTEGER)), j ->
+               greatest(row[j + 1],
+                 coalesce(list_max(list_transform(generate_series(1, j), q ->
+                   CASE WHEN ta[i + 1] = tb[q] THEN row[q] + 1
+                        ELSE CAST(0 AS BIGINT) END)),
+                   CAST(0 AS BIGINT)))))
+    FROM dp WHERE i < c_len
+)
+SELECT doc_a, doc_b, c_len, r_len,
+       row[CAST(r_len AS INTEGER) + 1] AS lcs,
+       (2 * (2 * row[CAST(r_len AS INTEGER) + 1] * 1000000)
+         + (c_len + r_len)) // (2 * (c_len + r_len)) AS rouge_l_f_micro
+FROM dp WHERE i = c_len
+"""
+
 ORACLES["decision_stump"] = """
 WITH flat AS (
   SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS value,
@@ -9488,6 +9533,7 @@ QUERIES: dict[str, QueryFn] = {
     "bleu_pairs": q_bleu_pairs,
     "isotonic_calibration": q_isotonic_calibration,
     "decision_stump": q_decision_stump,
+    "rouge_l": q_rouge_l,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,

@@ -183,6 +183,70 @@ def gini_best_splits(df: DataFrame, features: dict[str, "F.Column"], label) -> D
     )
 
 
+_ROUGE_CAP = 48
+
+
+def rouge_l_pairs(docs: DataFrame, cap: int = _ROUGE_CAP) -> DataFrame:
+    """ROUGE-L F1 between adjacent-id document pairs (cand d, ref d+1).
+
+    LCS dynamic program evaluated ROW-LOCALLY by one JVM ``aggregate``
+    HOF: the i-th step rewrites the DP row with the prefix-max identity
+    ``new[j] = max(prev[j], max_{q<=j}(prev[q-1] + 1 if a_i = b_q))``
+    (valid because DP rows are non-decreasing), which needs no
+    intra-row sequential chain and mirrors 1:1 into the oracle's
+    recursive CTE. With beta = 1 the F measure collapses to the pure
+    rational 2*LCS/(c_len + r_len), so the score is an exact half-up
+    micro integer — no floats anywhere.
+
+    Sequences are truncated to ``cap`` tokens (standard eval-truncation
+    convention, applied on both engines) bounding per-pair work at
+    O(cap^3); pairs are formed by id adjacency, so the plan is linear in
+    corpus size with no cross-document joins beyond the id equi-join.
+    """
+    toks = docs.select(
+        "doc_id", F.slice(tokens(F.col("text")), 1, cap).alias("t")
+    ).where(F.size("t") >= 1)
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+    )
+    # The DP is the expensive stage; a small scan arrives as one
+    # partition and would pin it to one core (CLAUDE.md spread rule).
+    from graph_database_spark.operators.spread import spread
+
+    pairs = spread(pairs)
+    lcs = (
+        "aggregate(ta,"
+        " transform(sequence(0, size(tb)), x -> 0L),"
+        " (row, c) -> concat(array(0L), transform(sequence(1, size(tb)), j ->"
+        "   greatest(element_at(row, j + 1),"
+        "     coalesce(array_max(transform(sequence(1, j), q ->"
+        "       IF(c = element_at(tb, q), element_at(row, q) + 1, 0L))),"
+        "       0L)))),"
+        " row -> element_at(row, -1))"
+    )
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size("ta").cast("long").alias("c_len"),
+        F.size("tb").cast("long").alias("r_len"),
+        F.expr(lcs).alias("lcs"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "(2 * (2 * lcs * 1000000) + (c_len + r_len))"
+            " div (2 * (c_len + r_len))"
+        ).alias("rouge_l_f_micro"),
+    )
+
+
 def bleu_pairs(docs: DataFrame) -> DataFrame:
     """BLEU-4 between adjacent-id document pairs (cand d, ref d+1).
 

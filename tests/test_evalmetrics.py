@@ -134,6 +134,46 @@ def test_bleu_hand_computed_pair(spark):
     assert r["log_bleu_micro"] == -quarter - bp
 
 
+def test_rouge_l_hand_case(spark):
+    from graph_database_spark.operators.evalmetrics import rouge_l_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a c e b d")], "doc_id long, text string"
+    )
+    r = rouge_l_pairs(df).collect()[0]
+    # LCS([a,b,c,d,e], [a,c,e,b,d]) = 3 (a c e); F1 = 2*3/10 = 0.6.
+    assert r["lcs"] == 3
+    assert r["rouge_l_f_micro"] == 600000
+
+
+def test_rouge_l_python_dp_crosscheck(spark):
+    from graph_database_spark.operators.evalmetrics import rouge_l_pairs
+
+    a = "the red fox jumps over the lazy dog near the red barn".split()
+    b = "a lazy dog sleeps near the big red barn over the hill".split()
+
+    def lcs(x, y):
+        prev = [0] * (len(y) + 1)
+        for c in x:
+            cur = [0]
+            for j, t in enumerate(y, 1):
+                cur.append(
+                    prev[j - 1] + 1 if c == t else max(cur[-1], prev[j])
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string"
+    )
+    r = rouge_l_pairs(df).collect()[0]
+    want = lcs(a, b)
+    assert r["lcs"] == want
+    assert r["rouge_l_f_micro"] == (
+        2 * (2 * want * 1000000) + (len(a) + len(b))
+    ) // (2 * (len(a) + len(b)))
+
+
 def test_bleu_disjoint_pair_is_null(spark):
     df = spark.createDataFrame(
         [(0, "a b c d e"), (1, "v w x y z")], "doc_id long, text string"
