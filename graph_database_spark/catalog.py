@@ -690,6 +690,31 @@ def q_rouge_l(spark, sf_dir):
     return rouge_l_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_jaro_winkler(spark, sf_dir):
+    # Jaro-Winkler scoring over the record_linkage blocked pair space
+    # (r9): the prefix-weighted, transposition-tolerant second leg of
+    # the linkage family — exact integer micro scores, greedy window
+    # matching replayed by the oracle's recursive CTE
+    # (operators/linkage.with_jaro_winkler).
+    from graph_database_spark.operators.linkage import (
+        block_self_pairs,
+        with_jaro_winkler,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    pairs = block_self_pairs(names, "blk", "p_name").select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.col("a.blk").alias("blk"),
+    )
+    return with_jaro_winkler(pairs, "name_a", "name_b")
+
+
 def q_readability(spark, sf_dir):
     # Flesch-style readability (r9): vowel-group syllable proxy +
     # extraction-based counts, score in integer micro-units — the
@@ -5488,6 +5513,69 @@ SELECT doc_a, doc_b, c_len, r_len,
 FROM dp WHERE i = c_len
 """
 
+ORACLES["jaro_winkler"] = """
+WITH RECURSIVE names AS (
+    SELECT p_name,
+           list_extract(string_split(p_name, ' '),
+                        len(string_split(p_name, ' '))) AS blk
+    FROM (SELECT DISTINCT p_name FROM part)
+),
+pairs AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.blk AS blk,
+           CAST(length(a.p_name) AS INTEGER) AS l1,
+           CAST(length(b.p_name) AS INTEGER) AS l2,
+           greatest(0, greatest(length(a.p_name), length(b.p_name)) // 2 - 1)
+             AS w
+    FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+),
+pc AS (
+    SELECT *,
+           list_transform(generate_series(1, l1), i -> substr(name_a, i, 1))
+             AS c1,
+           list_transform(generate_series(1, l2), i -> substr(name_b, i, 1))
+             AS c2
+    FROM pairs
+),
+fold AS (
+    SELECT name_a, name_b, blk, l1, l2, w, c1, c2, 0 AS i,
+           CAST([] AS INTEGER[]) AS ml
+    FROM pc
+    UNION ALL
+    SELECT name_a, name_b, blk, l1, l2, w, c1, c2, i + 1,
+           CASE WHEN mt IS NULL THEN ml ELSE list_append(ml, mt) END
+    FROM (
+        SELECT *, list_min(list_filter(generate_series(1, l2), j ->
+                   j >= i + 1 - w AND j <= i + 1 + w
+                   AND c2[j] = c1[i + 1]
+                   AND NOT list_contains(ml, j))) AS mt
+        FROM fold WHERE i < l1
+    )
+),
+scored0 AS (
+    SELECT name_a, name_b, blk, l1, l2, c2, ml,
+           CAST(len(ml) AS INTEGER) AS m, list_sort(ml) AS sml
+    FROM fold WHERE i = l1
+),
+scored AS (
+    SELECT name_a, name_b, blk, l1, l2, m,
+           CAST(len(list_filter(generate_series(1, m), k ->
+                c2[ml[k]] != c2[sml[k]])) AS INTEGER) AS t,
+           CAST(len(list_filter(generate_series(1, least(4, least(l1, l2))),
+                p -> substr(name_a, 1, p) = substr(name_b, 1, p)))
+             AS INTEGER) AS lp
+    FROM scored0
+)
+SELECT name_a, name_b, blk,
+       CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
+         (2*((10 - lp)*CAST(2*m*m*l2 + 2*m*m*l1 + (2*m - t)*l1*l2 AS BIGINT)
+             + lp*CAST(6*m*l1*l2 AS BIGINT))*1000000
+          + 10*CAST(6*m*l1*l2 AS BIGINT))
+         // (2*10*CAST(6*m*l1*l2 AS BIGINT))
+       END AS jw_micro,
+       CAST(m AS BIGINT) AS jw_m, CAST(t AS BIGINT) AS jw_t
+FROM scored
+"""
+
 ORACLES["decision_stump"] = """
 WITH flat AS (
   SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS value,
@@ -9534,6 +9622,7 @@ QUERIES: dict[str, QueryFn] = {
     "isotonic_calibration": q_isotonic_calibration,
     "decision_stump": q_decision_stump,
     "rouge_l": q_rouge_l,
+    "jaro_winkler": q_jaro_winkler,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,

@@ -28,7 +28,81 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["block_self_pairs"]
+__all__ = ["block_self_pairs", "with_jaro_winkler"]
+
+
+def with_jaro_winkler(
+    df: DataFrame, s1: str, s2: str, out: str = "jw_micro"
+) -> DataFrame:
+    """Append exact integer-micro Jaro-Winkler similarity of two string
+    columns — the edit-distance family's second linkage leg (Levenshtein
+    rewards alignment, Jaro-Winkler rewards shared prefixes and tolerates
+    transpositions).
+
+    The match-window greedy assignment runs as one JVM ``aggregate`` HOF
+    (state = matched-position list, O(len^2) per pair like Levenshtein);
+    the final score is a pure rational — jaro = (2m^2·L2 + 2m^2·L1 +
+    (2m-t)·L1·L2) / (6m·L1·L2), winkler = ((10-l)·jaro + l)/10 — emitted
+    via the exact half-up integer idiom, so both engines agree
+    bit-for-bit with no floats (oracle: recursive-CTE replay of the same
+    fold, catalog.py).  ``t`` is kept as the RAW mismatched-position
+    count (= 2x transpositions), which the formula absorbs as (2m-t)/2m.
+    """
+    d = (
+        df.withColumn("_L1", F.length(s1).cast("int"))
+        .withColumn("_L2", F.length(s2).cast("int"))
+        .withColumn("_w", F.expr("greatest(0, greatest(_L1, _L2) div 2 - 1)"))
+        .withColumn(
+            "_c1", F.expr(f"transform(sequence(1, _L1), i -> substring({s1}, i, 1))")
+        )
+        .withColumn(
+            "_c2", F.expr(f"transform(sequence(1, _L2), i -> substring({s2}, i, 1))")
+        )
+    )
+    d = d.withColumn(
+        "_ml",
+        F.expr(
+            "aggregate(sequence(1, _L1), CAST(array() AS ARRAY<INT>),"
+            " (ml, i) -> concat(ml, filter(array(array_min(filter("
+            "sequence(1, _L2), j -> j >= i - _w AND j <= i + _w"
+            " AND element_at(_c2, j) = element_at(_c1, i)"
+            " AND NOT array_contains(ml, j)))), x -> x IS NOT NULL)))"
+        ),
+    )
+    d = (
+        d.withColumn("_m", F.expr("size(_ml)"))
+        .withColumn("_sml", F.expr("array_sort(_ml)"))
+        .withColumn(
+            "_t",
+            F.expr(
+                "IF(_m = 0, 0, size(filter(sequence(1, _m), k ->"
+                " element_at(_c2, element_at(_ml, k))"
+                " != element_at(_c2, element_at(_sml, k)))))"
+            ),
+        )
+        .withColumn(
+            "_l",
+            F.expr(
+                f"size(filter(sequence(1, least(4, least(_L1, _L2))),"
+                f" p -> substring({s1}, 1, p) = substring({s2}, 1, p)))"
+            ),
+        )
+    )
+    num_j = (
+        "CAST(2*_m*_m*_L2 + 2*_m*_m*_L1 + (2*_m - _t)*_L1*_L2 AS BIGINT)"
+    )
+    den_j = "CAST(6*_m*_L1*_L2 AS BIGINT)"
+    d = d.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN _m = 0 THEN CAST(0 AS BIGINT) ELSE"
+            f" (2*((10 - _l)*{num_j} + _l*{den_j})*1000000 + 10*{den_j})"
+            f" div (2*10*{den_j}) END"
+        ),
+    ).withColumn("jw_m", F.col("_m").cast("long")).withColumn(
+        "jw_t", F.col("_t").cast("long")
+    )
+    return d.drop("_L1", "_L2", "_w", "_c1", "_c2", "_ml", "_m", "_sml", "_t", "_l")
 
 
 def block_self_pairs(

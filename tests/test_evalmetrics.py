@@ -100,6 +100,54 @@ def test_gini_best_split_hand_case(spark):
     assert (r["n_l"], r["pos_l"], r["n_r"], r["pos_r"]) == (5, 2, 2, 2)
 
 
+def test_jaro_winkler_textbook_values(spark):
+    from graph_database_spark.operators.linkage import with_jaro_winkler
+
+    def ref_jw(s1, s2):
+        L1, L2 = len(s1), len(s2)
+        w = max(0, max(L1, L2) // 2 - 1)
+        ml, used = [], set()
+        for i in range(L1):
+            for j in range(max(0, i - w), min(L2, i + w + 1)):
+                if j not in used and s2[j] == s1[i]:
+                    ml.append(j)
+                    used.add(j)
+                    break
+        m = len(ml)
+        if m == 0:
+            return 0
+        t = sum(1 for a, b in zip(ml, sorted(ml)) if s2[a] != s2[b])
+        lp = 0
+        for p in range(1, min(4, L1, L2) + 1):
+            if s1[:p] == s2[:p]:
+                lp = p
+        num_j = 2 * m * m * L2 + 2 * m * m * L1 + (2 * m - t) * L1 * L2
+        den_j = 6 * m * L1 * L2
+        num_w = (10 - lp) * num_j + lp * den_j
+        den_w = 10 * den_j
+        return (2 * num_w * 1000000 + den_w) // (2 * den_w)
+
+    cases = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("abc", "xyz"),
+        ("duane", "dwayne"),
+        ("identical", "identical"),
+    ]
+    df = spark.createDataFrame(cases, "name_a string, name_b string")
+    got = {
+        (r["name_a"], r["name_b"]): r["jw_micro"]
+        for r in with_jaro_winkler(df, "name_a", "name_b").collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == ref_jw(a, b), (a, b)
+    # Spot-pin the classic published values.
+    assert got[("martha", "marhta")] == 961111
+    assert got[("abc", "xyz")] == 0
+    assert got[("identical", "identical")] == 1000000
+
+
 def test_bleu_identical_pair_scores_zero_log(spark):
     text = "the red fox jumps over the lazy dog"
     df = spark.createDataFrame(
