@@ -2055,6 +2055,16 @@ def q_random_walks(spark, sf_dir):
     return random_walks(copurchase_edges(spark, sf_dir))
 
 
+def q_node2vec_walks(spark, sf_dir):
+    # Second-order biased walks (r9): node2vec's return/BFS/DFS bias as
+    # integer weights (4, 2, 1) over the co-purchase graph — weighted
+    # md5 inverse-CDF picks, replayed hop-for-hop by the unrolled
+    # oracle (operators/walks.node2vec_walks).
+    from graph_database_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(copurchase_edges(spark, sf_dir))
+
+
 def q_token_counts_cms(spark, sf_dir):
     # Count-Min sketch, hash-verified (md5 cell family, integer
     # counters): estimates for the corpus's 20 most frequent tokens vs
@@ -6801,6 +6811,75 @@ def _build_walks_sql() -> str:
     return f"WITH {GRAPH_CTES},{ctes}\n    {union}"
 
 
+def _build_node2vec_sql(
+    num_walks: int = 32, steps: int = 8, w_ret: int = 4, w_bfs: int = 2, w_out: int = 1
+) -> str:
+    # Mirrors operators/walks.node2vec_walks: uniform first hop (the
+    # random_walks recipe), then per-step integer-weighted inverse-CDF
+    # picks r = md5_60(w|t|v) % total over the sorted neighbor list with
+    # second-order weights (return / distance-1 / outward).
+    parts = [
+        f"""
+    s0 AS (
+        SELECT v AS walk_id, 0 AS step, v AS node
+        FROM (SELECT v FROM adj ORDER BY v LIMIT {num_walks})
+    ),
+    s1 AS (
+        SELECT s.walk_id, 1 AS step,
+               a.nbrs[CAST((CAST(('0x' || substring(md5(
+                       CAST(s.walk_id AS VARCHAR) || '|1|'
+                       || CAST(s.node AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % len(a.nbrs)) + 1 AS INTEGER)] AS node,
+               s.node AS prev
+        FROM s0 s JOIN adj a ON a.v = s.node
+    )"""
+    ]
+    for t in range(2, steps + 1):
+        parts.append(
+            f""",
+    w{t} AS (
+        SELECT s.walk_id, s.node, s.prev, a.nbrs,
+               list_transform(a.nbrs, x -> CAST(
+                   CASE WHEN x = s.prev THEN {w_ret}
+                        WHEN list_contains(p.nbrs, x) THEN {w_bfs}
+                        ELSE {w_out} END AS BIGINT)) AS wl
+        FROM s{t - 1} s JOIN adj a ON a.v = s.node JOIN adj p ON p.v = s.prev
+    ),
+    r{t} AS (
+        SELECT *, CAST(('0x' || substring(md5(
+                   CAST(walk_id AS VARCHAR) || '|{t}|'
+                   || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % list_sum(wl) AS r
+        FROM w{t}
+    ),
+    s{t} AS (
+        SELECT walk_id, step, nd AS node, prev FROM (
+            SELECT walk_id, {t} AS step,
+                   nbrs[CAST(list_min(list_filter(
+                       generate_series(1, len(wl)),
+                       i -> list_sum(wl[1:i]) > r)) AS INTEGER)] AS nd,
+                   node AS prev
+            FROM r{t}
+        )
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        ["SELECT walk_id, step, node FROM s0",
+         "SELECT walk_id, step, node FROM s1"]
+        + [f"SELECT walk_id, step, node FROM s{t}" for t in range(2, steps + 1)]
+    )
+    body = "".join(parts)
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        "    adj AS MATERIALIZED (\n"
+        "        SELECT v, list_sort(list(n)) AS nbrs FROM sym GROUP BY v\n"
+        f"    ),{body}\n    {union}"
+    )
+
+
+ORACLES["node2vec_walks"] = _build_node2vec_sql()
+
+
 def _build_skipgrams_sql() -> str:
     ctes, union = _walks_ctes()
     return f"""WITH {GRAPH_CTES},{ctes},
@@ -9705,6 +9784,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_heavy_hitters": q_token_heavy_hitters,
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "random_walks": q_random_walks,
+    "node2vec_walks": q_node2vec_walks,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,

@@ -29,7 +29,126 @@ from graph_database_spark.operators.fixpoint import materialize
 from graph_database_spark.operators.sketches import md5_hash60
 from graph_database_spark.plans.copurchase import symmetrize
 
-__all__ = ["random_walks"]
+__all__ = ["random_walks", "node2vec_walks"]
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    num_walks: int = 32,
+    steps: int = 8,
+    w_ret: int = 4,
+    w_bfs: int = 2,
+    w_out: int = 1,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016,
+    KDD) with INTEGER bias weights: a neighbor x of the current vertex v
+    (having arrived from u) weighs ``w_ret`` if x = u (return), ``w_bfs``
+    if x is also a neighbor of u (distance-1, BFS-ish), else ``w_out``
+    (DFS-ish) — the defaults (4, 2, 1) encode return p = 1/2, in-out
+    q = 2 relative to the standard alpha = (1/p, 1, 1/q).
+
+    The weighted pick stays deterministic and oracle-replayable: r =
+    md5_hash60(w|t|v) mod total_weight, choose the first neighbor whose
+    integer prefix-weight exceeds r (exact cumulative inverse-CDF over
+    the SORTED neighbor list — the md5 discipline of random_walks with a
+    weighted instead of uniform CDF). Step 1 has no predecessor and is
+    the uniform random_walks transition.
+
+    Plan: each step is the frontier equi-joined against adjacency TWICE
+    (current vertex and predecessor) — neighbor arrays ride the build
+    side per step and are never carried in walk state (array payloads
+    don't shuffle with the frontier; CLAUDE.md discipline). The
+    distance-1 test is an array_contains over the predecessor's sorted
+    neighbors: O(deg_v * deg_u) per step-vertex, the documented cost of
+    second-order walks.
+    """
+    sym = symmetrize(edges)
+    adj = materialize(
+        sym.groupBy(F.col("v")).agg(
+            F.sort_array(F.collect_list("n")).alias("nbrs")
+        )
+    )
+    starts = (
+        adj.select(F.col("v").alias("walk_id"))
+        .orderBy("walk_id")
+        .limit(num_walks)
+    )
+    s0 = materialize(
+        starts.select(
+            "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
+        )
+    )
+    idx1 = md5_hash60(
+        F.concat_ws(
+            "|",
+            F.col("walk_id").cast("string"),
+            F.lit("1"),
+            F.col("node").cast("string"),
+        )
+    ) % F.size("nbrs")
+    state = materialize(
+        s0.join(adj, s0.node == adj.v).select(
+            "walk_id",
+            F.lit(1).alias("step"),
+            F.element_at("nbrs", (idx1 + F.lit(1)).cast("int")).alias("node"),
+            F.col("node").alias("prev"),
+        )
+    )
+    out = [s0, state.select("walk_id", "step", "node")]
+    for t in range(2, steps + 1):
+        j = (
+            state.alias("s")
+            .join(adj.alias("av"), F.col("s.node") == F.col("av.v"))
+            .join(adj.alias("ap"), F.col("s.prev") == F.col("ap.v"))
+            .select(
+                F.col("s.walk_id").alias("walk_id"),
+                F.col("s.node").alias("node"),
+                F.col("s.prev").alias("prev"),
+                F.col("av.nbrs").alias("nbrs"),
+                F.col("ap.nbrs").alias("pn"),
+            )
+            .withColumn(
+                "wl",
+                F.expr(
+                    f"transform(nbrs, x -> CAST(CASE WHEN x = prev THEN {w_ret}"
+                    f" WHEN array_contains(pn, x) THEN {w_bfs}"
+                    f" ELSE {w_out} END AS BIGINT))"
+                ),
+            )
+            .withColumn(
+                "r",
+                md5_hash60(
+                    F.concat_ws(
+                        "|",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                    )
+                )
+                % F.expr("aggregate(wl, CAST(0 AS BIGINT), (a, x) -> a + x)"),
+            )
+            .withColumn(
+                "idx",
+                F.expr(
+                    "array_min(filter(sequence(1, size(wl)), i ->"
+                    " aggregate(slice(wl, 1, i), CAST(0 AS BIGINT),"
+                    " (a, x) -> a + x) > r))"
+                ),
+            )
+        )
+        state = materialize(
+            j.select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.expr("element_at(nbrs, CAST(idx AS INT))").alias("node"),
+                F.col("node").alias("prev"),
+            )
+        )
+        out.append(state.select("walk_id", "step", "node"))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res
 
 
 def random_walks(

@@ -27,6 +27,56 @@ def test_walks_follow_edges_and_are_deterministic(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_node2vec_walks_follow_edges_and_replay_python(spark):
+    """Pin the biased walk against an independent pure-Python replay of
+    the same weighted md5 inverse-CDF recipe."""
+    import hashlib
+
+    from graph_database_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    adj = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbrs = {v: sorted(ns) for v, ns in adj.items()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replay(wid, steps):
+        path = [wid]
+        node = wid
+        node = nbrs[node][h60(f"{wid}|1|{node}") % len(nbrs[node])]
+        path.append(node)
+        for t in range(2, steps + 1):
+            prev = path[-2]
+            wl = [
+                4 if x == prev else (2 if x in adj[prev] else 1)
+                for x in nbrs[node]
+            ]
+            r = h60(f"{wid}|{t}|{node}") % sum(wl)
+            acc = 0
+            for x, w in zip(nbrs[node], wl):
+                acc += w
+                if acc > r:
+                    node = x
+                    break
+            path.append(node)
+        return path
+
+    rows = node2vec_walks(df, num_walks=3, steps=5).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert set(walks) == {1, 2, 3}
+    for wid, path in walks.items():
+        got = [path[t] for t in range(6)]
+        assert got == replay(wid, 5), wid
+        for t in range(1, 6):
+            assert path[t] in adj[path[t - 1]]
+
+
 def test_luby_mis_independent_and_maximal(spark):
     from graph_database_spark.operators.mis import luby_mis
 
