@@ -2065,6 +2065,38 @@ def q_node2vec_walks(spark, sf_dir):
     return node2vec_walks(copurchase_edges(spark, sf_dir))
 
 
+def q_textrank_keywords(spark, sf_dir):
+    # TextRank (r9): quantized PageRank over the adjacent-token
+    # co-occurrence graph — keyword salience as graph centrality
+    # (Mihalcea & Tarau 2004), composing the hash-verified
+    # pagerank_quantized machinery over a text-derived edge set.
+    from graph_database_spark.operators.pagerank import pagerank_quantized
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(t) - 1), i ->"
+                " struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)),"
+                " p -> p.a != p.b)"
+            )
+        ).alias("p")
+    )
+    edges = (
+        bi.select(
+            F.least("p.a", "p.b").alias("src"),
+            F.greatest("p.a", "p.b").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank_quantized(edges, weight_col="w")
+
+
 def q_token_counts_cms(spark, sf_dir):
     # Count-Min sketch, hash-verified (md5 cell family, integer
     # counters): estimates for the corpus's 20 most frequent tokens vs
@@ -6119,14 +6151,21 @@ def _build_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
 
 
 def _build_pagerank_q_sql(
-    iters: int = 10, weighted: bool = False, personalized: bool = False
+    iters: int = 10,
+    weighted: bool = False,
+    personalized: bool = False,
+    graph_sql: str | None = None,
 ) -> str:
     # Unrolled fixed-iteration PageRank: one (messages, ranks) CTE pair
     # per round, mirroring pagerank_quantized's expression trees
     # operand-for-operand (see that docstring for why this hash-matches).
     # ``weighted``: co-purchase tie-strength weights — integer counts, so
     # strength sums and ratio*weight messages stay exact.
-    if weighted:
+    # ``graph_sql``: a caller-supplied CTE chain defining symw(v, n, w)
+    # replaces the co-purchase prelude entirely (textrank's word graph).
+    if graph_sql is not None:
+        sym_cte = ""
+    elif weighted:
         sym_cte = """
     we AS (
         SELECT a.c AS src, b.c AS dst, count(*) AS w
@@ -6185,11 +6224,35 @@ def _build_pagerank_q_sql(
         FROM symw s JOIN m{k} m ON m.id = s.v JOIN prefs pf ON pf.id = s.n
         GROUP BY s.n, pf.pref
     )""")
+    prelude = GRAPH_CTES if graph_sql is None else graph_sql
     return (
-        f"WITH {GRAPH_CTES},{''.join(parts)}\n"
+        f"WITH {prelude},{''.join(parts)}\n"
         f"    SELECT id, r AS rank_nano FROM r{iters}"
     )
 
+
+_TEXTRANK_GRAPH = f"""
+    toks AS (
+        SELECT list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT t[g.i] AS a, t[g.i + 1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2 AND t[g.i] != t[g.i + 1]
+    ),
+    wedges AS (
+        SELECT least(a, b) AS src, greatest(a, b) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM bi GROUP BY 1, 2
+    ),
+    symw AS (
+        SELECT src AS v, dst AS n, w FROM wedges
+        UNION ALL
+        SELECT dst AS v, src AS n, w FROM wedges
+    )"""
+
+ORACLES["textrank_keywords"] = _build_pagerank_q_sql(graph_sql=_TEXTRANK_GRAPH)
 
 _RETRIEVAL_TERMS = f"""
     terms AS (
@@ -9785,6 +9848,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_weighted_quantized": q_pagerank_weighted_quantized,
     "random_walks": q_random_walks,
     "node2vec_walks": q_node2vec_walks,
+    "textrank_keywords": q_textrank_keywords,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
