@@ -690,6 +690,83 @@ def q_rouge_l(spark, sf_dir):
     return rouge_l_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Candidate key columns for inclusion-dependency discovery: one list
+# drives BOTH engines (q_inclusion_deps and its oracle below).
+_IND_COLS = [
+    ("nation", "n_nationkey"),
+    ("region", "r_regionkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("part", "p_partkey"),
+]
+
+
+def q_inclusion_deps(spark, sf_dir):
+    # Inclusion-dependency discovery (r9): which key columns' value sets
+    # are subsets of which — FK DISCOVERY, the profiling complement to
+    # fk_integrity's declared-FK audit. SINDY-style single-pass design
+    # (Kruse et al., BTW 2015): distinct (column, value) pairs, ONE
+    # shuffle grouping by value to collect the column set containing it,
+    # then a c^2-bounded row-local expansion v -> (a in S, b not in S)
+    # counts the violations of every ordered pair at once — NO pairwise
+    # anti-joins (c^2 joins at 100 TB), and the value shuffle is the
+    # same one a single dedup pass pays.
+    legs = [
+        load_table(spark, sf_dir, t).select(
+            F.lit(f"{t}.{c}").alias("col"), F.col(c).cast("long").alias("val")
+        )
+        for t, c in _IND_COLS
+    ]
+    flat = reduce(lambda a, b: a.unionByName(b), legs).distinct()
+    all_cols = ", ".join(f"'{t}.{c}'" for t, c in _IND_COLS)
+    per_val = flat.groupBy("val").agg(F.collect_set("col").alias("s"))
+    miss = (
+        per_val.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(s, a -> transform("
+                    f"filter(array({all_cols}), b -> NOT array_contains(s, b)),"
+                    f" b -> struct(a AS a, b AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("col_a"), F.col("p.b").alias("col_b"))
+        .agg(F.count("*").alias("n_missing"))
+    )
+    sizes = flat.groupBy(F.col("col").alias("col_a")).agg(
+        F.count("*").alias("n_a")
+    )
+    cols_df = spark.createDataFrame(
+        [(f"{t}.{c}",) for t, c in _IND_COLS], "c string"
+    )
+    # Broadcast both tiny literal sides: a plain crossJoin of two
+    # parallelized frames plans as a 32x32-partition CartesianProduct.
+    pairs = (
+        cols_df.select(F.col("c").alias("col_a"))
+        .crossJoin(F.broadcast(cols_df.select(F.col("c").alias("col_b"))))
+        .where(F.col("col_a") != F.col("col_b"))
+    )
+    return (
+        sizes.join(F.broadcast(pairs), "col_a")
+        .join(miss, ["col_a", "col_b"], "left")
+        .select(
+            "col_a",
+            "col_b",
+            "n_a",
+            F.coalesce("n_missing", F.lit(0).cast("long")).alias("n_missing"),
+            (F.coalesce("n_missing", F.lit(0)) == 0).alias("included"),
+        )
+    )
+
+
 def q_jaro_winkler(spark, sf_dir):
     # Jaro-Winkler scoring over the record_linkage blocked pair space
     # (r9): the prefix-weighted, transposition-tolerant second leg of
@@ -5618,6 +5695,46 @@ SELECT name_a, name_b, blk,
 FROM scored
 """
 
+def _build_inclusion_sql() -> str:
+    # Mirrors q_inclusion_deps (SINDY single-pass; _IND_COLS is the
+    # shared column list).
+    legs = "\n            UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS val FROM {t}"
+        for t, c in _IND_COLS
+    )
+    all_list = ", ".join(f"'{t}.{c}'" for t, c in _IND_COLS)
+    cols_vals = ", ".join(f"('{t}.{c}')" for t, c in _IND_COLS)
+    return f"""
+    WITH flat AS (SELECT DISTINCT * FROM ({legs})),
+    per_val AS (SELECT val, list(DISTINCT col) AS s FROM flat GROUP BY 1),
+    miss0 AS (
+        SELECT unnest(flatten(list_transform(s, a -> list_transform(
+                 list_filter([{all_list}], b -> NOT list_contains(s, b)),
+                 b -> {{'a': a, 'b': b}})))) AS p
+        FROM per_val
+    ),
+    miss AS (
+        SELECT p.a AS col_a, p.b AS col_b, CAST(count(*) AS BIGINT) AS n_missing
+        FROM miss0 GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT col AS col_a, CAST(count(*) AS BIGINT) AS n_a
+        FROM flat GROUP BY 1
+    ),
+    cols AS (SELECT * FROM (VALUES {cols_vals}) AS t(c)),
+    pairs AS (
+        SELECT a.c AS col_a, b.c AS col_b FROM cols a, cols b WHERE a.c != b.c
+    )
+    SELECT p.col_a, p.col_b, s.n_a,
+           CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+           coalesce(m.n_missing, 0) = 0 AS included
+    FROM pairs p JOIN sizes s ON s.col_a = p.col_a
+    LEFT JOIN miss m ON m.col_a = p.col_a AND m.col_b = p.col_b
+"""
+
+
+ORACLES["inclusion_deps"] = _build_inclusion_sql()
+
 ORACLES["decision_stump"] = """
 WITH flat AS (
   SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS value,
@@ -9765,6 +9882,7 @@ QUERIES: dict[str, QueryFn] = {
     "decision_stump": q_decision_stump,
     "rouge_l": q_rouge_l,
     "jaro_winkler": q_jaro_winkler,
+    "inclusion_deps": q_inclusion_deps,
     "fd_violations": q_fd_violations,
     "purchase_attribution": q_purchase_attribution,
     "shipping_priority": q_shipping_priority,
