@@ -2142,6 +2142,63 @@ def q_node2vec_walks(spark, sf_dir):
     return node2vec_walks(copurchase_edges(spark, sf_dir))
 
 
+# Dunning LLR contingency cells — syntax is valid in BOTH engines, so
+# one generated expression feeds q_collocations_llr and its oracle.
+_LLR_TERM = (
+    "(CASE WHEN {k} = 0 THEN CAST(0 AS BIGINT) ELSE"
+    " {k} * CAST(round(ln(CAST({k} * nn AS DOUBLE)"
+    " / CAST({r} * {c} AS DOUBLE)) * CAST(1000000 AS DOUBLE), 0)"
+    " AS BIGINT) END)"
+)
+_LLR_CELLS = [
+    ("k11", "ra", "cb"),
+    ("(ra - k11)", "ra", "(nn - cb)"),
+    ("(cb - k11)", "(nn - ra)", "cb"),
+    ("(nn - ra - cb + k11)", "(nn - ra)", "(nn - cb)"),
+]
+_LLR_EXPR = " + ".join(
+    _LLR_TERM.format(k=kk, r=rr, c=cc) for kk, rr, cc in _LLR_CELLS
+)
+
+
+def q_collocations_llr(spark, sf_dir):
+    # Dunning log-likelihood-ratio collocations (r9): the
+    # contingency-table test that beats PMI on rare bigrams
+    # (Dunning 1993) — 2*sum k_ij * ln(k_ij*N / (row_i*col_j)) over the
+    # adjacent-bigram table, each ln micro-snapped BEFORE the integer
+    # k_ij multiply and sum (the micro-unit rule), marginals via two
+    # bounded-universe joins. k11 >= 5 support cut.
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i ->"
+                " struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    k = bi.groupBy("a", "b").agg(F.count("*").alias("k11")).localCheckpoint()
+    row = k.groupBy("a").agg(F.sum("k11").alias("ra"))
+    col = k.groupBy("b").agg(F.sum("k11").alias("cb"))
+    n = k.agg(F.sum("k11").alias("nn"))
+    j = (
+        k.join(row, "a")
+        .join(col, "b")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("k11") >= 5)
+    )
+    return j.select(
+        "a",
+        "b",
+        "k11",
+        F.expr(f"2 * ({_LLR_EXPR})").alias("llr2_micro"),
+    )
+
+
 def q_textrank_keywords(spark, sf_dir):
     # TextRank (r9): quantized PageRank over the adjacent-token
     # co-occurrence graph — keyword salience as graph centrality
@@ -6371,6 +6428,25 @@ _TEXTRANK_GRAPH = f"""
 
 ORACLES["textrank_keywords"] = _build_pagerank_q_sql(graph_sql=_TEXTRANK_GRAPH)
 
+ORACLES["collocations_llr"] = f"""
+WITH toks AS (
+    SELECT list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '') AS t
+    FROM documents
+),
+bi AS (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2)
+),
+k AS (SELECT a, b, CAST(count(*) AS BIGINT) AS k11 FROM bi GROUP BY 1, 2),
+row_m AS (SELECT a, CAST(sum(k11) AS BIGINT) AS ra FROM k GROUP BY 1),
+col_m AS (SELECT b, CAST(sum(k11) AS BIGINT) AS cb FROM k GROUP BY 1),
+nt AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM k)
+SELECT a, b, k11, 2 * ({_LLR_EXPR}) AS llr2_micro
+FROM k JOIN row_m USING (a) JOIN col_m USING (b) CROSS JOIN nt
+WHERE k11 >= 5
+"""
+
 _RETRIEVAL_TERMS = f"""
     terms AS (
         SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
@@ -9967,6 +10043,7 @@ QUERIES: dict[str, QueryFn] = {
     "random_walks": q_random_walks,
     "node2vec_walks": q_node2vec_walks,
     "textrank_keywords": q_textrank_keywords,
+    "collocations_llr": q_collocations_llr,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
