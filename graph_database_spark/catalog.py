@@ -2161,6 +2161,34 @@ _LLR_EXPR = " + ".join(
 )
 
 
+def q_dedup_survivorship(spark, sf_dir):
+    # Quality-aware survivorship (r9): near-dup clusters (exact n-gram
+    # Jaccard pairs -> connected components) each elect the HIGHEST-
+    # QUALITY member as canonical — the "which copy do we train on"
+    # decision, composing the dedup, components, and quality machinery.
+    # Ordering by the hash-verified round-6 quality (+ doc_id tiebreak)
+    # is cross-engine deterministic; the rank window runs inside
+    # bounded dup groups.
+    from graph_database_spark.operators.components import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_exact_pairs(docs).select("id_a", "id_b")
+    groups = dedup_groups(pairs).select(
+        F.col("id").alias("doc_id"), F.col("keep_id").alias("group_id")
+    )
+    q = T.quality_score(docs).select("doc_id", "quality")
+    j = groups.join(q, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "group_id",
+        "quality",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )
+
+
 def q_collocations_llr(spark, sf_dir):
     # Dunning log-likelihood-ratio collocations (r9): the
     # contingency-table test that beats PMI on rare bigrams
@@ -6428,6 +6456,50 @@ _TEXTRANK_GRAPH = f"""
 
 ORACLES["textrank_keywords"] = _build_pagerank_q_sql(graph_sql=_TEXTRANK_GRAPH)
 
+ORACLES["dedup_survivorship"] = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= CAST(0.5 AS DOUBLE)
+),
+sym2 AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT DISTINCT a, a FROM sym2
+    UNION
+    SELECT s.b, reach.r FROM reach JOIN sym2 s ON s.a = reach.id
+),
+groups AS (
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+    FROM reach GROUP BY id
+),
+qual AS ({_build_quality_sql()})
+SELECT g.doc_id, g.group_id, q.quality,
+       CAST(CASE WHEN row_number() OVER (
+                PARTITION BY g.group_id
+                ORDER BY q.quality DESC, g.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+FROM groups g JOIN qual q ON q.doc_id = g.doc_id
+"""
+
 ORACLES["collocations_llr"] = f"""
 WITH toks AS (
     SELECT list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '') AS t
@@ -10044,6 +10116,7 @@ QUERIES: dict[str, QueryFn] = {
     "node2vec_walks": q_node2vec_walks,
     "textrank_keywords": q_textrank_keywords,
     "collocations_llr": q_collocations_llr,
+    "dedup_survivorship": q_dedup_survivorship,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
