@@ -2189,6 +2189,17 @@ def q_dedup_survivorship(spark, sf_dir):
     )
 
 
+def q_max_cover_seeds(spark, sf_dir):
+    # Greedy max-coverage seeds (r9): the influence-maximization /
+    # facility-placement primitive — k=5 deterministic greedy picks of
+    # closed neighborhoods over the co-purchase graph, replayed
+    # round-for-round by the unrolled oracle
+    # (operators/cover.max_cover_seeds).
+    from graph_database_spark.operators.cover import max_cover_seeds
+
+    return max_cover_seeds(copurchase_edges(spark, sf_dir), k=5)
+
+
 def q_collocations_llr(spark, sf_dir):
     # Dunning log-likelihood-ratio collocations (r9): the
     # contingency-table test that beats PMI on rare bigrams
@@ -6456,6 +6467,43 @@ _TEXTRANK_GRAPH = f"""
 
 ORACLES["textrank_keywords"] = _build_pagerank_q_sql(graph_sql=_TEXTRANK_GRAPH)
 
+def _build_max_cover_sql(k: int = 5) -> str:
+    # Mirrors operators/cover.max_cover_seeds: unrolled greedy rounds,
+    # ties on the smallest vertex id.
+    parts = [
+        """
+    nbhd AS MATERIALIZED (
+        SELECT v, n FROM sym
+        UNION ALL
+        SELECT DISTINCT v, v FROM sym
+    ),
+    c0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    g{r} AS (
+        SELECT nb.v, CAST(count(*) AS BIGINT) AS g
+        FROM nbhd nb
+        WHERE NOT EXISTS (SELECT 1 FROM c{r - 1} c WHERE c.id = nb.n)
+        GROUP BY 1 HAVING count(*) >= 1
+    ),
+    p{r} AS (SELECT v, g FROM g{r} ORDER BY g DESC, v ASC LIMIT 1),
+    c{r} AS MATERIALIZED (
+        SELECT id FROM c{r - 1}
+        UNION
+        SELECT nb.n AS id FROM nbhd nb JOIN p{r} ON p{r}.v = nb.v
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS seed_rank, v AS seed, g AS gain FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {GRAPH_CTES},{''.join(parts)}\n    {union}"
+
+
+ORACLES["max_cover_seeds"] = _build_max_cover_sql()
+
 ORACLES["dedup_survivorship"] = f"""
 WITH RECURSIVE toks AS (
     SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
@@ -10117,6 +10165,7 @@ QUERIES: dict[str, QueryFn] = {
     "textrank_keywords": q_textrank_keywords,
     "collocations_llr": q_collocations_llr,
     "dedup_survivorship": q_dedup_survivorship,
+    "max_cover_seeds": q_max_cover_seeds,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,

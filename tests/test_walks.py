@@ -77,6 +77,21 @@ def test_node2vec_walks_follow_edges_and_replay_python(spark):
             assert path[t] in adj[path[t - 1]]
 
 
+def test_max_cover_greedy_hand_case(spark):
+    from graph_database_spark.operators.cover import max_cover_seeds
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "src long, dst long"
+    )
+    rows = sorted(
+        (r["seed_rank"], r["seed"], r["gain"])
+        for r in max_cover_seeds(df, k=3).collect()
+    )
+    # Round 1: N[1] covers {1,2,3,4} (gain 4). Round 2: tie between 5
+    # and 6 (gain 2) -> smallest id. Round 3: nothing left uncovered.
+    assert rows == [(1, 1, 4), (2, 5, 2)]
+
+
 def test_luby_mis_independent_and_maximal(spark):
     from graph_database_spark.operators.mis import luby_mis
 
