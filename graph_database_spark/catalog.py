@@ -2189,6 +2189,123 @@ def q_dedup_survivorship(spark, sf_dir):
     )
 
 
+# Wald SPRT constants for H0 p=0.04 vs H1 p=0.05, alpha=beta=0.05 —
+# precomputed micro-unit literals shared by both engines, so the whole
+# monitor is pure integer arithmetic at runtime.
+_SPRT_C1 = 223144   # round(ln(p1/p0) * 1e6)
+_SPRT_C2 = -10471   # round(ln((1-p1)/(1-p0)) * 1e6)
+_SPRT_A = 2944439   # upper boundary ln((1-beta)/alpha) * 1e6
+_SPRT_B = -2944439  # lower boundary ln(beta/(1-alpha)) * 1e6
+
+
+def q_f2_ams(spark, sf_dir):
+    # AMS second-frequency-moment sketch (r9): 16 estimators, each the
+    # SQUARE of a +/-1-signed sum of token frequencies (signs from the
+    # md5 cell family) — the self-join-size / skew statistic in O(k)
+    # mergeable state (Alon-Matias-Szegedy 1996). Exact F2 rides along
+    # for the estimator-quality readout; everything is BIGINT (token
+    # counts and signed sums; at corpus scales where Z^2 nears 2^63 the
+    # estimators shard into more, narrower cells).
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count("*").alias("f")).localCheckpoint()
+    exact = freq.agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
+    byj = (
+        freq.select(
+            "t",
+            "f",
+            F.explode(F.expr("sequence(0, 15)")).alias("j"),
+        )
+        .select(
+            "j",
+            (
+                (
+                    F.conv(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit("ams"), F.col("j").cast("string"), F.col("t")
+                            )
+                        ).substr(1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias("sign"),
+            "f",
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("sign") * F.col("f")).alias("z"))
+    )
+    return byj.crossJoin(F.broadcast(exact)).select(
+        F.col("j").cast("long").alias("j"),
+        "z",
+        (F.col("z") * F.col("z")).alias("est"),
+        "exact_f2",
+    )
+
+
+def q_sprt_monitor(spark, sf_dir):
+    # Wald sequential probability-ratio test (r9): the always-valid
+    # A/B monitor — users enter in (first_ts, user_id) order, each
+    # contributes a CONSTANT micro-unit log-likelihood increment
+    # (success c1, failure c2), and the cumulative LLR path plus
+    # boundary decisions are exact integers. The per-arm running sums
+    # are distributed via rank.global_rank / global_prefix_sum (no
+    # unpartitioned windows; an arm's user stream is unbounded at
+    # 100 TB).
+    from graph_database_spark.operators.rank import global_prefix_sum, global_rank
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("succ"),
+    ).select(
+        "user_id",
+        "t0",
+        "succ",
+        (
+            F.conv(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string")))
+                .substr(1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    out = None
+    for arm in (0, 1):
+        part = users.where(F.col("arm") == arm)
+        part = global_rank(part, ["t0", "user_id"], out_col="idx")
+        part = global_prefix_sum(part, ["t0", "user_id"], "succ", out_col="ks")
+        row = part.select(
+            F.lit(arm).cast("long").alias("arm"),
+            "user_id",
+            "idx",
+            "ks",
+            (
+                F.col("ks") * F.lit(_SPRT_C1)
+                + (F.col("idx") - F.col("ks")) * F.lit(_SPRT_C2)
+            ).alias("llr_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "arm",
+        "user_id",
+        "idx",
+        "ks",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= _SPRT_A, F.lit("reject_h0"))
+        .when(F.col("llr_micro") <= _SPRT_B, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
 def q_max_cover_seeds(spark, sf_dir):
     # Greedy max-coverage seeds (r9): the influence-maximization /
     # facility-placement primitive — k=5 deterministic greedy picks of
@@ -6504,6 +6621,50 @@ def _build_max_cover_sql(k: int = 5) -> str:
 
 ORACLES["max_cover_seeds"] = _build_max_cover_sql()
 
+ORACLES["f2_ams"] = f"""
+WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM freq),
+byj AS (
+    SELECT j, CAST(sum(((CAST(('0x' || substring(md5(
+               'ams|' || CAST(j AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT)
+               % 2) * 2 - 1) * f) AS BIGINT) AS z
+    FROM freq, (SELECT unnest(generate_series(0, 15)) AS j)
+    GROUP BY 1
+)
+SELECT CAST(j AS BIGINT) AS j, z, z * z AS est, exact_f2
+FROM byj CROSS JOIN exact
+"""
+
+ORACLES["sprt_monitor"] = f"""
+WITH users AS (
+  SELECT user_id, min(ts) AS t0,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS succ,
+         (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 2) AS arm
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT arm, user_id,
+         CAST(row_number() OVER (
+             PARTITION BY arm ORDER BY t0, user_id) AS BIGINT) AS idx,
+         CAST(sum(succ) OVER (
+             PARTITION BY arm ORDER BY t0, user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ks
+  FROM users
+)
+SELECT CAST(arm AS BIGINT) AS arm, user_id, idx, ks,
+       ks * {_SPRT_C1} + (idx - ks) * ({_SPRT_C2}) AS llr_micro,
+       CASE WHEN ks * {_SPRT_C1} + (idx - ks) * ({_SPRT_C2}) >= {_SPRT_A}
+              THEN 'reject_h0'
+            WHEN ks * {_SPRT_C1} + (idx - ks) * ({_SPRT_C2}) <= {_SPRT_B}
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM ranked
+"""
+
 ORACLES["dedup_survivorship"] = f"""
 WITH RECURSIVE toks AS (
     SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
@@ -10166,6 +10327,8 @@ QUERIES: dict[str, QueryFn] = {
     "collocations_llr": q_collocations_llr,
     "dedup_survivorship": q_dedup_survivorship,
     "max_cover_seeds": q_max_cover_seeds,
+    "sprt_monitor": q_sprt_monitor,
+    "f2_ams": q_f2_ams,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
