@@ -976,6 +976,151 @@ def q_purchase_attribution(spark, sf_dir):
     )
 
 
+def q_diff_in_diff(spark, sf_dir):
+    # Difference-in-differences (r9): md5 arms x before/after the exact
+    # corpus time midpoint — the causal 2x2 next to ab_test_welch.
+    # Per-user purchase cents per period, each cell mean snapped to
+    # half-up micro-cents, DiD = (m11-m10) - (m01-m00) in pure BIGINTs.
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") >= F.expr("(lo + hi) div 2"))
+            .cast("long")
+            .alias("period"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "period")
+        .agg(F.sum("cents").alias("cents"))
+        .select(
+            (
+                F.conv(
+                    F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string")))
+                    .substr(1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "period",
+            "cents",
+        )
+    )
+    g = pu.groupBy("arm", "period").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    cells = g.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == a) & (F.col("period") == p), F.col(c)
+                )
+            ).alias(f"{c}{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s")
+        ]
+    )
+    micro = "((2 * s{a}{p} * 1000000 + n{a}{p}) div (2 * n{a}{p}))"
+    m = {f"m{a}{p}": micro.format(a=a, p=p) for a in (0, 1) for p in (0, 1)}
+    return cells.select(
+        "n00",
+        "s00",
+        "n01",
+        "s01",
+        "n10",
+        "s10",
+        "n11",
+        "s11",
+        F.expr(
+            f"({m['m11']} - {m['m10']}) - ({m['m01']} - {m['m00']})"
+        ).alias("did_micro"),
+    )
+
+
+def q_position_attribution(spark, sf_dir):
+    # U-shaped multi-touch attribution (r9): each purchase's journey
+    # (the events since the user's previous purchase) splits credit
+    # 40/20/40 across first / middles / last touch — the position-based
+    # model next to purchase_attribution's last-touch. Journeys are
+    # delimited with one per-user prefix count of purchases; every
+    # per-touch credit is an exact half-up micro-cent integer division,
+    # so the rollup is BIGINT-exact on both engines. Touchless
+    # purchases credit 'none'.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn(
+        "jny",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint()
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "jny", "cents"
+    )
+    wj = Window.partitionBy("user_id", "jny").orderBy("ts", "event_id")
+    wjd = Window.partitionBy("user_id", "jny").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "jny",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(wj).alias("ra"),
+            F.row_number().over(wjd).alias("rd"),
+            F.count("*").over(Window.partitionBy("user_id", "jny")).alias("n"),
+        )
+    )
+    credited = touches.join(purchases, ["user_id", "jny"]).select(
+        "channel",
+        F.expr(
+            "CASE"
+            " WHEN n = 1 THEN cents * 1000000"
+            " WHEN n = 2 THEN (2 * cents * 1000000 + 2) div (2 * 2)"
+            " WHEN ra = 1 OR rd = 1 THEN"
+            "   (2 * cents * 1000000 * 2 + 5) div (2 * 5)"
+            " ELSE (2 * cents * 1000000 + 5 * (n - 2)) div (2 * 5 * (n - 2))"
+            " END"
+        ).alias("credit"),
+    )
+    none_credit = (
+        purchases.join(
+            touches.select("user_id", "jny").distinct(),
+            ["user_id", "jny"],
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("channel"),
+            (F.col("cents") * 1000000).alias("credit"),
+        )
+    )
+    return (
+        credited.unionByName(none_credit)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("credit").alias("credit_micro_cents"),
+        )
+    )
+
+
 def q_events_ohlc(spark, sf_dir):
     # Daily OHLC bars (r9): the financial rollup family's missing
     # member next to TWAP/resample — open/close are (ts, event_id)
@@ -6621,6 +6766,96 @@ def _build_max_cover_sql(k: int = 5) -> str:
 
 ORACLES["max_cover_seeds"] = _build_max_cover_sql()
 
+def _build_did_sql() -> str:
+    micro = "((2 * s{a}{p} * 1000000 + n{a}{p}) // (2 * n{a}{p}))"
+    m = {f"m{a}{p}": micro.format(a=a, p=p) for a in (0, 1) for p in (0, 1)}
+    cell_cols = ",\n         ".join(
+        f"CAST(max(CASE WHEN arm = {a} AND period = {p} THEN {c} END)"
+        f" AS BIGINT) AS {c}{a}{p}"
+        for a in (0, 1)
+        for p in (0, 1)
+        for c in ("n", "s")
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+pu AS (
+  SELECT (CAST(('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 2) AS arm,
+         period, sum(cents) AS cents
+  FROM (
+    SELECT user_id,
+           CAST(epoch_us(ts) >= (lo + hi) // 2 AS BIGINT) AS period,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events CROSS JOIN bounds
+    WHERE event_type = 'purchase'
+  ) GROUP BY user_id, period
+),
+g AS (
+  SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM pu GROUP BY 1, 2
+),
+cells AS (
+  SELECT {cell_cols}
+  FROM g
+)
+SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+       ({m['m11']} - {m['m10']}) - ({m['m01']} - {m['m00']}) AS did_micro
+FROM cells
+"""
+
+
+ORACLES["diff_in_diff"] = _build_did_sql()
+
+ORACLES["position_attribution"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS jny
+  FROM events
+),
+purchases AS (
+  SELECT user_id, jny, cents FROM e WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, jny, event_type AS channel,
+         row_number() OVER (PARTITION BY user_id, jny
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, jny
+                            ORDER BY ts DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY user_id, jny) AS n
+  FROM e WHERE event_type != 'purchase'
+),
+credited AS (
+  SELECT t.channel,
+         CASE
+           WHEN t.n = 1 THEN p.cents * 1000000
+           WHEN t.n = 2 THEN (2 * p.cents * 1000000 + 2) // (2 * 2)
+           WHEN t.ra = 1 OR t.rd = 1 THEN
+             (2 * p.cents * 1000000 * 2 + 5) // (2 * 5)
+           ELSE (2 * p.cents * 1000000 + 5 * (t.n - 2))
+                // (2 * 5 * (t.n - 2))
+         END AS credit
+  FROM touches t JOIN purchases p
+    ON p.user_id = t.user_id AND p.jny = t.jny
+),
+none_credit AS (
+  SELECT 'none' AS channel, p.cents * 1000000 AS credit
+  FROM purchases p
+  WHERE NOT EXISTS (SELECT 1 FROM touches t
+                    WHERE t.user_id = p.user_id AND t.jny = p.jny)
+),
+allc AS (SELECT * FROM credited UNION ALL SELECT * FROM none_credit)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit) AS BIGINT) AS credit_micro_cents
+FROM allc GROUP BY 1
+"""
+
 ORACLES["f2_ams"] = f"""
 WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents),
 freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
@@ -10329,6 +10564,8 @@ QUERIES: dict[str, QueryFn] = {
     "max_cover_seeds": q_max_cover_seeds,
     "sprt_monitor": q_sprt_monitor,
     "f2_ams": q_f2_ams,
+    "position_attribution": q_position_attribution,
+    "diff_in_diff": q_diff_in_diff,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
