@@ -976,6 +976,44 @@ def q_purchase_attribution(spark, sf_dir):
     )
 
 
+def q_quantile_normalize(spark, sf_dir):
+    # Cross-source quantile normalization (r9): map every document's
+    # length onto the POOLED length distribution at its within-source
+    # quantile — the batch-effect correction a multi-source corpus mix
+    # needs before thresholding on raw lengths. Distributed: ONE
+    # global_rank over (source, value, id) gives within-source ranks
+    # after subtracting per-source offsets (min-rank groupBy), a second
+    # global_rank indexes the pooled distribution, and the lookup index
+    # ceil(r * N / n_s) is exact integer arithmetic. No per-source
+    # unpartitioned windows anywhere.
+    from graph_database_spark.operators.rank import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = global_rank(docs, ["source", "n_chars", "doc_id"], out_col="r")
+    offs = ranked.groupBy("source").agg(
+        (F.min("r") - 1).alias("off"), F.count("*").alias("n_s")
+    )
+    pooled = global_rank(docs, ["n_chars", "doc_id"], out_col="idx").select(
+        F.col("idx"), F.col("n_chars").alias("norm_chars")
+    )
+    total = docs.agg(F.count("*").alias("nn"))
+    keyed = (
+        ranked.join(F.broadcast(offs), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("((r - off) * nn + n_s - 1) div n_s").alias("idx"),
+        )
+    )
+    return keyed.join(pooled, "idx").select(
+        "doc_id", "source", "n_chars", "norm_chars"
+    )
+
+
 def q_diff_in_diff(spark, sf_dir):
     # Difference-in-differences (r9): md5 arms x before/after the exact
     # corpus time midpoint — the causal 2x2 next to ab_test_welch.
@@ -6809,6 +6847,25 @@ FROM cells
 
 ORACLES["diff_in_diff"] = _build_did_sql()
 
+ORACLES["quantile_normalize"] = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rs,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(count(*) OVER () AS BIGINT) AS nn
+  FROM documents
+),
+pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS idx,
+         n_chars AS norm_chars
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars, p.norm_chars
+FROM ranked r
+JOIN pooled p ON p.idx = (r.rs * r.nn + r.n_s - 1) // r.n_s
+"""
+
 ORACLES["position_attribution"] = """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,
@@ -10566,6 +10623,7 @@ QUERIES: dict[str, QueryFn] = {
     "f2_ams": q_f2_ams,
     "position_attribution": q_position_attribution,
     "diff_in_diff": q_diff_in_diff,
+    "quantile_normalize": q_quantile_normalize,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
