@@ -976,6 +976,58 @@ def q_purchase_attribution(spark, sf_dir):
     )
 
 
+def q_timedecay_attribution(spark, sf_dir):
+    # Time-decay attribution (r9): completes the attribution trio
+    # (last-touch, U-shaped, decay) — each touch in a purchase's
+    # journey gets weight 2^-(age_hours div 12), a DYADIC decay whose
+    # credits cents*1e6*w / sum(w) are exact integers: weights are
+    # powers of two with exponent <= 24 (capped, CLAUDE.md bit-width
+    # rule), the normalizing sum is a per-journey BIGINT, and the
+    # division is the half-up micro idiom.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn(
+        "jny",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint()
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "jny", "cents", F.col("ts").alias("pts")
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "jny", F.col("event_type").alias("channel"), "ts"
+    )
+    jt = touches.join(purchases, ["user_id", "jny"]).withColumn(
+        "wgt",
+        F.expr(
+            "CAST(shiftleft(1, 24 - CAST(least("
+            "(unix_micros(pts) - unix_micros(ts)) div 43200000000, 24)"
+            " AS INT)) AS BIGINT)"
+        ),
+    )
+    tot = jt.groupBy("user_id", "jny").agg(F.sum("wgt").alias("tw"))
+    credited = jt.join(tot, ["user_id", "jny"]).select(
+        "channel",
+        F.expr(
+            "(2 * cents * 1000000 * wgt + tw) div (2 * tw)"
+        ).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit").alias("credit_micro_cents"),
+    )
+
+
 def q_quantile_normalize(spark, sf_dir):
     # Cross-source quantile normalization (r9): map every document's
     # length onto the POOLED length distribution at its within-source
@@ -6847,6 +6899,45 @@ FROM cells
 
 ORACLES["diff_in_diff"] = _build_did_sql()
 
+ORACLES["timedecay_attribution"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS jny
+  FROM events
+),
+purchases AS (
+  SELECT user_id, jny, cents, ts AS pts FROM e WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, jny, event_type AS channel, ts
+  FROM e WHERE event_type != 'purchase'
+),
+jt AS (
+  SELECT t.channel, t.user_id, t.jny, p.cents,
+         (CAST(1 AS BIGINT) << (24 - CAST(least(
+             (epoch_us(p.pts) - epoch_us(t.ts)) // 43200000000, 24)
+           AS INTEGER))) AS wgt
+  FROM touches t JOIN purchases p
+    ON p.user_id = t.user_id AND p.jny = t.jny
+),
+tot AS (
+  SELECT user_id, jny, CAST(sum(wgt) AS BIGINT) AS tw
+  FROM jt GROUP BY 1, 2
+),
+credited AS (
+  SELECT j.channel,
+         (2 * j.cents * 1000000 * j.wgt + t.tw) // (2 * t.tw) AS credit
+  FROM jt j JOIN tot t ON t.user_id = j.user_id AND t.jny = j.jny
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit) AS BIGINT) AS credit_micro_cents
+FROM credited GROUP BY 1
+"""
+
 ORACLES["quantile_normalize"] = """
 WITH ranked AS (
   SELECT doc_id, source, n_chars,
@@ -10624,6 +10715,7 @@ QUERIES: dict[str, QueryFn] = {
     "position_attribution": q_position_attribution,
     "diff_in_diff": q_diff_in_diff,
     "quantile_normalize": q_quantile_normalize,
+    "timedecay_attribution": q_timedecay_attribution,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
