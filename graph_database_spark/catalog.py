@@ -2118,6 +2118,13 @@ def q_triangle_count(spark, sf_dir):
     return G.triangle_count(_edges(spark, sf_dir))
 
 
+def q_rectangle_count(spark, sf_dir):
+    # Exact global 4-cycle count (r9): C4 = sum C(codeg, 2) / 2 over
+    # diagonal pairs — same hub-salted wedge enumeration as triangles
+    # (operators/graph.rectangle_count).
+    return G.rectangle_count(_edges(spark, sf_dir))
+
+
 def q_copurchase_components(spark, sf_dir):
     # Hash-verified connected components on the CO-PURCHASE graph (the
     # embedding variant runs on the cosine pair graph): the same
@@ -6899,6 +6906,18 @@ FROM cells
 
 ORACLES["diff_in_diff"] = _build_did_sql()
 
+ORACLES["rectangle_count"] = f"""
+WITH {GRAPH_CTES},
+wp AS (
+    SELECT a.n AS u, b.n AS w, CAST(count(*) AS BIGINT) AS c
+    FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+    GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) // 2 AS BIGINT)
+    AS n_rectangles
+FROM wp
+"""
+
 ORACLES["timedecay_attribution"] = """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,
@@ -10716,6 +10735,7 @@ QUERIES: dict[str, QueryFn] = {
     "diff_in_diff": q_diff_in_diff,
     "quantile_normalize": q_quantile_normalize,
     "timedecay_attribution": q_timedecay_attribution,
+    "rectangle_count": q_rectangle_count,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,

@@ -329,6 +329,36 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def rectangle_count(edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (rectangle) count: one row ``(n_rectangles)`` —
+    the quadrilateral sibling of triangle_count (bipartite-ish cores,
+    spam/bot ring signal).
+
+    Every 4-cycle has exactly TWO diagonal pairs, so C4 =
+    (sum over unordered {u, w} of C(codeg(u, w), 2)) div 2, with
+    codegrees from the SAME hub-salted wedge enumeration the triangle
+    family uses (_wedge_pairs switches to the block-pair grid past
+    _WEDGE_SALT_THRESHOLD). All-integer; both divisions are exact
+    (per-pair C(c,2) is integral, and the diagonal double-count makes
+    the sum even).
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
+    blocks = _grid_blocks_for(
+        degree(edges).agg(F.max("degree")).first()[0]
+    )
+    codeg = (
+        _wedge_pairs(sym, blocks)
+        .groupBy("n1", "n2")
+        .agg(F.count("*").alias("c"))
+    )
+    return codeg.agg(
+        F.expr("sum(c * (c - 1) div 2) div 2")
+        .cast("bigint")
+        .alias("n_rectangles")
+    )
+
+
 def link_scores(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> DataFrame:
     """Link-prediction score family over non-adjacent wedge pairs:
     ``(id_a, id_b, common, aa_micro, ra_micro, jaccard)`` — common

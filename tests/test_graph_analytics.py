@@ -365,3 +365,22 @@ def test_coreness_consistent_with_k_core(spark):
     for k in (1, 2, 3):
         members = {r["id"] for r in k_core(df, k).collect()}
         assert members == {v for v, c in cores.items() if c >= k}
+
+
+def test_rectangle_count_hand_cases(spark):
+    from graph_database_spark.operators.graph import rectangle_count
+
+    # One plain 4-cycle.
+    c4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert rectangle_count(c4).collect()[0]["n_rectangles"] == 1
+    # K4 contains three 4-cycles (one per perfect matching of diagonals).
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        "src long, dst long",
+    )
+    assert rectangle_count(k4).collect()[0]["n_rectangles"] == 3
+    # A triangle has none.
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert rectangle_count(tri).collect()[0]["n_rectangles"] == 0
