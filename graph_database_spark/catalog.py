@@ -1028,6 +1028,23 @@ def q_timedecay_attribution(spark, sf_dir):
     )
 
 
+def q_soundex_blocks(spark, sf_dir):
+    # American Soundex phonetic keys (r9): the classic linkage BLOCKING
+    # code over head nouns — the third linkage leg (edit distance,
+    # Jaro-Winkler, phonetic). Exact standard semantics incl. the h/w
+    # transparency rule, as one JVM aggregate fold vs a recursive-CTE
+    # replay (operators/linkage.with_soundex).
+    from graph_database_spark.operators.linkage import with_soundex
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    return with_soundex(names, "blk")
+
+
 def q_quantile_normalize(spark, sf_dir):
     # Cross-source quantile normalization (r9): map every document's
     # length onto the POOLED length distribution at its within-source
@@ -6906,6 +6923,39 @@ FROM cells
 
 ORACLES["diff_in_diff"] = _build_did_sql()
 
+def _build_soundex_sql() -> str:
+    from graph_database_spark.operators.linkage import _soundex_code_sql
+
+    c0 = _soundex_code_sql("substr(blk, 1, 1)")
+    cd = _soundex_code_sql("substr(blk, i + 1, 1)")
+    return f"""
+WITH RECURSIVE names AS (
+    SELECT p_name,
+           list_extract(string_split(p_name, ' '),
+                        len(string_split(p_name, ' '))) AS blk
+    FROM (SELECT DISTINCT p_name FROM part)
+),
+f AS (
+    SELECT p_name, blk, 1 AS i, {c0} AS last, '' AS digits FROM names
+    UNION ALL
+    SELECT p_name, blk, i + 1,
+        CASE WHEN cd != '' AND cd != last THEN cd
+             WHEN cd != '' THEN last
+             WHEN c IN ('h', 'w') THEN last
+             ELSE '' END,
+        CASE WHEN cd != '' AND cd != last THEN digits || cd
+             ELSE digits END
+    FROM (SELECT *, substr(blk, i + 1, 1) AS c, {cd} AS cd
+          FROM f WHERE i < length(blk))
+)
+SELECT p_name, blk,
+       upper(substr(blk, 1, 1)) || substr(digits || '000', 1, 3) AS soundex
+FROM f WHERE i = length(blk)
+"""
+
+
+ORACLES["soundex_blocks"] = _build_soundex_sql()
+
 ORACLES["rectangle_count"] = f"""
 WITH {GRAPH_CTES},
 wp AS (
@@ -10736,6 +10786,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_normalize": q_quantile_normalize,
     "timedecay_attribution": q_timedecay_attribution,
     "rectangle_count": q_rectangle_count,
+    "soundex_blocks": q_soundex_blocks,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,

@@ -28,7 +28,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["block_self_pairs", "with_jaro_winkler"]
+__all__ = ["block_self_pairs", "with_jaro_winkler", "with_soundex"]
+
+# American Soundex letter codes; vowels+y reset adjacency, h/w are
+# transparent (neither code nor reset).
+_SOUNDEX_MAP = {
+    **{c: "1" for c in "bfpv"},
+    **{c: "2" for c in "cgjkqsxz"},
+    **{c: "3" for c in "dt"},
+    "l": "4",
+    **{c: "5" for c in "mn"},
+    "r": "6",
+}
+
+
+def _soundex_code_sql(char_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {char_expr} IN ({', '.join(repr(c) for c in cs)}) THEN '{d}'"
+        for d, cs in (
+            ("1", "bfpv"),
+            ("2", "cgjkqsxz"),
+            ("3", "dt"),
+            ("4", "l"),
+            ("5", "mn"),
+            ("6", "r"),
+        )
+    )
+    return f"(CASE {branches} ELSE '' END)"
+
+
+def with_soundex(df: DataFrame, name_col: str, out: str = "soundex") -> DataFrame:
+    """Append the American Soundex code of a (lowercase alphabetic)
+    name column — the classic phonetic BLOCKING key, the linkage
+    family's third leg next to Levenshtein and Jaro-Winkler.
+
+    Exact standard semantics: first letter kept verbatim; subsequent
+    letters code b..r into digits 1-6, a digit is emitted only when it
+    differs from the last RETAINED digit, vowels (and y) reset that
+    adjacency state, h/w are transparent; pad/truncate to LETTER+3.
+    One JVM ``aggregate`` fold with (last_code, digits) state, mirrored
+    by a recursive-CTE replay in the oracle (catalog.py) — the whole
+    code is string-exact on both engines.
+    """
+    code = _soundex_code_sql("c")
+    first_code = _soundex_code_sql(f"substring({name_col}, 1, 1)")
+    fold = (
+        f"aggregate(transform(sequence(2, greatest(length({name_col}), 2)),"
+        f" i -> substring({name_col}, i, 1)),"
+        f" struct({first_code} AS last, CAST('' AS STRING) AS digits),"
+        " (st, c) -> CASE"
+        f" WHEN {code} != '' AND {code} != st.last THEN"
+        f"   struct({code} AS last, concat(st.digits, {code}) AS digits)"
+        f" WHEN {code} != '' THEN st"
+        " WHEN c IN ('h', 'w') THEN st"
+        " ELSE struct('' AS last, st.digits AS digits) END,"
+        " st -> st.digits)"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            f"concat(upper(substring({name_col}, 1, 1)),"
+            f" substring(concat({fold}, '000'), 1, 3))"
+        ),
+    )
 
 
 def with_jaro_winkler(

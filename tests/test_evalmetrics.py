@@ -148,6 +148,29 @@ def test_jaro_winkler_textbook_values(spark):
     assert got[("identical", "identical")] == 1000000
 
 
+def test_soundex_classic_reference_codes(spark):
+    from graph_database_spark.operators.linkage import with_soundex
+
+    # The canonical published test vectors (US National Archives),
+    # including the h/w-transparency cases.
+    cases = {
+        "robert": "R163",
+        "rupert": "R163",
+        "ashcraft": "A261",
+        "ashcroft": "A261",
+        "tymczak": "T522",
+        "pfister": "P236",
+        "honeyman": "H555",
+        "jackson": "J250",
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "name string")
+    got = {
+        r["name"]: r["soundex"]
+        for r in with_soundex(df, "name").collect()
+    }
+    assert got == cases
+
+
 def test_bleu_identical_pair_scores_zero_log(spark):
     text = "the red fox jumps over the lazy dog"
     df = spark.createDataFrame(
