@@ -1028,6 +1028,35 @@ def q_timedecay_attribution(spark, sf_dir):
     )
 
 
+def q_corpus_policy(spark, sf_dir):
+    # Per-document keep/drop POLICY verdicts (r9): the filter stage a
+    # pretraining pipeline actually ships — ordered rules (language ->
+    # length -> PII -> quality) with the FIRST failing rule as the
+    # reason code, composing lang truth, quality_score, and the staged
+    # PII scan over planted spans. Reason-coded drops are what a
+    # curation dashboard audits; corpus_curation gives the post-filter
+    # census, this gives the row-level why.
+    from graph_database_spark.operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    p = pii.pii_scan(pii.plant_pii(docs)).select("doc_id", "has_pii")
+    j = docs.select("doc_id", "lang").join(q, "doc_id").join(p, "doc_id")
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "has_pii",
+        "quality",
+        F.when(F.col("lang") != "en", F.lit("drop:lang"))
+        .when(F.col("n_tokens") < 20, F.lit("drop:short"))
+        .when(F.col("has_pii") == 1, F.lit("drop:pii"))
+        .when(F.col("quality") < 0.5, F.lit("drop:quality"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
 def q_soundex_blocks(spark, sf_dir):
     # American Soundex phonetic keys (r9): the classic linkage BLOCKING
     # code over head nouns — the third linkage leg (edit distance,
@@ -10787,6 +10816,7 @@ QUERIES: dict[str, QueryFn] = {
     "timedecay_attribution": q_timedecay_attribution,
     "rectangle_count": q_rectangle_count,
     "soundex_blocks": q_soundex_blocks,
+    "corpus_policy": q_corpus_policy,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -12569,6 +12599,55 @@ ORACLES["pii_scan"] = f"""
                      THEN 1 ELSE 0 END AS INTEGER) AS has_pii,
            n_chars_redacted
     FROM scanned
+"""
+
+ORACLES["corpus_policy"] = f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                         '@mail' || CAST(doc_id % 100 AS VARCHAR) || '.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                         '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN ' call ' || CAST(100 + doc_id % 900 AS VARCHAR) ||
+                         '-' || CAST(100 + (doc_id * 3) % 900 AS VARCHAR) ||
+                         '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                   AS after_email
+        FROM planted
+    ),
+    piid AS (
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                      + len(regexp_extract_all(after_email, '{_PII_IPV4}'))
+                      + len(regexp_extract_all(
+                            regexp_replace(after_email, '{_PII_IPV4}',
+                                           '<IP>', 'g'), '{_PII_PHONE}'))
+                      > 0
+                    THEN 1 ELSE 0 END AS has_pii
+        FROM staged
+    ),
+    qual AS ({_build_quality_sql()})
+    SELECT d.doc_id, d.lang, q.n_tokens,
+           CAST(p.has_pii AS INTEGER) AS has_pii, q.quality,
+           CASE WHEN d.lang != 'en' THEN 'drop:lang'
+                WHEN q.n_tokens < 20 THEN 'drop:short'
+                WHEN p.has_pii = 1 THEN 'drop:pii'
+                WHEN q.quality < CAST(0.5 AS DOUBLE) THEN 'drop:quality'
+                ELSE 'keep' END AS verdict
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN piid p ON p.doc_id = d.doc_id
 """
 
 ORACLES["source_reputation"] = f"""
