@@ -212,6 +212,26 @@ HEADLINE = [
     "score_auc",
     "ab_test_welch",
     "fd_violations",
+    "bleu_pairs",
+    "rouge_l",
+    "isotonic_calibration",
+    "decision_stump",
+    "jaro_winkler",
+    "soundex_blocks",
+    "node2vec_walks",
+    "textrank_keywords",
+    "inclusion_deps",
+    "collocations_llr",
+    "dedup_survivorship",
+    "max_cover_seeds",
+    "sprt_monitor",
+    "f2_ams",
+    "position_attribution",
+    "timedecay_attribution",
+    "diff_in_diff",
+    "quantile_normalize",
+    "rectangle_count",
+    "corpus_policy",
 ]
 
 

@@ -1028,6 +1028,99 @@ def q_timedecay_attribution(spark, sf_dir):
     )
 
 
+_UCB_MAXL = "9223372036854775807"
+
+
+def _ucb_expr(tvar: str) -> str:
+    # UCB1 score of arm struct x at time index tvar — engine-portable
+    # (valid Spark SQL and DuckDB modulo // vs div, patched below):
+    # unplayed arms get the BIGINT-max sentinel (forced bootstrap pick,
+    # ties on arm name), else exact half-up micro mean + the
+    # micro-snapped exploration bonus 50 * sqrt(2 ln t / n).
+    return (
+        f"CASE WHEN x.n = 0 THEN CAST({_UCB_MAXL} AS BIGINT)"
+        " ELSE (2 * x.s + x.n) div (2 * x.n)"
+        " + CAST(round(CAST(50 AS DOUBLE)"
+        f" * sqrt(CAST(2 AS DOUBLE) * ln(CAST({tvar} AS DOUBLE))"
+        " / CAST(x.n AS DOUBLE)) * CAST(1000000 AS DOUBLE), 0)"
+        " AS BIGINT) END"
+    )
+
+
+def q_ucb_replay(spark, sf_dir):
+    # Deterministic UCB1 bandit replay (r9): the sequential-decision
+    # primitive — replay 30 daily batches, each day choosing the
+    # event-type "arm" with the highest UCB1 score over the rewards
+    # accumulated SO FAR (reward = that day's exact micro mean value of
+    # the chosen arm; unseen arms bootstrap first). The whole episode
+    # folds in ONE JVM aggregate HOF over a single collected-struct row
+    # (bounded: days x arms cells); the oracle replays it with an
+    # INDEPENDENT recursive-CTE formulation — two different engines,
+    # two different control-flow encodings, one integer trace.
+    e = load_table(spark, sf_dir, "events")
+    first = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    rewards = (
+        e.crossJoin(F.broadcast(first))
+        .groupBy(
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t"),
+            F.col("event_type").alias("a"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sc"),
+        )
+        .select(
+            "t", "a", F.expr("(2 * sc * 10000 + n) div (2 * n)").alias("r")
+        )
+    )
+    one = rewards.agg(
+        F.collect_list(F.struct("t", "a", "r")).alias("rw"),
+        F.max("t").alias("tmax"),
+        F.array_sort(F.collect_set("a")).alias("arms_list"),
+    )
+    ucb = _ucb_expr("t")
+    scored = f"transform(st.arms, x -> struct(x.a AS a, {ucb} AS ucb))"
+    pick = (
+        f"aggregate({scored},"
+        " struct(CAST(NULL AS STRING) AS a,"
+        " CAST(-9223372036854775808 AS BIGINT) AS ucb),"
+        " (b, x) -> IF(b.a IS NULL OR x.ucb > b.ucb"
+        " OR (x.ucb = b.ucb AND x.a < b.a), x, b))"
+    )
+    r_look = (
+        f"coalesce(element_at(filter(rw, y -> y.t = t"
+        f" AND y.a = {pick}.a), 1).r, CAST(0 AS BIGINT))"
+    )
+    step = (
+        "struct("
+        f"transform(st.arms, x -> IF(x.a = {pick}.a,"
+        f" struct(x.a AS a, x.n + 1 AS n, x.s + {r_look} AS s), x)) AS arms,"
+        f" concat(st.picks, array(struct(t AS day, {pick}.a AS arm,"
+        f" {pick}.ucb AS ucb, {r_look} AS reward))) AS picks)"
+    )
+    fold = (
+        "aggregate(sequence(1, tmax),"
+        " struct(transform(arms_list, a -> struct(a AS a,"
+        " CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s)) AS arms,"
+        " CAST(array() AS ARRAY<STRUCT<day: INT, arm: STRING,"
+        " ucb: BIGINT, reward: BIGINT>>) AS picks),"
+        f" (st, t) -> {step},"
+        " st -> st.picks)"
+    )
+    return (
+        one.select(F.explode(F.expr(fold)).alias("p"))
+        .select(
+            F.col("p.day").cast("long").alias("day"),
+            F.col("p.arm").alias("arm"),
+            F.expr(
+                f"CASE WHEN p.ucb = CAST({_UCB_MAXL} AS BIGINT)"
+                " THEN CAST(NULL AS BIGINT) ELSE p.ucb END"
+            ).alias("ucb_micro"),
+            F.col("p.reward").alias("reward_micro"),
+        )
+    )
+
+
 def q_corpus_policy(spark, sf_dir):
     # Per-document keep/drop POLICY verdicts (r9): the filter stage a
     # pretraining pipeline actually ships — ordered rules (language ->
@@ -10817,6 +10910,7 @@ QUERIES: dict[str, QueryFn] = {
     "rectangle_count": q_rectangle_count,
     "soundex_blocks": q_soundex_blocks,
     "corpus_policy": q_corpus_policy,
+    "ucb_replay": q_ucb_replay,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -12600,6 +12694,64 @@ ORACLES["pii_scan"] = f"""
            n_chars_redacted
     FROM scanned
 """
+
+def _build_ucb_sql() -> str:
+    ucb_next = _ucb_expr("t + 1").replace(" div ", " // ")
+    maxl = _UCB_MAXL
+    return f"""
+WITH RECURSIVE d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+rewards AS (
+    SELECT CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) + 1 AS INTEGER)
+             AS t,
+           event_type AS a,
+           (2 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              * 10000 + CAST(count(*) AS BIGINT))
+             // (2 * CAST(count(*) AS BIGINT)) AS r
+    FROM events CROSS JOIN d0
+    GROUP BY 1, 2
+),
+tm AS (SELECT max(t) AS tmax FROM rewards),
+arms AS (SELECT DISTINCT a FROM rewards),
+f AS (
+    SELECT 0 AS t,
+           (SELECT list({{'a': a, 'n': CAST(0 AS BIGINT),
+                          's': CAST(0 AS BIGINT)}} ORDER BY a) FROM arms)
+             AS arms,
+           CAST(NULL AS VARCHAR) AS pk,
+           CAST(NULL AS BIGINT) AS pk_ucb,
+           CAST(NULL AS BIGINT) AS pk_r
+    UNION ALL
+    SELECT l.t + 1,
+           list_transform(l.arms, x -> CASE WHEN x.a = l.pk2
+               THEN {{'a': x.a, 'n': x.n + 1, 's': x.s + l.pk_r2}}
+               ELSE x END),
+           l.pk2, l.mu, l.pk_r2
+    FROM (
+        SELECT l3.*, coalesce(rw.r, CAST(0 AS BIGINT)) AS pk_r2
+        FROM (
+            SELECT l2.*,
+                   list_min(list_transform(
+                       list_filter(l2.arms, x -> {ucb_next} = l2.mu),
+                       x -> x.a)) AS pk2
+            FROM (
+                SELECT f.t, f.arms,
+                       list_max(list_transform(f.arms, x -> {ucb_next}))
+                         AS mu
+                FROM f, tm WHERE f.t < tm.tmax
+            ) l2
+        ) l3
+        LEFT JOIN rewards rw ON rw.t = l3.t + 1 AND rw.a = l3.pk2
+    ) l
+)
+SELECT CAST(t AS BIGINT) AS day, pk AS arm,
+       CASE WHEN pk_ucb = CAST({maxl} AS BIGINT) THEN CAST(NULL AS BIGINT)
+            ELSE pk_ucb END AS ucb_micro,
+       pk_r AS reward_micro
+FROM f WHERE t >= 1
+"""
+
+
+ORACLES["ucb_replay"] = _build_ucb_sql()
 
 ORACLES["corpus_policy"] = f"""
     WITH planted AS (
