@@ -1047,6 +1047,56 @@ def _ucb_expr(tvar: str) -> str:
     )
 
 
+def q_ols_price_model(spark, sf_dir):
+    # Per-brand ordinary least squares (r9): price-vs-quantity fit from
+    # the five INTEGER sufficient statistics (n, Sx, Sy, Sxx, Sxy in
+    # cents) — the closed-form GLM next to theil_sen_trend's robust
+    # slope. slope/intercept/r2 are chains of exactly-specified IEEE
+    # ops over identical integer operands, hence bit-identical
+    # cross-engine with no rounding (the repo's single-division rule,
+    # extended: every intermediate double is identical, so composites
+    # are too). y is whole DOLLARS, not cents: n * Syy must clear 2^63
+    # (the events_autocorr milli-not-micro precedent) — dollars give
+    # ~500x headroom past sf0.1.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round("l_extendedprice", 0).cast("long").alias("y"),
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope"),
+        F.expr(
+            "(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("intercept"),
+        F.expr(
+            "(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
 def q_ucb_replay(spark, sf_dir):
     # Deterministic UCB1 bandit replay (r9): the sequential-decision
     # primitive — replay 30 daily batches, each day choosing the
@@ -10911,6 +10961,7 @@ QUERIES: dict[str, QueryFn] = {
     "soundex_blocks": q_soundex_blocks,
     "corpus_policy": q_corpus_policy,
     "ucb_replay": q_ucb_replay,
+    "ols_price_model": q_ols_price_model,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -12752,6 +12803,34 @@ FROM f WHERE t >= 1
 
 
 ORACLES["ucb_replay"] = _build_ucb_sql()
+
+ORACLES["ols_price_model"] = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY 1
+)
+SELECT p_brand, n, sx, sy, sxy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+          * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+          * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM g
+"""
 
 ORACLES["corpus_policy"] = f"""
     WITH planted AS (
