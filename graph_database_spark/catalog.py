@@ -1047,6 +1047,61 @@ def _ucb_expr(tvar: str) -> str:
     )
 
 
+_LOGIT_ROUNDS = 4
+
+
+def q_logistic_calibration(spark, sf_dir):
+    # Newton-fitted logistic regression (r9): p(is_en | length) =
+    # sigmoid(w0 + w1*(n_chars - 300)), 4 IRLS rounds — the first
+    # gradient-TRAINED convex model in the repo (kmeans/PQ are
+    # assignment loops). Exactness: each round's per-row sigmoid and
+    # variance are micro-snapped BEFORE the five sufficient sums
+    # (partition-order-exact BIGINTs), and the 2x2 Newton solve runs
+    # over those integers with the identical IEEE expression tree on
+    # the driver (python floats) and in the oracle's unrolled CTEs —
+    # every w_k is the same double on both engines. The collect per
+    # round is a bounded model fetch (one 5-integer row), the kmeans
+    # discipline.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            (F.col("n_chars") - 300).cast("long").alias("zi"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    w0, w1 = 0.0, 0.0
+    for _ in range(_LOGIT_ROUNDS):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+        )
+        pm = F.round(p * F.lit(1000000.0), 0).cast("long")
+        wm = F.round(p * (F.lit(1.0) - p) * F.lit(1000000.0), 0).cast("long")
+        r = docs.agg(
+            F.sum(F.col("y") * 1000000 - pm).alias("g0"),
+            F.sum(F.col("zi") * (F.col("y") * 1000000 - pm)).alias("g1"),
+            F.sum(wm).alias("h00"),
+            F.sum(F.col("zi") * wm).alias("h01"),
+            F.sum(F.col("zi") * F.col("zi") * wm).alias("h11"),
+        ).collect()[0]
+        det = float(r["h00"]) * float(r["h11"]) - float(r["h01"]) * float(
+            r["h01"]
+        )
+        w0 = w0 + (
+            float(r["h11"]) * float(r["g0"]) - float(r["h01"]) * float(r["g1"])
+        ) / det
+        w1 = w1 + (
+            float(r["h00"]) * float(r["g1"]) - float(r["h01"]) * float(r["g0"])
+        ) / det
+    return docs.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.lit(w0).alias("w0"),
+        F.lit(w1).alias("w1"),
+    )
+
+
 def q_ols_price_model(spark, sf_dir):
     # Per-brand ordinary least squares (r9): price-vs-quantity fit from
     # the five INTEGER sufficient statistics (n, Sx, Sy, Sxx, Sxy in
@@ -10962,6 +11017,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_policy": q_corpus_policy,
     "ucb_replay": q_ucb_replay,
     "ols_price_model": q_ols_price_model,
+    "logistic_calibration": q_logistic_calibration,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -12803,6 +12859,67 @@ FROM f WHERE t >= 1
 
 
 ORACLES["ucb_replay"] = _build_ucb_sql()
+
+def _build_logit_sql(rounds: int = _LOGIT_ROUNDS) -> str:
+    # Mirrors q_logistic_calibration's per-round expression tree
+    # operand-for-operand (micro-snapped sigmoid sums, double 2x2
+    # solve) so every w_k is bit-identical.
+    parts = [
+        """
+WITH d AS (
+    SELECT CAST(n_chars - 300 AS BIGINT) AS zi,
+           CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+    FROM documents
+),
+wv0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"""
+    ]
+    p = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(w.w0 + w.w1 * CAST(d.zi AS DOUBLE)))))"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+it{k} AS (
+    SELECT
+        CAST(sum(d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT))
+          AS BIGINT) AS g0,
+        CAST(sum(d.zi * (d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT)))
+          AS BIGINT) AS g1,
+        CAST(sum(CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h00,
+        CAST(sum(d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h01,
+        CAST(sum(d.zi * d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h11
+    FROM d CROSS JOIN wv{k - 1} w
+),
+wv{k} AS (
+    SELECT
+        w.w0 + (CAST(i.h11 AS DOUBLE) * CAST(i.g0 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g1 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w0,
+        w.w1 + (CAST(i.h00 AS DOUBLE) * CAST(i.g1 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g0 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w1
+    FROM it{k} i CROSS JOIN wv{k - 1} w
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d.y) AS BIGINT) AS pos,
+       w.w0 AS w0, w.w1 AS w1
+FROM d CROSS JOIN wv{rounds} w
+GROUP BY w.w0, w.w1"""
+    )
+    return "".join(parts)
+
+
+ORACLES["logistic_calibration"] = _build_logit_sql()
 
 ORACLES["ols_price_model"] = """
 WITH j AS (
