@@ -1050,6 +1050,141 @@ def _ucb_expr(tvar: str) -> str:
 _LOGIT_ROUNDS = 4
 
 
+def q_woe_iv(spark, sf_dir):
+    # Weight-of-evidence / information-value profiling (r9): the
+    # credit-scoring feature screen — per (feature, bin):
+    # WOE = ln((pos_b/pos_tot)/(neg_b/neg_tot)) micro-snapped, and the
+    # feature's IV = sum (p_pos - p_neg) * WOE accumulated in exact
+    # integer micro^2 units (PPM-weighted micro-WOE terms). Same
+    # binned-stats frame as decision_stump; Laplace +1 per bin keeps
+    # the ratios finite.
+    li = load_table(spark, sf_dir, "lineitem")
+    flat = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty").alias("feature"),
+                    F.round("l_quantity", 0).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("disc").alias("feature"),
+                    F.round(F.col("l_discount") * 100, 0).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("month").alias("feature"),
+                    F.month("l_shipdate").cast("long").alias("bin"),
+                ),
+            )
+        ).alias("fv"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    ).select("fv.feature", "fv.bin", "y")
+    stats = flat.groupBy("feature", "bin").agg(
+        F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg")
+    )
+    wt = Window.partitionBy("feature")
+    scored = stats.select(
+        "feature",
+        "bin",
+        "pos",
+        "neg",
+        F.sum("pos").over(wt).alias("pt"),
+        F.sum("neg").over(wt).alias("nt"),
+    ).select(
+        "feature",
+        "bin",
+        "pos",
+        "neg",
+        # ln of a ratio of exact integer products (Laplace-smoothed),
+        # snapped to micro before any further arithmetic.
+        F.expr(
+            "CAST(round(ln(CAST((pos + 1) * (nt + 1) AS DOUBLE)"
+            " / CAST((neg + 1) * (pt + 1) AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE), 0) AS BIGINT)"
+        ).alias("woe_micro"),
+        # distribution gap in exact ppm: half-up of pos/pt - neg/nt.
+        F.expr(
+            "(2 * pos * 1000000 + pt) div (2 * pt)"
+            " - (2 * neg * 1000000 + nt) div (2 * nt)"
+        ).alias("gap_ppm"),
+    )
+    return scored.select(
+        "feature",
+        "bin",
+        "pos",
+        "neg",
+        "woe_micro",
+        "gap_ppm",
+        F.sum(F.col("gap_ppm") * F.col("woe_micro"))
+        .over(wt)
+        .alias("iv_feature_micro2"),
+    )
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    # Sorted-neighborhood linkage candidates (r9): the third blocking
+    # strategy (head-noun blocks, soundex, sorted window) — order the
+    # distinct name universe lexicographically (distributed
+    # global_rank), then candidates are pairs within rank distance 3,
+    # generated as an EQUI-join on (rank + offset) so the shuffle is
+    # keyed, never a rank-range theta join. Levenshtein on the
+    # survivors only.
+    from graph_database_spark.operators.rank import global_rank
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    ranked = global_rank(names, ["p_name"], out_col="r")
+    left = (
+        ranked.withColumn("off", F.explode(F.expr("sequence(1, 3)")))
+        .select(
+            F.col("p_name").alias("name_a"),
+            (F.col("r") + F.col("off")).alias("r2"),
+        )
+    )
+    right = ranked.select(F.col("p_name").alias("name_b"), F.col("r").alias("r2"))
+    return left.join(right, "r2").select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    )
+
+
+def q_target_encoding(spark, sf_dir):
+    # Leave-one-out target encoding (r9): the high-cardinality
+    # categorical encoder — each row's brand is replaced by the
+    # smoothed return rate of its brand EXCLUDING the row itself
+    # (leakage-safe by construction, the group_split discipline at
+    # row grain): enc = (s_g - y + m*prior) / (n_g - 1 + m), m = 10,
+    # prior = global rate. The value is one exact rational
+    # ((s_g - y)*N + m*S) / ((n_g + m - 1)*N), emitted half-up micro.
+    # Group stats come from a groupBy + broadcast join back — no
+    # per-group windows.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = rows.groupBy("p_brand").agg(
+        F.sum("y").alias("sg"), F.count("*").alias("ng")
+    )
+    tot = rows.agg(F.sum("y").alias("st"), F.count("*").alias("nt"))
+    return (
+        rows.join(F.broadcast(g), "p_brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            "y",
+            F.expr(
+                "(2 * ((sg - y) * nt + 10 * st) * 1000000"
+                " + (ng + 9) * nt) div (2 * (ng + 9) * nt)"
+            ).alias("enc_micro"),
+        )
+    )
+
+
 def q_logistic_calibration(spark, sf_dir):
     # Newton-fitted logistic regression (r9): p(is_en | length) =
     # sigmoid(w0 + w1*(n_chars - 300)), 4 IRLS rounds — the first
@@ -11018,6 +11153,9 @@ QUERIES: dict[str, QueryFn] = {
     "ucb_replay": q_ucb_replay,
     "ols_price_model": q_ols_price_model,
     "logistic_calibration": q_logistic_calibration,
+    "woe_iv": q_woe_iv,
+    "target_encoding": q_target_encoding,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -12920,6 +13058,75 @@ GROUP BY w.w0, w.w1"""
 
 
 ORACLES["logistic_calibration"] = _build_logit_sql()
+
+ORACLES["sorted_neighborhood"] = """
+WITH ranked AS (
+  SELECT p_name, CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS r
+  FROM (SELECT DISTINCT p_name FROM part)
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 3
+"""
+
+ORACLES["target_encoding"] = """
+WITH rows_t AS (
+  SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+         CAST(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+           AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_brand, CAST(sum(y) AS BIGINT) AS sg,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM rows_t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS st, CAST(count(*) AS BIGINT) AS nt
+  FROM rows_t
+)
+SELECT r.l_orderkey, r.l_linenumber, r.p_brand, r.y,
+       (2 * ((g.sg - r.y) * t.nt + 10 * t.st) * 1000000
+         + (g.ng + 9) * t.nt) // (2 * (g.ng + 9) * t.nt) AS enc_micro
+FROM rows_t r JOIN g ON g.p_brand = r.p_brand CROSS JOIN tot t
+"""
+
+ORACLES["woe_iv"] = """
+WITH flat AS (
+  SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'month', CAST(month(l_shipdate) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+),
+stats AS (
+  SELECT feature, bin, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM flat GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, bin, pos, neg,
+         sum(pos) OVER (PARTITION BY feature) AS pt,
+         sum(neg) OVER (PARTITION BY feature) AS nt
+  FROM stats
+),
+scored AS (
+  SELECT feature, bin, pos, neg,
+         CAST(round(ln(CAST((pos + 1) * (nt + 1) AS DOUBLE)
+              / CAST((neg + 1) * (pt + 1) AS DOUBLE))
+              * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS woe_micro,
+         (2 * pos * 1000000 + pt) // (2 * pt)
+           - (2 * neg * 1000000 + nt) // (2 * nt) AS gap_ppm
+  FROM tot
+)
+SELECT feature, bin, pos, neg, woe_micro, gap_ppm,
+       CAST(sum(gap_ppm * woe_micro) OVER (PARTITION BY feature) AS BIGINT)
+         AS iv_feature_micro2
+FROM scored
+"""
 
 ORACLES["ols_price_model"] = """
 WITH j AS (
