@@ -232,6 +232,12 @@ HEADLINE = [
     "quantile_normalize",
     "rectangle_count",
     "corpus_policy",
+    "ucb_replay",
+    "ols_price_model",
+    "logistic_calibration",
+    "woe_iv",
+    "target_encoding",
+    "sorted_neighborhood",
 ]
 
 
