@@ -1120,6 +1120,142 @@ def q_woe_iv(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    # Classical decomposition (r9): daily revenue = trend (centered
+    # 7-day moving average, full windows only) + seasonal (pseudo-
+    # weekday mean of the detrended series) + residual — the STL-lite
+    # readout behind order_seasonality. Everything in exact integer
+    # micro-cents (half-up divisions); weekday = (t-1) % 7 from the
+    # day INDEX, not calendar dayofweek (Spark and DuckDB disagree on
+    # week-start conventions). Windows run over the bounded day
+    # universe (documented: |days|, metadata-sized at any SF).
+    e = load_table(spark, sf_dir, "events")
+    first = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(first))
+        .groupBy(
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    w7 = Window.orderBy("t").rowsBetween(-3, 3)
+    d1 = daily.select(
+        "t",
+        ((F.col("t") - 1) % 7).alias("wd"),
+        "cents",
+        F.count("*").over(w7).alias("c7"),
+        F.sum("cents").over(w7).alias("s7"),
+    ).select(
+        "t",
+        "wd",
+        "cents",
+        F.expr(
+            "CASE WHEN c7 = 7 THEN (2 * s7 * 1000000 + 7) div 14 END"
+        ).alias("trend_micro"),
+    )
+    d2 = d1.withColumn(
+        "detr", F.col("cents") * 1000000 - F.col("trend_micro")
+    ).localCheckpoint()
+    seas = (
+        d2.where(F.col("detr").isNotNull())
+        .groupBy("wd")
+        .agg(F.sum("detr").alias("sd"), F.count("*").alias("nd"))
+        .select(
+            "wd", F.expr("(2 * sd + nd) div (2 * nd)").alias("seasonal_micro")
+        )
+    )
+    return d2.join(F.broadcast(seas), "wd").select(
+        "t",
+        "wd",
+        "cents",
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("detr") - F.col("seasonal_micro")).alias("residual_micro"),
+    )
+
+
+def q_mase_backtest(spark, sf_dir):
+    # Forecast backtest (r9): seasonal-naive forecast (value 7 days
+    # back) vs the naive-1 baseline over the daily revenue series,
+    # scored by MASE = MAE_forecast / MAE_naive — the scale-free
+    # forecast-accuracy standard (Hyndman & Koehler 2006). Absolute
+    # errors are exact integer cents; MASE is one IEEE division.
+    e = load_table(spark, sf_dir, "events")
+    first = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(first))
+        .groupBy((F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    w = Window.orderBy("t")
+    lagged = daily.select(
+        "t",
+        "cents",
+        F.lag("cents", 7).over(w).alias("f7"),
+        F.lag("cents", 1).over(w).alias("f1"),
+    ).where(F.col("f7").isNotNull() & F.col("f1").isNotNull())
+    return lagged.agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(F.col("cents") - F.col("f7"))).alias("sae_seasonal"),
+        F.sum(F.abs(F.col("cents") - F.col("f1"))).alias("sae_naive"),
+        F.expr(
+            "CAST(sum(abs(cents - f7)) AS DOUBLE)"
+            " / CAST(sum(abs(cents - f1)) AS DOUBLE)"
+        ).alias("mase"),
+    )
+
+
+def q_sequential_rules(spark, sf_dir):
+    # Sequential association rules (r9): for every ordered event-type
+    # pair (a, b), how many users did a STRICTLY BEFORE their first b —
+    # the temporal rule mining event_transitions' adjacent-step view
+    # misses (first-touch ordering, not adjacency). Per (user, type)
+    # FIRST timestamps collapse the stream to <= 5 rows per user, the
+    # pair meet is a user-keyed equi-self-join of that tiny frame, and
+    # support/confidence are exact half-up ppm integers.
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t0")
+    ).localCheckpoint()
+    n_users = e.select("user_id").distinct().count()
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("a"), F.col("t0").alias("ta")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("b"), F.col("t0").alias("tb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where((F.col("a") != F.col("b")) & (F.col("ta") < F.col("tb")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na = firsts.groupBy(F.col("event_type").alias("a")).agg(
+        F.count("*").alias("n_a")
+    )
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            F.expr(
+                f"(2 * n_ab * 1000000 + {n_users}) div (2 * {n_users})"
+            ).alias("support_ppm"),
+            F.expr("(2 * n_ab * 1000000 + n_a) div (2 * n_a)").alias(
+                "confidence_ppm"
+            ),
+        )
+    )
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     # Sorted-neighborhood linkage candidates (r9): the third blocking
     # strategy (head-noun blocks, soundex, sorted window) — order the
@@ -11156,6 +11292,9 @@ QUERIES: dict[str, QueryFn] = {
     "woe_iv": q_woe_iv,
     "target_encoding": q_target_encoding,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "sequential_rules": q_sequential_rules,
+    "seasonal_decompose": q_seasonal_decompose,
+    "mase_backtest": q_mase_backtest,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -13058,6 +13197,89 @@ GROUP BY w.w0, w.w1"""
 
 
 ORACLES["logistic_calibration"] = _build_logit_sql()
+
+ORACLES["mase_backtest"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+daily AS (
+  SELECT CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) + 1 AS BIGINT) AS t,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events CROSS JOIN d0
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+lagged AS (
+  SELECT t, cents,
+         lag(cents, 7) OVER (ORDER BY t) AS f7,
+         lag(cents, 1) OVER (ORDER BY t) AS f1
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(cents - f7)) AS BIGINT) AS sae_seasonal,
+       CAST(sum(abs(cents - f1)) AS BIGINT) AS sae_naive,
+       CAST(sum(abs(cents - f7)) AS DOUBLE)
+         / CAST(sum(abs(cents - f1)) AS DOUBLE) AS mase
+FROM lagged WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+"""
+
+ORACLES["seasonal_decompose"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+daily AS (
+  SELECT CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) + 1 AS BIGINT) AS t,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events CROSS JOIN d0
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+d1 AS (
+  SELECT t, (t - 1) % 7 AS wd, cents,
+         count(*) OVER w7 AS c7,
+         sum(cents) OVER w7 AS s7
+  FROM daily
+  WINDOW w7 AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+d2 AS (
+  SELECT t, wd, cents,
+         CASE WHEN c7 = 7 THEN (2 * s7 * 1000000 + 7) // 14 END
+           AS trend_micro
+  FROM d1
+),
+d3 AS (
+  SELECT *, cents * 1000000 - trend_micro AS detr FROM d2
+),
+seas AS (
+  SELECT wd,
+         (2 * CAST(sum(detr) AS BIGINT) + CAST(count(*) AS BIGINT))
+           // (2 * CAST(count(*) AS BIGINT)) AS seasonal_micro
+  FROM d3 WHERE detr IS NOT NULL GROUP BY 1
+)
+SELECT d3.t, CAST(d3.wd AS BIGINT) AS wd, d3.cents, d3.trend_micro,
+       s.seasonal_micro, d3.detr - s.seasonal_micro AS residual_micro
+FROM d3 JOIN seas s ON s.wd = d3.wd
+"""
+
+ORACLES["sequential_rules"] = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS t0
+  FROM events GROUP BY 1, 2
+),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS a, b.event_type AS b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+  WHERE a.event_type != b.event_type AND a.t0 < b.t0
+  GROUP BY 1, 2
+),
+na AS (
+  SELECT event_type AS a, CAST(count(*) AS BIGINT) AS n_a
+  FROM firsts GROUP BY 1
+)
+SELECT p.a, p.b, p.n_ab, na.n_a,
+       (2 * p.n_ab * 1000000 + nu.n_users) // (2 * nu.n_users)
+         AS support_ppm,
+       (2 * p.n_ab * 1000000 + na.n_a) // (2 * na.n_a) AS confidence_ppm
+FROM pairs p JOIN na ON na.a = p.a CROSS JOIN nu
+"""
 
 ORACLES["sorted_neighborhood"] = """
 WITH ranked AS (
