@@ -1211,6 +1211,79 @@ def q_mase_backtest(spark, sf_dir):
     )
 
 
+def q_image_ahash(spark, sf_dir):
+    # Perceptual average-hash near-dup pairs (r9): the multimodal ->
+    # dedup bridge — 64 strided samples of each media payload (the
+    # deterministic byte stand-in, attach_media), thresholded at the
+    # exact mean (64*px > sum, integer compare), packed into a 64-char
+    # bit STRING (no 64-bit shifts — the DuckDB bit-63 trap), candidate
+    # pairs from 4 x 16-bit BANDS (the MinHash banding discipline on
+    # Hamming space), exact Hamming <= 16 verify. All JVM-side; the
+    # whole chain replays in the oracle.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 64
+    )
+    d = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length("text").alias("n"),
+        "text",
+    )
+    d = d.withColumn(
+        "px",
+        F.expr(
+            "transform(sequence(1, 64), i ->"
+            " CAST(ascii(substring(text, 1 + ((i - 1) * n) div 64, 1))"
+            " AS BIGINT))"
+        ),
+    )
+    # Materialize the pixel sum as a column first — an aggregate()
+    # referenced inside the bit-transform lambda would re-run per
+    # element (CLAUDE.md HOF rule).
+    d = d.withColumn(
+        "sp", F.expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    )
+    d = d.withColumn(
+        "fp",
+        F.expr(
+            "array_join(transform(px, p -> IF(64 * p > sp, '1', '0')), '')"
+        ),
+    ).select("media_id", "fp").localCheckpoint()
+    bands = d.select(
+        "media_id",
+        "fp",
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+    ).select(
+        "media_id", "fp", "b", F.expr("substring(fp, 1 + 16 * b, 16)").alias("bv")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("c.media_id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("c.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "64 - size(filter(sequence(1, 64), i ->"
+                " substring(fa, i, 1) = substring(fb, i, 1)))"
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= 16)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def q_sequential_rules(spark, sf_dir):
     # Sequential association rules (r9): for every ordered event-type
     # pair (a, b), how many users did a STRICTLY BEFORE their first b —
@@ -11295,6 +11368,7 @@ QUERIES: dict[str, QueryFn] = {
     "sequential_rules": q_sequential_rules,
     "seasonal_decompose": q_seasonal_decompose,
     "mase_backtest": q_mase_backtest,
+    "image_ahash": q_image_ahash,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -13255,6 +13329,42 @@ seas AS (
 SELECT d3.t, CAST(d3.wd AS BIGINT) AS wd, d3.cents, d3.trend_micro,
        s.seasonal_micro, d3.detr - s.seasonal_micro AS residual_micro
 FROM d3 JOIN seas s ON s.wd = d3.wd
+"""
+
+ORACLES["image_ahash"] = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 64
+),
+px AS (
+  SELECT media_id, i,
+         CAST(ascii(substr(text, CAST(1 + ((i - 1) * n) // 64 AS INTEGER),
+                           1)) AS BIGINT) AS p
+  FROM d, unnest(generate_series(1, 64)) AS g(i)
+),
+s AS (SELECT media_id, sum(p) AS sp FROM px GROUP BY 1),
+fp AS (
+  SELECT px.media_id,
+         string_agg(CASE WHEN 64 * px.p > s.sp THEN '1' ELSE '0' END, ''
+                    ORDER BY px.i) AS f
+  FROM px JOIN s ON s.media_id = px.media_id GROUP BY 1
+),
+bands AS (
+  SELECT media_id, f, b, substr(f, CAST(1 + 16 * b AS INTEGER), 16) AS bv
+  FROM fp, unnest(generate_series(0, 3)) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+         a.f AS fa, c.f AS fb
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bv = c.bv AND a.media_id < c.media_id
+)
+SELECT id_a, id_b,
+       CAST(64 - len(list_filter(generate_series(1, 64), i ->
+            substr(fa, i, 1) = substr(fb, i, 1))) AS BIGINT) AS hamming
+FROM cand
+WHERE 64 - len(list_filter(generate_series(1, 64), i ->
+        substr(fa, i, 1) = substr(fb, i, 1))) <= 16
 """
 
 ORACLES["sequential_rules"] = """
