@@ -238,6 +238,10 @@ HEADLINE = [
     "woe_iv",
     "target_encoding",
     "sorted_neighborhood",
+    "sequential_rules",
+    "seasonal_decompose",
+    "mase_backtest",
+    "image_ahash",
 ]
 
 

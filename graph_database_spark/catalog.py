@@ -1211,6 +1211,49 @@ def q_mase_backtest(spark, sf_dir):
     )
 
 
+def q_neyman_allocation(spark, sf_dir):
+    # Neyman-optimal stratified sampling allocation (r9): split a
+    # 100-row sampling budget across sources proportional to N_h*sd_h
+    # (the variance-minimizing allocation), with the largest-remainder
+    # method making the integer split EXACT: per-stratum weights are
+    # milli-snapped sqrt's (the micro rule, milli for headroom), floors
+    # via integer div, and the leftover units go to the largest integer
+    # remainders (source-name tiebreak). Windows run over the bounded
+    # source universe.
+    budget = 100
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("nh"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    g = g.withColumn(
+        "wh",
+        F.expr(
+            "CAST(round(CAST(nh AS DOUBLE)"
+            " * sqrt(CAST(nh * ss - s * s AS DOUBLE)"
+            " / CAST(nh * (nh - 1) AS DOUBLE))"
+            " * CAST(1000 AS DOUBLE), 0) AS BIGINT)"
+        ),
+    )
+    wt = Window.partitionBy()
+    g = g.withColumn("w_tot", F.sum("wh").over(wt)).withColumn(
+        "base", F.expr(f"({budget} * wh) div w_tot")
+    ).withColumn("rem", F.expr(f"{budget} * wh - base * w_tot")).withColumn(
+        "leftover", F.expr(f"{budget} - sum(base) OVER ()")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return g.select(
+        "source",
+        "nh",
+        "wh",
+        (
+            F.col("base")
+            + (F.row_number().over(wr) <= F.col("leftover")).cast("long")
+        ).alias("alloc"),
+    )
+
+
 def q_image_ahash(spark, sf_dir):
     # Perceptual average-hash near-dup pairs (r9): the multimodal ->
     # dedup bridge — 64 strided samples of each media payload (the
@@ -11369,6 +11412,7 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_decompose": q_seasonal_decompose,
     "mase_backtest": q_mase_backtest,
     "image_ahash": q_image_ahash,
+    "neyman_allocation": q_neyman_allocation,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -13329,6 +13373,39 @@ seas AS (
 SELECT d3.t, CAST(d3.wd AS BIGINT) AS wd, d3.cents, d3.trend_micro,
        s.seasonal_micro, d3.detr - s.seasonal_micro AS residual_micro
 FROM d3 JOIN seas s ON s.wd = d3.wd
+"""
+
+ORACLES["neyman_allocation"] = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT *, CAST(round(CAST(nh AS DOUBLE)
+           * sqrt(CAST(nh * ss - s * s AS DOUBLE)
+           / CAST(nh * (nh - 1) AS DOUBLE))
+           * CAST(1000 AS DOUBLE), 0) AS BIGINT) AS wh
+  FROM g
+),
+t AS (
+  SELECT *, sum(wh) OVER () AS w_tot FROM w
+),
+b AS (
+  SELECT *, (100 * wh) // w_tot AS base,
+         100 * wh - ((100 * wh) // w_tot) * w_tot AS rem
+  FROM t
+),
+l AS (
+  SELECT *, 100 - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM b
+)
+SELECT source, nh, wh,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM l
 """
 
 ORACLES["image_ahash"] = """
