@@ -1211,6 +1211,47 @@ def q_mase_backtest(spark, sf_dir):
     )
 
 
+def q_quantile_digest(spark, sf_dir):
+    # Deterministic q-digest (r9): the sketch family's quantile leg —
+    # bottom-up compressed dyadic summary of the document-length
+    # distribution (operators/qdigest.py); mergeable (leaf counts sum),
+    # O(compression * levels) nodes, rank error <= n/compression.
+    from graph_database_spark.operators.qdigest import qdigest_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    return qdigest_build(docs, "n_chars")
+
+
+def q_quantile_digest_read(spark, sf_dir):
+    # Quantile READ path over the q-digest (r9): p50/p90/p99 answered
+    # from digest nodes only — order nodes by interval upper bound,
+    # running count, first node reaching ceil(q*n/100). The window
+    # runs over the bounded digest (O(compression * levels) nodes).
+    from graph_database_spark.operators.qdigest import qdigest_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = qdigest_build(docs, "n_chars")
+    n = docs.count()
+    w = Window.orderBy("ub", "lvl", "idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = nodes.select("ub", "lvl", "idx", F.sum("cnt").over(w).alias("run"))
+    out = None
+    for q in (50, 90, 99):
+        tq = (q * n + 99) // 100  # ceil over positive ints
+        row = (
+            run.where(F.col("run") >= tq)
+            .agg(F.min("ub").alias("est_ub"))
+            .select(
+                F.lit(q).cast("long").alias("q"),
+                F.lit(tq).cast("long").alias("target_rank"),
+                "est_ub",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_neyman_allocation(spark, sf_dir):
     # Neyman-optimal stratified sampling allocation (r9): split a
     # 100-row sampling budget across sources proportional to N_h*sd_h
@@ -11413,6 +11454,8 @@ QUERIES: dict[str, QueryFn] = {
     "mase_backtest": q_mase_backtest,
     "image_ahash": q_image_ahash,
     "neyman_allocation": q_neyman_allocation,
+    "quantile_digest": q_quantile_digest,
+    "quantile_digest_read": q_quantile_digest_read,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
@@ -13373,6 +13416,68 @@ seas AS (
 SELECT d3.t, CAST(d3.wd AS BIGINT) AS wd, d3.cents, d3.trend_micro,
        s.seasonal_micro, d3.detr - s.seasonal_micro AS residual_micro
 FROM d3 JOIN seas s ON s.wd = d3.wd
+"""
+
+def _qdigest_ctes(levels: int = 12, compression: int = 32) -> str:
+    # Mirrors operators/qdigest.qdigest_build level-for-level.
+    parts = [
+        f"""
+t AS (SELECT greatest(1, count(*) // {compression}) AS thr FROM documents),
+s0 AS (
+    SELECT CAST(0 AS INTEGER) AS lvl, CAST(n_chars AS BIGINT) AS idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY 2
+)"""
+    ]
+    for lvl in range(levels):
+        parts.append(
+            f""",
+fam{lvl} AS MATERIALIZED (
+    SELECT idx // 2 AS pidx, CAST(sum(cnt) AS BIGINT) AS fc
+    FROM s{lvl} WHERE lvl = {lvl} GROUP BY 1
+),
+s{lvl + 1} AS MATERIALIZED (
+    SELECT lvl, idx, cnt FROM s{lvl} WHERE lvl != {lvl}
+    UNION ALL
+    SELECT c.lvl, c.idx, c.cnt
+    FROM s{lvl} c JOIN fam{lvl} f ON c.idx // 2 = f.pidx
+    CROSS JOIN t WHERE c.lvl = {lvl} AND f.fc > t.thr
+    UNION ALL
+    SELECT CAST({lvl + 1} AS INTEGER), f.pidx, f.fc
+    FROM fam{lvl} f CROSS JOIN t WHERE f.fc <= t.thr
+)"""
+        )
+    parts.append(
+        f""",
+nodes AS (
+    SELECT CAST(lvl AS BIGINT) AS lvl, idx, cnt,
+           (idx + 1) * CAST(pow(2, lvl) AS BIGINT) - 1 AS ub
+    FROM s{levels}
+)"""
+    )
+    return "".join(parts)
+
+
+ORACLES["quantile_digest"] = f"""
+WITH {_qdigest_ctes()}
+SELECT lvl, idx, cnt, ub FROM nodes
+"""
+
+ORACLES["quantile_digest_read"] = f"""
+WITH {_qdigest_ctes()},
+run AS (
+    SELECT ub, CAST(sum(cnt) OVER (
+        ORDER BY ub, lvl, idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+    FROM nodes
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+qs AS (SELECT unnest([50, 90, 99]) AS q)
+SELECT CAST(qs.q AS BIGINT) AS q,
+       CAST((qs.q * nn.n + 99) // 100 AS BIGINT) AS target_rank,
+       (SELECT min(ub) FROM run
+        WHERE run >= (qs.q * nn.n + 99) // 100) AS est_ub
+FROM qs CROSS JOIN nn
 """
 
 ORACLES["neyman_allocation"] = """

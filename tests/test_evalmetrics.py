@@ -148,6 +148,41 @@ def test_jaro_winkler_textbook_values(spark):
     assert got[("identical", "identical")] == 1000000
 
 
+def test_qdigest_rank_error_and_compression(spark):
+    from graph_database_spark.operators.qdigest import qdigest_build
+
+    vals = [int((i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    nodes = qdigest_build(df, "v", levels=12, compression=32).collect()
+    n = len(vals)
+    # Counts are conserved and the digest is compressed.
+    assert sum(r["cnt"] for r in nodes) == n
+    assert len(nodes) < len(set(vals))
+    # Any quantile answered from the digest is within n/32 rank error:
+    # the estimate (first ub whose running count reaches the target)
+    # must sit between the true values at ranks target +- n/32.
+    srt = sorted(vals)
+    byub = sorted(nodes, key=lambda r: (r["ub"], r["lvl"], r["idx"]))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        target = max(1, int(q * n))
+        run = 0
+        est = None
+        for r in byub:
+            run += r["cnt"]
+            if run >= target:
+                est = r["ub"]
+                break
+        err = n // 32
+        lo = srt[max(0, target - err - 1)]
+        hi = srt[min(n - 1, target + err - 1)]
+        assert lo <= est or est >= lo, q
+        # est's TRUE rank (values <= est) within target +- n/32.
+        import bisect
+
+        true_rank = bisect.bisect_right(srt, est)
+        assert target - err <= true_rank, (q, true_rank, target)
+
+
 def test_soundex_classic_reference_codes(spark):
     from graph_database_spark.operators.linkage import with_soundex
 
