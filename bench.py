@@ -242,6 +242,9 @@ HEADLINE = [
     "seasonal_decompose",
     "mase_backtest",
     "image_ahash",
+    "neyman_allocation",
+    "quantile_digest",
+    "quantile_digest_read",
 ]
 
 
