@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from graph_database_spark.operators.fixpoint import materialize
 
-__all__ = ["qdigest_build"]
+__all__ = ["qdigest_build", "qdigest_from_leaves"]
 
 
 def qdigest_build(
@@ -30,14 +30,30 @@ def qdigest_build(
 ) -> DataFrame:
     """``(lvl, idx, cnt, ub)`` digest nodes; ``ub`` = the node interval's
     inclusive upper value bound (idx + 1) * 2^lvl - 1."""
-    n_thr = values.agg(
-        F.expr(f"greatest(1, count(*) div {compression})").alias("thr")
-    )
-    state = (
+    leaves = (
         values.select(F.col(value_col).cast("long").alias("idx"))
         .groupBy("idx")
         .agg(F.count("*").alias("cnt"))
-        .select(F.lit(0).cast("int").alias("lvl"), "idx", "cnt")
+    )
+    return qdigest_from_leaves(leaves, levels=levels, compression=compression)
+
+
+def qdigest_from_leaves(
+    leaves: DataFrame, levels: int = 12, compression: int = 32
+) -> DataFrame:
+    """Compress an exact leaf histogram ``(idx, cnt)`` into digest
+    nodes. The leaf histogram IS the mergeable state (counts add
+    cell-wise across partitions, batches, or streams — bounded by the
+    value universe, not the data); the compression is a deterministic
+    function of it, so stream-merged state rebuilds the identical
+    digest a one-shot batch build produces (streaming/quantile.py)."""
+    n_thr = leaves.agg(
+        F.expr(f"greatest(1, sum(cnt) div {compression})").alias("thr")
+    )
+    state = leaves.select(
+        F.lit(0).cast("int").alias("lvl"),
+        "idx",
+        F.col("cnt").cast("long").alias("cnt"),
     )
     state = materialize(state.coalesce(8))
     for lvl in range(levels):
