@@ -1303,7 +1303,11 @@ def q_image_ahash(spark, sf_dir):
     # bit STRING (no 64-bit shifts — the DuckDB bit-63 trap), candidate
     # pairs from 4 x 16-bit BANDS (the MinHash banding discipline on
     # Hamming space), exact Hamming <= 16 verify. All JVM-side; the
-    # whole chain replays in the oracle.
+    # whole chain replays in the oracle. Occupancy posture: the hottest
+    # 16-bit bucket holds ~2% of the corpus at sf0.1; at larger corpora
+    # the band layout is the knob (2 x 32-bit bands at 1e9 docs — the
+    # string fingerprint makes widths free), the same corpus-derived
+    # sizing rule as similarity._auto_bits.
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 64
     )
