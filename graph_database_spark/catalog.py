@@ -1211,6 +1211,76 @@ def q_mase_backtest(spark, sf_dir):
     )
 
 
+def q_temporal_reachability(spark, sf_dir):
+    # Time-respecting reachability (r9): earliest-arrival months over
+    # the TEMPORAL co-purchase graph (edges live in the month they were
+    # formed; a path may only traverse non-decreasing months) — the
+    # temporal-graph query static BFS cannot express, on the shared
+    # min-fold skeleton (operators/treach.py, sssp's pinned-budget
+    # contract).
+    from graph_database_spark.operators.treach import temporal_reachability
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("long").alias("w"),
+        )
+        .distinct()
+    )
+    te = (
+        cp.alias("a")
+        .join(
+            cp.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .select(
+            F.col("a.c").alias("src"),
+            F.col("b.c").alias("dst"),
+            F.col("a.w").alias("t"),
+        )
+        .distinct()
+    )
+    return temporal_reachability(te)
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    # k-anonymity / l-diversity audit (r9): the privacy family's
+    # release-readiness check next to dp_order_stats' noised releases —
+    # per quasi-identifier group (nation x market segment x
+    # account-balance band): group size (k), distinct sensitive values
+    # (l, sensitive = order priority of the member's orders), and the
+    # flags a disclosure review needs (k < 5, l < 2). Pure counts.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal) AS BIGINT) div 1000").alias("bal_band"),
+        "o_orderpriority",
+    )
+    g = j.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l_div"),
+    )
+    return g.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        "bal_band",
+        "n_rows",
+        "l_div",
+        (F.col("n_rows") < 5).alias("k_violation"),
+        (F.col("l_div") < 2).alias("l_violation"),
+    )
+
+
 def q_quantile_digest(spark, sf_dir):
     # Deterministic q-digest (r9): the sketch family's quantile leg —
     # bottom-up compressed dyadic summary of the document-length
@@ -11459,6 +11529,8 @@ QUERIES: dict[str, QueryFn] = {
     "image_ahash": q_image_ahash,
     "neyman_allocation": q_neyman_allocation,
     "quantile_digest": q_quantile_digest,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "temporal_reachability": q_temporal_reachability,
     "quantile_digest_read": q_quantile_digest_read,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
@@ -13482,6 +13554,69 @@ SELECT CAST(qs.q AS BIGINT) AS q,
        (SELECT min(ub) FROM run
         WHERE run >= (qs.q * nn.n + 99) // 100) AS est_ub
 FROM qs CROSS JOIN nn
+"""
+
+def _build_treach_sql(num_sources: int = 8, rounds: int = 12) -> str:
+    # Mirrors operators/treach.temporal_reachability round-for-round.
+    parts = [
+        f"""
+    WITH cp2 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                 AS BIGINT) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    tedges AS (
+        SELECT DISTINCT a.c AS src, b.c AS dst, a.w AS t
+        FROM cp2 a JOIN cp2 b
+          ON a.p = b.p AND a.w = b.w AND a.c < b.c
+    ),
+    tsym AS MATERIALIZED (
+        SELECT src AS v, dst AS n, t FROM tedges
+        UNION ALL
+        SELECT dst, src, t FROM tedges
+    ),
+    roots AS (SELECT DISTINCT v AS s FROM tsym ORDER BY s LIMIT {num_sources}),
+    r0 AS (SELECT s, s AS id, CAST(0 AS BIGINT) AS arr FROM roots)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""",
+    r{k + 1} AS MATERIALIZED (
+        SELECT s, id, min(arr) AS arr FROM (
+            SELECT s, id, arr FROM r{k}
+            UNION ALL
+            SELECT r.s, e.n AS id, e.t AS arr
+            FROM r{k} r JOIN tsym e ON e.v = r.id AND e.t >= r.arr
+        ) u GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s AS source, id, arr AS arrival FROM r{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["temporal_reachability"] = _build_treach_sql()
+
+ORACLES["k_anonymity_audit"] = """
+WITH j AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(round(c.c_acctbal) AS BIGINT) // 1000 AS bal_band,
+         o.o_orderpriority
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       bal_band, n_rows, l_div,
+       n_rows < 5 AS k_violation, l_div < 2 AS l_violation
+FROM g
 """
 
 ORACLES["neyman_allocation"] = """

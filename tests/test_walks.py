@@ -92,6 +92,27 @@ def test_max_cover_greedy_hand_case(spark):
     assert rows == [(1, 1, 4), (2, 5, 2)]
 
 
+def test_temporal_reachability_respects_time_ordering(spark):
+    from graph_database_spark.operators.treach import temporal_reachability
+
+    # Edge 1-2 active at month 5, edge 2-3 active at month 3: from 1 you
+    # arrive at 2 at t=5, too late for the 2-3 edge — but from 3 the
+    # path 3 -(3)-> 2 -(5)-> 1 is time-respecting. Asymmetric
+    # reachability on an undirected graph is the temporal signature a
+    # static BFS cannot produce.
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3)], "src long, dst long, t long"
+    )
+    got = {
+        (r["source"], r["id"]): r["arrival"]
+        for r in temporal_reachability(df, num_sources=3, rounds=4).collect()
+    }
+    assert got[(1, 2)] == 5
+    assert (1, 3) not in got          # 1 cannot reach 3
+    assert got[(3, 2)] == 3 and got[(3, 1)] == 5
+    assert got[(2, 1)] == 5 and got[(2, 3)] == 3
+
+
 def test_luby_mis_independent_and_maximal(spark):
     from graph_database_spark.operators.mis import luby_mis
 
