@@ -1251,6 +1251,15 @@ def q_temporal_reachability(spark, sf_dir):
     return temporal_reachability(te)
 
 
+def q_prf_search(spark, sf_dir):
+    # Pseudo-relevance feedback (r9): Rocchio/RM3-style two-pass BM25 —
+    # top-5 first-pass docs vote 3 expansion terms, second pass
+    # re-scores with 1.0/0.5 ppm weights. The query-expansion leg the
+    # retrieval stack (bm25 -> hybrid RRF) was missing
+    # (operators/retrieval.prf_search).
+    return R.prf_search(load_table(spark, sf_dir, "documents"), BM25_QUERY)
+
+
 def q_k_anonymity_audit(spark, sf_dir):
     # k-anonymity / l-diversity audit (r9): the privacy family's
     # release-readiness check next to dp_order_stats' noised releases —
@@ -11531,6 +11540,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_digest": q_quantile_digest,
     "k_anonymity_audit": q_k_anonymity_audit,
     "temporal_reachability": q_temporal_reachability,
+    "prf_search": q_prf_search,
     "quantile_digest_read": q_quantile_digest_read,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
@@ -13599,6 +13609,75 @@ def _build_treach_sql(num_sources: int = 8, rounds: int = 12) -> str:
 
 
 ORACLES["temporal_reachability"] = _build_treach_sql()
+
+def _build_prf_sql(fb_docs: int = 5, fb_terms: int = 3, top: int = 20) -> str:
+    # Mirrors operators/retrieval.prf_search (shared _term_scores
+    # expression tree, weights as exact ppm integers).
+    q = "('spark', 'join', 'window')"
+    qlist = "['spark', 'join', 'window']"
+    score = """CAST(round(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE)
+                            * (CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))))))
+               * 1000000.0, 0) AS BIGINT)"""
+    return f"""
+    WITH {_RETRIEVAL_TERMS},
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf1 AS (SELECT doc_id, term, count(*) AS tf FROM terms
+            WHERE term IN {q} GROUP BY 1, 2),
+    df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+    s1 AS (
+        SELECT tf1.doc_id, {score} AS s_micro
+        FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    agg1 AS (SELECT doc_id, sum(s_micro) AS sum_micro FROM s1 GROUP BY 1),
+    fb AS (SELECT doc_id FROM agg1
+           ORDER BY sum_micro DESC, doc_id LIMIT {fb_docs}),
+    expt AS (SELECT term FROM terms JOIN fb USING (doc_id)
+             WHERE term NOT IN {q}
+             GROUP BY term ORDER BY count(*) DESC, term LIMIT {fb_terms}),
+    allt AS (
+        SELECT unnest({qlist}) AS term, CAST(1000000 AS BIGINT) AS w
+        UNION ALL
+        SELECT term, CAST(500000 AS BIGINT) FROM expt
+    ),
+    tf2 AS (SELECT doc_id, term, count(*) AS tf FROM terms
+            WHERE term IN (SELECT term FROM allt) GROUP BY 1, 2),
+    df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+    s2 AS (
+        SELECT tf2.doc_id, tf2.term, {score} AS s_micro
+        FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    ws AS (
+        SELECT s2.doc_id, (a.w * s2.s_micro) // 1000000 AS ws
+        FROM s2 JOIN allt a ON a.term = s2.term
+    ),
+    agg2 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+               CAST(sum(ws) AS BIGINT) AS score_micro
+        FROM ws GROUP BY 1
+    ),
+    ranked AS (
+        SELECT doc_id, matched, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        FROM agg2
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, matched, score_micro
+    FROM ranked WHERE rank <= {top}
+"""
+
+
+ORACLES["prf_search"] = _build_prf_sql()
 
 ORACLES["k_anonymity_audit"] = """
 WITH j AS (

@@ -111,30 +111,10 @@ def tfidf_top_terms(docs: DataFrame, top: int = 5) -> DataFrame:
     )
 
 
-def bm25_search(
-    docs: DataFrame,
-    query_terms: list[str],
-    k1: float = 1.2,
-    b: float = 0.75,
-    top: int = 20,
-) -> DataFrame:
-    """BM25 ranked retrieval for a bag-of-terms query:
-    ``(rank, doc_id, matched, score)`` — top-``top`` docs.
-
-    Standard Robertson/Sparck-Jones BM25: per matched term
-    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
-    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; the per-term scores are
-    summed per doc in micro-units. Ranking ties break on doc_id, so the
-    top-k cut is total-ordered. The doc-length/avgdl stats ride a
-    single-row broadcast; only the query's own terms (a handful) leave
-    the tf aggregation.
-    """
-    terms = _doc_terms(docs).localCheckpoint()
-    dl = (
-        terms.groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .localCheckpoint()
-    )
+def _term_scores(terms, dl, query_terms, k1: float = 1.2, b: float = 0.75):
+    """Per (doc_id, term) BM25 micro scores for the given term set —
+    the scoring core shared by bm25_search and prf_search (identical
+    expression tree, so both oracles mirror one formula)."""
     tf = (
         terms.filter(F.col("term").isin(query_terms))
         .groupBy("doc_id", "term")
@@ -161,12 +141,91 @@ def bm25_search(
             + bc * (F.col("dl").cast("double") / avgdl)
         )
     )
-    scored = (
+    return (
         tf.join(df_, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("s_micro", _micro(idf * tnorm))
     )
+
+
+def prf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM3-style two-pass):
+    ``(rank, doc_id, matched, score_micro)``.
+
+    Round 1 ranks with BM25; the ``fb_docs`` top documents vote
+    expansion terms (highest term frequency inside the feedback set,
+    excluding the original query; ties on the term string); round 2
+    re-scores with original terms at weight 1.0 and expansion terms at
+    0.5 — weights applied as exact ppm integers over the micro scores,
+    so the final ranking is BIGINT-deterministic. The expansion set is
+    a bounded model fetch (``fb_terms`` strings, the kmeans-centroid
+    discipline); the oracle derives the same set in SQL.
+    """
+    terms = _doc_terms(docs).localCheckpoint()
+    dl = (
+        terms.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint()
+    )
+    s1 = _term_scores(terms, dl, query_terms)
+    agg1 = s1.groupBy("doc_id").agg(F.sum("s_micro").alias("sum_micro"))
+    fb = agg1.orderBy(F.desc("sum_micro"), F.asc("doc_id")).limit(fb_docs)
+    exp = (
+        terms.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .where(~F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("ftf"))
+        .orderBy(F.desc("ftf"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    exp_terms = [r["term"] for r in exp.collect()]
+    s2 = _term_scores(terms, dl, list(query_terms) + exp_terms)
+    weighted = s2.withColumn(
+        "w",
+        F.when(F.col("term").isin(query_terms), F.lit(1000000))
+        .otherwise(F.lit(500000))
+        .cast("long"),
+    ).withColumn("ws", F.expr("(w * s_micro) div 1000000"))
+    agg2 = weighted.groupBy("doc_id").agg(
+        F.count("*").alias("matched"), F.sum("ws").alias("score_micro")
+    )
+    topk = agg2.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(top)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "matched", "score_micro"
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-terms query:
+    ``(rank, doc_id, matched, score)`` — top-``top`` docs.
+
+    Standard Robertson/Sparck-Jones BM25: per matched term
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; the per-term scores are
+    summed per doc in micro-units. Ranking ties break on doc_id, so the
+    top-k cut is total-ordered. The doc-length/avgdl stats ride a
+    single-row broadcast; only the query's own terms (a handful) leave
+    the tf aggregation.
+    """
+    terms = _doc_terms(docs).localCheckpoint()
+    dl = (
+        terms.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint()
+    )
+    scored = _term_scores(terms, dl, query_terms, k1, b)
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("matched"), F.sum("s_micro").alias("sum_micro")
     )
