@@ -245,6 +245,9 @@ HEADLINE = [
     "neyman_allocation",
     "quantile_digest",
     "quantile_digest_read",
+    "k_anonymity_audit",
+    "temporal_reachability",
+    "prf_search",
 ]
 
 
