@@ -1251,6 +1251,60 @@ def q_temporal_reachability(spark, sf_dir):
     return temporal_reachability(te)
 
 
+def q_pit_features(spark, sf_dir):
+    # Point-in-time training matrix (r9): the leakage-safe feature/label
+    # split every churn model needs — features aggregate events STRICTLY
+    # BEFORE the cutoff (day 20 of the corpus), the label is "purchased
+    # on/after the cutoff"; nothing after the cutoff can reach a feature
+    # column by construction (the temporal analog of group_split's
+    # leakage guard). Exact integers throughout.
+    e = load_table(spark, sf_dir, "events")
+    first = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    d = (
+        e.crossJoin(F.broadcast(first))
+        .select(
+            "user_id",
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("t"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    feats = (
+        d.where(F.col("t") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+                .otherwise(F.lit(0))
+            ).alias("spend_cents"),
+            F.countDistinct("t").alias("active_days"),
+            F.max("t").cast("long").alias("last_seen_day"),
+        )
+    )
+    label = (
+        d.where((F.col("t") >= 20) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1).cast("long"))
+    )
+    return (
+        feats.join(label, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "spend_cents",
+            "active_days",
+            "last_seen_day",
+            F.coalesce("label", F.lit(0).cast("long")).alias("label"),
+        )
+    )
+
+
 def q_prf_search(spark, sf_dir):
     # Pseudo-relevance feedback (r9): Rocchio/RM3-style two-pass BM25 —
     # top-5 first-pass docs vote 3 expansion terms, second pass
@@ -11541,6 +11595,7 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "temporal_reachability": q_temporal_reachability,
     "prf_search": q_prf_search,
+    "pit_features": q_pit_features,
     "quantile_digest_read": q_quantile_digest_read,
     "graph_mis": q_graph_mis,
     "walk_skipgrams": q_walk_skipgrams,
@@ -13678,6 +13733,35 @@ def _build_prf_sql(fb_docs: int = 5, fb_terms: int = 3, top: int = 20) -> str:
 
 
 ORACLES["prf_search"] = _build_prf_sql()
+
+ORACLES["pit_features"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+d AS (
+  SELECT user_id, event_type,
+         CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) + 1 AS INTEGER) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN d0
+),
+feats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+           AS BIGINT) AS spend_cents,
+         CAST(count(DISTINCT t) AS BIGINT) AS active_days,
+         CAST(max(t) AS BIGINT) AS last_seen_day
+  FROM d WHERE t < 20 GROUP BY 1
+),
+lab AS (
+  SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS label
+  FROM d WHERE t >= 20 AND event_type = 'purchase'
+)
+SELECT f.user_id, f.n_events, f.n_purchases, f.spend_cents,
+       f.active_days, f.last_seen_day,
+       CAST(coalesce(l.label, 0) AS BIGINT) AS label
+FROM feats f LEFT JOIN lab l ON l.user_id = f.user_id
+"""
 
 ORACLES["k_anonymity_audit"] = """
 WITH j AS (
