@@ -248,6 +248,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "temporal_reachability",
     "prf_search",
+    "pit_features",
 ]
 
 
