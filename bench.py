@@ -249,6 +249,12 @@ HEADLINE = [
     "temporal_reachability",
     "prf_search",
     "pit_features",
+    "zorder_index",
+    "range_partition_plan",
+    "bitmap_intersections",
+    "benford_audit",
+    "chi2_independence",
+    "column_profile",
 ]
 
 

@@ -11396,6 +11396,189 @@ ORACLES["topo_layers"] = f"""
 """
 
 
+def q_zorder_index(spark, sf_dir):
+    # Z-order / Morton clustering index (r9): interleave a customer
+    # dimension and a price band into a 20-bit Z-value and report
+    # per-Z-bucket min/max footer stats — the evidence that a
+    # Z-ordered layout prunes scans filtering on EITHER dimension
+    # (operators/layout.zorder_stats). Pure JVM integer math, one
+    # shuffle.
+    from graph_database_spark.operators import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 1024).cast("long").alias("zx"),
+        F.expr(
+            "least(CAST(1023 AS BIGINT),"
+            " CAST(round(o_totalprice * 100) AS BIGINT) div 65536)"
+        ).alias("zy"),
+    )
+    return LAY.zorder_stats(dims, "zx", "zy")
+
+
+def q_range_partition_plan(spark, sf_dir):
+    # Balanced range-partition boundaries (r9): the exact 32-bucket
+    # split of lineitem by (price cents, unique line id) a sort-based
+    # writer / repartitionByRange planner needs — computed with the
+    # distributed global_rank, never a bare ORDER BY window
+    # (operators/layout.range_partition_plan).
+    from graph_database_spark.operators import layout as LAY
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(l_orderkey * 8 + l_linenumber AS BIGINT)").alias("uid"),
+    )
+    return LAY.range_partition_plan(d, "cents", "uid", 32)
+
+
+# Shared per-item micro-unit fragments (engine-portable: the identical
+# text parses in Spark SQL and DuckDB, so the IEEE expression trees
+# mirror operand for operand — the collocations_llr pattern).
+_ENTROPY_TERM = (
+    "CAST(round(CAST(1000000 AS DOUBLE) * (CAST(cnt AS DOUBLE) /"
+    " CAST(nn AS DOUBLE)) * ln(CAST(nn AS DOUBLE) / CAST(cnt AS DOUBLE)))"
+    " AS BIGINT)"
+)
+_CHI2_TERM = (
+    "CAST(round(CAST(1000000 AS DOUBLE)"
+    " * CAST((n_tot * o - r * c) AS DOUBLE)"
+    " * CAST((n_tot * o - r * c) AS DOUBLE)"
+    " / CAST(n_tot * r * c AS DOUBLE)) AS BIGINT)"
+)
+# log10(1 + 1/d) in ppm, d = 1..9: universal constants (sum = 10^6
+# exactly), hardcoded on BOTH sides so no libm log10 is ever evaluated.
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+    " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+    " WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+)
+_BENFORD_TERM = (
+    "CAST(round(CAST((1000000 * n_obs - n_tot * expected_ppm) AS DOUBLE)"
+    " * CAST((1000000 * n_obs - n_tot * expected_ppm) AS DOUBLE)"
+    " / CAST(n_tot * expected_ppm AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_bitmap_intersections(spark, sf_dir):
+    # Bitmap-index set algebra (r9): pack each event type's distinct
+    # user set into 31-bit words, then answer every pairwise
+    # |A∩B| / |A∪B| by popcounting ANDed masks on the word axis — a
+    # 31x-compressed join instead of a row-level user join
+    # (operators/bitmapindex.py).
+    from graph_database_spark.operators import bitmapindex as BI
+
+    ev = load_table(spark, sf_dir, "events")
+    return BI.bitmap_pair_stats(BI.bitmap_index(ev, "event_type", "user_id"))
+
+
+def q_benford_audit(spark, sf_dir):
+    # Benford first-digit audit (r9): observed leading-digit counts of
+    # order totals vs the Benford expectation, with an exact-integer
+    # chi-square contribution per digit. Expected probabilities are
+    # hardcoded ppm constants on both sides (no libm log10); the one
+    # squared double per digit mirrors operand-for-operand.
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    g = (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .withColumn("n_tot", F.sum("n_obs").over(Window.partitionBy()))
+        .withColumn("expected_ppm", F.expr(_BENFORD_CASE).cast("long"))
+    )
+    # The unpartitioned window runs over the 9-row digit frame only.
+    return g.select(
+        "digit",
+        "n_obs",
+        "expected_ppm",
+        F.expr(_BENFORD_TERM).alias("chi2_micro"),
+    )
+
+
+def q_chi2_independence(spark, sf_dir):
+    # Chi-square independence (r9): event type x 6-hour band
+    # contingency table with per-cell chi-square contributions in exact
+    # micro units — term = 10^6 * (N*o - r*c)^2 / (N*r*c), integer
+    # numerators, one mirrored double division per cell. Windows run
+    # over the bounded cell frame (|types| x 4 rows), never raw events.
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.expr("hour(ts) div 6").alias("band"))
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("o"))
+    )
+    t = cells.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("band")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n_tot"),
+    )
+    return t.select(
+        "event_type",
+        "band",
+        F.col("o").alias("n_obs"),
+        F.expr("(1000000 * r * c) div n_tot").alias("exp_ppm"),
+        F.expr(_CHI2_TERM).alias("chi2_micro"),
+    )
+
+
+def q_column_profile(spark, sf_dir):
+    # Column profiler (r9): per-column null count, distinct count, mode
+    # frequency, and Shannon entropy (per-value micro-snapped terms) of
+    # the orders table — the data-quality summary every ingest pipeline
+    # runs first. Doubles and dates are banded to injective integer /
+    # ISO string forms before grouping so no engine-specific double
+    # formatting ever becomes a group key; per-column totals join back
+    # as a broadcast 6-row frame (no giant window partition).
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', CAST(o_orderkey AS STRING),"
+            " 'o_custkey', CAST(o_custkey AS STRING),"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_totalprice',"
+            " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),"
+            " 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),"
+            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
+        )
+    )
+    g = u.groupBy("col_name", "val").agg(F.count("*").alias("cnt"))
+    tot = g.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count("val").alias("n_distinct"),
+        F.max(F.when(F.col("val").isNotNull(), F.col("cnt")))
+        .cast("long")
+        .alias("max_freq"),
+    )
+    nn = tot.select(
+        "col_name", (F.col("n_rows") - F.col("n_null")).alias("nn")
+    )
+    ent = (
+        g.where(F.col("val").isNotNull())
+        .join(F.broadcast(nn), "col_name")
+        .select("col_name", F.expr(_ENTROPY_TERM).alias("term"))
+        .groupBy("col_name")
+        .agg(F.sum("term").cast("long").alias("entropy_micro"))
+    )
+    return tot.join(ent, "col_name").select(
+        "col_name", "n_rows", "n_null", "n_distinct", "max_freq",
+        "entropy_micro",
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -11709,6 +11892,12 @@ QUERIES: dict[str, QueryFn] = {
     "group_split": q_group_split,
     "adpcm_features": q_adpcm_features,
     "video_codec_features": q_video_codec_features,
+    "zorder_index": q_zorder_index,
+    "range_partition_plan": q_range_partition_plan,
+    "bitmap_intersections": q_bitmap_intersections,
+    "benford_audit": q_benford_audit,
+    "chi2_independence": q_chi2_independence,
+    "column_profile": q_column_profile,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14144,6 +14333,162 @@ ORACLES["video_motion"] = f"""
            CAST(max(m.m) AS BIGINT) AS motion_sum
     FROM px p JOIN mot m ON m.doc_id = p.doc_id
     GROUP BY p.doc_id
+"""
+
+
+def _zorder_sql() -> str:
+    from graph_database_spark.operators.layout import morton_expr_duckdb
+
+    return f"""
+WITH d AS (
+  SELECT CAST(o_custkey % 1024 AS BIGINT) AS zx,
+         least(CAST(1023 AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT) // 65536) AS zy
+  FROM orders
+),
+z AS (
+  SELECT zx, zy, CAST({morton_expr_duckdb("zx", "zy")} AS BIGINT) AS zval
+  FROM d
+)
+SELECT zval // 1024 AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zx) AS BIGINT) AS x_min, CAST(max(zx) AS BIGINT) AS x_max,
+       CAST(min(zy) AS BIGINT) AS y_min, CAST(max(zy) AS BIGINT) AS y_max,
+       CAST(max(zx) - min(zx) AS BIGINT) AS x_span,
+       CAST(max(zy) - min(zy) AS BIGINT) AS y_span,
+       CAST(sum(zval) AS BIGINT) AS z_sum
+FROM z GROUP BY 1
+"""
+
+
+ORACLES["zorder_index"] = _zorder_sql()
+
+ORACLES["range_partition_plan"] = """
+WITH d AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS k
+  FROM lineitem
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+b AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         (bucket * nn.n) // 32 AS hi_rank,
+         ((bucket - 1) * nn.n) // 32 AS lo_rank
+  FROM (SELECT unnest(range(1, 33)) AS bucket), nn
+  WHERE (bucket * nn.n) // 32 > ((bucket - 1) * nn.n) // 32
+),
+r AS (SELECT v, k, row_number() OVER (ORDER BY v, k) AS rn FROM d)
+SELECT b.bucket, CAST(b.hi_rank - b.lo_rank AS BIGINT) AS n_rows,
+       r.v AS hi_value, r.k AS hi_key
+FROM b JOIN r ON r.rn = b.hi_rank
+"""
+
+
+ORACLES["bitmap_intersections"] = """
+WITH bm AS (
+  SELECT event_type AS key, CAST(user_id AS BIGINT) // 31 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(CAST(user_id AS BIGINT) % 31
+                                           AS INTEGER)) AS mask
+  FROM events GROUP BY 1, 2
+),
+sz AS (
+  SELECT key, CAST(sum(bit_count(mask)) AS BIGINT) AS n FROM bm GROUP BY 1
+),
+inter AS (
+  SELECT a.key AS ka, b.key AS kb,
+         CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS n_and
+  FROM bm a JOIN bm b ON a.word = b.word AND a.key < b.key
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.key AS ka, sb.key AS kb, sa.n AS n_a, sb.n AS n_b
+  FROM sz sa JOIN sz sb ON sa.key < sb.key
+)
+SELECT p.ka AS type_a, p.kb AS type_b, p.n_a, p.n_b,
+       CAST(coalesce(i.n_and, 0) AS BIGINT) AS n_and,
+       p.n_a + p.n_b - coalesce(i.n_and, 0) AS n_or,
+       (coalesce(i.n_and, 0) * 1000000)
+         // (p.n_a + p.n_b - coalesce(i.n_and, 0)) AS jaccard_ppm
+FROM pairs p LEFT JOIN inter i ON i.ka = p.ka AND i.kb = p.kb
+"""
+
+ORACLES["benford_audit"] = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+),
+t AS (
+  SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n_tot,
+         CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm
+  FROM g
+)
+SELECT digit, n_obs, expected_ppm, {_BENFORD_TERM} AS chi2_micro
+FROM t
+"""
+
+ORACLES["chi2_independence"] = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, band, o,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY band) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n_tot
+  FROM cells
+)
+SELECT event_type, band, o AS n_obs,
+       (1000000 * r * c) // n_tot AS exp_ppm,
+       {_CHI2_TERM} AS chi2_micro
+FROM t
+"""
+
+ORACLES["column_profile"] = f"""
+WITH u AS (
+  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+g AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM u GROUP BY 1, 2
+),
+tot AS (
+  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)
+              AS BIGINT) AS n_null,
+         CAST(count(val) AS BIGINT) AS n_distinct,
+         CAST(max(CASE WHEN val IS NOT NULL THEN cnt END) AS BIGINT)
+           AS max_freq
+  FROM g GROUP BY 1
+),
+ent AS (
+  SELECT g.col_name, CAST(sum({_ENTROPY_TERM}) AS BIGINT) AS entropy_micro
+  FROM g JOIN (SELECT col_name, n_rows - n_null AS nn FROM tot) t
+    ON t.col_name = g.col_name
+  WHERE g.val IS NOT NULL
+  GROUP BY 1
+)
+SELECT t.col_name, t.n_rows, t.n_null, t.n_distinct, t.max_freq,
+       e.entropy_micro
+FROM tot t JOIN ent e ON e.col_name = t.col_name
 """
 
 

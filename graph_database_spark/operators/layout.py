@@ -1,0 +1,144 @@
+"""Table-layout planning operators: Z-order clustering and range
+partitioning — the two knobs that decide whether a 100 TB scan prunes.
+
+Z-ordering (Morton codes) interleaves the bits of two filter dimensions
+so that rows close in BOTH dimensions land in the same file; per-file
+min/max footers then prune scans that filter on either dimension. The
+reference engine has no layout story (src/main.js loads everything);
+this is the Spark-native answer a petabyte table needs.
+
+Relationship to ``sinks/zorder.py``: the sink is the WRITE path (HOF
+interleave over runtime-normalized dims + range-shuffled files); this
+module is the oracle-verifiable ANALYTIC path — a fixed deterministic
+bit formula over caller-banded dims, so DuckDB can replay it bit for
+bit, plus the per-bucket footer-stats report that proves the pruning
+property the sink's test measures on real files.
+
+``range_partition_plan`` computes the exact balanced boundary values a
+``repartitionByRange``/sort-based writer would use: N buckets of
+near-equal row counts with explicit (value, tiebreak) upper bounds.
+Built on :func:`rank.global_rank`, so no single-partition window ever
+sees the full frame.
+
+Engine-portability: all bit interleaving is integer div/mod/shift with
+bit positions <= 20 (CLAUDE.md: left shifts stay under bit 31), and the
+Spark and DuckDB expression strings are generated from the same Python
+loop, operand for operand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.rank import global_rank
+
+# Bits per dimension: 10 + 10 interleave to a 20-bit Morton code.
+Z_BITS = 10
+
+
+def morton_expr_spark(x: str, y: str, bits: int = Z_BITS) -> str:
+    """Spark SQL expression interleaving ``x`` (even bit lanes) and
+    ``y`` (odd bit lanes) into a Morton / Z-value. Pure integer
+    div/mod/shiftleft — one generated expression string, one parse
+    (CLAUDE.md: never build big trees from nested F.* calls)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(({x} div {1 << i}) % 2, {2 * i})")
+        terms.append(f"shiftleft(({y} div {1 << i}) % 2, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def morton_expr_duckdb(x: str, y: str, bits: int = Z_BITS) -> str:
+    """The DuckDB mirror of :func:`morton_expr_spark`, operand for
+    operand (// for div, << for shiftleft) — integer arithmetic, so the
+    two engines agree exactly."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} // {1 << i}) % 2) << {2 * i})")
+        terms.append(f"((({y} // {1 << i}) % 2) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = Z_BITS,
+    bucket_shift: int = 10,
+) -> DataFrame:
+    """Per-Z-bucket clustering stats: row count and min/max of each
+    dimension — exactly the parquet footer metadata a scan planner
+    prunes on. Tight per-bucket spans are the *point* of Z-ordering;
+    this frame is the evidence.
+
+    ``df`` must already expose integer dimension columns ``x_col`` /
+    ``y_col`` in [0, 2^bits). One shuffle (the groupBy); the Morton code
+    itself is embarrassingly parallel JVM integer math, no UDF.
+    """
+    z = df.withColumn(
+        "zval", F.expr(morton_expr_spark(x_col, y_col, bits)).cast("long")
+    )
+    return (
+        z.groupBy((F.col("zval") / (1 << bucket_shift)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).cast("long").alias("x_min"),
+            F.max(x_col).cast("long").alias("x_max"),
+            F.min(y_col).cast("long").alias("y_min"),
+            F.max(y_col).cast("long").alias("y_max"),
+            F.sum("zval").cast("long").alias("z_sum"),
+        )
+        .select(
+            "z_bucket",
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("x_max") - F.col("x_min")).alias("x_span"),
+            (F.col("y_max") - F.col("y_min")).alias("y_span"),
+            "z_sum",
+        )
+    )
+
+
+def range_partition_plan(
+    df: DataFrame, value_col: str, key_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Balanced range-partition boundaries over (value_col, key_col).
+
+    Bucket k (1-based) covers global ranks ((k-1)*n)//nb + 1 through
+    (k*n)//nb of the total order; its upper bound is the (value, key)
+    pair at rank (k*n)//nb. This is what a sort-based writer or
+    ``repartitionByRange`` needs to produce near-equal partitions —
+    computed with the distributed :func:`rank.global_rank`, never a
+    bare ORDER BY window.
+
+    Returns one row per non-empty bucket: (bucket, n_rows, hi_value,
+    hi_key). Exact integer rank arithmetic; ``value_col`` must be
+    integral (callers snap money to cents first).
+    """
+    spark = df.sparkSession
+    n = df.count()
+    ranked = global_rank(
+        df.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.col(key_col).cast("long").alias("k"),
+        ),
+        ["v", "k"],
+    )
+    # (k*n) div nb and ((k-1)*n) div nb as exact integer ranks.
+    bounds = spark.range(1, n_buckets + 1).select(
+        F.col("id").cast("long").alias("bucket"),
+        F.expr(f"(id * {n}) div {n_buckets}").cast("long").alias("hi_rank"),
+        F.expr(f"((id - 1) * {n}) div {n_buckets}").cast("long").alias("lo_rank"),
+    ).where(F.col("hi_rank") > F.col("lo_rank"))
+    return (
+        ranked.join(F.broadcast(bounds), ranked.r == bounds.hi_rank)
+        .select(
+            "bucket",
+            (F.col("hi_rank") - F.col("lo_rank")).alias("n_rows"),
+            F.col("v").alias("hi_value"),
+            F.col("k").alias("hi_key"),
+        )
+    )
