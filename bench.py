@@ -255,6 +255,10 @@ HEADLINE = [
     "benford_audit",
     "chi2_independence",
     "column_profile",
+    "compaction_plan",
+    "consistent_hash_rebalance",
+    "markov_2step",
+    "zonemap_pruning",
 ]
 
 

@@ -11432,6 +11432,146 @@ def q_range_partition_plan(spark, sf_dir):
     return LAY.range_partition_plan(d, "cents", "uid", 32)
 
 
+def q_compaction_plan(spark, sf_dir):
+    # Small-files compaction planner (r9): treat per-ship-month
+    # lineitem row counts as file sizes and first-fit-decreasing pack
+    # them into bins of capacity 2 x max size — the OPTIMIZE planner
+    # step. One JVM HOF fold over the bounded file-metadata array
+    # (operators/layout.compaction_plan); the oracle replays FFD as a
+    # DuckDB recursive CTE carrying the bin-load list.
+    from graph_database_spark.operators import layout as LAY
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f0 = li.groupBy(
+        F.expr(
+            "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)"
+        ).alias("fid")
+    ).agg(F.count("*").alias("s"))
+    return LAY.compaction_plan(f0, "fid", "s")
+
+
+def q_consistent_hash_rebalance(spark, sf_dir):
+    # Consistent-hash shard rebalance audit (r9): assign every document
+    # to an 8-node and a 9-node md5 ring (32 vnodes each) and emit the
+    # (node_before, node_after, n_docs) transition matrix. Minimal
+    # movement — every off-diagonal cell lands on the NEW node — is the
+    # property that makes scaling a 100 TB corpus an O(1/N) data move,
+    # and the matrix is the proof (operators/chash.py; pinned in
+    # tests/test_chash.py).
+    from graph_database_spark.operators import chash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chash.rebalance_matrix(docs, 8, 9)
+
+
+# 2-D query windows for the zonemap-pruning audit: (wid, x0, x1, y0,
+# y1) literals shared by the Spark frame and the oracle VALUES list.
+_ZONEMAP_WINDOWS = [
+    (1, 100, 199, 100, 199),
+    (2, 0, 1023, 500, 563),
+    (3, 768, 1023, 0, 255),
+]
+
+
+def q_markov_2step(spark, sf_dir):
+    # Two-step Markov transition mass (r9): compose the per-user
+    # event-type transition matrix with itself — p2(a, b) = sum_m
+    # p(a, m) p(m, b) — entirely in exact integers: each path term is
+    # (n_am * n_mb * 10^6) div (tot_a * tot_m), summed (the documented
+    # per-term floor; no float ever). The matrix is |types|^2 rows, so
+    # both composition joins broadcast; the only O(N) work is the same
+    # lag window event_transitions pays.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(order)
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds totals and BOTH composition legs
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    c1 = counts.join(F.broadcast(tot), "prev_type").select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("mid"),
+        F.col("n").alias("n1"),
+        F.col("tot").alias("tot1"),
+    )
+    c2 = counts.join(F.broadcast(tot), "prev_type").select(
+        F.col("prev_type").alias("mid"),
+        F.col("event_type").alias("dst"),
+        F.col("n").alias("n2"),
+        F.col("tot").alias("tot2"),
+    )
+    return (
+        c1.join(F.broadcast(c2), "mid")
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("n1") * F.col("n2")).alias("n_paths"),
+            F.sum(
+                F.expr("(n1 * n2 * 1000000) div (tot1 * tot2)")
+            ).alias("p2_ppm"),
+        )
+    )
+
+
+def q_zonemap_pruning(spark, sf_dir):
+    # Zonemap / data-skipping audit (r9): for three 2-D query windows,
+    # count how many per-bucket min/max zonemaps (and how many rows)
+    # each layout must touch — the Z-order bucketing vs a 1-D sort on
+    # x. This is the measured payoff of zorder_index: the planner-side
+    # arithmetic a scan-pruning decision actually runs. Bucket frames
+    # are bounded (<=1024 zonemaps), windows broadcast.
+    from graph_database_spark.operators import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 1024).cast("long").alias("zx"),
+        F.expr(
+            "least(CAST(1023 AS BIGINT),"
+            " CAST(round(o_totalprice * 100) AS BIGINT) div 65536)"
+        ).alias("zy"),
+    ).localCheckpoint()  # feeds both layout legs
+    zmaps = LAY.zorder_stats(dims, "zx", "zy").select(
+        F.lit("zorder").alias("layout"),
+        "n_rows", "x_min", "x_max", "y_min", "y_max",
+    )
+    lin = (
+        dims.groupBy(F.expr("zx div 32").alias("b"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zx").alias("x_min"),
+            F.max("zx").alias("x_max"),
+            F.min("zy").alias("y_min"),
+            F.max("zy").alias("y_max"),
+        )
+        .select(
+            F.lit("linear_x").alias("layout"),
+            "n_rows", "x_min", "x_max", "y_min", "y_max",
+        )
+    )
+    buckets = zmaps.unionByName(lin)
+    wins = spark.createDataFrame(
+        _ZONEMAP_WINDOWS, "wid long, x0 long, x1 long, y0 long, y1 long"
+    )
+    hit = F.expr(
+        "CASE WHEN x_min <= x1 AND x_max >= x0"
+        " AND y_min <= y1 AND y_max >= y0 THEN 1 ELSE 0 END"
+    )
+    return (
+        buckets.crossJoin(F.broadcast(wins))
+        .groupBy("wid", "layout")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(hit).alias("n_touched"),
+            F.sum(F.col("n_rows") * hit).alias("rows_touched"),
+        )
+    )
+
+
 # Shared per-item micro-unit fragments (engine-portable: the identical
 # text parses in Spark SQL and DuckDB, so the IEEE expression trees
 # mirror operand for operand — the collocations_llr pattern).
@@ -11898,6 +12038,10 @@ QUERIES: dict[str, QueryFn] = {
     "benford_audit": q_benford_audit,
     "chi2_independence": q_chi2_independence,
     "column_profile": q_column_profile,
+    "compaction_plan": q_compaction_plan,
+    "consistent_hash_rebalance": q_consistent_hash_rebalance,
+    "markov_2step": q_markov_2step,
+    "zonemap_pruning": q_zonemap_pruning,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14490,6 +14634,128 @@ SELECT t.col_name, t.n_rows, t.n_null, t.n_distinct, t.max_freq,
        e.entropy_micro
 FROM tot t JOIN ent e ON e.col_name = t.col_name
 """
+
+
+ORACLES["compaction_plan"] = """
+WITH RECURSIVE f0 AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS fid,
+         CAST(count(*) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+),
+cap AS (SELECT 2 * max(s) AS c FROM f0),
+f AS (SELECT fid, s, row_number() OVER (ORDER BY s DESC, fid) AS rn FROM f0),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS step, CAST([] AS BIGINT[]) AS bins,
+         CAST(NULL AS BIGINT) AS fid, CAST(NULL AS BIGINT) AS s,
+         CAST(NULL AS BIGINT) AS bin
+  UNION ALL
+  SELECT r.step + 1,
+         CASE WHEN coalesce(list_filter(range(1, len(r.bins) + 1),
+                      i -> r.bins[i] + f.s <= cap.c)[1],
+                    len(r.bins) + 1) <= len(r.bins)
+              THEN list_transform(range(1, len(r.bins) + 1),
+                     i -> CASE WHEN i = coalesce(
+                                 list_filter(range(1, len(r.bins) + 1),
+                                   j -> r.bins[j] + f.s <= cap.c)[1],
+                                 len(r.bins) + 1)
+                          THEN r.bins[i] + f.s ELSE r.bins[i] END)
+              ELSE list_append(r.bins, f.s) END,
+         f.fid, f.s,
+         coalesce(list_filter(range(1, len(r.bins) + 1),
+                    i -> r.bins[i] + f.s <= cap.c)[1],
+                  len(r.bins) + 1)
+  FROM rec r JOIN f ON f.rn = r.step + 1, cap
+)
+SELECT fid AS file_id, s AS size_bytes, CAST(bin AS BIGINT) AS bin
+FROM rec WHERE step > 0
+"""
+
+
+def _chash_sql() -> str:
+    from graph_database_spark.operators.chash import rebalance_sql
+
+    return rebalance_sql(8, 9)
+
+
+ORACLES["consistent_hash_rebalance"] = _chash_sql()
+
+
+ORACLES["markov_2step"] = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1
+),
+c1 AS (
+  SELECT c.prev_type AS src, c.event_type AS mid, c.n AS n1, t.tot AS tot1
+  FROM counts c JOIN tot t ON t.prev_type = c.prev_type
+),
+c2 AS (
+  SELECT c.prev_type AS mid, c.event_type AS dst, c.n AS n2, t.tot AS tot2
+  FROM counts c JOIN tot t ON t.prev_type = c.prev_type
+)
+SELECT c1.src, c2.dst, CAST(sum(c1.n1 * c2.n2) AS BIGINT) AS n_paths,
+       CAST(sum((c1.n1 * c2.n2 * 1000000) // (c1.tot1 * c2.tot2))
+            AS BIGINT) AS p2_ppm
+FROM c1 JOIN c2 ON c2.mid = c1.mid
+GROUP BY 1, 2
+"""
+
+
+def _zonemap_sql() -> str:
+    from graph_database_spark.operators.layout import morton_expr_duckdb
+
+    wins = ",".join(
+        f"({w},{x0},{x1},{y0},{y1})"
+        for w, x0, x1, y0, y1 in _ZONEMAP_WINDOWS
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(o_custkey % 1024 AS BIGINT) AS zx,
+         least(CAST(1023 AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT) // 65536) AS zy
+  FROM orders
+),
+z AS (
+  SELECT zx, zy, CAST({morton_expr_duckdb("zx", "zy")} AS BIGINT) AS zval
+  FROM d
+),
+zb AS (
+  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_rows,
+         min(zx) AS x_min, max(zx) AS x_max,
+         min(zy) AS y_min, max(zy) AS y_max
+  FROM z GROUP BY zval // 1024
+),
+lb AS (
+  SELECT 'linear_x' AS layout, CAST(count(*) AS BIGINT) AS n_rows,
+         min(zx) AS x_min, max(zx) AS x_max,
+         min(zy) AS y_min, max(zy) AS y_max
+  FROM d GROUP BY zx // 32
+),
+buckets AS (SELECT * FROM zb UNION ALL SELECT * FROM lb),
+w(wid, x0, x1, y0, y1) AS (VALUES {wins})
+SELECT CAST(w.wid AS BIGINT) AS wid, b.layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN b.x_min <= w.x1 AND b.x_max >= w.x0
+                      AND b.y_min <= w.y1 AND b.y_max >= w.y0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       CAST(sum(CASE WHEN b.x_min <= w.x1 AND b.x_max >= w.x0
+                      AND b.y_min <= w.y1 AND b.y_max >= w.y0
+                     THEN b.n_rows ELSE 0 END) AS BIGINT) AS rows_touched
+FROM buckets b, w
+GROUP BY 1, 2
+"""
+
+
+ORACLES["zonemap_pruning"] = _zonemap_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -102,6 +102,70 @@ def zorder_stats(
     )
 
 
+# First-fit index into the bin-load array (1-based; size+1 = open new
+# bin). Referenced three times per fold step — each evaluation is an
+# integer scan of the bounded bins array (<= n_files entries), the
+# documented exception to the expensive-expression-in-HOF rule.
+_FFD_TGT = (
+    "coalesce(try_element_at(filter(transform(acc.bins,"
+    " (b, i) -> IF(b + f.s <= acc.cap, CAST(i + 1 AS BIGINT),"
+    " CAST(0 AS BIGINT))), x -> x > CAST(0 AS BIGINT)), 1),"
+    " CAST(size(acc.bins) + 1 AS BIGINT))"
+)
+
+
+def compaction_plan(
+    files: DataFrame, fid_col: str, size_col: str, cap_mult: int = 2
+) -> DataFrame:
+    """First-fit-decreasing bin packing of small files into compaction
+    targets of capacity ``cap_mult * max(size)`` — the planner step of
+    every OPTIMIZE/compaction job (the small-files problem at 100 TB is
+    metadata-scale: one row per file, not per data row).
+
+    FFD is inherently sequential, so the whole plan is ONE JVM
+    ``aggregate`` HOF fold over the size-desc-sorted file array (the
+    ucb_replay pattern): state = (capacity, bin loads, assignments), no
+    driver loop, no Python. Returns (file_id, size_bytes, bin) with
+    1-based bin ids in open order.
+    """
+    one = files.agg(
+        F.expr(
+            f"sort_array(collect_list(named_struct("
+            f"'negs', -CAST({size_col} AS BIGINT),"
+            f" 'fid', CAST({fid_col} AS BIGINT),"
+            f" 's', CAST({size_col} AS BIGINT))))"
+        ).alias("fs")
+    )
+    folded = one.select(
+        F.expr(
+            f"""
+            aggregate(fs,
+              named_struct(
+                'cap', CAST({cap_mult} AS BIGINT)
+                       * ifnull(array_max(transform(fs, x -> x.s)),
+                                CAST(0 AS BIGINT)),
+                'bins', CAST(array() AS array<bigint>),
+                'asg', CAST(array()
+                            AS array<struct<fid:bigint,s:bigint,bin:bigint>>)),
+              (acc, f) -> named_struct(
+                'cap', acc.cap,
+                'bins', CASE WHEN {_FFD_TGT} <= size(acc.bins)
+                        THEN transform(acc.bins, (b, i) ->
+                               CASE WHEN CAST(i + 1 AS BIGINT) = {_FFD_TGT}
+                                    THEN b + f.s ELSE b END)
+                        ELSE concat(acc.bins, array(f.s)) END,
+                'asg', concat(acc.asg, array(named_struct(
+                         'fid', f.fid, 's', f.s, 'bin', {_FFD_TGT})))))
+            """
+        ).alias("st")
+    )
+    return folded.select(F.explode("st.asg").alias("a")).select(
+        F.col("a.fid").alias("file_id"),
+        F.col("a.s").alias("size_bytes"),
+        F.col("a.bin").alias("bin"),
+    )
+
+
 def range_partition_plan(
     df: DataFrame, value_col: str, key_col: str, n_buckets: int = 32
 ) -> DataFrame:

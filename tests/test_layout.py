@@ -60,3 +60,40 @@ def test_range_partition_plan_balanced(spark):
     # The last boundary is the global maximum of the total order.
     top = df.select(F.max(F.struct("v", "k")).alias("m")).first()["m"]
     assert bounds[-1] == (top["v"], top["k"])
+
+
+def ffd_reference(sizes, cap_mult=2):
+    files = sorted(((s, i) for i, s in enumerate(sizes)), key=lambda t: (-t[0], t[1]))
+    cap = cap_mult * max(s for s, _ in files)
+    bins, asg = [], {}
+    for s, fid in files:
+        for i, b in enumerate(bins):
+            if b + s <= cap:
+                bins[i] += s
+                asg[fid] = i + 1
+                break
+        else:
+            bins.append(s)
+            asg[fid] = len(bins)
+    return cap, bins, asg
+
+
+def test_compaction_plan_matches_python_ffd(spark):
+    from graph_database_spark.operators.layout import compaction_plan
+
+    sizes = [9, 7, 6, 5, 4, 3, 2, 9, 1, 8, 8, 8, 2, 2, 2]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "fid long, s long"
+    )
+    cap, bins, asg = ffd_reference(sizes)
+    got = {r["file_id"]: r for r in compaction_plan(df, "fid", "s").collect()}
+    assert len(got) == len(sizes)
+    for fid, r in got.items():
+        assert r["bin"] == asg[fid], (fid, r["bin"], asg[fid])
+        assert r["size_bytes"] == sizes[fid]
+    # No bin exceeds capacity and loads match the reference packing.
+    loads = {}
+    for r in got.values():
+        loads[r["bin"]] = loads.get(r["bin"], 0) + r["size_bytes"]
+    assert all(v <= cap for v in loads.values())
+    assert sorted(loads.values()) == sorted(bins)
