@@ -11572,6 +11572,145 @@ def q_zonemap_pruning(spark, sf_dir):
     )
 
 
+def q_compaction_nextfit(spark, sf_dir):
+    # Distributed sorted-next-fit compaction (r9): the whole-table
+    # sweep twin of compaction_plan — per-ship-DAY file sizes (~2.4k
+    # files), one range shuffle via global_prefix_sum, bins cut at
+    # capacity quotients. Exact FFD folds bounded per-partition
+    # batches; this is the path when the file list is itself big data
+    # (operators/layout.compaction_nextfit).
+    from graph_database_spark.operators import layout as LAY
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f0 = li.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("fid")
+    ).agg(F.count("*").alias("s"))
+    return LAY.compaction_nextfit(f0, "fid", "s")
+
+
+def q_edge_reciprocity(spark, sf_dir):
+    # Weighted reciprocity of the event-type transition graph (r9): of
+    # all off-diagonal transition mass, how much is matched by the
+    # reverse direction — sum over ordered pairs of min(c_ab, c_ba)
+    # against total (Squartini et al.'s weighted reciprocity). The
+    # directed-family one-number health check; all integer.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(order)
+    )
+    counts = (
+        seq.where(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds totals and both sides of the pair join
+    )
+    rev = counts.select(
+        F.col("event_type").alias("prev_type"),
+        F.col("prev_type").alias("event_type"),
+        F.col("n").alias("n_rev"),
+    )
+    matched = (
+        counts.join(F.broadcast(rev), ["prev_type", "event_type"])
+        .agg(F.sum(F.least("n", "n_rev")).alias("n_reciprocated"))
+    )
+    tot = counts.agg(F.sum("n").alias("n_transitions"))
+    return tot.crossJoin(F.broadcast(matched)).select(
+        "n_transitions",
+        F.coalesce("n_reciprocated", F.lit(0).cast("long")).alias(
+            "n_reciprocated"
+        ),
+        F.expr(
+            "(coalesce(n_reciprocated, 0) * 1000000) div n_transitions"
+        ).alias("reciprocity_ppm"),
+    )
+
+
+def q_pareto_abc(spark, sf_dir):
+    # ABC / Pareto classification (r9): customers ranked by revenue,
+    # classified A (first 80% of cumulative revenue), B (to 95%), C
+    # (tail) — all comparisons on exact integer cents via the
+    # distributed global_prefix_sum (no bare ORDER BY window).
+    from graph_database_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "rev_cents"
+        )
+    )
+    ranked = global_prefix_sum(
+        rev.withColumn("neg_rev", -F.col("rev_cents")),
+        ["neg_rev", "custkey"],
+        "rev_cents",
+        "cum_cents",
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("tot"))
+    cls = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_cents") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.expr("(sum(rev_cents) * 1000000) div any_value(tot)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    # CUPED variance reduction (r9): per-user post-period metric
+    # adjusted by the pre-period covariate, theta = cov(x,y)/var(x)
+    # over exact integer-dollar sums (cents would overflow n*Sxx at
+    # BIGINT; round-to-dollars is cross-engine exact). theta and each
+    # adjustment are short mirrored IEEE chains over exact ints.
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    split = e.crossJoin(F.broadcast(d0)).select(
+        "user_id",
+        F.expr("CAST(round(value) AS BIGINT)").alias("v"),
+        (F.to_date("ts") < F.date_add(F.col("d0"), 15)).alias("pre"),
+    )
+    per_user = split.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("pre"), F.col("v"))), F.lit(0)
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(F.when(~F.col("pre"), F.col("v"))), F.lit(0)
+        ).cast("long").alias("y"),
+    ).localCheckpoint()  # feeds the moment fold and the per-user output
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_n"),
+    )
+    return per_user.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "x",
+        "y",
+        F.expr(
+            "CAST(round(CAST(1000000 AS DOUBLE) * (CAST(y AS DOUBLE)"
+            " - (CAST(cov_n AS DOUBLE) / CAST(var_n AS DOUBLE))"
+            " * CAST(x AS DOUBLE))) AS BIGINT)"
+        ).alias("adj_micro"),
+    )
+
+
 # Shared per-item micro-unit fragments (engine-portable: the identical
 # text parses in Spark SQL and DuckDB, so the IEEE expression trees
 # mirror operand for operand — the collocations_llr pattern).
@@ -12042,6 +12181,10 @@ QUERIES: dict[str, QueryFn] = {
     "consistent_hash_rebalance": q_consistent_hash_rebalance,
     "markov_2step": q_markov_2step,
     "zonemap_pruning": q_zonemap_pruning,
+    "edge_reciprocity": q_edge_reciprocity,
+    "pareto_abc": q_pareto_abc,
+    "cuped_adjustment": q_cuped_adjustment,
+    "compaction_nextfit": q_compaction_nextfit,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14756,6 +14899,110 @@ GROUP BY 1, 2
 
 
 ORACLES["zonemap_pruning"] = _zonemap_sql()
+
+
+ORACLES["edge_reciprocity"] = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq
+  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT CAST(coalesce(sum(least(a.n, b.n)), 0) AS BIGINT)
+           AS n_reciprocated
+  FROM counts a JOIN counts b
+    ON b.prev_type = a.event_type AND b.event_type = a.prev_type
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_transitions FROM counts)
+SELECT t.n_transitions, m.n_reciprocated,
+       (m.n_reciprocated * 1000000) // t.n_transitions AS reciprocity_ppm
+FROM tot t, matched m
+"""
+
+ORACLES["pareto_abc"] = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT custkey, rev_cents,
+         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+c AS (
+  SELECT *, CASE WHEN cum_cents * 100 <= tot * 80 THEN 'A'
+                 WHEN cum_cents * 100 <= tot * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+  FROM r
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+       (CAST(sum(rev_cents) AS BIGINT) * 1000000)
+         // CAST(any_value(tot) AS BIGINT) AS share_ppm
+FROM c GROUP BY 1
+"""
+
+ORACLES["cuped_adjustment"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+s AS (
+  SELECT user_id, CAST(round(value) AS BIGINT) AS v,
+         CAST(ts AS DATE) < d0.d0 + 15 AS pre
+  FROM events, d0
+),
+pu AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN pre THEN v END), 0) AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN NOT pre THEN v END), 0) AS BIGINT) AS y
+  FROM s GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pu
+),
+mm AS (
+  SELECT n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS var_n FROM m
+)
+SELECT pu.user_id, pu.x, pu.y,
+       CAST(round(CAST(1000000 AS DOUBLE) * (CAST(y AS DOUBLE)
+            - (CAST(cov_n AS DOUBLE) / CAST(var_n AS DOUBLE))
+            * CAST(x AS DOUBLE))) AS BIGINT) AS adj_micro
+FROM pu, mm
+"""
+
+
+ORACLES["compaction_nextfit"] = """
+WITH f0 AS (
+  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS fid,
+         CAST(count(*) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+),
+cap AS (SELECT 2 * max(s) AS cap FROM f0),
+r AS (
+  SELECT fid, s,
+         CAST(sum(s) OVER (ORDER BY s DESC, fid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM f0
+)
+SELECT r.fid AS file_id, r.s AS size_bytes,
+       1 + (r.cum - r.s) // cap.cap AS bin
+FROM r, cap
+"""
 
 
 def oracle_sql() -> dict[str, str]:

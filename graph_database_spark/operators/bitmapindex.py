@@ -46,6 +46,26 @@ def bitmap_index(
     )
 
 
+def merge_bitmaps(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two (key, word, mask) bitmap indexes. Bitwise OR is
+    idempotent and commutative — bitmap state is a CRDT register, so
+    replayed or reordered deltas cannot corrupt it (unlike additive
+    counters, which need a batch-skip guard; see streaming/ivm.py)."""
+    return (
+        state.unionByName(delta)
+        .groupBy("key", "word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+
+
+def distinct_counts(bitmaps: DataFrame) -> DataFrame:
+    """Exact per-key distinct cardinalities from bitmap state: one
+    popcount fold, no re-scan of the raw data."""
+    return bitmaps.groupBy("key").agg(
+        F.expr("CAST(sum(bit_count(mask)) AS BIGINT)").alias("n_distinct")
+    )
+
+
 def bitmap_pair_stats(bitmaps: DataFrame) -> DataFrame:
     """Pairwise exact set cardinalities from a (key, word, mask) index:
     one row per unordered key pair (key_a < key_b) with |A|, |B|,

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graph_database_spark.operators.rank import global_rank
+from graph_database_spark.operators.rank import global_prefix_sum, global_rank
 
 # Bits per dimension: 10 + 10 interleave to a 20-bit Morton code.
 Z_BITS = 10
@@ -103,14 +103,22 @@ def zorder_stats(
 
 
 # First-fit index into the bin-load array (1-based; size+1 = open new
-# bin). Referenced three times per fold step — each evaluation is an
-# integer scan of the bounded bins array (<= n_files entries), the
-# documented exception to the expensive-expression-in-HOF rule.
+# bin), as a SCALAR fold — integer state only, no array built, one
+# O(bins) pass. The first shipped version computed this via
+# filter(transform(...)) referenced from INSIDE the bins-update lambda:
+# the exact expensive-expression-in-HOF trap CLAUDE.md documents, and
+# it made each fold step O(bins^2) (measured: 2000 files = 36.5 s,
+# 10000 files = timeout). The caller binds this value ONCE per step as
+# a lambda variable via a transform over a single-element array — the
+# SQL-HOF let-binding idiom.
 _FFD_TGT = (
-    "coalesce(try_element_at(filter(transform(acc.bins,"
-    " (b, i) -> IF(b + f.s <= acc.cap, CAST(i + 1 AS BIGINT),"
-    " CAST(0 AS BIGINT))), x -> x > CAST(0 AS BIGINT)), 1),"
-    " CAST(size(acc.bins) + 1 AS BIGINT))"
+    "aggregate(acc.bins,"
+    " named_struct('i', CAST(0 AS BIGINT), 'hit', CAST(0 AS BIGINT)),"
+    " (st, b) -> named_struct('i', st.i + 1,"
+    " 'hit', CASE WHEN st.hit > 0 THEN st.hit"
+    " WHEN b + f.s <= acc.cap THEN st.i + 1"
+    " ELSE CAST(0 AS BIGINT) END),"
+    " st -> CASE WHEN st.hit > 0 THEN st.hit ELSE st.i + 1 END)"
 )
 
 
@@ -136,7 +144,13 @@ def compaction_plan(
             f" 's', CAST({size_col} AS BIGINT))))"
         ).alias("fs")
     )
+    # The fold carries assignments as a bare bigint array (asg[k] = bin
+    # of fs[k]) and zips file ids back AFTER the fold: growing an
+    # array<bigint> per step is a flat copy, where growing an
+    # array<struct> was the measured O(n^2) struct-copy hot spot
+    # (SCALE.md r9: 2000 files 36.5 s -> see re-measure).
     folded = one.select(
+        "fs",
         F.expr(
             f"""
             aggregate(fs,
@@ -145,24 +159,68 @@ def compaction_plan(
                        * ifnull(array_max(transform(fs, x -> x.s)),
                                 CAST(0 AS BIGINT)),
                 'bins', CAST(array() AS array<bigint>),
-                'asg', CAST(array()
-                            AS array<struct<fid:bigint,s:bigint,bin:bigint>>)),
-              (acc, f) -> named_struct(
-                'cap', acc.cap,
-                'bins', CASE WHEN {_FFD_TGT} <= size(acc.bins)
-                        THEN transform(acc.bins, (b, i) ->
-                               CASE WHEN CAST(i + 1 AS BIGINT) = {_FFD_TGT}
-                                    THEN b + f.s ELSE b END)
-                        ELSE concat(acc.bins, array(f.s)) END,
-                'asg', concat(acc.asg, array(named_struct(
-                         'fid', f.fid, 's', f.s, 'bin', {_FFD_TGT})))))
+                'asg', CAST(array() AS array<bigint>)),
+              (acc, f) -> element_at(
+                transform(array({_FFD_TGT}), tgt -> named_struct(
+                  'cap', acc.cap,
+                  'bins', CASE WHEN tgt <= size(acc.bins)
+                          THEN transform(acc.bins, (b, i) ->
+                                 CASE WHEN CAST(i + 1 AS BIGINT) = tgt
+                                      THEN b + f.s ELSE b END)
+                          ELSE concat(acc.bins, array(f.s)) END,
+                  'asg', concat(acc.asg, array(tgt)))), 1))
             """
-        ).alias("st")
+        ).alias("st"),
     )
-    return folded.select(F.explode("st.asg").alias("a")).select(
+    zipped = folded.select(
+        F.explode(
+            F.expr(
+                "transform(CASE WHEN size(fs) = 0"
+                " THEN CAST(array() AS array<int>)"
+                " ELSE sequence(1, size(fs)) END, i -> named_struct("
+                "'fid', element_at(fs, i).fid,"
+                " 's', element_at(fs, i).s,"
+                " 'bin', element_at(st.asg, i)))"
+            )
+        ).alias("a")
+    )
+    return zipped.select(
         F.col("a.fid").alias("file_id"),
         F.col("a.s").alias("size_bytes"),
         F.col("a.bin").alias("bin"),
+    )
+
+
+def compaction_nextfit(
+    files: DataFrame, fid_col: str, size_col: str, cap_mult: int = 2
+) -> DataFrame:
+    """Sorted next-fit compaction: order files by (size desc, id),
+    running-sum their sizes with the distributed
+    :func:`rank.global_prefix_sum`, and cut bins at capacity quotients
+    (``bin = 1 + cum_exclusive div cap``).
+
+    This is the packing Delta OPTIMIZE-style compactors actually run at
+    metadata scale: fully distributed (one range shuffle), no
+    sequential fold, at the price of bins overflowing by at most one
+    file past the quotient boundary. Use :func:`compaction_plan` (exact
+    FFD, single bounded fold) for per-partition-group file batches;
+    use this for the whole-table sweep where n_files is itself big
+    data. Capacity is ``cap_mult * max(size)``, like FFD's.
+    """
+    sized = files.select(
+        F.col(fid_col).cast("long").alias("fid"),
+        F.col(size_col).cast("long").alias("s"),
+    )
+    cap = sized.agg(
+        (F.lit(cap_mult).cast("long") * F.max("s")).alias("cap")
+    )
+    run = global_prefix_sum(
+        sized.withColumn("negs", -F.col("s")), ["negs", "fid"], "s", "cum"
+    )
+    return run.crossJoin(F.broadcast(cap)).select(
+        F.col("fid").alias("file_id"),
+        F.col("s").alias("size_bytes"),
+        F.expr("1 + (cum - s) div cap").alias("bin"),
     )
 
 
