@@ -259,6 +259,11 @@ HEADLINE = [
     "consistent_hash_rebalance",
     "markov_2step",
     "zonemap_pruning",
+    "edge_reciprocity",
+    "pareto_abc",
+    "cuped_adjustment",
+    "compaction_nextfit",
+    "haar_orders",
 ]
 
 

@@ -11591,6 +11591,25 @@ def q_compaction_nextfit(spark, sf_dir):
     return LAY.compaction_nextfit(f0, "fid", "s")
 
 
+def q_haar_orders(spark, sf_dir):
+    # Haar wavelet pyramid of the daily order series (r9): unnormalized
+    # sum/difference halvings over a fixed 4096-day window — every
+    # coefficient an exact integer, the multi-resolution burst
+    # signature and top-k-compression basis next to seasonal_decompose
+    # and events_autocorr (operators/haar.py; 12 unrolled MATERIALIZED
+    # halvings in the oracle).
+    from graph_database_spark.operators.haar import haar_transform
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+            " AS BIGINT)"
+        ).alias("idx")
+    ).agg(F.count("*").alias("v"))
+    return haar_transform(daily, "idx", "v")
+
+
 def q_edge_reciprocity(spark, sf_dir):
     # Weighted reciprocity of the event-type transition graph (r9): of
     # all off-diagonal transition mass, how much is matched by the
@@ -12185,6 +12204,7 @@ QUERIES: dict[str, QueryFn] = {
     "pareto_abc": q_pareto_abc,
     "cuped_adjustment": q_cuped_adjustment,
     "compaction_nextfit": q_compaction_nextfit,
+    "haar_orders": q_haar_orders,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15003,6 +15023,19 @@ SELECT r.fid AS file_id, r.s AS size_bytes,
        1 + (r.cum - r.s) // cap.cap AS bin
 FROM r, cap
 """
+
+
+def _haar_orders_sql() -> str:
+    from graph_database_spark.operators.haar import haar_sql
+
+    return haar_sql(
+        "SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'"
+        " AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS v"
+        " FROM orders GROUP BY 1"
+    )
+
+
+ORACLES["haar_orders"] = _haar_orders_sql()
 
 
 def oracle_sql() -> dict[str, str]:
