@@ -11877,6 +11877,36 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_naive_bayes_lang(spark, sf_dir):
+    # Multinomial Naive Bayes train + predict (r9 continuation,
+    # operators/nbayes.py): the supervised-classifier baseline of the
+    # corpus-pipeline family — train class priors and Laplace-smoothed
+    # token likelihoods on the md5-bucketed 80% split, classify the
+    # held-out 20%. Model grid is O(vocab x classes) and broadcast; the
+    # only shuffle is the per-(doc, class) micro-unit sum. Every log
+    # term snaps to integer micro at the (token, class) grain before
+    # summation (CLAUDE.md micro-unit rule), so the argmax is exact on
+    # both engines.
+    from graph_database_spark.operators.nbayes import nb_predict
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_predict(docs)
+
+
+def q_viterbi_paths(spark, sf_dir):
+    # Viterbi HMM decode (r9 continuation, operators/viterbi.py): the
+    # sequence-labeling primitive — per-user 2-state max-product
+    # recursion with data-derived integer-micro emissions and the
+    # argmax path carried as a string through ONE JVM aggregate fold
+    # (parallel backpointers: no backward pass). The oracle replays
+    # the identical recursion as a lockstep recursive CTE — two
+    # engines, two control-flow encodings, one integer trace (the
+    # ucb_replay verification pattern).
+    from graph_database_spark.operators.viterbi import viterbi_decode
+
+    return viterbi_decode(load_table(spark, sf_dir, "events"))
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12205,6 +12235,8 @@ QUERIES: dict[str, QueryFn] = {
     "cuped_adjustment": q_cuped_adjustment,
     "compaction_nextfit": q_compaction_nextfit,
     "haar_orders": q_haar_orders,
+    "naive_bayes_lang": q_naive_bayes_lang,
+    "viterbi_paths": q_viterbi_paths,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15036,6 +15068,116 @@ def _haar_orders_sql() -> str:
 
 
 ORACLES["haar_orders"] = _haar_orders_sql()
+
+
+ORACLES["naive_bayes_lang"] = f"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS bkt
+  FROM documents
+),
+tr AS (SELECT * FROM b WHERE bkt < 80),
+te AS (SELECT * FROM b WHERE bkt >= 80),
+trtok AS (SELECT lang, unnest({_DUCK_TOKENS}) AS tok FROM tr),
+counts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM trtok GROUP BY 1, 2
+),
+totals AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+grid AS (
+  SELECT v.tok, t.lang,
+         CAST(round(1000000 * ln(CAST(coalesce(c.n, 0) + 1 AS DOUBLE)
+              / CAST(t.tot + vs.v AS DOUBLE)), 0) AS BIGINT) AS tok_micro
+  FROM vocab v
+  CROSS JOIN totals t
+  CROSS JOIN vs
+  LEFT JOIN counts c ON c.lang = t.lang AND c.tok = v.tok
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+priors AS (
+  SELECT lang,
+         CAST(round(1000000 * ln(CAST(count(*) AS DOUBLE)
+              / CAST(any_value(nd.nd) AS DOUBLE)), 0) AS BIGINT)
+           AS prior_micro
+  FROM tr, nd GROUP BY lang
+),
+tetok AS (SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS tok FROM te),
+scored AS (
+  SELECT tt.doc_id, tt.lang, g.lang AS cls,
+         CAST(sum(g.tok_micro) AS BIGINT)
+           + CAST(any_value(p.prior_micro) AS BIGINT) AS score_micro
+  FROM tetok tt
+  JOIN grid g ON g.tok = tt.tok
+  JOIN priors p ON p.lang = g.lang
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, cls AS pred_lang, score_micro FROM rk WHERE rn = 1
+"""
+
+
+def _viterbi_sql() -> str:
+    from graph_database_spark.operators.viterbi import (
+        INIT,
+        MAX_STEPS,
+        T_STAY,
+        T_SWITCH,
+    )
+
+    ts, tw = T_STAY, T_SWITCH
+    return f"""
+WITH RECURSIVE
+et AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM et),
+em AS (
+  SELECT event_type,
+         CAST(round(1000000 * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 0)
+              AS BIGINT) AS e0,
+         CAST(round(1000000 * ln(CAST(t - n AS DOUBLE) / CAST(t AS DOUBLE)),
+              0) AS BIGINT) AS e1
+  FROM et, tt
+),
+seq0 AS (
+  SELECT e.user_id,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn,
+         m.e0, m.e1
+  FROM events e JOIN em m ON m.event_type = e.event_type
+),
+seq AS (SELECT * FROM seq0 WHERE rn <= {MAX_STEPS}),
+lens AS (
+  SELECT user_id, CAST(max(rn) AS BIGINT) AS n_steps FROM seq GROUP BY 1
+),
+rec AS (
+  SELECT user_id, 1 AS t, CAST({INIT} + e0 AS BIGINT) AS v0,
+         CAST({INIT} + e1 AS BIGINT) AS v1, '0' AS p0, '1' AS p1
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.t + 1,
+         s.e0 + greatest(r.v0 + {ts}, r.v1 + {tw}),
+         s.e1 + greatest(r.v0 + {tw}, r.v1 + {ts}),
+         (CASE WHEN r.v0 + {ts} >= r.v1 + {tw} THEN r.p0 ELSE r.p1 END)
+           || '0',
+         (CASE WHEN r.v0 + {tw} >= r.v1 + {ts} THEN r.p0 ELSE r.p1 END)
+           || '1'
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.t + 1
+)
+SELECT r.user_id, l.n_steps,
+       CASE WHEN r.v0 >= r.v1 THEN r.v0 ELSE r.v1 END AS score_micro,
+       CASE WHEN r.v0 >= r.v1 THEN r.p0 ELSE r.p1 END AS path
+FROM rec r JOIN lens l ON l.user_id = r.user_id AND r.t = l.n_steps
+"""
+
+
+ORACLES["viterbi_paths"] = _viterbi_sql()
 
 
 def oracle_sql() -> dict[str, str]:
