@@ -264,6 +264,13 @@ HEADLINE = [
     "cuped_adjustment",
     "compaction_nextfit",
     "haar_orders",
+    "naive_bayes_lang",
+    "viterbi_paths",
+    "holt_linear",
+    "ndcg_eval",
+    "rake_keywords",
+    "cdc_chunks",
+    "cdc_dedup",
 ]
 
 

@@ -11907,6 +11907,196 @@ def q_viterbi_paths(spark, sf_dir):
     return viterbi_decode(load_table(spark, sf_dir, "events"))
 
 
+def q_holt_linear(spark, sf_dir):
+    # Holt's linear-trend smoothing (r9 continuation): the
+    # double-exponential forecasting leg next to events_ewma (single
+    # smoothing) and seasonal_decompose — level/trend state over the
+    # DENSE per-type daily count series (missing days count 0, so the
+    # recurrence is well-defined), alpha=1/5, beta=1/10 as exact
+    # integer-micro `div` steps (truncating division agrees across
+    # Spark div / DuckDB // / Java). One fold per event type emits the
+    # whole (level, trend, one-step forecast) trajectory; the oracle
+    # replays the identical recurrence as a lockstep recursive CTE.
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    daily = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    types = e.select("event_type").distinct()
+    span = bounds.select((F.datediff("d1", "d0") + 1).alias("n_days"))
+    dense = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.expr("sequence(1, n_days)")).alias("day"))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    packed = dense.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a")
+    )
+    step = (
+        "struct("
+        "(x.y * 1000000 + 4 * (st.l + st.b)) div 5 AS l,"
+        " (((x.y * 1000000 + 4 * (st.l + st.b)) div 5) - st.l + 9 * st.b)"
+        " div 10 AS b,"
+        " concat(st.out, array(struct(x.day AS day,"
+        " (x.y * 1000000 + 4 * (st.l + st.b)) div 5 AS level_micro,"
+        " (((x.y * 1000000 + 4 * (st.l + st.b)) div 5) - st.l + 9 * st.b)"
+        " div 10 AS trend_micro))) AS out)"
+    )
+    fold = (
+        "aggregate(slice(a, 2, greatest(size(a) - 1, 0)),"
+        " struct(CAST(element_at(a, 1).y * 1000000 AS BIGINT) AS l,"
+        " CAST(0 AS BIGINT) AS b,"
+        " array(struct(element_at(a, 1).day AS day,"
+        " CAST(element_at(a, 1).y * 1000000 AS BIGINT) AS level_micro,"
+        " CAST(0 AS BIGINT) AS trend_micro)) AS out),"
+        f" (st, x) -> {step},"
+        " st -> st.out)"
+    )
+    return packed.select(
+        "event_type", F.explode(F.expr(fold)).alias("o")
+    ).select(
+        "event_type",
+        F.col("o.day").cast("long").alias("day"),
+        F.col("o.level_micro"),
+        F.col("o.trend_micro"),
+        (F.col("o.level_micro") + F.col("o.trend_micro")).alias(
+            "forecast_micro"
+        ),
+    )
+
+
+def q_ndcg_eval(spark, sf_dir):
+    # nDCG@10 ranking evaluation (r9 continuation): the graded-relevance
+    # metric the retrieval family (BM25/hybrid/PRF) is ultimately judged
+    # by — per-brand part rankings by retail price scored against a
+    # deterministic graded relevance (p_size mod 4). Each item's DCG
+    # gain (2^rel - 1) / log2(rank + 1) snaps to integer micro BEFORE
+    # the sum (micro-unit rule: per-item libm, integer aggregation), so
+    # DCG/IDCG/nDCG are partition-order-exact. Windows partition by
+    # brand — no global sort, scales with the group count.
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_size") % 4).cast("long").alias("rel"),
+    )
+    w_act = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    w_idl = Window.partitionBy("p_brand").orderBy(
+        F.col("rel").desc(), F.col("p_partkey").asc()
+    )
+    gain = (
+        "CAST(round(CAST(1000000 AS DOUBLE)"
+        " * (pow(CAST(2 AS DOUBLE), CAST(rel AS DOUBLE))"
+        " - CAST(1 AS DOUBLE))"
+        " * ln(CAST(2 AS DOUBLE)) / ln(CAST(rk + 1 AS DOUBLE)), 0)"
+        " AS BIGINT)"
+    )
+    actual = (
+        base.withColumn("rk", F.row_number().over(w_act))
+        .where(F.col("rk") <= 10)
+        .select("p_brand", F.expr(gain).alias("g"))
+        .groupBy("p_brand")
+        .agg(F.sum("g").alias("dcg_micro"))
+    )
+    ideal = (
+        base.withColumn("rk", F.row_number().over(w_idl))
+        .where(F.col("rk") <= 10)
+        .select("p_brand", F.expr(gain).alias("g"))
+        .groupBy("p_brand")
+        .agg(F.sum("g").alias("idcg_micro"))
+    )
+    return actual.join(ideal, "p_brand").select(
+        F.col("p_brand").alias("brand"),
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("(dcg_micro * 1000000) div idcg_micro").alias("ndcg_ppm"),
+    )
+
+
+def q_rake_keywords(spark, sf_dir):
+    # RAKE keyword extraction (r9 continuation): the classic
+    # stopword-delimited keyword scorer next to textrank_keywords
+    # (graph-based) and collocations_llr (statistical) — candidate
+    # phrases are maximal stopword-free token runs (gap-and-island per
+    # doc), word score = degree/frequency over corpus-wide phrase
+    # occurrences (integer ppm), phrase score = sum of member word
+    # scores. Top-20 via orderBy().limit() = TakeOrderedAndProject
+    # (distributed top-k, no global sort). The corpus's own articles
+    # ('a', 'the') are the stopword set.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    content = tok.where(~F.col("tok").isin("a", "the"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = content.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    ph = isl.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("plen"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        ).alias("phrase"),
+    )
+    occ = isl.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    ws = (
+        occ.groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("tok", F.expr("(deg * 1000000) div freq").alias("wscore"))
+    )
+    psc = (
+        occ.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore").alias("score_micro"))
+    )
+    return (
+        ph.join(psc, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(20)
+    )
+
+
+def q_cdc_chunks(spark, sf_dir):
+    # Content-defined chunking (r9 continuation, operators/cdc.py): the
+    # shift-resistant dedup primitive — rolling-hash boundaries over
+    # normalized text, evaluated as a fixed W-term dot product inside
+    # one JVM HOF per doc (no recursion, no shuffle until the cross-doc
+    # group). The oracle computes the identical integer hash with
+    # window lags — two engines, two encodings of the same mod-prime
+    # arithmetic.
+    from graph_database_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_cdc_dedup(spark, sf_dir):
+    # Chunk-level dedup census over the CDC boundaries: recurring chunk
+    # hashes with copy/doc counts — what shared-boilerplate removal at
+    # 100 TB actually keys on. One shuffle on the content hash.
+    from graph_database_spark.operators.cdc import cdc_dedup
+
+    return cdc_dedup(load_table(spark, sf_dir, "documents"))
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12237,6 +12427,11 @@ QUERIES: dict[str, QueryFn] = {
     "haar_orders": q_haar_orders,
     "naive_bayes_lang": q_naive_bayes_lang,
     "viterbi_paths": q_viterbi_paths,
+    "holt_linear": q_holt_linear,
+    "ndcg_eval": q_ndcg_eval,
+    "rake_keywords": q_rake_keywords,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dedup": q_cdc_dedup,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15178,6 +15373,185 @@ FROM rec r JOIN lens l ON l.user_id = r.user_id AND r.t = l.n_steps
 
 
 ORACLES["viterbi_paths"] = _viterbi_sql()
+
+
+def _cdc_ctes() -> str:
+    from graph_database_spark.operators.cdc import (
+        MASK,
+        POWERS,
+        PRIME,
+        WINDOW,
+    )
+
+    lags = " + ".join(
+        (f"c * {p}" if k == 0 else f"coalesce(lag(c, {k}) OVER w, 0) * {p}")
+        for k, p in enumerate(POWERS)
+    )
+    return f"""
+d AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+dd AS (SELECT doc_id, norm, length(norm) AS n FROM d WHERE length(norm) > 0),
+ch AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, norm FROM dd),
+cc AS (
+  SELECT doc_id, n, i,
+         CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT) AS c
+  FROM ch
+),
+hh AS (
+  SELECT doc_id, n, i, c,
+         CASE WHEN i >= {WINDOW}
+              AND (({lags}) % {PRIME}) % {MASK} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM cc
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+g AS (
+  SELECT doc_id, i, c,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM hh
+),
+chunks AS (
+  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_idx,
+         CAST(min(i) AS BIGINT) AS start,
+         CAST(count(*) AS BIGINT) AS chunk_len,
+         md5(string_agg(chr(CAST(c AS INT)), '' ORDER BY i)) AS chunk_md5
+  FROM g GROUP BY 1, 2
+)
+"""
+
+
+ORACLES["cdc_chunks"] = f"""
+WITH {_cdc_ctes()}
+SELECT doc_id, chunk_idx, start, chunk_len, chunk_md5 FROM chunks
+"""
+
+ORACLES["cdc_dedup"] = f"""
+WITH {_cdc_ctes()}
+SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       max(chunk_len) AS chunk_len
+FROM chunks GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+ORACLES["rake_keywords"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+),
+content AS (SELECT * FROM tok WHERE tok NOT IN ('a', 'the')),
+isl AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM content
+),
+ph AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM isl GROUP BY 1, 2
+),
+occ AS (
+  SELECT i.doc_id, i.grp, i.tok, p.plen
+  FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.grp = i.grp
+),
+ws AS (
+  SELECT tok, (CAST(sum(plen) AS BIGINT) * 1000000)
+              // CAST(count(*) AS BIGINT) AS wscore
+  FROM occ GROUP BY 1
+),
+psc AS (
+  SELECT o.doc_id, o.grp, CAST(sum(w.wscore) AS BIGINT) AS score_micro
+  FROM occ o JOIN ws w ON w.tok = o.tok GROUP BY 1, 2
+),
+ps AS (
+  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         max(s.score_micro) AS score_micro
+  FROM ph p JOIN psc s ON s.doc_id = p.doc_id AND s.grp = p.grp
+  GROUP BY 1
+)
+SELECT phrase, n_occurrences, score_micro FROM ps
+ORDER BY score_micro DESC, phrase ASC LIMIT 20
+"""
+
+
+ORACLES["ndcg_eval"] = """
+WITH base AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(p_size % 4 AS BIGINT) AS rel
+  FROM part
+),
+actual AS (
+  SELECT p_brand, rel,
+         row_number() OVER (PARTITION BY p_brand
+           ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM base
+),
+ideal AS (
+  SELECT p_brand, rel,
+         row_number() OVER (PARTITION BY p_brand
+           ORDER BY rel DESC, p_partkey ASC) AS rk
+  FROM base
+),
+ag AS (
+  SELECT p_brand,
+         CAST(sum(CAST(round(CAST(1000000 AS DOUBLE)
+              * (pow(CAST(2 AS DOUBLE), CAST(rel AS DOUBLE))
+              - CAST(1 AS DOUBLE))
+              * ln(CAST(2 AS DOUBLE)) / ln(CAST(rk + 1 AS DOUBLE)), 0)
+              AS BIGINT)) AS BIGINT) AS dcg_micro
+  FROM actual WHERE rk <= 10 GROUP BY 1
+),
+ig AS (
+  SELECT p_brand,
+         CAST(sum(CAST(round(CAST(1000000 AS DOUBLE)
+              * (pow(CAST(2 AS DOUBLE), CAST(rel AS DOUBLE))
+              - CAST(1 AS DOUBLE))
+              * ln(CAST(2 AS DOUBLE)) / ln(CAST(rk + 1 AS DOUBLE)), 0)
+              AS BIGINT)) AS BIGINT) AS idcg_micro
+  FROM ideal WHERE rk <= 10 GROUP BY 1
+)
+SELECT ag.p_brand AS brand, ag.dcg_micro, ig.idcg_micro,
+       (ag.dcg_micro * 1000000) // ig.idcg_micro AS ndcg_ppm
+FROM ag JOIN ig ON ig.p_brand = ag.p_brand
+"""
+
+
+ORACLES["holt_linear"] = """
+WITH RECURSIVE
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - d0 AS BIGINT) + 1 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events, bounds GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+span AS (SELECT CAST(d1 - d0 AS BIGINT) + 1 AS n_days FROM bounds),
+days AS (SELECT unnest(range(1, n_days + 1)) AS day FROM span),
+dense AS (
+  SELECT t.event_type, d.day, coalesce(dl.y, 0) AS y
+  FROM types t
+  CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
+),
+rec AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS day,
+         CAST(y * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM dense WHERE day = 1
+  UNION ALL
+  SELECT r.event_type, r.day + 1,
+         (x.y * 1000000 + 4 * (r.l + r.b)) // 5,
+         (((x.y * 1000000 + 4 * (r.l + r.b)) // 5) - r.l + 9 * r.b) // 10
+  FROM rec r
+  JOIN dense x ON x.event_type = r.event_type AND x.day = r.day + 1
+)
+SELECT event_type, day, l AS level_micro, b AS trend_micro,
+       l + b AS forecast_micro
+FROM rec
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -45,7 +45,15 @@ def nb_language_model(docs: DataFrame):
     tok = train.select(
         "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    counts = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    # counts is tiny (|vocab| x |classes|) but feeds totals, vocab AND
+    # the grid's left join — checkpoint so the scan+explode+groupBy
+    # lineage runs once, not three times (CLAUDE.md reuse rule).
+    counts = (
+        tok.groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .coalesce(4)
+        .localCheckpoint()
+    )
     totals = counts.groupBy("lang").agg(F.sum("n").alias("tot"))
     vocab = counts.select("tok").distinct()
     vsize = vocab.agg(F.count("*").alias("v"))
