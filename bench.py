@@ -271,6 +271,11 @@ HEADLINE = [
     "rake_keywords",
     "cdc_chunks",
     "cdc_dedup",
+    "randomized_response",
+    "calibration_bins",
+    "ks_drift",
+    "mannwhitney_test",
+    "spearman_nation",
 ]
 
 

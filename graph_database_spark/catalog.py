@@ -12097,6 +12097,176 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_randomized_response(spark, sf_dir):
+    # Local-DP randomized response (r9 continuation): the LOCAL privacy
+    # counterpart of dp_order_stats' central-DP releases — each event
+    # reports its true type with p=3/4, else a uniform category, both
+    # decided by seed-prefixed md5 uniforms (deterministic, replayable
+    # on both engines; the dp_order_stats noise pattern). The unbiased
+    # frequency estimate n_hat = (4*k*obs - N) / (3*k) is an exact
+    # rational in micro-units. Category list is a broadcast model;
+    # everything else is one grouped count.
+    e = load_table(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    w = Window.orderBy("event_type")  # bounded: |event types| rows
+    idx = types.select(
+        "event_type", (F.row_number().over(w) - 1).alias("idx")
+    )
+    k = idx.agg(F.count("*").alias("k"))
+    coin = F.expr(
+        "conv(substr(md5(concat('rr|', CAST(event_id AS STRING))), 1, 15),"
+        " 16, 10) % 1000000"
+    )
+    pick = F.expr(
+        "conv(substr(md5(concat('rrpick|', CAST(event_id AS STRING))), 1,"
+        " 15), 16, 10)"
+    )
+    reported = (
+        e.join(F.broadcast(idx), "event_type")
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.when(coin < 750000, F.col("idx"))
+            .otherwise(pick % F.col("k"))
+            .alias("rep_idx")
+        )
+    )
+    obs = (
+        reported.groupBy("rep_idx")
+        .agg(F.count("*").alias("n_obs"))
+        .join(F.broadcast(idx), F.col("rep_idx") == F.col("idx"))
+        .select("event_type", "n_obs")
+    )
+    true_counts = e.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    tot = e.agg(F.count("*").alias("n"))
+    return (
+        true_counts.join(obs, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            "n_true",
+            "n_obs",
+            F.expr(
+                "(1000000 * (4 * k * n_obs - n)) div (3 * k)"
+            ).alias("n_hat_micro"),
+        )
+    )
+
+
+def q_calibration_bins(spark, sf_dir):
+    # Reliability diagram + Brier decomposition (r9 continuation): the
+    # calibration diagnostic next to logistic/isotonic_calibration —
+    # an intentionally over-binned model (empirical P(purchase) per
+    # hour-of-day, trained on an md5-split half of events) scored on
+    # the held-out half. On this noise-flat corpus the audit shows the
+    # textbook overfit signature: train-rate spread across percent bins
+    # collapses to the flat base rate in obs_ppm — the exact failure a
+    # reliability diagram exists to expose. Predictions are exact ppm
+    # rationals; the Brier term (pred - y)^2 stays integer ppm^2, so
+    # every bin statistic is partition-order-exact.
+    e = load_table(spark, sf_dir, "events")
+    key = F.expr(
+        "conv(substr(md5(concat('cal|', CAST(event_id AS STRING))), 1, 4),"
+        " 16, 10) % 100"
+    )
+    base = e.select(
+        key.alias("bkt"),
+        F.hour("ts").cast("long").alias("band"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    rates = (
+        base.where(F.col("bkt") < 50)
+        .groupBy("band")
+        .agg(
+            F.expr("(1000000 * sum(y)) div count(*)").alias("pred_ppm")
+        )
+    )
+    test = base.where(F.col("bkt") >= 50).join(F.broadcast(rates), "band")
+    return (
+        test.groupBy(F.expr("pred_ppm div 10000").alias("bin"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("sum(pred_ppm) div count(*)").alias("mean_pred_ppm"),
+            F.expr("(1000000 * sum(y)) div count(*)").alias("obs_ppm"),
+            F.expr(
+                "sum((pred_ppm - y * 1000000) * (pred_ppm - y * 1000000))"
+                " div count(*)"
+            ).alias("brier_ppm2"),
+        )
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    # Two-sample Kolmogorov-Smirnov drift (r9 continuation): the
+    # distribution-level drift gate next to psi_drift's binned form —
+    # KS needs no binning choice, so it is the snapshot-vs-snapshot
+    # check a corpus refresh runs first. Early orders (pre-1998) vs
+    # late; D's numerator max|n2*cumA - n1*cumB| is an exact integer
+    # over the merged cents grid, the running sum is the distributed
+    # global_prefix_sum (operators/stats_tests.ks_2sample).
+    from graph_database_spark.operators import stats_tests as ST
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.year("o_orderdate") < 1998).cast("int").alias("fl"),
+    )
+    return ST.ks_2sample(src, "cents", "fl")
+
+
+def q_mannwhitney_test(spark, sf_dir):
+    # Mann-Whitney U rank test (r9 continuation): the nonparametric
+    # sibling of ab_test_welch for heavy-tailed metrics — URGENT vs
+    # LOW order values. Tie-averaged ranks carried 2-scaled so every
+    # statistic (R1, U1, the tie-correction sum t^3-t) is an exact
+    # BIGINT; the rank prefix runs on the distributed
+    # global_prefix_sum, never a bare ORDER BY window
+    # (operators/stats_tests.mannwhitney_u).
+    from graph_database_spark.operators import stats_tests as ST
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("fl"),
+    )
+    return ST.mannwhitney_u(src, "cents", "fl")
+
+
+def q_spearman_nation(spark, sf_dir):
+    # Per-nation Spearman rank correlation (r9 continuation): monotone
+    # association between a customer's account balance and their total
+    # spend, per nation — the rank-based effect readout where Pearson
+    # (column_stats) assumes linearity. Within-nation 2-scaled
+    # tie-averaged ranks keep (num, dxx, dyy) exact integers; the one
+    # sqrt+division pair is IEEE exactly-rounded on both engines and
+    # floor-snapped to micro (operators/stats_tests.spearman_grouped).
+    from graph_database_spark.operators import stats_tests as ST
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(spend, c.c_custkey == spend.o_custkey, "left")
+        .select(
+            "n_name",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("x"),
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    res = ST.spearman_grouped(base, "n_name", "x", "y")
+    return res.select(
+        F.col("g").alias("n_name"), "n", "num", "dxx", "dyy", "rho_micro"
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12432,6 +12602,11 @@ QUERIES: dict[str, QueryFn] = {
     "rake_keywords": q_rake_keywords,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup": q_cdc_dedup,
+    "randomized_response": q_randomized_response,
+    "calibration_bins": q_calibration_bins,
+    "ks_drift": q_ks_drift,
+    "mannwhitney_test": q_mannwhitney_test,
+    "spearman_nation": q_spearman_nation,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15375,6 +15550,79 @@ FROM rec r JOIN lens l ON l.user_id = r.user_id AND r.t = l.n_steps
 ORACLES["viterbi_paths"] = _viterbi_sql()
 
 
+ORACLES["randomized_response"] = """
+WITH idx AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM idx),
+rep AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substring(md5('rr|'
+                || CAST(e.event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 < 750000
+           THEN i.idx
+           ELSE CAST(('0x' || substring(md5('rrpick|'
+                || CAST(e.event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % kk.k
+         END AS rep_idx
+  FROM events e
+  JOIN idx i ON i.event_type = e.event_type
+  CROSS JOIN kk
+),
+obs AS (
+  SELECT i.event_type, CAST(count(*) AS BIGINT) AS n_obs
+  FROM rep r JOIN idx i ON i.idx = r.rep_idx
+  GROUP BY 1
+),
+tc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+SELECT t.event_type, t.n_true, o.n_obs,
+       (1000000 * (4 * kk.k * o.n_obs - tot.n)) // (3 * kk.k)
+         AS n_hat_micro
+FROM tc t
+JOIN obs o ON o.event_type = t.event_type
+CROSS JOIN tot
+CROSS JOIN kk
+"""
+
+
+ORACLES["calibration_bins"] = """
+WITH base AS (
+  SELECT CAST(('0x' || substring(md5('cal|'
+              || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 100 AS bkt,
+         CAST(hour(ts) AS BIGINT) AS band,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events
+),
+rates AS (
+  SELECT band,
+         (1000000 * CAST(sum(y) AS BIGINT)) // CAST(count(*) AS BIGINT)
+           AS pred_ppm
+  FROM base WHERE bkt < 50 GROUP BY 1
+),
+test AS (
+  SELECT b.y, r.pred_ppm FROM base b
+  JOIN rates r ON r.band = b.band
+  WHERE b.bkt >= 50
+)
+SELECT pred_ppm // 10000 AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(pred_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS mean_pred_ppm,
+       (1000000 * CAST(sum(y) AS BIGINT)) // CAST(count(*) AS BIGINT)
+         AS obs_ppm,
+       CAST(sum((pred_ppm - y * 1000000) * (pred_ppm - y * 1000000))
+            AS BIGINT) // CAST(count(*) AS BIGINT) AS brier_ppm2
+FROM test GROUP BY 1
+"""
+
+
 def _cdc_ctes() -> str:
     from graph_database_spark.operators.cdc import (
         MASK,
@@ -15551,6 +15799,110 @@ rec AS (
 SELECT event_type, day, l AS level_micro, b AS trend_micro,
        l + b AS forecast_micro
 FROM rec
+"""
+
+
+ORACLES["ks_drift"] = """
+WITH src AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS fl
+  FROM orders
+),
+grid AS (
+  SELECT v, CAST(sum(fl) AS BIGINT) AS na,
+         CAST(sum(1 - fl) AS BIGINT) AS nb
+  FROM src GROUP BY 1
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+               CAST(sum(nb) AS BIGINT) AS n2 FROM grid),
+run AS (
+  SELECT n1, n2,
+         sum(n2 * na - n1 * nb) OVER (ORDER BY v) AS cum
+  FROM grid CROSS JOIN tot
+)
+SELECT max(n1) AS n1, max(n2) AS n2,
+       CAST(max(abs(cum)) AS BIGINT) AS d_num,
+       (1000000 * CAST(max(abs(cum)) AS BIGINT))
+         // (max(n1) * max(n2)) AS ks_micro
+FROM run
+"""
+
+
+ORACLES["mannwhitney_test"] = """
+WITH src AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS fl
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+grid AS (
+  SELECT v, CAST(sum(fl) AS BIGINT) AS na,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY 1
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+               CAST(sum(cnt) - sum(na) AS BIGINT) AS n2 FROM grid),
+run AS (
+  SELECT na, cnt, sum(cnt) OVER (ORDER BY v) AS cum
+  FROM grid
+),
+ag AS (
+  SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+         CAST(sum(na * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t3_minus_t
+  FROM run CROSS JOIN tot t
+)
+SELECT n1, n2, r1_x2,
+       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+       tie_t3_minus_t,
+       (1000000 * (r1_x2 - n1 * (n1 + 1))) // (2 * n1 * n2)
+         AS u_eff_micro
+FROM ag
+"""
+
+
+ORACLES["spearman_nation"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT n.n_name,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+         coalesce(s.cents, 0) AS y
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+),
+rk AS (
+  SELECT n_name,
+         CAST(2 * rank() OVER (PARTITION BY n_name ORDER BY x)
+           + count(*) OVER (PARTITION BY n_name, x) - 1 AS BIGINT) AS rx2,
+         CAST(2 * rank() OVER (PARTITION BY n_name ORDER BY y)
+           + count(*) OVER (PARTITION BY n_name, y) - 1 AS BIGINT) AS ry2
+  FROM base
+),
+suff AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx,
+         CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+  FROM rk GROUP BY 1
+)
+SELECT n_name, n,
+       n * sxy - sx * sy AS num,
+       n * sxx - sx * sx AS dxx,
+       n * syy - sy * sy AS dyy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(floor(CAST(1000000 * (n * sxy - sx * sy) AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+       END AS rho_micro
+FROM suff
 """
 
 
