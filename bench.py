@@ -276,6 +276,9 @@ HEADLINE = [
     "ks_drift",
     "mannwhitney_test",
     "spearman_nation",
+    "hilbert_index",
+    "dsir_selection",
+    "als_factors",
 ]
 
 

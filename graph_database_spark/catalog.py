@@ -12267,6 +12267,71 @@ def q_spearman_nation(spark, sf_dir):
     )
 
 
+def q_hilbert_index(spark, sf_dir):
+    # Hilbert-curve clustering index (r9 continuation): zorder_index's
+    # dims mapped through the Hilbert distance instead of Morton — the
+    # strictly-better-locality layout key modern lakehouse clustering
+    # uses (every curve step is Manhattan-adjacent, so per-bucket
+    # min/max footers are tighter on BOTH dims). The sequential per-bit
+    # rotate/reflect loop runs as ONE JVM aggregate-HOF fold
+    # (operators/layout.hilbert_expr_spark); the oracle replays it as a
+    # generated one-CTE-per-bit chain from the same Python loop.
+    from graph_database_spark.operators import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 1024).cast("long").alias("hx"),
+        F.expr(
+            "least(CAST(1023 AS BIGINT),"
+            " CAST(round(o_totalprice * 100) AS BIGINT) div 65536)"
+        ).alias("hy"),
+    )
+    return LAY.hilbert_stats(dims, "hx", "hy")
+
+
+def q_dsir_selection(spark, sf_dir):
+    # DSIR importance selection (r9 continuation): the published
+    # Data Selection via Importance Resampling recipe — hashed-bigram
+    # bag-of-words models for the English slice (target) vs the whole
+    # corpus (raw), each doc scored by its summed bucket log-ratio,
+    # top-50 kept. The principled replacement for threshold stacking
+    # (quality_rules/corpus_policy); bucket weights are micro-snapped
+    # before the per-doc sum (operators/retrieval.dsir_select).
+    from graph_database_spark.operators.retrieval import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en")
+
+
+def q_als_factors(spark, sf_dir):
+    # Rank-2 ALS user factors (r9 continuation): the trained
+    # collaborative-filtering embedding next to item_cf's neighborhood
+    # scores — init item factors from md5, then user-solve -> item-solve
+    # -> user-solve, every 2x2 ridge system closed-form over
+    # mean-normalized integer centi-unit statistics so the whole
+    # training loop replays bit-exact in SQL (operators/als.py; the
+    # normalization keeps det bounded independent of ratings-per-entity
+    # — the arithmetic-range analog of the hot-basket guard).
+    from graph_database_spark.operators.als import als_user_factors
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("r")
+        )
+    )
+    return als_user_factors(ratings).select(
+        F.col("fid").alias("cust"),
+        F.col("f1").alias("f1_centi"),
+        F.col("f2").alias("f2_centi"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12607,6 +12672,9 @@ QUERIES: dict[str, QueryFn] = {
     "ks_drift": q_ks_drift,
     "mannwhitney_test": q_mannwhitney_test,
     "spearman_nation": q_spearman_nation,
+    "hilbert_index": q_hilbert_index,
+    "dsir_selection": q_dsir_selection,
+    "als_factors": q_als_factors,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15903,6 +15971,120 @@ SELECT n_name, n,
                 * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
        END AS rho_micro
 FROM suff
+"""
+
+
+def _hilbert_sql() -> str:
+    from graph_database_spark.operators import layout as LAY
+
+    ctes, last = LAY.hilbert_ctes_duckdb("src", 10)
+    return f"""
+WITH src AS (
+  SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+         CAST(least(CAST(1023 AS BIGINT),
+              CAST(round(o_totalprice * 100) AS BIGINT) // 65536)
+              AS BIGINT) AS y,
+         CAST(o_custkey % 1024 AS BIGINT) AS ox,
+         CAST(least(CAST(1023 AS BIGINT),
+              CAST(round(o_totalprice * 100) AS BIGINT) // 65536)
+              AS BIGINT) AS oy,
+         CAST(0 AS BIGINT) AS d
+  FROM orders
+),
+{ctes}
+SELECT d // 1024 AS h_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(ox) AS x_min, max(ox) AS x_max,
+       min(oy) AS y_min, max(oy) AS y_max,
+       max(ox) - min(ox) AS x_span, max(oy) - min(oy) AS y_span,
+       CAST(sum(d) AS BIGINT) AS h_sum
+FROM {last} GROUP BY 1
+"""
+
+
+ORACLES["hilbert_index"] = _hilbert_sql()
+
+
+def _als_sql() -> str:
+    from graph_database_spark.operators.als import duckdb_solve_sql
+
+    f1 = duckdb_solve_sql("f1")
+    f2 = duckdb_solve_sql("f2")
+
+    def suff(src: str, fac: str, join_on: str, grp: str) -> str:
+        return f"""
+  SELECT r.{grp} AS fid, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f.f1 * f.f1) AS BIGINT) AS a11s,
+         CAST(sum(f.f1 * f.f2) AS BIGINT) AS a12s,
+         CAST(sum(f.f2 * f.f2) AS BIGINT) AS a22s,
+         CAST(sum(r.r * f.f1) AS BIGINT) AS b1s,
+         CAST(sum(r.r * f.f2) AS BIGINT) AS b2s
+  FROM {src} r JOIN {fac} f ON f.fid = r.{join_on}
+  GROUP BY 1"""
+
+    return f"""
+WITH ratings AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS p,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT p AS fid,
+         CAST(('0x' || substr(md5('alsa|' || CAST(p AS VARCHAR)), 1, 15))
+              AS BIGINT) % 201 - 100 AS f1,
+         CAST(('0x' || substr(md5('alsb|' || CAST(p AS VARCHAR)), 1, 15))
+              AS BIGINT) % 201 - 100 AS f2
+  FROM (SELECT DISTINCT p FROM ratings)
+),
+s1 AS ({suff('ratings', 'v0', 'p', 'u')}),
+u1 AS (SELECT fid, {f1} AS f1, {f2} AS f2 FROM s1),
+s2 AS ({suff('ratings', 'u1', 'u', 'p')}),
+v1 AS (SELECT fid, {f1} AS f1, {f2} AS f2 FROM s2),
+s3 AS ({suff('ratings', 'v1', 'p', 'u')}),
+u2 AS (SELECT fid, {f1} AS f1, {f2} AS f2 FROM s3)
+SELECT fid AS cust, f1 AS f1_centi, f2 AS f2_centi FROM u2
+"""
+
+
+ORACLES["als_factors"] = _als_sql()
+
+
+ORACLES["dsir_selection"] = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
+         {_DUCK_TOKENS} AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 15))
+              AS BIGINT) % 256 AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cnt AS (
+  SELECT b, CAST(sum(is_t) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM bg GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(is_t) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS nr
+  FROM bg
+),
+model AS (
+  SELECT b,
+         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)
+                       * CAST(nr + 256 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS lam_micro
+  FROM cnt CROSS JOIN tot
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.lam_micro) AS BIGINT) AS w_micro
+FROM bg JOIN model m ON m.b = bg.b
+GROUP BY 1
+ORDER BY w_micro DESC, doc_id ASC
+LIMIT 50
 """
 
 

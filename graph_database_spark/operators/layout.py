@@ -59,6 +59,120 @@ def morton_expr_duckdb(x: str, y: str, bits: int = Z_BITS) -> str:
     return " + ".join(terms)
 
 
+def hilbert_expr_spark(x: str, y: str, bits: int = Z_BITS) -> str:
+    """Spark SQL expression mapping ``(x, y)`` in [0, 2^bits)^2 to the
+    Hilbert-curve distance d in [0, 4^bits) — the layout key behind
+    modern lakehouse clustering (Hilbert preserves locality strictly
+    better than Morton: every curve step is Manhattan-adjacent, so
+    per-file min/max spans are tighter on BOTH dimensions).
+
+    The classic per-bit loop (quadrant digit + rotate/reflect, the
+    public xy2d algorithm) is inherently sequential in the bit index,
+    so it runs as ONE ``aggregate`` HOF fold over the bit levels with
+    (x, y, d) integer state — per-row JVM arithmetic, no UDF, no
+    exponential expression blowup from textual substitution. The
+    quadrant digit (3*rx) XOR ry is written arithmetically as
+    3*rx + ry*(1-2*rx) because DuckDB's ``^`` is exponentiation — both
+    engines then run identical integer ops.
+    """
+    n1 = (1 << bits) - 1
+    s_list = ", ".join(str(1 << i) for i in range(bits - 1, -1, -1))
+    rx = "(st.x div s) % 2"
+    ry = "(st.y div s) % 2"
+    return f"""aggregate(array({s_list}),
+      named_struct('x', CAST({x} AS BIGINT), 'y', CAST({y} AS BIGINT),
+                   'd', CAST(0 AS BIGINT)),
+      (st, s) -> named_struct(
+        'x', CASE WHEN {ry} = 1 THEN st.x
+                  WHEN {rx} = 1 THEN {n1} - st.y
+                  ELSE st.y END,
+        'y', CASE WHEN {ry} = 1 THEN st.y
+                  WHEN {rx} = 1 THEN {n1} - st.x
+                  ELSE st.x END,
+        'd', st.d + s * s * (3 * ({rx}) + ({ry}) * (1 - 2 * ({rx})))),
+      st -> st.d)"""
+
+
+def hilbert_ctes_duckdb(
+    src_cte: str, bits: int = Z_BITS
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`hilbert_expr_spark` as a chain of one
+    CTE per bit level (linear text growth; textual substitution of the
+    state update would blow up exponentially). ``src_cte`` must expose
+    columns (x, y) plus any carry-through columns listed by the caller
+    in its final select — each step rewrites x, y and accumulates d.
+
+    Returns (ctes_sql, final_cte_name); step arithmetic is generated
+    from the same constants as the Spark fold, operand for operand
+    (// for div, same CASE structure).
+    """
+    n1 = (1 << bits) - 1
+    parts = []
+    prev = src_cte
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        cur = f"h{i}"
+        rx = f"((x // {s}) % 2)"
+        ry = f"((y // {s}) % 2)"
+        parts.append(
+            f"""{cur} AS (
+  SELECT * REPLACE (
+    CASE WHEN {ry} = 1 THEN x
+         WHEN {rx} = 1 THEN {n1} - y
+         ELSE y END AS x,
+    CASE WHEN {ry} = 1 THEN y
+         WHEN {rx} = 1 THEN {n1} - x
+         ELSE x END AS y,
+    d + {s * s} * (3 * {rx} + {ry} * (1 - 2 * {rx})) AS d)
+  FROM {prev}
+)"""
+        )
+        prev = cur
+    return ",\n".join(parts), prev
+
+
+def hilbert_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = Z_BITS,
+    bucket_shift: int = 10,
+) -> DataFrame:
+    """Per-Hilbert-bucket clustering stats — :func:`zorder_stats` with
+    the Hilbert distance as the layout key, reporting the same footer
+    metadata (count, per-dimension min/max/span) a scan planner prunes
+    on. Comparing x_span/y_span against the Z-order buckets on the same
+    dims is the locality-improvement evidence."""
+    h = df.withColumn(
+        "hval",
+        F.expr(hilbert_expr_spark(x_col, y_col, bits)).cast("long"),
+    )
+    return (
+        h.groupBy(
+            (F.col("hval") / (1 << bucket_shift)).cast("long").alias("h_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).cast("long").alias("x_min"),
+            F.max(x_col).cast("long").alias("x_max"),
+            F.min(y_col).cast("long").alias("y_min"),
+            F.max(y_col).cast("long").alias("y_max"),
+            F.sum("hval").cast("long").alias("h_sum"),
+        )
+        .select(
+            "h_bucket",
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("x_max") - F.col("x_min")).alias("x_span"),
+            (F.col("y_max") - F.col("y_min")).alias("y_span"),
+            "h_sum",
+        )
+    )
+
+
 def zorder_stats(
     df: DataFrame,
     x_col: str,

@@ -520,3 +520,84 @@ def hybrid_rrf_search(
     return fused.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "in_lex", "in_dense", "rrf_micro"
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_col,
+    n_buckets: int = 256,
+    top: int = 50,
+) -> DataFrame:
+    """DSIR-style data selection (the published Data Selection via
+    Importance Resampling recipe): estimate hashed-bigram bag-of-words
+    models for a TARGET slice and the RAW corpus, weight every doc by
+    its importance log-ratio, and keep the top ``top`` — the principled
+    "make the crawl look like the curated set" selector that replaces
+    ad-hoc quality thresholds.
+
+    ``target_col`` is a boolean Column marking the target slice. Each
+    bigram hashes to one of ``n_buckets`` md5 buckets; bucket weight
+    lambda_b = ln(((ct+1)/(Nt+B)) * ((Nr+B)/(cr+1))) (add-one
+    smoothing over the bucket universe) is snapped to integer
+    micro-units BEFORE the per-doc sum (module exactness rule), so doc
+    scores are partition-order-exact and the final ranking is a total
+    order. Returns ``(doc_id, n_bigrams, w_micro)``, top ``top`` by
+    (w_micro desc, doc_id).
+
+    At scale: the model is ``n_buckets`` rows (broadcast); the bigram
+    frame is the only large intermediate — one combinable shuffle to
+    count buckets, one to sum per-doc scores, and a distributed
+    TakeOrdered for the cut. No all-pairs stage, no Python.
+    """
+    base = spread(docs).select(
+        "doc_id",
+        target_col.cast("int").alias("is_t"),
+        tokens(F.col("text")).alias("arr"),
+    )
+    bg = base.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) < 2 THEN CAST(array() AS array<string>)"
+                " ELSE transform(sequence(1, size(arr) - 1),"
+                " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+                " END"
+            )
+        ).alias("g"),
+    ).withColumn(
+        "b",
+        F.expr(
+            f"conv(substr(md5(g), 1, 15), 16, 10) % {n_buckets}"
+        ).cast("long"),
+    ).localCheckpoint()
+    cnt = bg.groupBy("b").agg(
+        F.sum("is_t").alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = bg.agg(
+        F.sum("is_t").alias("nt"), F.count("*").alias("nr")
+    )
+    # Buckets with zero raw occurrences can never match a bigram, so
+    # the model only needs the observed buckets (<= n_buckets rows).
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        _micro(
+            F.log(
+                (F.col("ct") + F.lit(1)).cast("double")
+                / (F.col("nt") + F.lit(n_buckets)).cast("double")
+                * (F.col("nr") + F.lit(n_buckets)).cast("double")
+                / (F.col("cr") + F.lit(1)).cast("double")
+            )
+        ).alias("lam_micro"),
+    )
+    return (
+        bg.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lam_micro").alias("w_micro"),
+        )
+        .orderBy(F.desc("w_micro"), F.asc("doc_id"))
+        .limit(top)
+    )
