@@ -279,6 +279,9 @@ HEADLINE = [
     "hilbert_index",
     "dsir_selection",
     "als_factors",
+    "events_changepoint",
+    "platt_scaling",
+    "hashed_features",
 ]
 
 

@@ -12332,6 +12332,112 @@ def q_als_factors(spark, sf_dir):
     )
 
 
+def q_events_changepoint(spark, sf_dir):
+    # Exact mean-shift changepoint per event type (r9 continuation):
+    # binary segmentation's base step — the split of the dense hourly
+    # series minimizing total SSE, via the division-free integer
+    # objective (S_k*n - k*S_n)^2 div (k*(n-k)) over per-type prefix
+    # sums. LOCALIZES what events_cusum detects
+    # (operators/events.best_mean_shift).
+    _utc(spark)
+    return E.best_mean_shift(load_table(spark, sf_dir, "events"))
+
+
+def q_platt_scaling(spark, sf_dir):
+    # Platt scaling (r9 continuation): logistic_calibration's Newton
+    # loop with Platt's smoothed targets t+ = (N+ + 1)/(N+ + 2) and
+    # t- = 1/(N- + 2) — the published score-calibration recipe whose
+    # target shrinkage keeps the fitted map off the 0/1 boundary (the
+    # MAP-estimate correction the original SVM paper mandates).
+    # Targets are exact micro rationals from one bounded 1-row
+    # collect; per-round sigmoids micro-snap before the five
+    # sufficient sums and the driver float Newton updates mirror the
+    # oracle's unrolled CTEs operand-for-operand (the
+    # logistic_calibration discipline).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            (F.col("n_chars") - 300).cast("long").alias("zi"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    c = docs.agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    ).collect()[0]
+    npos = int(c["pos"])
+    nneg = int(c["n"]) - npos
+    tp = ((npos + 1) * 1000000) // (npos + 2)
+    tn = 1000000 // (nneg + 2)
+    t = (
+        F.when(F.col("y") == 1, F.lit(tp))
+        .otherwise(F.lit(tn))
+        .cast("long")
+    )
+    w0, w1 = 0.0, 0.0
+    for _ in range(_LOGIT_ROUNDS):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+        )
+        pm = F.round(p * F.lit(1000000.0), 0).cast("long")
+        wm = F.round(p * (F.lit(1.0) - p) * F.lit(1000000.0), 0).cast(
+            "long"
+        )
+        r = docs.agg(
+            F.sum(t - pm).alias("g0"),
+            F.sum(F.col("zi") * (t - pm)).alias("g1"),
+            F.sum(wm).alias("h00"),
+            F.sum(F.col("zi") * wm).alias("h01"),
+            F.sum(F.col("zi") * F.col("zi") * wm).alias("h11"),
+        ).collect()[0]
+        det = float(r["h00"]) * float(r["h11"]) - float(r["h01"]) * float(
+            r["h01"]
+        )
+        w0 = w0 + (
+            float(r["h11"]) * float(r["g0"]) - float(r["h01"]) * float(r["g1"])
+        ) / det
+        w1 = w1 + (
+            float(r["h00"]) * float(r["g1"]) - float(r["h01"]) * float(r["g0"])
+        ) / det
+    return docs.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.lit(tp).cast("long").alias("tp_micro"),
+        F.lit(tn).cast("long").alias("tn_micro"),
+        F.lit(w0).alias("w0"),
+        F.lit(w1).alias("w1"),
+    )
+
+
+def q_hashed_features(spark, sf_dir):
+    # Feature hashing / hashing trick (r9 continuation): the published
+    # signed-hash vectorizer — token -> md5 bucket (64-dim), second
+    # hash bit -> +-1 sign so collisions cancel in expectation; cell
+    # value = signed term frequency. The fixed-width featurization a
+    # streaming/OOV-heavy trainer uses instead of a vocabulary build
+    # (no model table at all — the point of the trick at 100 TB).
+    # One explode + one combinable groupBy; zero-cancelled cells drop.
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cells = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(concat('fh|', tok)), 1, 15),"
+               " 16, 10) AS BIGINT) % 64").alias("bucket"),
+        F.expr("1 - 2 * (CAST(conv(substr(md5(concat('fs|', tok)), 1,"
+               " 15), 16, 10) AS BIGINT) % 2)").alias("sgn"),
+    )
+    return (
+        cells.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("w"))
+        .where(F.col("w") != 0)
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12675,6 +12781,9 @@ QUERIES: dict[str, QueryFn] = {
     "hilbert_index": q_hilbert_index,
     "dsir_selection": q_dsir_selection,
     "als_factors": q_als_factors,
+    "events_changepoint": q_events_changepoint,
+    "platt_scaling": q_platt_scaling,
+    "hashed_features": q_hashed_features,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14466,6 +14575,92 @@ GROUP BY w.w0, w.w1"""
 
 ORACLES["logistic_calibration"] = _build_logit_sql()
 
+
+def _build_platt_sql(rounds: int = _LOGIT_ROUNDS) -> str:
+    # q_platt_scaling's unrolled mirror: _build_logit_sql's structure
+    # with the hard labels replaced by Platt's smoothed micro-rational
+    # targets (computed in their own CTE with the same // arithmetic).
+    parts = [
+        """
+WITH d AS (
+    SELECT CAST(n_chars - 300 AS BIGINT) AS zi,
+           CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+    FROM documents
+),
+tgt AS (
+    SELECT ((sum(y) + 1) * 1000000) // (sum(y) + 2) AS tp,
+           1000000 // (count(*) - sum(y) + 2) AS tn
+    FROM d
+),
+wv0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"""
+    ]
+    p = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(w.w0 + w.w1 * CAST(d.zi AS DOUBLE)))))"
+    )
+    t = "(CASE WHEN d.y = 1 THEN g.tp ELSE g.tn END)"
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+it{k} AS (
+    SELECT
+        CAST(sum({t}
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT))
+          AS BIGINT) AS g0,
+        CAST(sum(d.zi * ({t}
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT)))
+          AS BIGINT) AS g1,
+        CAST(sum(CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h00,
+        CAST(sum(d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h01,
+        CAST(sum(d.zi * d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h11
+    FROM d CROSS JOIN wv{k - 1} w CROSS JOIN tgt g
+),
+wv{k} AS (
+    SELECT
+        w.w0 + (CAST(i.h11 AS DOUBLE) * CAST(i.g0 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g1 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w0,
+        w.w1 + (CAST(i.h00 AS DOUBLE) * CAST(i.g1 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g0 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w1
+    FROM it{k} i CROSS JOIN wv{k - 1} w
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d.y) AS BIGINT) AS pos,
+       CAST(g.tp AS BIGINT) AS tp_micro, CAST(g.tn AS BIGINT) AS tn_micro,
+       w.w0 AS w0, w.w1 AS w1
+FROM d CROSS JOIN wv{rounds} w CROSS JOIN tgt g
+GROUP BY g.tp, g.tn, w.w0, w.w1"""
+    )
+    return "".join(parts)
+
+
+ORACLES["platt_scaling"] = _build_platt_sql()
+
+
+ORACLES["hashed_features"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('fh|' || tok), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         1 - 2 * (CAST(('0x' || substr(md5('fs|' || tok), 1, 15))
+           AS BIGINT) % 2) AS sgn
+  FROM tok
+)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+FROM cells GROUP BY 1, 2 HAVING sum(sgn) != 0
+"""
+
 ORACLES["mase_backtest"] = """
 WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
 daily AS (
@@ -16003,6 +16198,58 @@ FROM {last} GROUP BY 1
 
 
 ORACLES["hilbert_index"] = _hilbert_sql()
+
+
+ORACLES["events_changepoint"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1,
+         INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.event_type, g.h, coalesce(hh.y, 0) AS y
+  FROM grid g
+  LEFT JOIN hourly hh ON hh.event_type = g.event_type AND hh.h = g.h
+),
+pre AS (
+  SELECT event_type, h,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(y) OVER w AS BIGINT) AS sk
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sn
+  FROM dense GROUP BY 1
+),
+scored AS (
+  SELECT p.event_type, p.h, p.k, t.n, p.sk, t.sn,
+         ((p.sk * t.n - p.k * t.sn) * (p.sk * t.n - p.k * t.sn))
+           // (p.k * (t.n - p.k)) AS gain
+  FROM pre p JOIN tot t ON t.event_type = p.event_type
+  WHERE p.k < t.n
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY gain DESC, k ASC) AS rn
+  FROM scored
+)
+SELECT event_type, h AS split_hour, k, n, gain,
+       (1000 * sk) // k AS left_mean_milli,
+       (1000 * (sn - sk)) // (n - k) AS right_mean_milli
+FROM best WHERE rn = 1
+"""
 
 
 def _als_sql() -> str:

@@ -241,3 +241,87 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def best_mean_shift(events: DataFrame) -> DataFrame:
+    """Exact single-changepoint localization per event_type: the split
+    of the dense hourly count series minimizing total SSE — the
+    binary-segmentation base step that LOCALIZES the shift
+    ``cusum_changepoints`` detects.
+
+    Minimizing SSE_left + SSE_right over split k equals maximizing the
+    between-segment term n1*n2/n*(m1-m2)^2; dropping the constant n,
+    the integer objective is gain(k) = (S_k*n - k*S_n)^2 div (k*(n-k))
+    over prefix sums S_k — division-free means, no floats, so the
+    argmax (ties -> earliest k) is identical cross-engine. Windows are
+    partitioned per event_type over the bounded dense grid
+    (#hours-in-span rows per series). Returns one row per type:
+    (event_type, split_hour, k, n, gain, left/right mean in milli).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("y"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pre = dense.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("y").over(w).alias("sk"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sn")
+    )
+    scored = (
+        pre.join(F.broadcast(tot), "event_type")
+        .where(F.col("k") < F.col("n"))
+        .select(
+            "event_type",
+            "h",
+            "k",
+            "n",
+            "sk",
+            "sn",
+            F.expr(
+                "((sk * n - k * sn) * (sk * n - k * sn))"
+                " div (k * (n - k))"
+            ).alias("gain"),
+        )
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("gain"), F.asc("k")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("split_hour"),
+            "k",
+            "n",
+            "gain",
+            F.expr("(1000 * sk) div k").alias("left_mean_milli"),
+            F.expr("(1000 * (sn - sk)) div (n - k)").alias(
+                "right_mean_milli"
+            ),
+        )
+    )

@@ -213,6 +213,9 @@ SHOW = [
     "hilbert_index",
     "dsir_selection",
     "als_factors",
+    "events_changepoint",
+    "platt_scaling",
+    "hashed_features",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
