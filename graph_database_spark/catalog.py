@@ -12438,6 +12438,26 @@ def q_hashed_features(spark, sf_dir):
     )
 
 
+def q_cologne_blocks(spark, sf_dir):
+    # Cologne-phonetics blocking keys (r9 continuation): the published
+    # Koelner Phonetik — soundex_blocks' fourth linkage leg, chosen
+    # over NYSIIS/Metaphone because every rule is decidable from the
+    # (prev, curr, next) window alone, so the encode is three chained
+    # VECTORIZED string passes (digit map, adjacent-dup collapse,
+    # zero-strip) with no sequential fold and no rewriting scan —
+    # embarrassingly parallel at any scale
+    # (operators/linkage.with_cologne).
+    from graph_database_spark.operators.linkage import with_cologne
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    return with_cologne(names, "blk")
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12784,6 +12804,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_changepoint": q_events_changepoint,
     "platt_scaling": q_platt_scaling,
     "hashed_features": q_hashed_features,
+    "cologne_blocks": q_cologne_blocks,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14643,6 +14664,28 @@ GROUP BY g.tp, g.tn, w.w0, w.w1"""
 
 
 ORACLES["platt_scaling"] = _build_platt_sql()
+
+
+def _cologne_sql() -> str:
+    from graph_database_spark.operators.linkage import (
+        cologne_dedup_duckdb_sql,
+        cologne_duckdb_sql,
+    )
+
+    return f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, (string_split(p_name, ' '))[-1] AS blk FROM names),
+f AS (SELECT p_name, blk, {cologne_duckdb_sql('blk')} AS _full FROM b),
+dd AS (SELECT p_name, blk, {cologne_dedup_duckdb_sql('_full')} AS _dedup
+       FROM f)
+SELECT p_name, blk,
+       concat(substr(_dedup, 1, 1), replace(substr(_dedup, 2), '0', ''))
+         AS cologne
+FROM dd
+"""
+
+
+ORACLES["cologne_blocks"] = _cologne_sql()
 
 
 ORACLES["hashed_features"] = f"""

@@ -224,3 +224,102 @@ def block_self_pairs(
     hot_pairs = pair(hot_a, hot_b, [blk_col, "ga", "gb"])
 
     return cold_pairs.unionByName(hot_pairs)
+
+
+def _cologne_case(c: str, p: str, n: str, i: str) -> str:
+    """The Cologne-phonetics letter->digit table as one CASE expression,
+    parameterized on the char-access syntax so the Spark and DuckDB
+    expressions are generated from the SAME table (engine-portability
+    rule). ``c``/``p``/``n`` are current/previous/next char expressions,
+    ``i`` the 1-based position variable. Unlike Soundex/NYSIIS, every
+    rule here is decidable from the (prev, curr, next) window alone —
+    no in-place rewriting, so the whole encoding vectorizes."""
+    return f"""CASE
+ WHEN {c} IN ('a','e','i','j','o','u','y') THEN '0'
+ WHEN {c} = 'h' THEN ''
+ WHEN {c} = 'b' THEN '1'
+ WHEN {c} = 'p' THEN CASE WHEN {n} = 'h' THEN '3' ELSE '1' END
+ WHEN {c} IN ('d','t') THEN
+   CASE WHEN {n} IN ('c','s','z') THEN '8' ELSE '2' END
+ WHEN {c} IN ('f','v','w') THEN '3'
+ WHEN {c} IN ('g','k','q') THEN '4'
+ WHEN {c} = 'c' THEN CASE
+   WHEN {i} = 1 THEN
+     CASE WHEN {n} IN ('a','h','k','l','o','q','r','u','x')
+          THEN '4' ELSE '8' END
+   WHEN {p} IN ('s','z') THEN '8'
+   WHEN {n} IN ('a','h','k','o','q','u','x') THEN '4'
+   ELSE '8' END
+ WHEN {c} = 'x' THEN CASE WHEN {p} IN ('c','k','q') THEN '8' ELSE '48' END
+ WHEN {c} = 'l' THEN '5'
+ WHEN {c} IN ('m','n') THEN '6'
+ WHEN {c} = 'r' THEN '7'
+ WHEN {c} IN ('s','z') THEN '8'
+ ELSE '' END"""
+
+
+def with_cologne(
+    df: DataFrame, name_col: str, out: str = "cologne"
+) -> DataFrame:
+    """Append the Cologne-phonetics (Koelner Phonetik) code — the
+    fourth linkage leg next to Soundex: a published phonetic key whose
+    rules are all (prev, curr, next)-window-local, so the encode is
+    three chained VECTORIZED passes (letter->digit map, adjacent-dup
+    collapse, zero-strip keeping the leading digit) with no sequential
+    fold at all. Per-row JVM string ops; embarrassingly parallel."""
+    case = _cologne_case(
+        f"substring({name_col}, i, 1)",
+        f"IF(i = 1, '', substring({name_col}, i - 1, 1))",
+        f"substring({name_col}, i + 1, 1)",
+        "i",
+    )
+    d = df.withColumn(
+        "_full",
+        F.expr(
+            f"concat_ws('', transform(sequence(1,"
+            f" greatest(length({name_col}), 1)), i -> {case}))"
+        ),
+    )
+    d = d.withColumn(
+        "_dedup",
+        F.expr(
+            "concat_ws('', transform(sequence(1, greatest(length(_full),"
+            " 1)), j -> IF(j = 1 OR substring(_full, j, 1) !="
+            " substring(_full, j - 1, 1), substring(_full, j, 1), '')))"
+        ),
+    )
+    return d.withColumn(
+        out,
+        F.expr(
+            "concat(substring(_dedup, 1, 1),"
+            " replace(substring(_dedup, 2), '0', ''))"
+        ),
+    ).drop("_full", "_dedup")
+
+
+def cologne_duckdb_sql(name_col: str) -> str:
+    """DuckDB mirror of :func:`with_cologne` as a scalar expression
+    pipeline (generated from the same CASE table): returns SQL
+    fragments (full_expr, dedup_from, key_from) the oracle composes
+    as chained CTE columns."""
+    case = _cologne_case(
+        f"substr({name_col}, CAST(i AS INT), 1)",
+        f"CASE WHEN i = 1 THEN '' ELSE"
+        f" substr({name_col}, CAST(i - 1 AS INT), 1) END",
+        f"substr({name_col}, CAST(i + 1 AS INT), 1)",
+        "i",
+    )
+    return (
+        f"array_to_string(list_transform(range(1,"
+        f" greatest(length({name_col}), 1) + 1), i -> {case}), '')"
+    )
+
+
+def cologne_dedup_duckdb_sql(full_col: str) -> str:
+    return (
+        f"array_to_string(list_transform(range(1,"
+        f" greatest(length({full_col}), 1) + 1), j -> CASE WHEN j = 1"
+        f" OR substr({full_col}, CAST(j AS INT), 1) !="
+        f" substr({full_col}, CAST(j - 1 AS INT), 1)"
+        f" THEN substr({full_col}, CAST(j AS INT), 1) ELSE '' END), '')"
+    )
