@@ -282,6 +282,9 @@ HEADLINE = [
     "events_changepoint",
     "platt_scaling",
     "hashed_features",
+    "cologne_blocks",
+    "conformal_intervals",
+    "good_turing",
 ]
 
 

@@ -12458,6 +12458,109 @@ def q_cologne_blocks(spark, sf_dir):
     return with_cologne(names, "blk")
 
 
+def q_conformal_intervals(spark, sf_dir):
+    # Split-conformal prediction intervals (r9 continuation): the
+    # published distribution-free uncertainty recipe — md5 three-way
+    # split (train/calibrate/test), a per-priority mean model on the
+    # train slice, the ceil((n+1)*0.9)-th smallest absolute calibration
+    # residual as the interval half-width, and the empirical coverage
+    # audit on the held-out slice. Residuals stay integer cents; the
+    # order statistic comes from the distributed global_rank (never a
+    # bare ORDER BY window); coverage is an exact ppm rational.
+    from graph_database_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "conv(substr(md5(concat('cfm|', CAST(o_orderkey AS STRING))),"
+            " 1, 4), 16, 10) % 100"
+        ).cast("long").alias("bkt"),
+    ).localCheckpoint()
+    model = (
+        o.where(F.col("bkt") < 40)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(cents) div count(*)").alias("pred_cents"))
+    )
+    calib = (
+        o.where((F.col("bkt") >= 40) & (F.col("bkt") < 70))
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("res"),
+        )
+    )
+    ranked = global_rank(calib, ["res", "o_orderkey"], out_col="r")
+    n_cal = calib.count()
+    k = ((n_cal + 1) * 9 + 9) // 10
+    qhat = ranked.where(F.col("r") == k).select(
+        F.col("res").alias("qhat_cents")
+    )
+    test = (
+        o.where(F.col("bkt") >= 70)
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("res")
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.lit(n_cal).cast("long").alias("n_calib"),
+            F.count("*").alias("n_test"),
+            F.max("qhat_cents").alias("qhat_cents"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN res <= qhat_cents THEN 1"
+                " ELSE 0 END)) div count(*)"
+            ).alias("cover_ppm"),
+        )
+    )
+
+
+def q_good_turing(spark, sf_dir):
+    # Good-Turing frequency smoothing (r9 continuation): the classic
+    # count-of-counts estimator over token TRIGRAM types (the 31-word
+    # vocabulary makes unigrams/bigrams saturate — trigrams have a
+    # genuine rare tail; the CLAUDE.md vocab lesson applied to species
+    # counting). For each frequency class r <= 10: N_r and the adjusted
+    # count r* = (r+1) * N_{r+1} / N_r in exact micro — the smoothing
+    # every held-out LM estimate builds on. Two combinable shuffles
+    # (trigram counts, count-of-counts); no windows.
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = spread(docs).select(tokens(F.col("text")).alias("arr"))
+    tri = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) < 3 THEN CAST(array() AS"
+                " array<string>) ELSE transform(sequence(1, size(arr)"
+                " - 2), i -> concat(element_at(arr, i), ' ',"
+                " element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"
+                " END"
+            )
+        ).alias("g")
+    )
+    counts = tri.groupBy("g").agg(F.count("*").alias("r"))
+    nr = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        nr.join(nxt, "r", "left")
+        .where(F.col("r") <= 10)
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("long").alias("n_r1"),
+            F.expr(
+                "((r + 1) * coalesce(n_r1, 0) * 1000000) div n_r"
+            ).alias("rstar_micro"),
+        )
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12805,6 +12908,8 @@ QUERIES: dict[str, QueryFn] = {
     "platt_scaling": q_platt_scaling,
     "hashed_features": q_hashed_features,
     "cologne_blocks": q_cologne_blocks,
+    "conformal_intervals": q_conformal_intervals,
+    "good_turing": q_good_turing,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14686,6 +14791,74 @@ FROM dd
 
 
 ORACLES["cologne_blocks"] = _cologne_sql()
+
+
+ORACLES["conformal_intervals"] = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5('cfm|' || CAST(o_orderkey AS VARCHAR)),
+              1, 4)) AS BIGINT) % 100 AS bkt
+  FROM orders
+),
+model AS (
+  SELECT o_orderpriority,
+         CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS pred_cents
+  FROM o WHERE bkt < 40 GROUP BY 1
+),
+calib AS (
+  SELECT o.o_orderkey, abs(o.cents - m.pred_cents) AS res
+  FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+  WHERE o.bkt >= 40 AND o.bkt < 70
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
+ranked AS (
+  SELECT res, row_number() OVER (ORDER BY res, o_orderkey) AS r
+  FROM calib
+),
+qh AS (
+  SELECT res AS qhat_cents
+  FROM ranked CROSS JOIN nc
+  WHERE r = ((n_cal + 1) * 9 + 9) // 10
+),
+test AS (
+  SELECT abs(o.cents - m.pred_cents) AS res
+  FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+  WHERE o.bkt >= 70
+)
+SELECT nc.n_cal AS n_calib,
+       CAST(count(*) AS BIGINT) AS n_test,
+       max(q.qhat_cents) AS qhat_cents,
+       (1000000 * CAST(sum(CASE WHEN t.res <= q.qhat_cents THEN 1
+         ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS cover_ppm
+FROM test t CROSS JOIN qh q CROSS JOIN nc
+GROUP BY nc.n_cal
+"""
+
+
+ORACLES["good_turing"] = f"""
+WITH tok AS (
+  SELECT {_DUCK_TOKENS} AS t FROM documents
+),
+tri AS (
+  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS r FROM tri GROUP BY 1
+),
+nr AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1
+)
+SELECT a.r, a.n_r,
+       coalesce(b.n_r, 0) AS n_r1,
+       ((a.r + 1) * coalesce(b.n_r, 0) * 1000000) // a.n_r
+         AS rstar_micro
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+WHERE a.r <= 10
+"""
 
 
 ORACLES["hashed_features"] = f"""

@@ -216,6 +216,9 @@ SHOW = [
     "events_changepoint",
     "platt_scaling",
     "hashed_features",
+    "cologne_blocks",
+    "conformal_intervals",
+    "good_turing",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
