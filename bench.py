@@ -285,6 +285,8 @@ HEADLINE = [
     "cologne_blocks",
     "conformal_intervals",
     "good_turing",
+    "shapley_attribution",
+    "ipw_effect",
 ]
 
 

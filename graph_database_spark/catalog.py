@@ -12561,6 +12561,161 @@ def q_good_turing(spark, sf_dir):
     )
 
 
+def q_shapley_attribution(spark, sf_dir):
+    # Shapley-value channel attribution (r9 continuation): the
+    # game-theoretic completion of the attribution family
+    # (position/time-decay/markov) — the published coalition recipe:
+    # v(S) = conversion rate (ppm) of users whose non-purchase channel
+    # set is exactly S, phi_c = sum over S not containing c of
+    # |S|!(k-|S|-1)! * (v(S+c) - v(S)), divided by k! once at the end.
+    # Coalition masks are integer bitmaps; k (channels) is a bounded
+    # distinct-collect; every term is exact integer ppm — the
+    # truncating final div matches // cross-engine even when negative.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")  # bounded: |event types| rows
+    chan = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type", (F.row_number().over(w) - 1).alias("idx")
+        )
+        .localCheckpoint()
+    )
+    k = chan.count()
+    um = (
+        ev.join(F.broadcast(chan), "event_type")
+        .select("user_id", "idx")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("m"))
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y")
+    )
+    coal = (
+        conv.join(um, "user_id", "left")
+        .select(F.coalesce(F.col("m"), F.lit(0)).alias("m"), "y")
+        .groupBy("m")
+        .agg(F.expr("(1000000 * sum(y)) div count(*)").alias("v_ppm"))
+        .localCheckpoint()
+    )
+    masks = spark.range(1 << k).select(F.col("id").alias("s"))
+    pairs = masks.crossJoin(F.broadcast(chan)).where(
+        F.expr("(s div shiftleft(CAST(1 AS BIGINT), idx)) % 2 = 0")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(coal.select(F.col("m").alias("s"), F.col("v_ppm").alias("v0"))),
+            "s",
+            "left",
+        )
+        .withColumn(
+            "s1", F.expr("s + shiftleft(CAST(1 AS BIGINT), idx)")
+        )
+        .join(
+            F.broadcast(
+                coal.select(F.col("m").alias("s1"), F.col("v_ppm").alias("v1"))
+            ),
+            "s1",
+            "left",
+        )
+        .select(
+            "event_type",
+            "idx",
+            F.expr(
+                f"factorial(bit_count(s)) * factorial({k} - bit_count(s)"
+                " - 1) * (coalesce(v1, 0) - coalesce(v0, 0))"
+            ).alias("term"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.expr(f"sum(term) div factorial({k})").alias("phi_ppm")
+    )
+
+
+def q_ipw_effect(spark, sf_dir):
+    # Inverse-propensity-weighted treatment effect (r9 continuation):
+    # the propensity-weighting leg of the causal family (diff_in_diff
+    # removes time confounding, cuped removes pre-period variance —
+    # IPW removes OBSERVED covariate confounding). Propensity
+    # P(urgent | order-year) fitted with the 4-round Newton loop
+    # (driver floats mirrored operand-for-operand in the unrolled
+    # oracle); per-row Hajek weights micro-snapped BEFORE the four
+    # sufficient sums, outcome in whole DOLLARS (the ols_price_model
+    # overflow lesson); the two means and the ATE are chains of exact
+    # IEEE ops over identical integers.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") - 1998).cast("long").alias("zi"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("long")
+            .alias("y"),
+            F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("val"),
+        )
+        .localCheckpoint()
+    )
+    w0, w1 = 0.0, 0.0
+    for _ in range(_LOGIT_ROUNDS):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+        )
+        pm = F.round(p * F.lit(1000000.0), 0).cast("long")
+        wm = F.round(p * (F.lit(1.0) - p) * F.lit(1000000.0), 0).cast(
+            "long"
+        )
+        r = o.agg(
+            F.sum(F.col("y") * 1000000 - pm).alias("g0"),
+            F.sum(F.col("zi") * (F.col("y") * 1000000 - pm)).alias("g1"),
+            F.sum(wm).alias("h00"),
+            F.sum(F.col("zi") * wm).alias("h01"),
+            F.sum(F.col("zi") * F.col("zi") * wm).alias("h11"),
+        ).collect()[0]
+        det = float(r["h00"]) * float(r["h11"]) - float(r["h01"]) * float(
+            r["h01"]
+        )
+        w0 = w0 + (
+            float(r["h11"]) * float(r["g0"]) - float(r["h01"]) * float(r["g1"])
+        ) / det
+        w1 = w1 + (
+            float(r["h00"]) * float(r["g1"]) - float(r["h01"]) * float(r["g0"])
+        ) / det
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+    )
+    wt = (
+        F.when(
+            F.col("y") == 1, F.round(F.lit(1000000.0) / p, 0)
+        )
+        .otherwise(F.round(F.lit(1000000.0) / (F.lit(1.0) - p), 0))
+        .cast("long")
+    )
+    return o.agg(
+        F.count("*").alias("n"),
+        F.lit(w0).alias("pw0"),
+        F.lit(w1).alias("pw1"),
+        F.sum(F.col("y") * wt * F.col("val")).alias("s1"),
+        F.sum(F.col("y") * wt).alias("d1"),
+        F.sum((1 - F.col("y")) * wt * F.col("val")).alias("s0"),
+        F.sum((1 - F.col("y")) * wt).alias("d0"),
+    ).select(
+        "n",
+        "pw0",
+        "pw1",
+        "s1",
+        "d1",
+        "s0",
+        "d0",
+        F.expr(
+            "CAST(s1 AS DOUBLE) / CAST(d1 AS DOUBLE)"
+            " - CAST(s0 AS DOUBLE) / CAST(d0 AS DOUBLE)"
+        ).alias("ate_dollars"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -12910,6 +13065,8 @@ QUERIES: dict[str, QueryFn] = {
     "cologne_blocks": q_cologne_blocks,
     "conformal_intervals": q_conformal_intervals,
     "good_turing": q_good_turing,
+    "shapley_attribution": q_shapley_attribution,
+    "ipw_effect": q_ipw_effect,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -14771,6 +14928,84 @@ GROUP BY g.tp, g.tn, w.w0, w.w1"""
 ORACLES["platt_scaling"] = _build_platt_sql()
 
 
+def _build_ipw_sql(rounds: int = _LOGIT_ROUNDS) -> str:
+    # q_ipw_effect's unrolled mirror: the logit CTE chain fitted on
+    # orders (treatment = urgent priority, covariate = order year),
+    # then the micro-snapped Hajek weights and four sufficient sums.
+    parts = [
+        """
+WITH d AS (
+    SELECT CAST(year(o_orderdate) - 1998 AS BIGINT) AS zi,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                AS BIGINT) AS y,
+           CAST(round(o_totalprice) AS BIGINT) AS val
+    FROM orders
+),
+wv0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"""
+    ]
+    p = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(w.w0 + w.w1 * CAST(d.zi AS DOUBLE)))))"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+it{k} AS (
+    SELECT
+        CAST(sum(d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT))
+          AS BIGINT) AS g0,
+        CAST(sum(d.zi * (d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT)))
+          AS BIGINT) AS g1,
+        CAST(sum(CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h00,
+        CAST(sum(d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h01,
+        CAST(sum(d.zi * d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h11
+    FROM d CROSS JOIN wv{k - 1} w
+),
+wv{k} AS (
+    SELECT
+        w.w0 + (CAST(i.h11 AS DOUBLE) * CAST(i.g0 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g1 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w0,
+        w.w1 + (CAST(i.h00 AS DOUBLE) * CAST(i.g1 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g0 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w1
+    FROM it{k} i CROSS JOIN wv{k - 1} w
+)"""
+        )
+    wt = (
+        f"(CASE WHEN d.y = 1 THEN CAST(round(CAST(1000000.0 AS DOUBLE)"
+        f" / {p}, 0) AS BIGINT) ELSE CAST(round(CAST(1000000.0 AS DOUBLE)"
+        f" / (CAST(1.0 AS DOUBLE) - {p}), 0) AS BIGINT) END)"
+    )
+    parts.append(
+        f""",
+ag AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           max(w.w0) AS pw0, max(w.w1) AS pw1,
+           CAST(sum(d.y * {wt} * d.val) AS BIGINT) AS s1,
+           CAST(sum(d.y * {wt}) AS BIGINT) AS d1,
+           CAST(sum((1 - d.y) * {wt} * d.val) AS BIGINT) AS s0,
+           CAST(sum((1 - d.y) * {wt}) AS BIGINT) AS d0
+    FROM d CROSS JOIN wv{rounds} w
+)
+SELECT n, pw0, pw1, s1, d1, s0, d0,
+       CAST(s1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+         - CAST(s0 AS DOUBLE) / CAST(d0 AS DOUBLE) AS ate_dollars
+FROM ag"""
+    )
+    return "".join(parts)
+
+
+ORACLES["ipw_effect"] = _build_ipw_sql()
+
+
 def _cologne_sql() -> str:
     from graph_database_spark.operators.linkage import (
         cologne_dedup_duckdb_sql,
@@ -14834,6 +15069,61 @@ SELECT nc.n_cal AS n_calib,
          ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS cover_ppm
 FROM test t CROSS JOIN qh q CROSS JOIN nc
 GROUP BY nc.n_cal
+"""
+
+
+ORACLES["shapley_attribution"] = """
+WITH chan AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+           AS idx
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type != 'purchase')
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM chan),
+um AS (
+  SELECT user_id, CAST(sum(1 << idx) AS BIGINT) AS m
+  FROM (SELECT DISTINCT e.user_id, c.idx
+        FROM events e JOIN chan c ON c.event_type = e.event_type)
+  GROUP BY 1
+),
+conv AS (
+  SELECT user_id,
+         max(CAST(event_type = 'purchase' AS BIGINT)) AS y
+  FROM events GROUP BY 1
+),
+coal AS (
+  SELECT coalesce(u.m, 0) AS m,
+         (1000000 * CAST(sum(v.y) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS v_ppm
+  FROM conv v LEFT JOIN um u ON u.user_id = v.user_id
+  GROUP BY 1
+),
+masks AS (
+  SELECT unnest(range(0, (1 << k))) AS s FROM kk
+),
+pairs AS (
+  SELECT m.s, c.event_type, c.idx
+  FROM masks m CROSS JOIN chan c
+  WHERE (m.s // (1 << c.idx)) % 2 = 0
+),
+scored AS (
+  SELECT p.event_type,
+         factorial(CAST(bit_count(CAST(p.s AS BIGINT)) AS INT))
+           * factorial(CAST(k - bit_count(CAST(p.s AS BIGINT)) - 1
+                       AS INT))
+           * (coalesce(c1.v_ppm, 0) - coalesce(c0.v_ppm, 0)) AS term
+  FROM pairs p
+  CROSS JOIN kk
+  LEFT JOIN coal c0 ON c0.m = p.s
+  LEFT JOIN coal c1 ON c1.m = p.s + (1 << p.idx)
+)
+SELECT s.event_type,
+       CAST(CAST(sum(s.term) AS BIGINT)
+            // CAST(factorial(CAST(k AS INT)) AS BIGINT) AS BIGINT)
+         AS phi_ppm
+FROM scored s CROSS JOIN kk
+GROUP BY 1, k
 """
 
 

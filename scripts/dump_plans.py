@@ -219,6 +219,8 @@ SHOW = [
     "cologne_blocks",
     "conformal_intervals",
     "good_turing",
+    "shapley_attribution",
+    "ipw_effect",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
