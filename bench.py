@@ -287,6 +287,8 @@ HEADLINE = [
     "good_turing",
     "shapley_attribution",
     "ipw_effect",
+    "wl_refinement",
+    "jl_projection",
 ]
 
 

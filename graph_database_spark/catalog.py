@@ -12716,6 +12716,98 @@ def q_ipw_effect(spark, sf_dir):
     )
 
 
+def q_wl_refinement(spark, sf_dir):
+    # Weisfeiler-Leman color refinement (r9 continuation): 2 rounds of
+    # the published 1-WL iteration — color' = md5(own color | sorted
+    # neighbor-color multiset) from degree init — the graph-isomorphism
+    # fingerprint (and the exact expressiveness ceiling of
+    # message-passing GNNs, which is why a graph-data pipeline wants
+    # it precomputed). md5 keeps colors fixed-width across rounds so
+    # state never grows; one keyed shuffle per round; the oracle
+    # unrolls both rounds with ORDER BY string_agg (binary collation
+    # matches sort_array on both engines).
+    from graph_database_spark.plans.copurchase import symmetrize
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
+    cur = (
+        sym.groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .select("id", F.col("d").cast("string").alias("c"))
+    )
+    for _ in range(2):
+        nbr = cur.select(
+            F.col("id").alias("n"), F.col("c").alias("nc")
+        )
+        own = cur.select(F.col("id").alias("v"), F.col("c").alias("oc"))
+        cur = (
+            sym.join(nbr, "n")
+            .groupBy("v")
+            .agg(
+                F.expr(
+                    "array_join(sort_array(collect_list(nc)), ',')"
+                ).alias("ns")
+            )
+            .join(own, "v")
+            .select(
+                F.col("v").alias("id"),
+                F.md5(F.concat(F.col("oc"), F.lit("|"), F.col("ns"))).alias(
+                    "c"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cur.select("id", F.col("c").alias("wl_color"))
+
+
+def q_jl_projection(spark, sf_dir):
+    # Johnson-Lindenstrauss sign projection (r9 continuation): the
+    # published database-friendly random projection — embeddings
+    # micro-snapped to integers, then multiplied by a deterministic
+    # md5-seeded +-1 matrix (generated once in Python, inlined as ONE
+    # literal array on BOTH engines — the CLAUDE.md literal-array
+    # rule), giving 64 -> 16 dims with exact BIGINT arithmetic. The
+    # dimensionality-reduction step LSH/IVF pipelines run before
+    # indexing when the raw dim is large.
+    import hashlib
+
+    from graph_database_spark.operators.spread import spread
+
+    signs = []
+    for j in range(16):
+        for i in range(64):
+            h = hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()
+            signs.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+    sm = "array(" + ",".join(str(s) for s in signs) + ")"
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        spread(emb)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000, 0) AS BIGINT))"
+            ).alias("q"),
+        )
+        .withColumn("sm", F.expr(sm))
+    )
+    ex = q.select(
+        "vec_id",
+        "q",
+        "sm",
+        F.explode(F.expr("sequence(0, 15)")).alias("j"),
+    )
+    return ex.select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + element_at(sm, j * 64 + i)"
+            " * element_at(q, i))"
+        ).alias("proj_micro"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13067,6 +13159,8 @@ QUERIES: dict[str, QueryFn] = {
     "good_turing": q_good_turing,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
+    "wl_refinement": q_wl_refinement,
+    "jl_projection": q_jl_projection,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15004,6 +15098,62 @@ FROM ag"""
 
 
 ORACLES["ipw_effect"] = _build_ipw_sql()
+
+
+ORACLES["wl_refinement"] = f"""
+WITH {GRAPH_CTES},
+deg AS (
+  SELECT v AS id, CAST(count(*) AS VARCHAR) AS c FROM sym GROUP BY 1
+),
+r1 AS (
+  SELECT s.v AS id,
+         md5(concat(d0.c, '|', string_agg(dn.c, ',' ORDER BY dn.c)))
+           AS c
+  FROM sym s
+  JOIN deg dn ON dn.id = s.n
+  JOIN deg d0 ON d0.id = s.v
+  GROUP BY s.v, d0.c
+),
+r2 AS (
+  SELECT s.v AS id,
+         md5(concat(d0.c, '|', string_agg(dn.c, ',' ORDER BY dn.c)))
+           AS c
+  FROM sym s
+  JOIN r1 dn ON dn.id = s.n
+  JOIN r1 d0 ON d0.id = s.v
+  GROUP BY s.v, d0.c
+)
+SELECT id, c AS wl_color FROM r2
+"""
+
+
+def _jl_sql() -> str:
+    import hashlib
+
+    signs = []
+    for j in range(16):
+        for i in range(64):
+            h = hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()
+            signs.append("1" if int(h[:8], 16) % 2 == 0 else "-1")
+    sm = "[" + ",".join(signs) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+           * 1000000, 0) AS BIGINT)) AS q,
+         {sm} AS sm
+  FROM embeddings
+),
+ex AS (SELECT vec_id, q, sm, unnest(range(0, 16)) AS j FROM q)
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> sm[CAST(j * 64 + i AS INT)] * q[CAST(i AS INT)]))
+            AS BIGINT) AS proj_micro
+FROM ex
+"""
+
+
+ORACLES["jl_projection"] = _jl_sql()
 
 
 def _cologne_sql() -> str:

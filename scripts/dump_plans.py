@@ -221,6 +221,8 @@ SHOW = [
     "good_turing",
     "shapley_attribution",
     "ipw_effect",
+    "wl_refinement",
+    "jl_projection",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
