@@ -289,6 +289,8 @@ HEADLINE = [
     "ipw_effect",
     "wl_refinement",
     "jl_projection",
+    "mrr_eval",
+    "gram_power_iteration",
 ]
 
 

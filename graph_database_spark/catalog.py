@@ -12808,6 +12808,104 @@ def q_jl_projection(spark, sf_dir):
     )
 
 
+def q_mrr_eval(spark, sf_dir):
+    # Mean-reciprocal-rank eval (r9 continuation): ndcg_eval's ranking
+    # construction (per-brand price ranking, graded relevance p_size%4)
+    # scored by the OTHER standard IR metric — the rank of the FIRST
+    # highly-relevant item (rel >= 2). 1/rank is an exact micro
+    # rational; per-brand windows are bounded by brand group size.
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_size") % 4).cast("long").alias("rel"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w).cast("long"))
+    return (
+        ranked.where(F.col("rel") >= 2)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.min("rk").alias("first_rel_rank"))
+        .select(
+            "brand",
+            "first_rel_rank",
+            F.expr("1000000 div first_rel_rank").alias("rr_micro"),
+        )
+    )
+
+
+def q_gram_power_iteration(spark, sf_dir):
+    # Power iteration on a feature Gram matrix (r9 continuation): 3
+    # exact-integer matrix-vector rounds over G = X^T X of lineitem's
+    # four numeric features (qty units, price dollars, discount%,
+    # tax%) — a spectrum with a ~1e7 eigengap, so three rounds
+    # CONVERGE (cosine 0.9999999 vs numpy eigh; the embeddings table's
+    # near-flat random spectrum was deliberately rejected — power
+    # iteration contracts by lambda2/lambda1 per round). G is rescaled
+    # ~1e6 via one truncating div so w = G v stays in int64 at any row
+    # count; v renormalizes to max|v| = 1000 milli per round (max is
+    # order-independent); the final multiply's raw w rides along as
+    # the discriminating magnitude column. Oracle unrolls all rounds.
+    li = load_table(spark, sf_dir, "lineitem")
+    xv = (
+        li.select(
+            F.expr(
+                "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"
+            ).alias("rid"),
+            F.explode(
+                F.expr(
+                    "array("
+                    " named_struct('i', 1, 'xi',"
+                    "   CAST(round(l_quantity) AS BIGINT)),"
+                    " named_struct('i', 2, 'xi',"
+                    "   CAST(round(l_extendedprice) AS BIGINT)),"
+                    " named_struct('i', 3, 'xi',"
+                    "   CAST(round(l_discount * 100) AS BIGINT)),"
+                    " named_struct('i', 4, 'xi',"
+                    "   CAST(round(l_tax * 100) AS BIGINT)))"
+                )
+            ).alias("e"),
+        )
+        .select("rid", F.col("e.i").alias("i"), F.col("e.xi").alias("xi"))
+        .localCheckpoint()
+    )
+    g = (
+        xv.alias("a")
+        .join(xv.alias("b"), "rid")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.expr("sum(a.xi * b.xi) div 1000000").alias("gs"))
+        .localCheckpoint()
+    )
+    v = spark.range(1, 5).select(
+        F.col("id").cast("long").alias("j"),
+        F.lit(1000).cast("long").alias("vj"),
+    )
+    w = None
+    for _ in range(3):
+        w = (
+            g.join(F.broadcast(v), "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("gs") * F.col("vj")).alias("wi"))
+            .localCheckpoint()
+        )
+        mx = w.agg(F.max(F.abs(F.col("wi"))).alias("m"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"),
+            F.expr("(1000 * wi) div m").alias("vj"),
+        )
+    return (
+        v.join(w.select(F.col("i").alias("j"), "wi"), "j")
+        .select(
+            F.col("j").alias("dim"),
+            F.col("vj").alias("v_milli"),
+            F.col("wi").alias("w_last"),
+        )
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13161,6 +13259,8 @@ QUERIES: dict[str, QueryFn] = {
     "ipw_effect": q_ipw_effect,
     "wl_refinement": q_wl_refinement,
     "jl_projection": q_jl_projection,
+    "mrr_eval": q_mrr_eval,
+    "gram_power_iteration": q_gram_power_iteration,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15154,6 +15254,72 @@ FROM ex
 
 
 ORACLES["jl_projection"] = _jl_sql()
+
+
+ORACLES["mrr_eval"] = """
+WITH base AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(p_size % 4 AS BIGINT) AS rel
+  FROM part
+),
+rk AS (
+  SELECT p_brand, rel,
+         CAST(row_number() OVER (PARTITION BY p_brand
+           ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rk
+  FROM base
+)
+SELECT p_brand AS brand,
+       CAST(min(rk) AS BIGINT) AS first_rel_rank,
+       1000000 // min(rk) AS rr_micro
+FROM rk WHERE rel >= 2 GROUP BY 1
+"""
+
+
+def _power_iter_sql(rounds: int = 3) -> str:
+    parts = [
+        """
+WITH xv AS (
+  SELECT l_orderkey * 8 + l_linenumber AS rid, CAST(1 AS BIGINT) AS i,
+         CAST(round(l_quantity) AS BIGINT) AS xi FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 2,
+         CAST(round(l_extendedprice) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 3,
+         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 4,
+         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+),
+g AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(a.xi * b.xi) AS BIGINT) // 1000000 AS gs
+  FROM xv a JOIN xv b ON a.rid = b.rid
+  GROUP BY 1, 2
+),
+v0 AS (SELECT unnest(range(1, 5)) AS j, CAST(1000 AS BIGINT) AS vj)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+w{k} AS (
+  SELECT g.i, CAST(sum(g.gs * v.vj) AS BIGINT) AS wi
+  FROM g JOIN v{k - 1} v ON v.j = g.j GROUP BY 1
+),
+m{k} AS (SELECT max(abs(wi)) AS m FROM w{k}),
+v{k} AS (
+  SELECT i AS j, (1000 * wi) // m AS vj FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v.j AS dim, v.vj AS v_milli, w.wi AS w_last
+FROM v{rounds} v JOIN w{rounds} w ON w.i = v.j"""
+    )
+    return "".join(parts)
+
+
+ORACLES["gram_power_iteration"] = _power_iter_sql()
 
 
 def _cologne_sql() -> str:

@@ -223,6 +223,8 @@ SHOW = [
     "ipw_effect",
     "wl_refinement",
     "jl_projection",
+    "mrr_eval",
+    "gram_power_iteration",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
