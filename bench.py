@@ -291,6 +291,7 @@ HEADLINE = [
     "jl_projection",
     "mrr_eval",
     "gram_power_iteration",
+    "bm25_indexed",
 ]
 
 

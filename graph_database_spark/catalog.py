@@ -9311,6 +9311,9 @@ ORACLES["bm25_search"] = f"""
            CAST(sum_micro AS DOUBLE) / 1000000.0 AS score
     FROM ranked WHERE rank <= 20
 """
+# Same query, same ranking — the persisted-index path must reproduce
+# the refit path bit for bit, so it shares the oracle verbatim.
+ORACLES["bm25_indexed"] = ORACLES["bm25_search"]
 ORACLES["bpe_pair_counts"] = f"""
     WITH {_RETRIEVAL_TERMS},
     pairs AS (
@@ -12109,9 +12112,13 @@ def q_randomized_response(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     types = e.select("event_type").distinct()
     w = Window.orderBy("event_type")  # bounded: |event types| rows
+    # idx feeds three joins and k — checkpoint the tiny model frame so
+    # the distinct+window build runs once (CLAUDE.md reuse rule; the
+    # un-checkpointed form re-derived it per consumer: 17 pre-AQE
+    # Exchanges for a 5-row dimension).
     idx = types.select(
         "event_type", (F.row_number().over(w) - 1).alias("idx")
-    )
+    ).localCheckpoint()
     k = idx.agg(F.count("*").alias("k"))
     coin = F.expr(
         "conv(substr(md5(concat('rr|', CAST(event_id AS STRING))), 1, 15),"
@@ -12543,7 +12550,12 @@ def q_good_turing(spark, sf_dir):
         ).alias("g")
     )
     counts = tri.groupBy("g").agg(F.count("*").alias("r"))
-    nr = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    # nr feeds both sides of the shifted self-join — checkpoint the
+    # count-of-counts (bounded by max frequency) so the trigram scan
+    # runs once (reuse rule).
+    nr = (
+        counts.groupBy("r").agg(F.count("*").alias("n_r")).localCheckpoint()
+    )
     nxt = nr.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
     )
@@ -12906,6 +12918,31 @@ def q_gram_power_iteration(spark, sf_dir):
     )
 
 
+def q_bm25_indexed(spark, sf_dir):
+    # Index-backed BM25 (r9 continuation): build the persisted
+    # inverted index (sinks/text_index.py — bucketed postings, df
+    # table, stats manifest), then answer the SAME query bm25_search
+    # answers by refitting — and hash-verify against the SAME oracle,
+    # making the build->probe lifecycle itself externally verified
+    # (the ann_ivf_md5 philosophy applied to text). The probe plan
+    # scans only the query terms' buckets: no tokenize, no
+    # corpus-wide shuffle (pytest-pinned <= 2 Exchanges).
+    import tempfile
+    import uuid
+
+    from graph_database_spark.sinks.text_index import (
+        build_text_index,
+        probe_text_index,
+    )
+
+    tag = uuid.uuid4().hex[:12]
+    path = tempfile.mkdtemp(prefix=f"bm25idx_{tag}_")
+    build_text_index(
+        load_table(spark, sf_dir, "documents"), f"bm25_idx_{tag}", path
+    )
+    return probe_text_index(spark, path, BM25_QUERY)
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13261,6 +13298,7 @@ QUERIES: dict[str, QueryFn] = {
     "jl_projection": q_jl_projection,
     "mrr_eval": q_mrr_eval,
     "gram_power_iteration": q_gram_power_iteration,
+    "bm25_indexed": q_bm25_indexed,
 }
 
 # Split-invariance proof: the incrementally maintained registers must

@@ -276,10 +276,16 @@ def best_mean_shift(events: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
-    dense = grid.join(hourly, ["event_type", "h"], "left").select(
-        "event_type",
-        "h",
-        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    # dense feeds both the prefix window and the totals groupBy —
+    # checkpoint so the grid build + left join run once (reuse rule).
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+        .localCheckpoint()
     )
     w = Window.partitionBy("event_type").orderBy("h")
     pre = dense.select(

@@ -225,6 +225,7 @@ SHOW = [
     "jl_projection",
     "mrr_eval",
     "gram_power_iteration",
+    "bm25_indexed",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
