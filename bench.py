@@ -292,6 +292,7 @@ HEADLINE = [
     "mrr_eval",
     "gram_power_iteration",
     "bm25_indexed",
+    "ransac_line",
 ]
 
 

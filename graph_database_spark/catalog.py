@@ -12943,6 +12943,83 @@ def q_bm25_indexed(spark, sf_dir):
     return probe_text_index(spark, path, BM25_QUERY)
 
 
+def q_ransac_line(spark, sf_dir):
+    # RANSAC robust line fit (r9 continuation): 32 candidate models,
+    # each defined by two md5-argmin-sampled points (no ranks, no RNG
+    # state — candidate m's points are the argmins of salted hashes,
+    # one grouped pass for all 32), scored by EXACT integer inlier
+    # tests: |(y-y1)*dx - dy*(x-x1)| <= tol*|dx| cross-multiplies the
+    # point-to-line residual so no division ever happens. The robust
+    # complement of ols_price_model (mean-based) and theil_sen_trend
+    # (median-based): RANSAC survives gross outliers both distort.
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("y"),
+        F.expr("CAST(l_orderkey * 8 + l_linenumber AS BIGINT)").alias(
+            "uid"
+        ),
+    ).localCheckpoint()
+    models = spark.range(32).select(F.col("id").alias("m"))
+    cand = pts.crossJoin(F.broadcast(models)).select(
+        "m",
+        "x",
+        "y",
+        # uid is NOT unique in this data (duplicate (orderkey,
+        # linenumber) rows exist) — the hash input includes the payload
+        # so any key tie carries an identical (x, y) and the argmin is
+        # engine-independent.
+        F.expr(
+            "md5(concat('ra|', CAST(m AS STRING), '|',"
+            " CAST(uid AS STRING), '|', CAST(x AS STRING), '|',"
+            " CAST(y AS STRING)))"
+        ).alias("k1"),
+        F.expr(
+            "md5(concat('rb|', CAST(m AS STRING), '|',"
+            " CAST(uid AS STRING), '|', CAST(x AS STRING), '|',"
+            " CAST(y AS STRING)))"
+        ).alias("k2"),
+    )
+    sel = cand.groupBy("m").agg(
+        F.expr("min_by(x, k1)").alias("x1"),
+        F.expr("min_by(y, k1)").alias("y1"),
+        F.expr("min_by(x, k2)").alias("x2"),
+        F.expr("min_by(y, k2)").alias("y2"),
+    )
+    mod = sel.where(F.col("x2") != F.col("x1")).select(
+        "m",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        (F.col("x2") - F.col("x1")).alias("dx"),
+        (F.col("y2") - F.col("y1")).alias("dy"),
+    )
+    cnt = (
+        pts.crossJoin(F.broadcast(mod))
+        .where(
+            F.expr(
+                "abs((y - y1) * dx - dy * (x - x1)) <= 5000 * abs(dx)"
+            )
+        )
+        .groupBy("m", "x1", "y1", "x2", "y2", "dx", "dy")
+        .agg(F.count("*").alias("n_inliers"))
+    )
+    return (
+        cnt.orderBy(F.desc("n_inliers"), F.asc("m"))
+        .limit(1)
+        .select(
+            "m",
+            "n_inliers",
+            "x1",
+            "y1",
+            "x2",
+            "y2",
+            F.expr("(1000000 * dy) div dx").alias("slope_micro"),
+        )
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13299,6 +13376,7 @@ QUERIES: dict[str, QueryFn] = {
     "mrr_eval": q_mrr_eval,
     "gram_power_iteration": q_gram_power_iteration,
     "bm25_indexed": q_bm25_indexed,
+    "ransac_line": q_ransac_line,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15358,6 +15436,47 @@ FROM v{rounds} v JOIN w{rounds} w ON w.i = v.j"""
 
 
 ORACLES["gram_power_iteration"] = _power_iter_sql()
+
+
+ORACLES["ransac_line"] = """
+WITH pts AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS uid
+  FROM lineitem
+),
+models AS (SELECT unnest(range(0, 32)) AS m),
+cand AS (
+  SELECT m, x, y,
+         md5('ra|' || m || '|' || uid || '|' || x || '|' || y) AS k1,
+         md5('rb|' || m || '|' || uid || '|' || x || '|' || y) AS k2
+  FROM pts CROSS JOIN models
+),
+sel AS (
+  SELECT m, arg_min(x, k1) AS x1, arg_min(y, k1) AS y1,
+         arg_min(x, k2) AS x2, arg_min(y, k2) AS y2
+  FROM cand GROUP BY 1
+),
+mod AS (
+  SELECT m, x1, y1, x2, y2, x2 - x1 AS dx, y2 - y1 AS dy
+  FROM sel WHERE x2 != x1
+),
+cnt AS (
+  SELECT d.m, d.x1, d.y1, d.x2, d.y2, d.dx, d.dy,
+         CAST(count(*) AS BIGINT) AS n_inliers
+  FROM pts p CROSS JOIN mod d
+  WHERE abs((p.y - d.y1) * d.dx - d.dy * (p.x - d.x1))
+        <= 5000 * abs(d.dx)
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY n_inliers DESC, m) AS rn
+  FROM cnt
+)
+SELECT m, n_inliers, x1, y1, x2, y2,
+       (1000000 * dy) // dx AS slope_micro
+FROM best WHERE rn = 1
+"""
 
 
 def _cologne_sql() -> str:

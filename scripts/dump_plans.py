@@ -226,6 +226,7 @@ SHOW = [
     "mrr_eval",
     "gram_power_iteration",
     "bm25_indexed",
+    "ransac_line",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
