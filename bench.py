@@ -293,6 +293,8 @@ HEADLINE = [
     "gram_power_iteration",
     "bm25_indexed",
     "ransac_line",
+    "band_join_pairs",
+    "em_gmm",
 ]
 
 

@@ -13020,6 +13020,123 @@ def q_ransac_line(spark, sf_dir):
     )
 
 
+def q_band_join_pairs(spark, sf_dir):
+    # Bucketed band join (r9 continuation): ALL (view, purchase) pairs
+    # by the same user within +-30 minutes — the generic
+    # range-predicate join pattern (events_asof_order is the
+    # first-match special case). The interval predicate becomes ONE
+    # equi-join: purchases keep their 30-min cell, views explode to
+    # {cell-1, cell, cell+1}, so each true pair meets exactly once and
+    # the residual |dt| filter runs row-local — no inequality-only
+    # join, no quadratic meet (cell occupancy bounds the fan-in).
+    # Timestamps compare in exact integer MICROSECONDS (epoch_us /
+    # unix_micros — double-seconds epoch would round differently
+    # cross-engine). Output: signed 5-minute-band histogram.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("tp"),
+        F.expr("unix_micros(ts) div 1800000000").alias("cell"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("tv"),
+        F.explode(
+            F.expr(
+                "array(unix_micros(ts) div 1800000000 - 1,"
+                " unix_micros(ts) div 1800000000,"
+                " unix_micros(ts) div 1800000000 + 1)"
+            )
+        ).alias("cell"),
+    )
+    j = v.join(p, ["user_id", "cell"]).where(
+        F.abs(F.col("tp") - F.col("tv")) <= 1_800_000_000
+    )
+    return (
+        j.groupBy(
+            F.expr(
+                "(tp - tv + 1800000000) div 300000000"
+            ).alias("band")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_em_gmm(spark, sf_dir):
+    # EM for a 2-component homoscedastic Gaussian mixture over document
+    # lengths (r9 continuation): the unsupervised counterpart of the
+    # Newton family — 3 full E/M rounds with per-row responsibilities
+    # computed via the max-shift trick (exponent <= 0, so no 0/0
+    # underflow), milli-snapped BEFORE the three sufficient sums (the
+    # complement sums derive from the global moments, computed once).
+    # Driver float M-steps mirror the oracle's unrolled CTEs
+    # operand-for-operand, parenthesized identically — every mu/w/var
+    # is the same double on both engines (the logistic_calibration
+    # discipline applied to EM).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("long").alias("xi"),
+            F.col("n_chars").cast("double").alias("xd"),
+        )
+        .localCheckpoint()
+    )
+    gl = docs.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    ).collect()[0]
+    gn, gsx, gsxx = int(gl["n"]), int(gl["sx"]), int(gl["sxx"])
+    mu1, mu2, var, w1, w2 = 200.0, 400.0, 10000.0, 0.5, 0.5
+    for _ in range(3):
+        x = F.col("xd")
+        d1 = (x - F.lit(mu1)) * (x - F.lit(mu1))
+        d2 = (x - F.lit(mu2)) * (x - F.lit(mu2))
+        dm = F.least(d1, d2)
+        e1 = F.lit(w1) * F.exp(-((d1 - dm) / (F.lit(2.0) * F.lit(var))))
+        e2 = F.lit(w2) * F.exp(-((d2 - dm) / (F.lit(2.0) * F.lit(var))))
+        rm = F.round(e1 / (e1 + e2) * F.lit(1000.0), 0).cast("long")
+        s = docs.agg(
+            F.sum(rm).alias("n1"),
+            F.sum(rm * F.col("xi")).alias("sx1"),
+            F.sum(rm * F.col("xi") * F.col("xi")).alias("sxx1"),
+        ).collect()[0]
+        n1, sx1, sxx1 = int(s["n1"]), int(s["sx1"]), int(s["sxx1"])
+        n2 = 1000 * gn - n1
+        sx2 = 1000 * gsx - sx1
+        sxx2 = 1000 * gsxx - sxx1
+        n1f, sx1f, sxx1f = float(n1), float(sx1), float(sxx1)
+        n2f, sx2f, sxx2f = float(n2), float(sx2), float(sxx2)
+        mu1 = sx1f / n1f
+        mu2 = sx2f / n2f
+        w1 = n1f / (1000.0 * float(gn))
+        w2 = 1.0 - w1
+        var = (
+            (
+                (
+                    (
+                        (sxx1f - (2.0 * mu1 * sx1f))
+                        + ((mu1 * mu1) * n1f)
+                    )
+                    + sxx2f
+                )
+                - (2.0 * mu2 * sx2f)
+            )
+            + ((mu2 * mu2) * n2f)
+        ) / (1000.0 * float(gn))
+    return docs.agg(
+        F.count("*").alias("n"),
+        F.lit(w1).alias("w1"),
+        F.lit(mu1).alias("mu1"),
+        F.lit(mu2).alias("mu2"),
+        F.lit(var).alias("var"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13377,6 +13494,8 @@ QUERIES: dict[str, QueryFn] = {
     "gram_power_iteration": q_gram_power_iteration,
     "bm25_indexed": q_bm25_indexed,
     "ransac_line": q_ransac_line,
+    "band_join_pairs": q_band_join_pairs,
+    "em_gmm": q_em_gmm,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15436,6 +15555,112 @@ FROM v{rounds} v JOIN w{rounds} w ON w.i = v.j"""
 
 
 ORACLES["gram_power_iteration"] = _power_iter_sql()
+
+
+def _build_gmm_sql(rounds: int = 3) -> str:
+    # q_em_gmm's unrolled mirror: the responsibility expression and
+    # every M-step double are written with the exact parenthesization
+    # the Python driver uses, so all of mu/w/var match bit for bit.
+    parts = [
+        """
+WITH d AS (
+    SELECT CAST(n_chars AS BIGINT) AS xi,
+           CAST(n_chars AS DOUBLE) AS xd
+    FROM documents
+),
+gl AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx,
+           CAST(sum(xi * xi) AS BIGINT) AS sxx
+    FROM d
+),
+wv0 AS (SELECT CAST(200.0 AS DOUBLE) AS mu1, CAST(400.0 AS DOUBLE) AS mu2,
+               CAST(10000.0 AS DOUBLE) AS var, CAST(0.5 AS DOUBLE) AS w1,
+               CAST(0.5 AS DOUBLE) AS w2)"""
+    ]
+    d1 = "((d.xd - w.mu1) * (d.xd - w.mu1))"
+    d2 = "((d.xd - w.mu2) * (d.xd - w.mu2))"
+    dm = f"least({d1}, {d2})"
+    e1 = (
+        f"(w.w1 * exp(-(({d1} - {dm})"
+        f" / (CAST(2.0 AS DOUBLE) * w.var))))"
+    )
+    e2 = (
+        f"(w.w2 * exp(-(({d2} - {dm})"
+        f" / (CAST(2.0 AS DOUBLE) * w.var))))"
+    )
+    rm = (
+        f"CAST(round((({e1} / ({e1} + {e2}))"
+        f" * CAST(1000.0 AS DOUBLE)), 0) AS BIGINT)"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+it{k} AS (
+    SELECT CAST(sum({rm}) AS BIGINT) AS n1,
+           CAST(sum({rm} * d.xi) AS BIGINT) AS sx1,
+           CAST(sum({rm} * d.xi * d.xi) AS BIGINT) AS sxx1
+    FROM d CROSS JOIN wv{k - 1} w
+),
+mv{k} AS (
+    SELECT i.n1, i.sx1, i.sxx1,
+           (1000 * g.n - i.n1) AS n2,
+           (1000 * g.sx - i.sx1) AS sx2,
+           (1000 * g.sxx - i.sxx1) AS sxx2,
+           g.n AS gn,
+           CAST(i.sx1 AS DOUBLE) / CAST(i.n1 AS DOUBLE) AS mu1,
+           CAST(1000 * g.sx - i.sx1 AS DOUBLE)
+             / CAST(1000 * g.n - i.n1 AS DOUBLE) AS mu2,
+           CAST(i.n1 AS DOUBLE)
+             / (CAST(1000.0 AS DOUBLE) * CAST(g.n AS DOUBLE)) AS w1
+    FROM it{k} i CROSS JOIN gl g
+),
+wv{k} AS (
+    SELECT mu1, mu2,
+           (((((CAST(sxx1 AS DOUBLE) - (2.0 * mu1 * CAST(sx1 AS DOUBLE)))
+               + ((mu1 * mu1) * CAST(n1 AS DOUBLE)))
+              + CAST(sxx2 AS DOUBLE))
+             - (2.0 * mu2 * CAST(sx2 AS DOUBLE)))
+            + ((mu2 * mu2) * CAST(n2 AS DOUBLE)))
+           / (1000.0 * CAST(gn AS DOUBLE)) AS var,
+           w1,
+           CAST(1.0 AS DOUBLE) - w1 AS w2
+    FROM mv{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT g.n AS n, w.w1 AS w1, w.mu1 AS mu1, w.mu2 AS mu2, w.var AS var
+FROM gl g CROSS JOIN wv{rounds} w"""
+    )
+    return "".join(parts)
+
+
+ORACLES["em_gmm"] = _build_gmm_sql()
+
+
+ORACLES["band_join_pairs"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tp,
+         epoch_us(ts) // 1800000000 AS cell
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS tv,
+         unnest([epoch_us(ts) // 1800000000 - 1,
+                 epoch_us(ts) // 1800000000,
+                 epoch_us(ts) // 1800000000 + 1]) AS cell
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT v.user_id, v.tv, p.tp
+  FROM v JOIN p ON p.user_id = v.user_id AND p.cell = v.cell
+  WHERE abs(p.tp - v.tv) <= 1800000000
+)
+SELECT (tp - tv + 1800000000) // 300000000 AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY 1
+"""
 
 
 ORACLES["ransac_line"] = """

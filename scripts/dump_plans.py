@@ -227,6 +227,8 @@ SHOW = [
     "gram_power_iteration",
     "bm25_indexed",
     "ransac_line",
+    "band_join_pairs",
+    "em_gmm",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
