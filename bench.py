@@ -295,6 +295,9 @@ HEADLINE = [
     "ransac_line",
     "band_join_pairs",
     "em_gmm",
+    "kneser_ney",
+    "mutual_information",
+    "boosted_stumps",
 ]
 
 

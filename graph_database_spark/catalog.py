@@ -13137,6 +13137,199 @@ def q_em_gmm(spark, sf_dir):
     )
 
 
+def q_kneser_ney(spark, sf_dir):
+    # Interpolated Kneser-Ney bigram smoothing (r9 continuation): THE
+    # published LM smoothing — absolute discount d = 3/4 as an exact
+    # rational ((4c-3)/(4c(v))), continuation probability from
+    # distinct-predecessor counts, backoff weight lambda(v) folded into
+    # one truncating division per term so both engines agree digit for
+    # digit. Completes the LM ladder: unigram/bigram MLE ->
+    # Good-Turing -> KN. Two combinable shuffles + three
+    # vocabulary-sized broadcasts; observed bigrams only (the unseen
+    # mass is exactly the lambda column).
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = spread(docs).select(tokens(F.col("text")).alias("arr"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) < 2 THEN"
+                " CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE transform(sequence(1, size(arr) - 1),"
+                " i -> named_struct('v', element_at(arr, i),"
+                " 'w', element_at(arr, i + 1))) END"
+            )
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    c_vw = bg.groupBy("v", "w").agg(F.count("*").alias("c")).localCheckpoint()
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count("*").alias("n1v")
+    )
+    n_w = c_vw.groupBy("w").agg(F.count("*").alias("n1w"))
+    n_all = c_vw.agg(F.count("*").alias("n1all"))
+    return (
+        c_vw.join(F.broadcast(c_v), "v")
+        .join(F.broadcast(n_w), "w")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "v",
+            "w",
+            "c",
+            "cv",
+            F.expr(
+                "((4 * c - 3) * 1000000) div (4 * cv)"
+                " + (3 * n1v * n1w * 1000000) div (4 * cv * n1all)"
+            ).alias("p_kn_micro"),
+            F.expr("(3 * n1v * 1000000) div (4 * cv)").alias(
+                "lambda_micro"
+            ),
+        )
+    )
+
+
+def q_mutual_information(spark, sf_dir):
+    # Mutual information of (6-hour band, event type) (r9
+    # continuation): the information-theoretic dependence screen next
+    # to chi2_independence's test statistic — per-cell terms
+    # n_rc * ln(n_rc*N/(n_r*n_c)) micro-snapped before the sum
+    # (collocations_llr's cell discipline), so the per-cell
+    # contributions and their total are partition-order-exact.
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(hour(ts) AS BIGINT) div 4").alias("band"),
+        "event_type",
+    )
+    cells = e.groupBy("band", "event_type").agg(
+        F.count("*").alias("n_rc")
+    ).localCheckpoint()
+    rows_ = cells.groupBy("band").agg(F.sum("n_rc").alias("n_r"))
+    cols_ = cells.groupBy("event_type").agg(F.sum("n_rc").alias("n_c"))
+    tot = cells.agg(F.sum("n_rc").alias("n"))
+    return (
+        cells.join(F.broadcast(rows_), "band")
+        .join(F.broadcast(cols_), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "event_type",
+            "n_rc",
+            (
+                F.col("n_rc")
+                * F.round(
+                    F.log(
+                        (F.col("n_rc") * F.col("n")).cast("double")
+                        / (F.col("n_r") * F.col("n_c")).cast("double")
+                    )
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("long")
+            ).alias("mi_term_micro"),
+        )
+    )
+
+
+def _fit_stump(grid, total_n, total_s):
+    # Driver-side regression-stump fit from a bounded per-value grid
+    # (the kmeans/logistic bounded-model-collect discipline): gain is
+    # the between-segment SSE term computed in PURE DOUBLES with a
+    # fixed operand order (the exact-integer square would overflow on
+    # dollar sums — doubles are identical cross-engine when the
+    # operand trees match), leaf means stay exact integer milli.
+    best = None
+    for v, k, cs in grid:
+        if k >= total_n:
+            continue
+        numd = float(cs) * float(total_n) - float(k) * float(total_s)
+        gain = (numd * numd) / (float(k) * float(total_n - k))
+        key = (-gain, v)
+        if best is None or key < best[0]:
+            best = (key, v, k, cs)
+    _, s, k, cs = best
+
+    def tdiv(a, b):
+        # Truncation toward zero: python // FLOORS on negatives, but
+        # the oracle's // and Spark's div truncate (CLAUDE.md gotcha);
+        # round-2 residual sums go negative, so this matters.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    ml = tdiv(1000 * cs, k)
+    mr = tdiv(1000 * (total_s - cs), total_n - k)
+    return s, ml, mr
+
+
+def q_boosted_stumps(spark, sf_dir):
+    # Two-round gradient boosting with regression stumps (r9
+    # continuation): round 1 fits the best SSE split of price on
+    # quantity, round 2 fits a stump on discount over the ROUND-1
+    # RESIDUALS — the additive-modeling step beyond the single
+    # decision_stump classifier. Split search runs over bounded
+    # per-value grids (<= 51 rows) collected to the driver; leaf means
+    # are exact integer milli; residuals ride in whole dollars (the
+    # ols overflow lesson); the final SSE of the boosted model is an
+    # exact BIGINT. The oracle replays both fits with the identical
+    # double gain tree and window prefix sums.
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("y"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+    ).localCheckpoint()
+
+    def grid_of(xcol, tcol):
+        g = (
+            rows_.groupBy(xcol)
+            .agg(F.count("*").alias("n"), F.sum(tcol).alias("s"))
+            .orderBy(xcol)
+            .collect()
+        )
+        out, ck, cs = [], 0, 0
+        for r in g:
+            ck += int(r["n"])
+            cs += int(r["s"])
+            out.append((int(r[xcol]), ck, cs))
+        return out, ck, cs
+
+    g1, n, s = grid_of("x1", "y")
+    s1, ml1, mr1 = _fit_stump(g1, n, s)
+    rows2 = rows_.withColumn(
+        "r",
+        F.expr(
+            f"y - (CASE WHEN x1 <= {s1} THEN {ml1} ELSE {mr1} END)"
+            " div 1000"
+        ),
+    ).localCheckpoint()
+
+    g2 = (
+        rows2.groupBy("x2")
+        .agg(F.count("*").alias("n"), F.sum("r").alias("s"))
+        .orderBy("x2")
+        .collect()
+    )
+    grid2, ck, cs = [], 0, 0
+    for r in g2:
+        ck += int(r["n"])
+        cs += int(r["s"])
+        grid2.append((int(r["x2"]), ck, cs))
+    s2, ml2, mr2 = _fit_stump(grid2, ck, cs)
+    return rows2.agg(
+        F.count("*").alias("n"),
+        F.lit(s1).cast("long").alias("split1"),
+        F.lit(ml1).cast("long").alias("ml1_milli"),
+        F.lit(mr1).cast("long").alias("mr1_milli"),
+        F.lit(s2).cast("long").alias("split2"),
+        F.lit(ml2).cast("long").alias("ml2_milli"),
+        F.lit(mr2).cast("long").alias("mr2_milli"),
+        F.sum(
+            F.expr(
+                f"(r - (CASE WHEN x2 <= {s2} THEN {ml2} ELSE {mr2} END)"
+                " div 1000) * (r - (CASE WHEN x2 <="
+                f" {s2} THEN {ml2} ELSE {mr2} END) div 1000)"
+            )
+        ).alias("sse2"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13496,6 +13689,9 @@ QUERIES: dict[str, QueryFn] = {
     "ransac_line": q_ransac_line,
     "band_join_pairs": q_band_join_pairs,
     "em_gmm": q_em_gmm,
+    "kneser_ney": q_kneser_ney,
+    "mutual_information": q_mutual_information,
+    "boosted_stumps": q_boosted_stumps,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15636,6 +15832,127 @@ FROM gl g CROSS JOIN wv{rounds} w"""
 
 
 ORACLES["em_gmm"] = _build_gmm_sql()
+
+
+ORACLES["kneser_ney"] = f"""
+WITH tok AS (
+  SELECT {_DUCK_TOKENS} AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS v, t[i + 1] AS w
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+),
+c_vw AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+c_v AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+         CAST(count(*) AS BIGINT) AS n1v
+  FROM c_vw GROUP BY 1
+),
+n_w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM c_vw GROUP BY 1
+),
+n_all AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c_vw)
+SELECT b.v, b.w, b.c, cv.cv,
+       ((4 * b.c - 3) * 1000000) // (4 * cv.cv)
+         + (3 * cv.n1v * nw.n1w * 1000000) // (4 * cv.cv * na.n1all)
+         AS p_kn_micro,
+       (3 * cv.n1v * 1000000) // (4 * cv.cv) AS lambda_micro
+FROM c_vw b
+JOIN c_v cv ON cv.v = b.v
+JOIN n_w nw ON nw.w = b.w
+CROSS JOIN n_all na
+"""
+
+
+def _boost_stage_sql(idx: int, src: str, xcol: str, tcol: str) -> str:
+    # One stump fit: per-value grid, window prefix sums, the SAME
+    # double gain tree the driver computes, argmax with value
+    # tiebreak, exact integer milli leaf means.
+    return f"""
+g{idx} AS (
+  SELECT {xcol} AS v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({tcol}) AS BIGINT) AS s
+  FROM {src} GROUP BY 1
+),
+t{idx} AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
+  FROM g{idx}
+),
+p{idx} AS (
+  SELECT v, CAST(sum(n) OVER w AS BIGINT) AS k,
+         CAST(sum(s) OVER w AS BIGINT) AS cs
+  FROM g{idx}
+  WINDOW w AS (ORDER BY v)
+),
+sc{idx} AS (
+  SELECT p.v, p.k, p.cs,
+         ((CAST(p.cs AS DOUBLE) * CAST(t.tn AS DOUBLE)
+           - CAST(p.k AS DOUBLE) * CAST(t.ts AS DOUBLE))
+          * (CAST(p.cs AS DOUBLE) * CAST(t.tn AS DOUBLE)
+           - CAST(p.k AS DOUBLE) * CAST(t.ts AS DOUBLE)))
+         / (CAST(p.k AS DOUBLE) * CAST(t.tn - p.k AS DOUBLE)) AS gain
+  FROM p{idx} p CROSS JOIN t{idx} t
+  WHERE p.k < t.tn
+),
+b{idx} AS (
+  SELECT v, k, cs, row_number() OVER (ORDER BY gain DESC, v) AS rn
+  FROM sc{idx}
+),
+m{idx} AS (
+  SELECT b.v AS s{idx}, (1000 * b.cs) // b.k AS ml{idx},
+         (1000 * (t.ts - b.cs)) // (t.tn - b.k) AS mr{idx}
+  FROM b{idx} b CROSS JOIN t{idx} t WHERE b.rn = 1
+)"""
+
+
+ORACLES["boosted_stumps"] = f"""
+WITH rows_ AS (
+  SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+),{_boost_stage_sql(1, "rows_", "x1", "y")},
+r2 AS (
+  SELECT r.x2,
+         r.y - (CASE WHEN r.x1 <= m.s1 THEN m.ml1 ELSE m.mr1 END)
+           // 1000 AS r
+  FROM rows_ r CROSS JOIN m1 m
+),{_boost_stage_sql(2, "r2", "x2", "r")}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       m1.s1 AS split1, m1.ml1 AS ml1_milli, m1.mr1 AS mr1_milli,
+       m2.s2 AS split2, m2.ml2 AS ml2_milli, m2.mr2 AS mr2_milli,
+       CAST(sum((r2.r - (CASE WHEN r2.x2 <= m2.s2 THEN m2.ml2
+                 ELSE m2.mr2 END) // 1000)
+                * (r2.r - (CASE WHEN r2.x2 <= m2.s2 THEN m2.ml2
+                   ELSE m2.mr2 END) // 1000)) AS BIGINT) AS sse2
+FROM r2 CROSS JOIN m1 CROSS JOIN m2
+GROUP BY 2, 3, 4, 5, 6, 7
+"""
+
+
+ORACLES["mutual_information"] = """
+WITH e AS (
+  SELECT CAST(hour(ts) AS BIGINT) // 4 AS band, event_type FROM events
+),
+cells AS (
+  SELECT band, event_type, CAST(count(*) AS BIGINT) AS n_rc
+  FROM e GROUP BY 1, 2
+),
+r AS (SELECT band, CAST(sum(n_rc) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+c AS (SELECT event_type, CAST(sum(n_rc) AS BIGINT) AS n_c
+      FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(n_rc) AS BIGINT) AS n FROM cells)
+SELECT x.band, x.event_type, x.n_rc,
+       x.n_rc * CAST(round(ln(CAST(x.n_rc * t.n AS DOUBLE)
+                              / CAST(r.n_r * c.n_c AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT) AS mi_term_micro
+FROM cells x
+JOIN r ON r.band = x.band
+JOIN c ON c.event_type = x.event_type
+CROSS JOIN t
+"""
 
 
 ORACLES["band_join_pairs"] = """

@@ -229,6 +229,9 @@ SHOW = [
     "ransac_line",
     "band_join_pairs",
     "em_gmm",
+    "kneser_ney",
+    "mutual_information",
+    "boosted_stumps",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
