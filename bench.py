@@ -298,6 +298,8 @@ HEADLINE = [
     "kneser_ney",
     "mutual_information",
     "boosted_stumps",
+    "trimmed_mean",
+    "uplift_segments",
 ]
 
 

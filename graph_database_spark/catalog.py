@@ -13330,6 +13330,90 @@ def q_boosted_stumps(spark, sf_dir):
     )
 
 
+def q_trimmed_mean(spark, sf_dir):
+    # 5%-trimmed and winsorized means of order value (r9 continuation):
+    # the robust location estimates next to weighted_median — both
+    # bounds are exact order statistics from ONE distributed
+    # global_rank (never a bare ORDER BY window); the trimmed mean
+    # drops ranks outside (lo, hi], the winsorized mean clamps to the
+    # boundary values. Integer cents end to end; one division each at
+    # the end via exact micro div.
+    from graph_database_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    ranked = global_rank(o, ["cents", "o_orderkey"], out_col="r")
+    n = ranked.count()
+    lo = (n * 5) // 100
+    hi = n - lo
+    bounds = ranked.where(
+        (F.col("r") == lo + 1) | (F.col("r") == hi)
+    ).agg(
+        F.min("cents").alias("lo_cents"), F.max("cents").alias("hi_cents")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.lit(n).cast("long").alias("n"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.expr(
+                f"(1000 * sum(CASE WHEN r > {lo} AND r <= {hi}"
+                " THEN cents ELSE 0 END))"
+                f" div ({hi} - {lo})"
+            ).alias("trimmed_mean_milli"),
+            F.expr(
+                "(1000 * sum(CASE WHEN cents < lo_cents THEN lo_cents"
+                " WHEN cents > hi_cents THEN hi_cents"
+                f" ELSE cents END)) div {n}"
+            ).alias("winsor_mean_milli"),
+        )
+    )
+
+
+def q_uplift_segments(spark, sf_dir):
+    # Two-model uplift by segment (r9 continuation): md5-assigned
+    # treatment arms over customers, outcome = customer placed an
+    # URGENT order; per market segment the treated and control
+    # response rates and their difference (the uplift a targeting
+    # policy ranks on) as exact ppm integers — the causal family's
+    # heterogeneous-effect readout next to ipw_effect's single ATE.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    conv = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = c.join(conv.withColumn("y", F.lit(1)), "c_custkey", "left").select(
+        "c_mktsegment",
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        F.expr(
+            "conv(substr(md5(concat('up|', CAST(c_custkey AS STRING))),"
+            " 1, 4), 16, 10) % 2"
+        ).cast("long").alias("t"),
+    )
+    return base.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.sum("t").alias("n_treat"),
+        (F.count("*") - F.sum("t")).alias("n_ctrl"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN t = 1 THEN y ELSE 0 END))"
+            " div sum(t)"
+        ).alias("p_treat_ppm"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN t = 0 THEN y ELSE 0 END))"
+            " div (count(*) - sum(t))"
+        ).alias("p_ctrl_ppm"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN t = 1 THEN y ELSE 0 END))"
+            " div sum(t) - (1000000 * sum(CASE WHEN t = 0 THEN y"
+            " ELSE 0 END)) div (count(*) - sum(t))"
+        ).alias("uplift_ppm"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13692,6 +13776,8 @@ QUERIES: dict[str, QueryFn] = {
     "kneser_ney": q_kneser_ney,
     "mutual_information": q_mutual_information,
     "boosted_stumps": q_boosted_stumps,
+    "trimmed_mean": q_trimmed_mean,
+    "uplift_segments": q_uplift_segments,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -15929,6 +16015,66 @@ SELECT CAST(count(*) AS BIGINT) AS n,
                    ELSE m2.mr2 END) // 1000)) AS BIGINT) AS sse2
 FROM r2 CROSS JOIN m1 CROSS JOIN m2
 GROUP BY 2, 3, 4, 5, 6, 7
+"""
+
+
+ORACLES["trimmed_mean"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+           AS r
+  FROM o
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+lim AS (SELECT n, (n * 5) // 100 AS lo, n - (n * 5) // 100 AS hi FROM nn),
+bounds AS (
+  SELECT min(cents) AS lo_cents, max(cents) AS hi_cents
+  FROM ranked CROSS JOIN lim
+  WHERE r = lo + 1 OR r = hi
+)
+SELECT l.n AS n,
+       b.lo_cents, b.hi_cents,
+       (1000 * CAST(sum(CASE WHEN r.r > l.lo AND r.r <= l.hi
+          THEN r.cents ELSE 0 END) AS BIGINT)) // (l.hi - l.lo)
+         AS trimmed_mean_milli,
+       (1000 * CAST(sum(CASE WHEN r.cents < b.lo_cents THEN b.lo_cents
+          WHEN r.cents > b.hi_cents THEN b.hi_cents
+          ELSE r.cents END) AS BIGINT)) // l.n AS winsor_mean_milli
+FROM ranked r CROSS JOIN lim l CROSS JOIN bounds b
+GROUP BY l.n, l.lo, l.hi, b.lo_cents, b.hi_cents
+"""
+
+
+ORACLES["uplift_segments"] = """
+WITH conv AS (
+  SELECT DISTINCT o_custkey AS c_custkey
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+base AS (
+  SELECT c.c_mktsegment,
+         CAST(CASE WHEN v.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS y,
+         CAST(('0x' || substr(md5('up|' || CAST(c.c_custkey AS VARCHAR)),
+              1, 4)) AS BIGINT) % 2 AS t
+  FROM customer c LEFT JOIN conv v ON v.c_custkey = c.c_custkey
+)
+SELECT c_mktsegment AS segment,
+       CAST(sum(t) AS BIGINT) AS n_treat,
+       CAST(count(*) - sum(t) AS BIGINT) AS n_ctrl,
+       (1000000 * CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT))
+         // CAST(sum(t) AS BIGINT) AS p_treat_ppm,
+       (1000000 * CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT))
+         // CAST(count(*) - sum(t) AS BIGINT) AS p_ctrl_ppm,
+       (1000000 * CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT))
+         // CAST(sum(t) AS BIGINT)
+       - (1000000 * CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+          AS BIGINT)) // CAST(count(*) - sum(t) AS BIGINT) AS uplift_ppm
+FROM base GROUP BY 1
 """
 
 

@@ -232,6 +232,8 @@ SHOW = [
     "kneser_ney",
     "mutual_information",
     "boosted_stumps",
+    "trimmed_mean",
+    "uplift_segments",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
