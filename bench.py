@@ -300,6 +300,7 @@ HEADLINE = [
     "boosted_stumps",
     "trimmed_mean",
     "uplift_segments",
+    "markov_attribution",
 ]
 
 

@@ -13414,6 +13414,108 @@ def q_uplift_segments(spark, sf_dir):
     )
 
 
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_converge(cnt, rowtot, removed, iters=16):
+    # Truncated value iteration for the absorbing chain, PURE python
+    # ints (exact, mirrored by the oracle's unrolled CTEs): p_k(s) =
+    # conversion probability within k transitions, in micro units.
+    # Removal redirects mass INTO the removed channel to NULL (the
+    # published removal-effect recipe): edges to it contribute 0 and
+    # its own p is pinned 0.
+    states = ["START"] + _MK_CHANNELS
+    p = {s: 0 for s in states}
+    p["CONV"] = 1000000
+    p["NULL"] = 0
+    for _ in range(iters):
+        nxt = dict(p)
+        for s in states:
+            if s == removed or s not in rowtot:
+                nxt[s] = 0
+                continue
+            v = sum(
+                c * p[t]
+                for (s2, t), c in sorted(cnt.items())
+                if s2 == s and t != removed
+            )
+            nxt[s] = v // rowtot[s]
+        p = nxt
+    return p["START"]
+
+
+def q_markov_attribution(spark, sf_dir):
+    # Markov removal-effect attribution (r9 continuation): the
+    # published data-driven attribution model completing the family
+    # (position / time-decay / Shapley): per-user journeys truncate at
+    # first purchase, first-order transition counts over
+    # START/channels/CONV/NULL, and each channel's credit is the drop
+    # in absorbing-chain conversion probability when that channel's
+    # incoming mass redirects to NULL. The chain solve is 16 rounds of
+    # exact integer-micro value iteration over the BOUNDED transition
+    # table (driver ints, the logistic bounded-model discipline),
+    # replayed by 80 generated oracle CTEs.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).localCheckpoint()
+    fp = (
+        r.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    ch = (
+        r.join(fp, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+        )
+        .localCheckpoint()
+    )
+    wc = Window.partitionBy("user_id").orderBy("rn")
+    t1 = ch.select(
+        F.coalesce(F.lag("event_type").over(wc), F.lit("START")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("tgt"),
+    )
+    lastc = ch.groupBy("user_id").agg(
+        F.expr("max_by(event_type, rn)").alias("lt")
+    )
+    term = (
+        r.select("user_id")
+        .distinct()
+        .join(lastc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            F.coalesce("lt", F.lit("START")).alias("src"),
+            F.when(F.col("fp_rn").isNotNull(), F.lit("CONV"))
+            .otherwise(F.lit("NULL"))
+            .alias("tgt"),
+        )
+    )
+    edges = (
+        t1.unionByName(term).groupBy("src", "tgt").agg(
+            F.count("*").alias("c")
+        )
+    ).collect()
+    cnt = {(e["src"], e["tgt"]): int(e["c"]) for e in edges}
+    rowtot = {}
+    for (s, _), c in cnt.items():
+        rowtot[s] = rowtot.get(s, 0) + c
+    p_full = _markov_converge(cnt, rowtot, None)
+    out = []
+    for c in _MK_CHANNELS:
+        pr = _markov_converge(cnt, rowtot, c)
+        out.append((c, p_full, pr, p_full - pr))
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full_micro long, p_removed_micro long,"
+        " re_micro long",
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13778,6 +13880,7 @@ QUERIES: dict[str, QueryFn] = {
     "boosted_stumps": q_boosted_stumps,
     "trimmed_mean": q_trimmed_mean,
     "uplift_segments": q_uplift_segments,
+    "markov_attribution": q_markov_attribution,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -16016,6 +16119,103 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM r2 CROSS JOIN m1 CROSS JOIN m2
 GROUP BY 2, 3, 4, 5, 6, 7
 """
+
+
+def _markov_sql(iters: int = 16) -> str:
+    # q_markov_attribution's unrolled mirror: the same relational
+    # journey/transition construction, then one CTE per value-iteration
+    # round per chain (full + one per removed channel), MATERIALIZED so
+    # DuckDB doesn't re-inline the 16-deep chain per reference.
+    chains = [("all", None)] + [(c, c) for c in _MK_CHANNELS]
+    parts = [
+        """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, min(rn) AS fp_rn FROM r
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+ch AS (
+  SELECT r.user_id, r.event_type, r.rn
+  FROM r LEFT JOIN fp ON fp.user_id = r.user_id
+  WHERE r.event_type != 'purchase'
+    AND (fp.fp_rn IS NULL OR r.rn < fp.fp_rn)
+),
+t1 AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY rn), 'START') AS src,
+         event_type AS tgt
+  FROM ch
+),
+lastc AS (SELECT user_id, arg_max(event_type, rn) AS lt FROM ch GROUP BY 1),
+term AS (
+  SELECT coalesce(l.lt, 'START') AS src,
+         CASE WHEN f.fp_rn IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS tgt
+  FROM (SELECT DISTINCT user_id FROM r) u
+  LEFT JOIN lastc l ON l.user_id = u.user_id
+  LEFT JOIN fp f ON f.user_id = u.user_id
+),
+edges AS (
+  SELECT src, tgt, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM term)
+  GROUP BY 1, 2
+),
+rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS rowtot FROM edges GROUP BY 1),
+states AS (SELECT unnest(['START','click','error','signup','view',
+                          'CONV','NULL']) AS state)"""
+    ]
+    for name, removed in chains:
+        rm_state = f" OR s.state = '{removed}'" if removed else ""
+        rm_edge = f"WHERE e.tgt != '{removed}'" if removed else ""
+        parts.append(
+            f""",
+p{name}0 AS (
+  SELECT state, CASE WHEN state = 'CONV' THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS p
+  FROM states
+)"""
+        )
+        for k in range(1, iters + 1):
+            parts.append(
+                f""",
+p{name}{k} AS MATERIALIZED (
+  SELECT s.state,
+         CASE WHEN s.state = 'CONV' THEN CAST(1000000 AS BIGINT)
+              WHEN s.state = 'NULL'{rm_state} THEN CAST(0 AS BIGINT)
+              ELSE coalesce(a.v, 0) END AS p
+  FROM states s LEFT JOIN (
+    SELECT e.src AS state,
+           CAST(sum(e.c * p.p) AS BIGINT) // max(r2.rowtot) AS v
+    FROM edges e
+    JOIN p{name}{k - 1} p ON p.state = e.tgt
+    JOIN rt r2 ON r2.src = e.src
+    {rm_edge}
+    GROUP BY e.src
+  ) a ON a.state = s.state
+)"""
+            )
+    selects = []
+    for c in _MK_CHANNELS:
+        selects.append(
+            f"""
+SELECT '{c}' AS channel,
+       (SELECT p FROM pall{iters} WHERE state = 'START')
+         AS p_full_micro,
+       (SELECT p FROM p{c}{iters} WHERE state = 'START')
+         AS p_removed_micro,
+       (SELECT p FROM pall{iters} WHERE state = 'START')
+         - (SELECT p FROM p{c}{iters} WHERE state = 'START')
+         AS re_micro"""
+        )
+    parts.append("\nUNION ALL".join(selects))
+    return "".join(parts)
+
+
+ORACLES["markov_attribution"] = _markov_sql()
 
 
 ORACLES["trimmed_mean"] = """

@@ -234,6 +234,7 @@ SHOW = [
     "boosted_stumps",
     "trimmed_mean",
     "uplift_segments",
+    "markov_attribution",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
