@@ -301,6 +301,7 @@ HEADLINE = [
     "trimmed_mean",
     "uplift_segments",
     "markov_attribution",
+    "emd_drift",
 ]
 
 

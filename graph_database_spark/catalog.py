@@ -12943,48 +12943,92 @@ def q_bm25_indexed(spark, sf_dir):
     return probe_text_index(spark, path, BM25_QUERY)
 
 
+def _ransac_models(n_models: int = 32):
+    # Per-model universal-hash constants (a*h31 + b) mod p over ONE
+    # md5-derived 31-bit row hash — md5 per (row, model) was the r9
+    # bench's slowest query (43.8 s: 38M md5 calls); the hash family
+    # costs two integer ops per pair instead (BENCH: 43.8 -> ~3 s).
+    import hashlib
+
+    p = 2147483647
+    out = []
+    for m in range(n_models):
+        def h(tag):
+            return int(
+                hashlib.md5(f"{tag}|{m}".encode()).hexdigest()[:8], 16
+            )
+
+        out.append(
+            (
+                m,
+                h("ra") % (p - 1) + 1,
+                h("rb") % p,
+                h("rc") % (p - 1) + 1,
+                h("rd") % p,
+            )
+        )
+    return out
+
+
 def q_ransac_line(spark, sf_dir):
     # RANSAC robust line fit (r9 continuation): 32 candidate models,
-    # each defined by two md5-argmin-sampled points (no ranks, no RNG
-    # state — candidate m's points are the argmins of salted hashes,
-    # one grouped pass for all 32), scored by EXACT integer inlier
-    # tests: |(y-y1)*dx - dy*(x-x1)| <= tol*|dx| cross-multiplies the
+    # each defined by two hash-argmin-sampled points (no ranks, no RNG
+    # state — candidate m's anchors minimize a per-model universal
+    # hash of ONE md5 row digest; the digest includes the (x, y)
+    # payload because lineitem rows are NOT unique, and it rides
+    # inside the min-struct so any key tie still returns an identical
+    # payload on both engines), scored by EXACT integer inlier tests:
+    # |(y-y1)*dx - dy*(x-x1)| <= tol*|dx| cross-multiplies the
     # point-to-line residual so no division ever happens. The robust
-    # complement of ols_price_model (mean-based) and theil_sen_trend
-    # (median-based): RANSAC survives gross outliers both distort.
+    # complement of ols_price_model (mean) and theil_sen_trend
+    # (median): RANSAC survives gross outliers both distort.
+    from graph_database_spark.operators.spread import spread
+
     li = load_table(spark, sf_dir, "lineitem")
-    pts = li.select(
+    # spread: the 32x model fan-out runs per input partition, and the
+    # parquet scan arrives in a handful of file partitions (CLAUDE.md
+    # small-scan rule) — without it the 19M-row candidate stage ran
+    # 3-wide (measured 12.2 -> ~3 s warm).
+    pts = spread(li).select(
         F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x"),
         F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("y"),
-        F.expr("CAST(l_orderkey * 8 + l_linenumber AS BIGINT)").alias(
-            "uid"
+        F.expr(
+            "md5(concat(CAST(l_orderkey * 8 + l_linenumber AS STRING),"
+            " '|', CAST(CAST(round(l_quantity) AS BIGINT) AS STRING),"
+            " '|', CAST(CAST(round(l_extendedprice) AS BIGINT)"
+            " AS STRING)))"
+        ).alias("h0"),
+    ).withColumn(
+        "h31",
+        F.expr(
+            "CAST(conv(substr(h0, 1, 8), 16, 10) AS BIGINT)"
+            " % 2147483647"
         ),
     ).localCheckpoint()
-    models = spark.range(32).select(F.col("id").alias("m"))
+    models = spark.createDataFrame(
+        _ransac_models(), "m long, a1 long, b1 long, a2 long, b2 long"
+    )
     cand = pts.crossJoin(F.broadcast(models)).select(
         "m",
         "x",
         "y",
-        # uid is NOT unique in this data (duplicate (orderkey,
-        # linenumber) rows exist) — the hash input includes the payload
-        # so any key tie carries an identical (x, y) and the argmin is
-        # engine-independent.
-        F.expr(
-            "md5(concat('ra|', CAST(m AS STRING), '|',"
-            " CAST(uid AS STRING), '|', CAST(x AS STRING), '|',"
-            " CAST(y AS STRING)))"
-        ).alias("k1"),
-        F.expr(
-            "md5(concat('rb|', CAST(m AS STRING), '|',"
-            " CAST(uid AS STRING), '|', CAST(x AS STRING), '|',"
-            " CAST(y AS STRING)))"
-        ).alias("k2"),
+        "h0",
+        F.expr("(a1 * h31 + b1) % 2147483647").alias("k1"),
+        F.expr("(a2 * h31 + b2) % 2147483647").alias("k2"),
     )
     sel = cand.groupBy("m").agg(
-        F.expr("min_by(x, k1)").alias("x1"),
-        F.expr("min_by(y, k1)").alias("y1"),
-        F.expr("min_by(x, k2)").alias("x2"),
-        F.expr("min_by(y, k2)").alias("y2"),
+        F.expr(
+            "min(named_struct('k', k1, 'h', h0, 'x', x, 'y', y))"
+        ).alias("s1"),
+        F.expr(
+            "min(named_struct('k', k2, 'h', h0, 'x', x, 'y', y))"
+        ).alias("s2"),
+    ).select(
+        "m",
+        F.col("s1.x").alias("x1"),
+        F.col("s1.y").alias("y1"),
+        F.col("s2.x").alias("x2"),
+        F.col("s2.y").alias("y2"),
     )
     mod = sel.where(F.col("x2") != F.col("x1")).select(
         "m",
@@ -13516,6 +13560,23 @@ def q_markov_attribution(spark, sf_dir):
     )
 
 
+def q_emd_drift(spark, sf_dir):
+    # 1-D Wasserstein-1 / earth-mover drift (r9 continuation): the
+    # transport-aware companion of ks_drift on the same early/late
+    # order split — W1 integrates |F1 - F2| over the value axis, so it
+    # weights HOW FAR the mass moved where KS only sees the largest
+    # gap. Exact integers: |n2*cumA - n1*cumB| times the grid gap from
+    # a consecutive-rank equi-join (operators/stats_tests.emd_1d).
+    from graph_database_spark.operators import stats_tests as ST
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.year("o_orderdate") < 1998).cast("int").alias("fl"),
+    )
+    return ST.emd_1d(src, "cents", "fl")
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13881,6 +13942,7 @@ QUERIES: dict[str, QueryFn] = {
     "trimmed_mean": q_trimmed_mean,
     "uplift_segments": q_uplift_segments,
     "markov_attribution": q_markov_attribution,
+    "emd_drift": q_emd_drift,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -16218,6 +16280,37 @@ SELECT '{c}' AS channel,
 ORACLES["markov_attribution"] = _markov_sql()
 
 
+ORACLES["emd_drift"] = """
+WITH src AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS fl
+  FROM orders
+),
+grid AS (
+  SELECT v, CAST(sum(fl) AS BIGINT) AS na,
+         CAST(sum(1 - fl) AS BIGINT) AS nb
+  FROM src GROUP BY 1
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+               CAST(sum(nb) AS BIGINT) AS n2 FROM grid),
+run AS (
+  SELECT v, n1, n2,
+         sum(n2 * na - n1 * nb) OVER (ORDER BY v) AS cum
+  FROM grid CROSS JOIN tot
+),
+seg AS (
+  SELECT v, n1, n2, cum,
+         lead(v) OVER (ORDER BY v) - v AS gap
+  FROM run
+)
+SELECT max(n1) AS n1, max(n2) AS n2,
+       CAST(sum(abs(cum) * gap) AS BIGINT) AS w1_num,
+       (1000 * CAST(sum(abs(cum) * gap) AS BIGINT))
+         // (max(n1) * max(n2)) AS w1_milli
+FROM seg WHERE gap IS NOT NULL
+"""
+
+
 ORACLES["trimmed_mean"] = """
 WITH o AS (
   SELECT o_orderkey,
@@ -16326,23 +16419,45 @@ FROM j GROUP BY 1
 """
 
 
-ORACLES["ransac_line"] = """
+def _ransac_models_sql() -> str:
+    rows = ", ".join(
+        f"({m}, {a1}, {b1}, {a2}, {b2})"
+        for m, a1, b1, a2, b2 in _ransac_models()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows})"
+        " AS t(m, a1, b1, a2, b2)"
+    )
+
+
+ORACLES["ransac_line"] = f"""
 WITH pts AS (
   SELECT CAST(round(l_quantity) AS BIGINT) AS x,
          CAST(round(l_extendedprice) AS BIGINT) AS y,
-         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS uid
+         md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+             || '|' || CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)
+             || '|' || CAST(CAST(round(l_extendedprice) AS BIGINT)
+                            AS VARCHAR)) AS h0
   FROM lineitem
 ),
-models AS (SELECT unnest(range(0, 32)) AS m),
+ph AS (
+  SELECT x, y, h0,
+         CAST(('0x' || substr(h0, 1, 8)) AS BIGINT) % 2147483647 AS h31
+  FROM pts
+),
+models AS ({_ransac_models_sql()}),
 cand AS (
-  SELECT m, x, y,
-         md5('ra|' || m || '|' || uid || '|' || x || '|' || y) AS k1,
-         md5('rb|' || m || '|' || uid || '|' || x || '|' || y) AS k2
-  FROM pts CROSS JOIN models
+  SELECT m, x, y, h0,
+         (a1 * h31 + b1) % 2147483647 AS k1,
+         (a2 * h31 + b2) % 2147483647 AS k2
+  FROM ph CROSS JOIN models
 ),
 sel AS (
-  SELECT m, arg_min(x, k1) AS x1, arg_min(y, k1) AS y1,
-         arg_min(x, k2) AS x2, arg_min(y, k2) AS y2
+  SELECT m,
+         min({{'k': k1, 'h': h0, 'x': x, 'y': y}})['x'] AS x1,
+         min({{'k': k1, 'h': h0, 'x': x, 'y': y}})['y'] AS y1,
+         min({{'k': k2, 'h': h0, 'x': x, 'y': y}})['x'] AS x2,
+         min({{'k': k2, 'h': h0, 'x': x, 'y': y}})['y'] AS y2
   FROM cand GROUP BY 1
 ),
 mod AS (

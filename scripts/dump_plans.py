@@ -235,6 +235,7 @@ SHOW = [
     "trimmed_mean",
     "uplift_segments",
     "markov_attribution",
+    "emd_drift",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
