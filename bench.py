@@ -302,6 +302,8 @@ HEADLINE = [
     "uplift_segments",
     "markov_attribution",
     "emd_drift",
+    "ar1_fit",
+    "logrank_test",
 ]
 
 

@@ -13577,6 +13577,169 @@ def q_emd_drift(spark, sf_dir):
     return ST.emd_1d(src, "cents", "fl")
 
 
+def q_ar1_fit(spark, sf_dir):
+    # AR(1) autoregression per event type (r9 continuation): the
+    # forecasting-model fit next to holt_linear's smoother and
+    # events_autocorr's diagnostic — OLS of y_t on y_{t-1} over the
+    # dense hourly series, five integer sufficient statistics per
+    # type, slope/intercept/r2 as identical-operand IEEE chains (the
+    # ols_price_model discipline). Lag pairs come from a per-type
+    # window over the bounded hour grid.
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("y"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "h"
+            ),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = dense.select(
+        "event_type",
+        F.lag("y").over(w).alias("x"),
+        "y",
+    ).where(F.col("x").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("phi"),
+        F.expr(
+            "(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("intercept"),
+        F.expr(
+            "(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
+def q_logrank_test(spark, sf_dir):
+    # Log-rank test (r9 continuation): the two-sample survival
+    # comparison next to km_survival's single curve — md5-assigned
+    # arms (every user here sees every event type, so an error-based
+    # split is degenerate), same lifetime/censoring scheme. At
+    # each death hour: observed group-1 deaths vs expected under the
+    # null (d * n1/n), variance hypergeometric — every per-time term an
+    # exact integer via staged truncating division (interleaved divs
+    # keep the products inside int64 at any user count), summed
+    # exactly; only the final z^2 is one identical-operand double
+    # chain. Risk sets from a cumulative window over the bounded hour
+    # grid (the km discipline).
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("hmax"))
+    grp = (
+        e.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.max(
+                F.expr(
+                    "CAST(conv(substr(md5(concat('lr|',"
+                    " CAST(user_id AS STRING))), 1, 4), 16, 10)"
+                    " AS BIGINT) % 2"
+                )
+            ).alias("g"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CAST((unix_micros(t1) - unix_micros(t0))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("dur_h"),
+            (
+                F.col("t1") < F.col("hmax") - F.expr("INTERVAL 6 HOURS")
+            ).cast("long").alias("death"),
+            "g",
+        )
+    )
+    by = grp.groupBy("dur_h").agg(
+        F.sum("g").alias("a1"),
+        F.sum(1 - F.col("g")).alias("a2"),
+        F.sum(F.col("death") * F.col("g")).alias("d1"),
+        F.sum(F.col("death") * (1 - F.col("g"))).alias("d2"),
+    )
+    tot = by.agg(F.sum("a1").alias("t1"), F.sum("a2").alias("t2"))
+    w = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded universe: distinct lifetime hours <= corpus span (~720)
+    rs = (
+        by.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "c1",
+            F.col("t1") - F.coalesce(F.sum("a1").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "c2",
+            F.col("t2") - F.coalesce(F.sum("a2").over(w), F.lit(0)),
+        )
+        .where(
+            (F.col("d1") + F.col("d2") > 0)
+            & (F.col("c1") + F.col("c2") > 1)
+        )
+    )
+    terms = rs.select(
+        F.col("d1"),
+        F.expr(
+            "(1000000 * (d1 + d2) * c1) div (c1 + c2)"
+        ).alias("e1_micro"),
+        F.expr(
+            "((((1000000 * (d1 + d2) * ((c1 + c2) - (d1 + d2)))"
+            " div ((c1 + c2) - 1)) * c1 div (c1 + c2)) * c2"
+            " div (c1 + c2))"
+        ).alias("v_micro"),
+    )
+    return terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("e1_micro").alias("e1_micro"),
+        F.sum("v_micro").alias("v_micro"),
+    ).select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            "(CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+            " * CAST(o1 * 1000000 - e1_micro AS DOUBLE))"
+            " / (CAST(v_micro AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+        ).alias("lr_chi2"),
+    )
+
+
 ROWS_ONLY = frozenset({
     "pagerank",
     "pagerank_personalized",
@@ -13943,6 +14106,8 @@ QUERIES: dict[str, QueryFn] = {
     "uplift_segments": q_uplift_segments,
     "markov_attribution": q_markov_attribution,
     "emd_drift": q_emd_drift,
+    "ar1_fit": q_ar1_fit,
+    "logrank_test": q_logrank_test,
 }
 
 # Split-invariance proof: the incrementally maintained registers must
@@ -16278,6 +16443,105 @@ SELECT '{c}' AS channel,
 
 
 ORACLES["markov_attribution"] = _markov_sql()
+
+
+ORACLES["ar1_fit"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1,
+         INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.event_type, g.h, coalesce(hh.y, 0) AS y
+  FROM grid g
+  LEFT JOIN hourly hh ON hh.event_type = g.event_type AND hh.h = g.h
+),
+pairs AS (
+  SELECT event_type,
+         lag(y) OVER (PARTITION BY event_type ORDER BY h) AS x, y
+  FROM dense
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n, sx, sy, sxy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS phi,
+       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+          * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM g
+"""
+
+
+ORACLES["logrank_test"] = """
+WITH horizon AS (SELECT max(ts) AS hmax FROM events),
+grp AS (
+  SELECT (epoch_us(max(e.ts)) - epoch_us(min(e.ts))) // 3600000000
+           AS dur_h,
+         CAST(max(e.ts) < h.hmax - INTERVAL 6 HOUR AS BIGINT) AS death,
+         max(CAST(('0x' || substr(md5('lr|' || CAST(e.user_id AS VARCHAR)),
+             1, 4)) AS BIGINT) % 2) AS g
+  FROM events e CROSS JOIN horizon h
+  GROUP BY e.user_id, h.hmax
+),
+by_d AS (
+  SELECT dur_h, CAST(sum(g) AS BIGINT) AS a1,
+         CAST(sum(1 - g) AS BIGINT) AS a2,
+         CAST(sum(death * g) AS BIGINT) AS d1,
+         CAST(sum(death * (1 - g)) AS BIGINT) AS d2
+  FROM grp GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a1) AS BIGINT) AS t1,
+               CAST(sum(a2) AS BIGINT) AS t2 FROM by_d),
+rs AS (
+  SELECT b.*,
+         t.t1 - coalesce(sum(a1) OVER w, 0) AS c1,
+         t.t2 - coalesce(sum(a2) OVER w, 0) AS c2
+  FROM by_d b CROSS JOIN tot t
+  WINDOW w AS (ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+  SELECT d1,
+         (1000000 * (d1 + d2) * c1) // (c1 + c2) AS e1_micro,
+         ((((1000000 * (d1 + d2) * ((c1 + c2) - (d1 + d2)))
+            // ((c1 + c2) - 1)) * c1 // (c1 + c2)) * c2
+            // (c1 + c2)) AS v_micro
+  FROM rs
+  WHERE d1 + d2 > 0 AND c1 + c2 > 1
+),
+ag AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+         CAST(sum(v_micro) AS BIGINT) AS v_micro
+  FROM terms
+)
+SELECT o1, e1_micro, v_micro,
+       (CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+          * CAST(o1 * 1000000 - e1_micro AS DOUBLE))
+         / (CAST(v_micro AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS lr_chi2
+FROM ag
+"""
 
 
 ORACLES["emd_drift"] = """

@@ -236,6 +236,8 @@ SHOW = [
     "uplift_segments",
     "markov_attribution",
     "emd_drift",
+    "ar1_fit",
+    "logrank_test",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
