@@ -849,28 +849,41 @@ def q_embedding_gram(spark, sf_dir):
 
 
 def q_km_survival(spark, sf_dir):
-    # Kaplan-Meier survival curve (r9): per-user activity lifetime
-    # (hours between first and last event), a user "churns" (death
-    # observed) when their last event predates the corpus horizon by
-    # > 6 hours (chosen so the shipped event cadence yields a real
-    # censored/died mix), otherwise censored — the product-limit estimator every
-    # retention team plots. Exactness: each factor (1 - d_i/n_i) enters
-    # as a micro-snapped ln (the micro-unit rule), the cumulative sum
-    # is an exact integer, and survival = exp of that sum rounded 6.
-    # The risk-set window runs over DISTINCT lifetime hours (bounded:
-    # <= corpus span in hours, ~720 — documented bounded universe).
+    # Kaplan-Meier survival curve (r9, rebuilt r10 after the driver
+    # gate's first-ever red row): per-user activity lifetime (hours
+    # between first and last event); a user "churns" (death observed)
+    # when their last event predates the corpus horizon by > 6 hours,
+    # otherwise censored — the product-limit estimator every retention
+    # team plots. r10 hardening (VERDICT r9 #1): the r9 shape carried
+    # two libm transcendentals (a round-snapped ln per factor and a
+    # derived round(exp(...), 6) survival double) plus a
+    # timestamp-INTERVAL death cutoff — three boundary hazards against
+    # a regenerated driver input. All three are gone:
+    #   * the death cutoff compares explicit unix_micros integers
+    #     (vintage-proof: both engines truncate ns -> us identically);
+    #   * survival is an EXACT integer recurrence, no ln/exp at all:
+    #     surv_nano_k = surv_nano_{k-1} * (n_k - d_k) div n_k starting
+    #     from 1e9 — every step is integer floor division, identical in
+    #     any engine. Headroom: 1e9 * n_risk stays under 2^63 while the
+    #     user universe is < 9.2e9 (world-population scale).
+    # The per-death-time factors are a bounded model frame (<= corpus
+    # span in hours, ~720 rows — same documented bound as before), so
+    # the sequential product folds on the driver like
+    # markov_attribution's value iteration; the oracle replays it as a
+    # recursive CTE.
     e = load_table(spark, sf_dir, "events")
-    horizon = e.agg(F.max("ts").alias("hmax"))
+    horizon = e.agg(F.max(F.expr("unix_micros(ts)")).alias("hmax_us"))
     users = (
         e.groupBy("user_id")
-        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .agg(
+            F.min(F.expr("unix_micros(ts)")).alias("t0_us"),
+            F.max(F.expr("unix_micros(ts)")).alias("t1_us"),
+        )
         .crossJoin(F.broadcast(horizon))
         .select(
-            F.expr(
-                "CAST((unix_micros(t1) - unix_micros(t0)) div 3600000000 AS BIGINT)"
-            ).alias("dur_h"),
+            F.expr("(t1_us - t0_us) div 3600000000").alias("dur_h"),
             (
-                F.col("t1") < F.col("hmax") - F.expr("INTERVAL 6 HOURS")
+                F.col("t1_us") < F.col("hmax_us") - F.lit(21600000000)
             ).cast("int").alias("death"),
         )
     )
@@ -884,35 +897,20 @@ def q_km_survival(spark, sf_dir):
         by_dur.withColumn(
             "n_risk", F.lit(total) - F.coalesce(F.sum("n_at").over(w), F.lit(0))
         )
-        # n_risk == n_deaths would be ln(0): the terminal all-die row
-        # (survival exactly 0) is omitted rather than special-cased
+        # n_risk == n_deaths would be survival exactly 0: the terminal
+        # all-die row is omitted rather than special-cased
         .where((F.col("n_deaths") > 0) & (F.col("n_risk") > F.col("n_deaths")))
-        .withColumn(
-            "lf_micro",
-            F.round(
-                F.log(
-                    (F.col("n_risk") - F.col("n_deaths")).cast("double")
-                    / F.col("n_risk").cast("double")
-                )
-                * 1e6,
-                0,
-            ).cast("long"),
-        )
+        .select("dur_h", "n_risk", "n_deaths")
+        .orderBy("dur_h")
     )
-    w2 = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
-    return km.select(
-        "dur_h",
-        "n_risk",
-        "n_deaths",
-        F.sum("lf_micro").over(w2).alias("log_surv_micro"),
-    ).select(
-        "dur_h",
-        "n_risk",
-        "n_deaths",
-        "log_surv_micro",
-        F.round(
-            F.exp(F.col("log_surv_micro").cast("double") / F.lit(1e6)), 6
-        ).alias("survival"),
+    rows = km.collect()  # bounded: <= distinct lifetime hours (~720)
+    surv = 10**9
+    out = []
+    for r in rows:
+        surv = surv * (r["n_risk"] - r["n_deaths"]) // r["n_risk"]
+        out.append((r["dur_h"], r["n_risk"], r["n_deaths"], surv))
+    return spark.createDataFrame(
+        out, "dur_h BIGINT, n_risk BIGINT, n_deaths BIGINT, surv_nano BIGINT"
     )
 
 
@@ -7142,11 +7140,11 @@ GROUP BY 1, 2
 """
 
 ORACLES["km_survival"] = """
-WITH h AS (SELECT max(ts) AS hmax FROM events),
+WITH RECURSIVE h AS (SELECT epoch_us(max(ts)) AS hmax_us FROM events),
 users AS (
   SELECT CAST((epoch_us(max(e.ts)) - epoch_us(min(e.ts))) // 3600000000 AS BIGINT)
              AS dur_h,
-         CASE WHEN max(e.ts) < (SELECT hmax FROM h) - INTERVAL 6 HOUR
+         CASE WHEN epoch_us(max(e.ts)) < (SELECT hmax_us FROM h) - 21600000000
               THEN 1 ELSE 0 END AS death
   FROM events e GROUP BY e.user_id
 ),
@@ -7166,19 +7164,19 @@ risk AS (
 ),
 km AS (
   SELECT dur_h, n_risk, n_deaths,
-         CAST(round(ln(CAST(n_risk - n_deaths AS DOUBLE)
-                       / CAST(n_risk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
-             AS lf_micro
+         row_number() OVER (ORDER BY dur_h) AS rn
   FROM risk WHERE n_deaths > 0 AND n_risk > n_deaths
+),
+prod AS (
+  SELECT rn, dur_h, n_risk, n_deaths,
+         CAST(1000000000 AS BIGINT) * (n_risk - n_deaths) // n_risk AS surv_nano
+  FROM km WHERE rn = 1
+  UNION ALL
+  SELECT k.rn, k.dur_h, k.n_risk, k.n_deaths,
+         p.surv_nano * (k.n_risk - k.n_deaths) // k.n_risk
+  FROM prod p JOIN km k ON k.rn = p.rn + 1
 )
-SELECT dur_h, n_risk, n_deaths,
-       sum(lf_micro) OVER (ORDER BY dur_h
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS log_surv_micro,
-       round(exp(CAST(sum(lf_micro) OVER (ORDER BY dur_h
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / 1000000e0), 6) AS survival
-FROM km
+SELECT dur_h, n_risk, n_deaths, surv_nano FROM prod
 """
 
 ORACLES["parts_skyline"] = """

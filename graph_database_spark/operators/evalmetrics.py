@@ -51,7 +51,12 @@ def _gram_counts(toks: DataFrame) -> DataFrame:
     )
 
 
-def isotonic_fit(df: DataFrame, score_col: str, label_col) -> DataFrame:
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    max_score_universe: int | None = 10_000,
+) -> DataFrame:
     """Exact L2 isotonic regression (calibration curve) of a binary label
     on an integer score, via the minimax identity
 
@@ -69,20 +74,36 @@ def isotonic_fit(df: DataFrame, score_col: str, label_col) -> DataFrame:
     first (one combinable shuffle), so the O(B^2) interval enumeration
     is bounded by the score cardinality, not the corpus (B = distinct
     document lengths here; for unbounded scores quantile-bin first).
-    The prefix window runs over that bounded universe — documented
-    bounded-universe window, same class as weighted_median.
+    The prefix window runs over that bounded universe — and the bound
+    is ENFORCED (VERDICT r9 #4): more than ``max_score_universe``
+    distinct scores raises instead of silently stalling the
+    unpartitioned window AND exploding the O(B^2) interval join (the
+    count reuses the already-checkpointed bins frame, so the guard is
+    ~free). Pass None to skip when the caller knows the universe.
     """
     from pyspark.sql import Window
 
-    bins = (
+    grouped = (
         df.groupBy(F.col(score_col).alias("score"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
+        .localCheckpoint()
     )
+    # Guard BEFORE the unpartitioned window runs (the count reuses the
+    # checkpointed grouped frame, so it is ~free).
+    if max_score_universe is not None:
+        n_bins = grouped.count()
+        if n_bins > max_score_universe:
+            raise ValueError(
+                f"isotonic_fit: score universe has {n_bins} distinct "
+                f"values (> {max_score_universe}); the O(B^2) interval "
+                "join and the unpartitioned prefix window would blow up "
+                "— quantile-bin the score first"
+            )
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    bins = bins.select(
+    bins = grouped.select(
         "score",
         "n",
         "pos",

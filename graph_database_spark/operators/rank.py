@@ -108,7 +108,12 @@ def global_prefix_sum(
     )
 
 
-def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_score_universe: int | None = 100_000,
+) -> DataFrame:
     """Exact tie-corrected Mann-Whitney AUC of ``score_col`` as a
     ranker for boolean ``label_col``: one row ``(n_pos, n_neg,
     auc_micro)`` — the standard eval for "does this quality signal
@@ -118,9 +123,15 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     (2U * 10^6) / (2 n_pos n_neg).
 
     Plan: one aggregation to the DISTINCT-score frame, a running-count
-    window over it (bounded by the score universe — the caller's
-    contract, same as quantile_hist's), one final 1-row fold. The raw
-    rows are never ranked individually."""
+    window over it (bounded by the score universe), one final 1-row
+    fold. The raw rows are never ranked individually. The bounded-
+    universe contract is ENFORCED (VERDICT r9 #4): the grouped frame is
+    materialized (localCheckpoint — the window reuses it, so the guard
+    count is ~free) and more than ``max_score_universe`` distinct
+    scores raises instead of silently single-partition-stalling the
+    unpartitioned window; quantile-bin a continuous score first, or
+    rebase on global_prefix_sum (mannwhitney_u does). Pass None to skip
+    when the caller already knows the universe is bounded."""
     g = (
         df.select(
             F.col(score_col).alias("s"),
@@ -128,7 +139,18 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+        .localCheckpoint()
     )
+    if max_score_universe is not None:
+        n_s = g.count()
+        if n_s > max_score_universe:
+            raise ValueError(
+                f"rank_auc: score universe has {n_s} distinct values "
+                f"(> {max_score_universe}); the running-count window "
+                "would move them all to one partition — quantile-bin "
+                "the score first or use stats_tests.mannwhitney_u's "
+                "global_prefix_sum formulation"
+            )
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     two_r = g.select(
         "cnt",
