@@ -68,7 +68,16 @@ _REFERENCE_SURFACE = [
 
 def _last_verified_rounds() -> dict[str, int]:
     """Per-query round of most recent external hash-pass (rows-only
-    queries count their rows_match pass), from CORRECTNESS_r*.json."""
+    queries count their rows_match pass), from CORRECTNESS_r*.json.
+
+    NOTE (ADVICE r9): the glob reads whatever CORRECTNESS_r*.json files
+    exist in the checkout — an uncommitted local artifact therefore
+    shifts the rotating-slot ordering relative to the driver's checkout.
+    That is intentional (each round's gate result must advance the
+    rotation without hand-editing), but it means the gate artifact for
+    round N MUST be committed before reasoning about round N+1's head-50
+    locally; the repo's convention is that the driver's round commit
+    includes it (see `git log --oneline -- 'CORRECTNESS_r*.json'`)."""
     seen: dict[str, int] = {}
     for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.stem)

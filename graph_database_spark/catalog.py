@@ -16567,8 +16567,12 @@ seg AS (
 )
 SELECT max(n1) AS n1, max(n2) AS n2,
        CAST(sum(abs(cum) * gap) AS BIGINT) AS w1_num,
-       (1000 * CAST(sum(abs(cum) * gap) AS BIGINT))
-         // (max(n1) * max(n2)) AS w1_milli
+       CASE WHEN CAST(sum(abs(cum) * gap) AS BIGINT) <= 9223372036854775
+            THEN (1000 * CAST(sum(abs(cum) * gap) AS BIGINT))
+                 // (max(n1) * max(n2))
+            ELSE (1000 * (CAST(sum(abs(cum) * gap) AS BIGINT)
+                 // least(max(n1), max(n2)))) // greatest(max(n1), max(n2))
+            END AS w1_milli
 FROM seg WHERE gap IS NOT NULL
 """
 
@@ -18329,8 +18333,12 @@ run AS (
 )
 SELECT max(n1) AS n1, max(n2) AS n2,
        CAST(max(abs(cum)) AS BIGINT) AS d_num,
-       (1000000 * CAST(max(abs(cum)) AS BIGINT))
-         // (max(n1) * max(n2)) AS ks_micro
+       CASE WHEN max(n1) * max(n2) <= 9223372036854
+            THEN (1000000 * CAST(max(abs(cum)) AS BIGINT))
+                 // (max(n1) * max(n2))
+            ELSE (1000000 * (CAST(max(abs(cum)) AS BIGINT)
+                 // least(max(n1), max(n2)))) // greatest(max(n1), max(n2))
+            END AS ks_micro
 FROM run
 """
 

@@ -43,8 +43,15 @@ def ks_2sample(
 
     Plan: one groupBy on the value grid (|grid| <= |rows| distinct
     values), one range shuffle for the prefix sum, one bounded agg.
-    The n1*n2 product bounds the integer range: fine to ~3e9 rows per
-    side (1e6 * n1 * n2 < 2^63) — beyond that, report d_num raw.
+
+    Integer headroom (ADVICE r9): d_num can reach n1*n2, so the naive
+    1e6 scaling overflows int64 once n1*n2 > 2^63/1e6 ~ 9.2e12 — only
+    ~3e6 rows per side, NOT the 3e9 an earlier docstring claimed. Above
+    that the scaling switches (CASE, same expression both engines) to
+    divide-by-the-smaller-side-first: (1e6*(d div least)) div greatest,
+    exact to < 1 micro in-branch (greatest > 3e6 there) and safe up to
+    the operator's intrinsic ~3e9/side cap (n2*cumA itself must fit
+    int64).
     """
     grid = (
         df.groupBy(F.col(value_col).alias("v"))
@@ -70,7 +77,10 @@ def ks_2sample(
         F.max("n2").alias("n2"),
         F.max(F.abs(F.col("cum"))).alias("d_num"),
         F.expr(
-            "(1000000 * max(abs(cum))) div (max(n1) * max(n2))"
+            "CASE WHEN max(n1) * max(n2) <= 9223372036854"
+            " THEN (1000000 * max(abs(cum))) div (max(n1) * max(n2))"
+            " ELSE (1000000 * (max(abs(cum)) div least(max(n1), max(n2))))"
+            " div greatest(max(n1), max(n2)) END"
         ).alias("ks_micro"),
     )
 
@@ -206,6 +216,14 @@ def emd_1d(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     pattern), never a single-partition lead window. Returns ONE row
     (n1, n2, w1_num, w1_milli) with w1_milli = (1000*w1_num) div
     (n1*n2) in value units.
+
+    Integer headroom (ADVICE r9): 1000*w1_num overflows int64 once
+    w1_num > ~9.2e15; above that the scaling switches (CASE, same
+    expression both engines) to divide-by-the-smaller-side-first,
+    trading exactness for < 1000/greatest(n1,n2) milli of error. The
+    intrinsic cap is w1_num itself (sum of |cum|*gap <= n1*n2*range
+    must fit int64) — beyond that consume w1_num raw at a coarser
+    value snap.
     """
     from graph_database_spark.operators.rank import global_rank
 
@@ -238,7 +256,11 @@ def emd_1d(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
             F.abs(F.col("cum")) * (F.col("v_next") - F.col("v"))
         ).alias("w1_num"),
         F.expr(
-            "(1000 * sum(abs(cum) * (v_next - v)))"
+            "CASE WHEN sum(abs(cum) * (v_next - v)) <= 9223372036854775"
+            " THEN (1000 * sum(abs(cum) * (v_next - v)))"
             " div (max(n1) * max(n2))"
+            " ELSE (1000 * (sum(abs(cum) * (v_next - v))"
+            " div least(max(n1), max(n2)))) div greatest(max(n1), max(n2))"
+            " END"
         ).alias("w1_milli"),
     )
