@@ -12726,6 +12726,135 @@ def q_ipw_effect(spark, sf_dir):
     )
 
 
+def q_propensity_matching(spark, sf_dir):
+    # Propensity-score matching with a caliper (r10, VERDICT r9 #5):
+    # the most-used causal tool, completing the family next to
+    # ipw_effect (weighting), diff_in_diff (time), cuped (variance).
+    # Question: does the BUILDING market segment spend differently,
+    # controlling for account balance? Propensity P(BUILDING | balance
+    # bucket) is fitted with the same 4-round Newton driver-float loop
+    # as ipw_effect (oracle replays it operand-for-operand); each
+    # treated bucket is matched to the NEAREST control bucket by
+    # micro-snapped propensity (ties: all equidistant control cells
+    # pool), within a 0.05 caliper (50000 ppm); the readout is the ATT
+    # over matched cells.
+    #
+    # Scale shape: the covariate is a balance bucket (round(acctbal)
+    # div 100), so the match universe is bounded by the BALANCE RANGE
+    # (~110 cells at any corpus size), never the corpus — the
+    # cell-vs-cell distance join is a broadcast of two tiny aggregates.
+    # Outcome = whole-dollar spend summed per customer as exact
+    # integers; headroom: 1e6 * (dollar sum per cell) must fit int64 —
+    # safe to ~9.2e12 dollars per cell. ATT division truncates toward
+    # zero in BOTH engines (Spark div / DuckDB //).
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal) AS BIGINT) div 100").alias("zi"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.expr("sum(CAST(round(o_totalprice) AS BIGINT))").alias("sp"))
+    )
+    d = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "zi", "y", F.coalesce(F.col("sp"), F.lit(0)).alias("val")
+        )
+        .localCheckpoint()
+    )
+    w0, w1 = 0.0, 0.0
+    for _ in range(_LOGIT_ROUNDS):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+        )
+        pm = F.round(p * F.lit(1000000.0), 0).cast("long")
+        wm = F.round(p * (F.lit(1.0) - p) * F.lit(1000000.0), 0).cast(
+            "long"
+        )
+        r = d.agg(
+            F.sum(F.col("y") * 1000000 - pm).alias("g0"),
+            F.sum(F.col("zi") * (F.col("y") * 1000000 - pm)).alias("g1"),
+            F.sum(wm).alias("h00"),
+            F.sum(F.col("zi") * wm).alias("h01"),
+            F.sum(F.col("zi") * F.col("zi") * wm).alias("h11"),
+        ).collect()[0]
+        det = float(r["h00"]) * float(r["h11"]) - float(r["h01"]) * float(
+            r["h01"]
+        )
+        w0 = w0 + (
+            float(r["h11"]) * float(r["g0"]) - float(r["h01"]) * float(r["g1"])
+        ) / det
+        w1 = w1 + (
+            float(r["h00"]) * float(r["g1"]) - float(r["h01"]) * float(r["g0"])
+        ) / det
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("zi").cast("double")))
+    )
+    scored = d.select(
+        "y", "val", F.round(p * F.lit(1000000.0), 0).cast("long").alias("pm")
+    ).localCheckpoint()
+    tg = scored.where(F.col("y") == 1).groupBy("pm").agg(
+        F.count("*").alias("n_t"), F.sum("val").alias("sv_t")
+    )
+    cg = scored.where(F.col("y") == 0).groupBy(
+        F.col("pm").alias("pm_c")
+    ).agg(F.count("*").alias("n_c"), F.sum("val").alias("sv_c"))
+    cand = tg.crossJoin(F.broadcast(cg)).select(
+        "pm",
+        "n_t",
+        "sv_t",
+        "n_c",
+        "sv_c",
+        F.abs(F.col("pm") - F.col("pm_c")).alias("dist"),
+    )
+    dm = cand.groupBy(F.col("pm").alias("pm_d")).agg(
+        F.min("dist").alias("dmin")
+    )
+    mt = (
+        cand.join(
+            F.broadcast(dm),
+            (F.col("pm") == F.col("pm_d")) & (F.col("dist") == F.col("dmin")),
+        )
+        .groupBy("pm")
+        .agg(
+            F.max("n_t").alias("n_t"),
+            F.max("sv_t").alias("sv_t"),
+            F.sum("n_c").alias("cn"),
+            F.sum("sv_c").alias("csv"),
+            F.max("dmin").alias("dmin"),
+        )
+        .where(F.col("dmin") <= 50000)
+        .select(
+            "n_t",
+            "sv_t",
+            F.expr("(2 * 1000000 * csv + cn) div (2 * cn)").alias(
+                "avg_c_micro"
+            ),
+        )
+    )
+    totals = tg.agg(F.sum("n_t").alias("n_treated"))
+    return (
+        mt.agg(
+            F.sum("n_t").alias("n_matched"),
+            F.expr(
+                "sum(sv_t * 1000000 - n_t * avg_c_micro) div sum(n_t)"
+            ).alias("att_micro"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_treated",
+            "n_matched",
+            F.lit(w0).alias("pw0"),
+            F.lit(w1).alias("pw1"),
+            "att_micro",
+        )
+    )
+
+
 def q_wl_refinement(spark, sf_dir):
     # Weisfeiler-Leman color refinement (r9 continuation): 2 rounds of
     # the published 1-WL iteration — color' = md5(own color | sorted
@@ -14089,6 +14218,7 @@ QUERIES: dict[str, QueryFn] = {
     "good_turing": q_good_turing,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
+    "propensity_matching": q_propensity_matching,
     "wl_refinement": q_wl_refinement,
     "jl_projection": q_jl_projection,
     "mrr_eval": q_mrr_eval,
@@ -16043,6 +16173,114 @@ FROM ag"""
 
 
 ORACLES["ipw_effect"] = _build_ipw_sql()
+
+
+def _build_psm_sql(rounds: int = _LOGIT_ROUNDS) -> str:
+    # q_propensity_matching's unrolled mirror: the same logit CTE chain
+    # (treatment = BUILDING segment, covariate = balance bucket), then
+    # the micro-snapped propensity cells, nearest-control-cell match
+    # within the 50000-ppm caliper, and the ATT fold.
+    parts = [
+        """
+WITH d AS (
+    SELECT CAST(round(c.c_acctbal) AS BIGINT) // 100 AS zi,
+           CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                AS BIGINT) AS y,
+           coalesce(s.sp, 0) AS val
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sp
+        FROM orders GROUP BY 1
+    ) s ON s.o_custkey = c.c_custkey
+),
+wv0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"""
+    ]
+    p = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(w.w0 + w.w1 * CAST(d.zi AS DOUBLE)))))"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+it{k} AS (
+    SELECT
+        CAST(sum(d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT))
+          AS BIGINT) AS g0,
+        CAST(sum(d.zi * (d.y * 1000000
+            - CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT)))
+          AS BIGINT) AS g1,
+        CAST(sum(CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h00,
+        CAST(sum(d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h01,
+        CAST(sum(d.zi * d.zi * CAST(round({p} * (CAST(1.0 AS DOUBLE) - {p})
+            * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS h11
+    FROM d CROSS JOIN wv{k - 1} w
+),
+wv{k} AS (
+    SELECT
+        w.w0 + (CAST(i.h11 AS DOUBLE) * CAST(i.g0 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g1 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w0,
+        w.w1 + (CAST(i.h00 AS DOUBLE) * CAST(i.g1 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.g0 AS DOUBLE))
+           / (CAST(i.h00 AS DOUBLE) * CAST(i.h11 AS DOUBLE)
+                - CAST(i.h01 AS DOUBLE) * CAST(i.h01 AS DOUBLE)) AS w1
+    FROM it{k} i CROSS JOIN wv{k - 1} w
+)"""
+        )
+    parts.append(
+        f""",
+scored AS (
+    SELECT d.y, d.val,
+           CAST(round({p} * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS pm
+    FROM d CROSS JOIN wv{rounds} w
+),
+tg AS (
+    SELECT pm, CAST(count(*) AS BIGINT) AS n_t,
+           CAST(sum(val) AS BIGINT) AS sv_t
+    FROM scored WHERE y = 1 GROUP BY 1
+),
+cg AS (
+    SELECT pm AS pm_c, CAST(count(*) AS BIGINT) AS n_c,
+           CAST(sum(val) AS BIGINT) AS sv_c
+    FROM scored WHERE y = 0 GROUP BY 1
+),
+cand AS (
+    SELECT t.pm, t.n_t, t.sv_t, c.n_c, c.sv_c,
+           abs(t.pm - c.pm_c) AS dist
+    FROM tg t CROSS JOIN cg c
+),
+dm AS (SELECT pm AS pm_d, min(dist) AS dmin FROM cand GROUP BY 1),
+mt AS (
+    SELECT c.pm, max(c.n_t) AS n_t, max(c.sv_t) AS sv_t,
+           CAST(sum(c.n_c) AS BIGINT) AS cn,
+           CAST(sum(c.sv_c) AS BIGINT) AS csv,
+           max(m.dmin) AS dmin
+    FROM cand c JOIN dm m ON c.pm = m.pm_d AND c.dist = m.dmin
+    GROUP BY c.pm
+),
+ok AS (
+    SELECT n_t, sv_t,
+           (2 * 1000000 * csv + cn) // (2 * cn) AS avg_c_micro
+    FROM mt WHERE dmin <= 50000
+),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_treated FROM tg)
+SELECT tot.n_treated,
+       CAST(sum(ok.n_t) AS BIGINT) AS n_matched,
+       max(w.w0) AS pw0, max(w.w1) AS pw1,
+       CAST(sum(ok.sv_t * 1000000 - ok.n_t * ok.avg_c_micro) AS BIGINT)
+         // CAST(sum(ok.n_t) AS BIGINT) AS att_micro
+FROM ok CROSS JOIN tot CROSS JOIN wv{rounds} w
+GROUP BY tot.n_treated"""
+    )
+    return "".join(parts)
+
+
+ORACLES["propensity_matching"] = _build_psm_sql()
 
 
 ORACLES["wl_refinement"] = f"""
