@@ -304,6 +304,11 @@ HEADLINE = [
     "emd_drift",
     "ar1_fit",
     "logrank_test",
+    "propensity_matching",
+    "metaphone_blocks",
+    "suffix_array_dedup",
+    "fellegi_sunter",
+    "kfold_cv",
 ]
 
 

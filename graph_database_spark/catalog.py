@@ -1046,6 +1046,8 @@ def _ucb_expr(tvar: str) -> str:
 
 
 _LOGIT_ROUNDS = 4
+# Fellegi-Sunter EM rounds (q_fellegi_sunter + its oracle builder).
+_FS_ROUNDS = 5
 
 
 def q_woe_iv(spark, sf_dir):
@@ -1712,6 +1714,78 @@ def q_ols_price_model(spark, sf_dir):
             " / (CAST(n * sxx - sx * sx AS DOUBLE)"
             " * CAST(n * syy - sy * sy AS DOUBLE))"
         ).alias("r2"),
+    )
+
+
+def q_kfold_cv(spark, sf_dir):
+    # 5-fold cross-validated OLS (r10): the model-eval primitive the
+    # training-pipeline family was missing — md5 folds (the group_split
+    # discipline), each fold's model fitted on the COMPLEMENT via
+    # subtraction of integer sufficient statistics (fold sums computed
+    # once, one combinable shuffle — never 5 passes), slope/intercept
+    # as identical-operand IEEE chains (ols_price_model), and the test
+    # SSE made order-exact by FLOOR-snapping each prediction to whole
+    # dollars before the integer residual square. Each stat is cast to
+    # DOUBLE individually before the cross products: with 4/5 of the
+    # corpus in every complement, n*sxy overflows int64 where the
+    # per-brand OLS never could. Fully distributed — no driver loop.
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat('kf|',"
+            " CAST(l_orderkey AS STRING), '|',"
+            " CAST(l_linenumber AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+            " % 5"
+        ).alias("fold"),
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round("l_extendedprice", 0).cast("long").alias("y"),
+    ).localCheckpoint()  # feeds the stats pass and the scoring pass
+    fs = rows_.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = rows_.agg(
+        F.count("*").alias("tn"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("tsxy"),
+    )
+    num = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))"
+    )
+    mdl = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.expr(f"{num} / {den}").alias("slope"),
+        F.expr(
+            f"(CAST(tsy - sy AS DOUBLE) - {num} / {den}"
+            " * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE)"
+        ).alias("intercept"),
+    )
+    return (
+        rows_.join(F.broadcast(mdl), "fold")
+        .withColumn(
+            "r",
+            F.expr(
+                "y - CAST(floor(intercept + slope * CAST(x AS DOUBLE))"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.max("slope").alias("slope"),
+            F.max("intercept").alias("intercept"),
+            F.sum(F.col("r") * F.col("r")).alias("sse_test"),
+        )
     )
 
 
@@ -4342,6 +4416,23 @@ def q_span_dedup(spark, sf_dir):
     return D.duplicate_span_coverage(load_table(spark, sf_dir, "documents"), n=8)
 
 
+def q_suffix_array_dedup(spark, sf_dir):
+    # Prefix-grouped suffix array with adjacent-LCP readout (r10): the
+    # TRUE ExactSubstr construction (Lee et al. 2022) completing the
+    # dedup ladder past span_dedup's fixed n=8 approximation — a suffix
+    # array reports the MAXIMAL repeated-match length at every
+    # token-start position. One shuffle keyed by the 30-char suffix
+    # prefix (every pair with LCP >= 30 shares it, so global
+    # suffix-array adjacency is exactly bucket-local adjacency);
+    # adjacent-pair LCPs are linear. Oracle replays the identical
+    # construction in windowed SQL (operators/suffixarray.py).
+    from graph_database_spark.operators.suffixarray import suffix_lcp_dedup
+
+    return suffix_lcp_dedup(
+        load_table(spark, sf_dir, "documents"), min_match=30, ext_cap=64
+    )
+
+
 def q_knn_graph(spark, sf_dir):
     # Mutual-kNN graph over the embeddings table — the geometry-derived
     # graph that SemDeDup-style cluster pruning runs on. Since r7 the
@@ -5046,6 +5137,106 @@ def q_record_linkage(spark, sf_dir):
             F.col("a.cnt").alias("cnt_a"),
             F.col("b.cnt").alias("cnt_b"),
         )
+    )
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    # Fellegi-Sunter probabilistic record linkage (r10): THE published
+    # decision model the blocking legs (head-noun, soundex, cologne,
+    # metaphone, sorted-neighborhood) and comparators (Levenshtein,
+    # Jaro-Winkler) feed — latent match/unmatch classes over K=4 binary
+    # field-agreement patterns (name / brand / type / size-within-2 of
+    # part records), fitted with 5 rounds of the Winkler EM. Candidate
+    # pairs come from the LINEAR sorted-neighborhood leg (rank-offset
+    # equi-join, window 3 => exactly ~3N pairs at any corpus size — no
+    # quadratic block anywhere). Bounded-model discipline
+    # (em_gmm/markov): the corpus collapses to <= 2^4 = 16
+    # pattern-count rows via one combinable shuffle; EM runs on the
+    # driver over those ints, with every posterior FLOOR-snapped to
+    # micro BEFORE the M-step sums (integer sums are order-exact;
+    # floor, never round, for cross-engine double snaps — the
+    # spearman/km rule). The oracle replays all 5 E/M rounds
+    # operand-for-operand as generated CTEs (the ipw pattern).
+    import math
+
+    from graph_database_spark.operators.rank import global_rank
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    ranked = global_rank(
+        parts, ["p_name", "p_brand", "p_size", "p_partkey"], out_col="r"
+    ).localCheckpoint()  # feeds both sides of the offset join
+    left = ranked.withColumn(
+        "off", F.explode(F.expr("sequence(1, 3)"))
+    ).select(
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_type").alias("tya"),
+        F.col("p_size").alias("sa"),
+        (F.col("r") + F.col("off")).alias("r2"),
+    )
+    right = ranked.select(
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("tyb"),
+        F.col("p_size").alias("sb"),
+        F.col("r").alias("r2"),
+    )
+    gs = left.join(right, "r2").select(
+        (F.col("na") == F.col("nb")).cast("int").alias("g1"),
+        (F.col("ba") == F.col("bb")).cast("int").alias("g2"),
+        (F.col("tya") == F.col("tyb")).cast("int").alias("g3"),
+        (F.abs(F.col("sa") - F.col("sb")) <= 2).cast("int").alias("g4"),
+    )
+    pat = (
+        gs.groupBy("g1", "g2", "g3", "g4")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    rows_ = [
+        (
+            (int(r["g1"]), int(r["g2"]), int(r["g3"]), int(r["g4"])),
+            int(r["n"]),
+        )
+        for r in pat
+    ]
+    p, m, u = 0.1, [0.9] * 4, [0.1] * 4
+
+    def estep():
+        out = []
+        for g, n in rows_:
+            a, b = p, 1.0 - p
+            for k in range(4):
+                a = a * (m[k] if g[k] == 1 else (1.0 - m[k]))
+                b = b * (u[k] if g[k] == 1 else (1.0 - u[k]))
+            out.append(
+                (g, n, int(math.floor((a / (a + b)) * 1000000.0)))
+            )
+        return out
+
+    for _ in range(_FS_ROUNDS):
+        ws = estep()
+        s_ = sum(n * wm for (_, n, wm) in ws)
+        t_ = sum(n * (1000000 - wm) for (_, n, wm) in ws)
+        n_ = sum(n for (_, n, _) in ws)
+        p = float(s_) / (1000000.0 * float(n_))
+        m = [
+            float(sum(n * wm for (g, n, wm) in ws if g[k] == 1))
+            / float(s_)
+            for k in range(4)
+        ]
+        u = [
+            float(
+                sum(n * (1000000 - wm) for (g, n, wm) in ws if g[k] == 1)
+            )
+            / float(t_)
+            for k in range(4)
+        ]
+    out = [(g[0], g[1], g[2], g[3], n, wm) for (g, n, wm) in estep()]
+    return spark.createDataFrame(
+        out,
+        "g1 int, g2 int, g3 int, g4 int, n_pairs long, post_micro long",
     )
 
 
@@ -9953,6 +10144,76 @@ ORACLES["span_dedup"] = """
                 ELSE CAST(0 AS DOUBLE) END AS coverage
     FROM lens l LEFT JOIN cov c ON c.doc_id = l.doc_id
 """
+def _build_suffix_lcp_sql(min_match: int = 30, ext_cap: int = 64) -> str:
+    # q_suffix_array_dedup's mirror: identical construction in windowed
+    # SQL — token starts from an exclusive prefix sum, bucket = first
+    # min_match chars, adjacent-LCP via list HOFs. Sort collation is
+    # byte order over [a-z0-9 ] in both engines.
+    def lcp(a: str, b: str) -> str:
+        n = f"least(length({a}), length({b}))"
+        return (
+            f"coalesce(list_min(list_filter(range(1, {n} + 1),"
+            f" i -> substr({a}, CAST(i AS INT), 1)"
+            f" != substr({b}, CAST(i AS INT), 1))) - 1, {n})"
+        )
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+),
+norm AS (
+    SELECT doc_id, array_to_string(toks, ' ') AS norm, toks FROM toks
+),
+tk AS (
+    SELECT doc_id, norm, list_extract(toks, CAST(i AS INT)) AS tok, i
+    FROM norm, UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+st AS (
+    SELECT doc_id, norm,
+           1 + coalesce(sum(length(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+    FROM tk
+),
+fsuf AS (
+    SELECT doc_id, pos, suf, substring(suf, 1, {min_match}) AS bkt
+    FROM (SELECT doc_id, pos,
+                 substring(norm, CAST(pos AS INT), {ext_cap}) AS suf
+          FROM st)
+    WHERE length(suf) >= {min_match}
+),
+nb AS (
+    SELECT doc_id, suf,
+           lag(suf) OVER w AS pv_suf, lag(doc_id) OVER w AS pv_doc,
+           lead(suf) OVER w AS nx_suf, lead(doc_id) OVER w AS nx_doc
+    FROM fsuf
+    WINDOW w AS (PARTITION BY bkt ORDER BY suf, doc_id, pos)
+),
+l AS (
+    SELECT doc_id, pv_doc, nx_doc,
+           CASE WHEN pv_suf IS NULL THEN 0
+                ELSE {lcp('suf', 'pv_suf')} END AS lcp_pv,
+           CASE WHEN nx_suf IS NULL THEN 0
+                ELSE {lcp('suf', 'nx_suf')} END AS lcp_nx
+    FROM nb
+),
+sc AS (
+    SELECT doc_id, greatest(lcp_pv, lcp_nx) AS mlcp,
+           CASE WHEN (lcp_pv >= {min_match} AND pv_doc != doc_id)
+                  OR (lcp_nx >= {min_match} AND nx_doc != doc_id)
+                THEN 1 ELSE 0 END AS xd
+    FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_starts,
+       CAST(max(mlcp) AS BIGINT) AS max_lcp,
+       CAST(sum(xd) AS BIGINT) AS n_cross_doc
+FROM sc WHERE mlcp >= {min_match} GROUP BY 1
+"""
+
+
+ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
+
 ORACLES["knn_graph"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)}
     SELECT f.query_id AS id_a, f.cand_id AS id_b, f.sim,
@@ -14120,6 +14381,7 @@ QUERIES: dict[str, QueryFn] = {
     "waiting_supplier_rank": q_waiting_supplier_rank,
     "event_burstiness": q_event_burstiness,
     "span_dedup": q_span_dedup,
+    "suffix_array_dedup": q_suffix_array_dedup,
     "knn_graph": q_knn_graph,
     "events_resample": q_events_resample,
     "cumulative_users": q_cumulative_users,
@@ -14246,6 +14508,8 @@ QUERIES: dict[str, QueryFn] = {
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
+    "fellegi_sunter": q_fellegi_sunter,
+    "kfold_cv": q_kfold_cv,
     "wl_refinement": q_wl_refinement,
     "jl_projection": q_jl_projection,
     "mrr_eval": q_mrr_eval,
@@ -16200,6 +16464,152 @@ FROM ag"""
 
 
 ORACLES["ipw_effect"] = _build_ipw_sql()
+
+
+def _build_fs_sql(rounds: int = _FS_ROUNDS) -> str:
+    # q_fellegi_sunter's unrolled mirror: same blocked pairs, same
+    # 16-row pattern table, same 5 E/M rounds with floor-snapped micro
+    # posteriors and integer M-step sums; every float op parenthesized
+    # exactly as the driver loop computes it.
+    def prod(start: str, param: str) -> str:
+        e = start
+        for k in range(1, 5):
+            f = (
+                f"CASE WHEN g{k} = 1 THEN e.{param}{k}"
+                f" ELSE (CAST(1.0 AS DOUBLE) - e.{param}{k}) END"
+            )
+            e = f"({e} * {f})"
+        return e
+
+    a = prod("e.p", "m")
+    b = prod("(CAST(1.0 AS DOUBLE) - e.p)", "u")
+    init_cols = ", ".join(
+        [f"CAST(0.9 AS DOUBLE) AS m{k}" for k in range(1, 5)]
+        + [f"CAST(0.1 AS DOUBLE) AS u{k}" for k in range(1, 5)]
+    )
+    parts = [
+        f"""
+WITH rk AS (
+    SELECT p_name, p_brand, p_type, p_size,
+           row_number() OVER (
+               ORDER BY p_name, p_brand, p_size, p_partkey) AS r
+    FROM part
+),
+pairs AS (
+    SELECT a.p_name AS na, a.p_brand AS ba, a.p_type AS tya,
+           a.p_size AS sa, b.p_name AS nb, b.p_brand AS bb,
+           b.p_type AS tyb, b.p_size AS sb
+    FROM (SELECT rk.*, u.off FROM rk, UNNEST([1, 2, 3]) AS u(off)) a
+    JOIN rk b ON b.r = a.r + a.off
+),
+pat AS (
+    SELECT CASE WHEN na = nb THEN 1 ELSE 0 END AS g1,
+           CASE WHEN ba = bb THEN 1 ELSE 0 END AS g2,
+           CASE WHEN tya = tyb THEN 1 ELSE 0 END AS g3,
+           CASE WHEN abs(sa - sb) <= 2 THEN 1 ELSE 0 END AS g4,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2, 3, 4
+),
+em0 AS (SELECT CAST(0.1 AS DOUBLE) AS p, {init_cols})"""
+    ]
+    estep = (
+        f"SELECT g1, g2, g3, g4, n,"
+        f" CAST(floor(({a} / ({a} + {b}))"
+        f" * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS wm"
+        f" FROM pat CROSS JOIN em{{r}} e"
+    )
+    for r in range(1, rounds + 1):
+        mu_cols = ", ".join(
+            f"CAST(sum(CASE WHEN g{k} = 1 THEN n * wm ELSE 0 END)"
+            f" AS DOUBLE) / CAST(sum(n * wm) AS DOUBLE) AS m{k}"
+            for k in range(1, 5)
+        )
+        u_cols = ", ".join(
+            f"CAST(sum(CASE WHEN g{k} = 1 THEN n * (1000000 - wm)"
+            f" ELSE 0 END) AS DOUBLE)"
+            f" / CAST(sum(n * (1000000 - wm)) AS DOUBLE) AS u{k}"
+            for k in range(1, 5)
+        )
+        parts.append(
+            f""",
+w{r} AS ({estep.format(r=r - 1)}),
+em{r} AS (
+    SELECT CAST(sum(n * wm) AS DOUBLE)
+             / (CAST(1000000.0 AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS p,
+           {mu_cols}, {u_cols}
+    FROM w{r}
+)"""
+        )
+    parts.append(
+        f""",
+wfin AS ({estep.format(r=rounds)})
+SELECT CAST(g1 AS INT) AS g1, CAST(g2 AS INT) AS g2,
+       CAST(g3 AS INT) AS g3, CAST(g4 AS INT) AS g4,
+       n AS n_pairs, wm AS post_micro
+FROM wfin"""
+    )
+    return "".join(parts)
+
+
+ORACLES["fellegi_sunter"] = _build_fs_sql()
+
+
+def _build_kfold_sql() -> str:
+    # q_kfold_cv's mirror: identical complement-stat IEEE chains (each
+    # sufficient stat cast to DOUBLE individually — see the int64 note
+    # in the query) and the same floor-snapped whole-dollar residuals.
+    num = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))"
+    )
+    return f"""
+WITH rows_ AS (
+    SELECT CAST(('0x' || substr(md5('kf|' || CAST(l_orderkey AS VARCHAR)
+               || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 5 AS fold,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+),
+fs AS (
+    SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM rows_ GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS tn,
+           CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy,
+           CAST(sum(x * x) AS BIGINT) AS tsxx,
+           CAST(sum(x * y) AS BIGINT) AS tsxy
+    FROM rows_
+),
+mdl AS (
+    SELECT fold, {num} / {den} AS slope,
+           (CAST(tsy - sy AS DOUBLE) - {num} / {den}
+            * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE)
+             AS intercept
+    FROM fs CROSS JOIN tot
+),
+sc AS (
+    SELECT r.fold, m.slope, m.intercept,
+           r.y - CAST(floor(m.intercept + m.slope * CAST(r.x AS DOUBLE))
+                 AS BIGINT) AS res
+    FROM rows_ r JOIN mdl m ON m.fold = r.fold
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       max(slope) AS slope, max(intercept) AS intercept,
+       CAST(sum(res * res) AS BIGINT) AS sse_test
+FROM sc GROUP BY 1
+"""
+
+
+ORACLES["kfold_cv"] = _build_kfold_sql()
 
 
 def _build_psm_sql(rounds: int = _LOGIT_ROUNDS) -> str:

@@ -238,6 +238,11 @@ SHOW = [
     "emd_drift",
     "ar1_fit",
     "logrank_test",
+    "propensity_matching",
+    "metaphone_blocks",
+    "suffix_array_dedup",
+    "fellegi_sunter",
+    "kfold_cv",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
