@@ -243,6 +243,7 @@ SHOW = [
     "suffix_array_dedup",
     "fellegi_sunter",
     "kfold_cv",
+    "ktruss",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
