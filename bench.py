@@ -310,6 +310,7 @@ HEADLINE = [
     "fellegi_sunter",
     "kfold_cv",
     "ktruss",
+    "lof_outliers",
 ]
 
 

@@ -4473,6 +4473,24 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
+def q_lof_outliers(spark, sf_dir):
+    # Local Outlier Factor (r10): the density-RATIO anomaly score over
+    # the embeddings table — completes the outlier family next to the
+    # global z-score (embedding_outliers) and the univariate MAD screen.
+    # Neighbors ride the hash-verified lsh_topk_md5 leg (same auto-bit
+    # bucket construction the knn_graph oracle replays); distances and
+    # the whole kdist/reachability/lrd/ratio chain are exact integers
+    # with truncating division (operators/lof.py).
+    from graph_database_spark.operators.lof import lof_scores
+
+    return lof_scores(
+        load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_bits=None,
+        n_tables=16,
+    )
+
+
 def q_events_resample(spark, sf_dir):
     # Gap-filling hourly resample with forward-fill + linear
     # interpolation over each user's complete hour grid.
@@ -10285,6 +10303,41 @@ FROM sc WHERE mlcp >= {min_match} GROUP BY 1
 
 ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
 
+ORACLES["lof_outliers"] = f"""
+    WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
+    d AS (
+        SELECT query_id, cand_id,
+               1000000 - CAST(round(sim * 1000000.0, 0) AS BIGINT)
+                 AS d_micro
+        FROM topk
+    ),
+    kd AS (
+        SELECT query_id AS id, max(d_micro) AS kdist,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM d GROUP BY 1
+    ),
+    reach AS (
+        SELECT d.query_id, greatest(d.d_micro, kb.kdist) AS reach
+        FROM d JOIN kd kb ON kb.id = d.cand_id
+    ),
+    lrd AS (
+        SELECT query_id AS id,
+               (CAST(count(*) AS BIGINT) * 1000000000)
+                 // greatest(CAST(sum(reach) AS BIGINT), 1) AS lrd_m
+        FROM reach GROUP BY 1
+    ),
+    agg AS (
+        SELECT d.query_id AS id, CAST(sum(lb.lrd_m) AS BIGINT) AS slrd,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM d JOIN lrd lb ON lb.id = d.cand_id
+        GROUP BY 1
+    )
+    SELECT a.id AS vec_id, a.cnt AS n_neighbors,
+           k.kdist AS kdist_micro, l.lrd_m,
+           (a.slrd * 1000000) // (a.cnt * l.lrd_m) AS lof_micro
+    FROM agg a JOIN lrd l ON l.id = a.id JOIN kd k ON k.id = a.id
+"""
+
 ORACLES["knn_graph"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)}
     SELECT f.query_id AS id_a, f.cand_id AS id_b, f.sim,
@@ -13161,6 +13214,8 @@ def q_propensity_matching(spark, sf_dir):
     cg = scored.where(F.col("y") == 0).groupBy(
         F.col("pm").alias("pm_c")
     ).agg(F.count("*").alias("n_c"), F.sum("val").alias("sv_c"))
+    # cand feeds both the per-cell min-distance aggregate and the match
+    # join (reuse rule) — bounded by treated-cells x control-cells.
     cand = tg.crossJoin(F.broadcast(cg)).select(
         "pm",
         "n_t",
@@ -13168,7 +13223,7 @@ def q_propensity_matching(spark, sf_dir):
         "n_c",
         "sv_c",
         F.abs(F.col("pm") - F.col("pm_c")).alias("dist"),
-    )
+    ).localCheckpoint()
     dm = cand.groupBy(F.col("pm").alias("pm_d")).agg(
         F.min("dist").alias("dmin")
     )
@@ -14454,6 +14509,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_burstiness": q_event_burstiness,
     "span_dedup": q_span_dedup,
     "suffix_array_dedup": q_suffix_array_dedup,
+    "lof_outliers": q_lof_outliers,
     "knn_graph": q_knn_graph,
     "events_resample": q_events_resample,
     "cumulative_users": q_cumulative_users,

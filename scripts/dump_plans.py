@@ -244,6 +244,7 @@ SHOW = [
     "fellegi_sunter",
     "kfold_cv",
     "ktruss",
+    "lof_outliers",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
