@@ -311,6 +311,7 @@ HEADLINE = [
     "kfold_cv",
     "ktruss",
     "lof_outliers",
+    "dbscan_customers",
 ]
 
 

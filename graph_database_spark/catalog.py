@@ -4473,6 +4473,32 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
+def q_dbscan_customers(spark, sf_dir):
+    # Grid-blocked DBSCAN (r10): density clustering with an explicit
+    # noise class over the (account balance, total spend) plane —
+    # the arbitrary-shape complement of kmeans_cells' centroid model.
+    # Coordinates are shifted non-negative integers (the div-vs-floor
+    # contract in operators/dbscan.py); eps=300 / min_pts=12 give a
+    # genuine core/border/noise mix on this corpus (932/1500 cores at
+    # sf0.01). Deterministic end to end: clusters are min-core-id
+    # components, border points take the MIN cluster among their
+    # in-eps cores.
+    from graph_database_spark.operators.dbscan import dbscan_grid
+
+    sp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.expr("sum(CAST(round(o_totalprice) AS BIGINT))").alias("spend"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    p = c.join(sp, c.c_custkey == sp.o_custkey, "left").select(
+        F.col("c_custkey").alias("id"),
+        (F.expr("CAST(round(c_acctbal) AS BIGINT)") + 1000).alias("x"),
+        F.expr("coalesce(spend, 0) div 1000").alias("y"),
+    )
+    return dbscan_grid(p, eps=300, min_pts=12)
+
+
 def q_lof_outliers(spark, sf_dir):
     # Local Outlier Factor (r10): the density-RATIO anomaly score over
     # the embeddings table — completes the outlier family next to the
@@ -10303,6 +10329,68 @@ FROM sc WHERE mlcp >= {min_match} GROUP BY 1
 
 ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
 
+ORACLES["dbscan_customers"] = """
+WITH RECURSIVE sp AS (
+    SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+           AS BIGINT) AS spend
+    FROM orders GROUP BY 1
+),
+p AS (
+    SELECT c.c_custkey AS id,
+           CAST(round(c.c_acctbal) AS BIGINT) + 1000 AS x,
+           coalesce(s.spend, 0) // 1000 AS y
+    FROM customer c LEFT JOIN sp s ON s.o_custkey = c.c_custkey
+),
+build AS (SELECT id, x, y, x // 300 AS cx, y // 300 AS cy FROM p),
+probe AS (
+    SELECT id AS ia, x AS xa, y AS ya,
+           x // 300 + dx.d AS cx, y // 300 + dy.d AS cy
+    FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+pairs AS MATERIALIZED (
+    SELECT pr.ia, b.id AS ib
+    FROM probe pr JOIN build b ON b.cx = pr.cx AND b.cy = pr.cy
+    WHERE (pr.xa - b.x) * (pr.xa - b.x)
+        + (pr.ya - b.y) * (pr.ya - b.y) <= 90000
+),
+neps AS (
+    SELECT ia AS id, CAST(count(*) AS BIGINT) AS n_eps
+    FROM pairs GROUP BY 1
+),
+core AS MATERIALIZED (SELECT id FROM neps WHERE n_eps >= 12),
+ce AS MATERIALIZED (
+    SELECT pairs.ia, pairs.ib FROM pairs
+    JOIN core ca ON ca.id = pairs.ia
+    JOIN core cb ON cb.id = pairs.ib
+    WHERE pairs.ia < pairs.ib
+),
+sym AS (
+    SELECT ia AS v, ib AS n FROM ce
+    UNION ALL SELECT ib, ia FROM ce
+),
+reach(id, r) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT s.n, reach.r FROM reach JOIN sym s ON s.v = reach.id
+),
+comp AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY 1),
+border AS (
+    SELECT pr.ia AS id, CAST(min(c.cluster) AS BIGINT) AS cluster
+    FROM pairs pr JOIN comp c ON c.id = pr.ib
+    WHERE pr.ia NOT IN (SELECT id FROM core)
+    GROUP BY 1
+)
+SELECT p.id, n.n_eps,
+       CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(cc.cluster, b.cluster, -1) AS cluster
+FROM p
+JOIN neps n ON n.id = p.id
+LEFT JOIN comp cc ON cc.id = p.id
+LEFT JOIN border b ON b.id = p.id
+"""
+
 ORACLES["lof_outliers"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
     d AS (
@@ -14510,6 +14598,7 @@ QUERIES: dict[str, QueryFn] = {
     "span_dedup": q_span_dedup,
     "suffix_array_dedup": q_suffix_array_dedup,
     "lof_outliers": q_lof_outliers,
+    "dbscan_customers": q_dbscan_customers,
     "knn_graph": q_knn_graph,
     "events_resample": q_events_resample,
     "cumulative_users": q_cumulative_users,

@@ -1,0 +1,129 @@
+"""Grid-blocked DBSCAN (Ester et al. 1996) over 2-D integer points —
+the density clustering primitive next to kmeans_assign's centroid
+model: finds arbitrarily-shaped clusters and an explicit NOISE class,
+with no k to choose.
+
+Determinized exactly (textbook DBSCAN's border assignment depends on
+visit order): core points are order-free by definition (>= min_pts
+neighbors within eps, self included); clusters are connected components
+of the core-core eps-graph labeled by MIN core id (the hash-min
+fixpoint's invariant, so the oracle's min-reach recursive CTE agrees);
+border points join the MINIMUM cluster label among their in-eps cores.
+Every quantity is integer (squared L2 distances), so the whole operator
+hash-verifies.
+
+Scale shape: the eps-neighborhood join is the band_join_pairs pattern
+lifted to 2-D — each point's cell is ``(x div eps, y div eps)``, the
+probe side explodes to its 3x3 cell neighborhood, and candidates meet
+on ONE (cx, cy) equi-join (every true pair meets exactly once, at the
+build point's home cell). Cost is sum of per-cell products — bounded by
+the densest cell, the same occupancy knob as every blocked join here
+(shrink eps or pre-aggregate duplicate coordinates if a cell goes hot).
+Coordinates must be NON-NEGATIVE integers: Spark ``div`` truncates
+toward zero while floor-division semantics differ across engines below
+zero — shift inputs first (the catalog query does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_database_spark.operators.components import connected_components
+
+__all__ = ["dbscan_grid"]
+
+
+def dbscan_grid(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """``(id, n_eps, role, cluster)`` for every input point: role in
+    ('core', 'border', 'noise'); cluster = min core id of the
+    component, -1 for noise."""
+    eps2 = eps * eps
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint()  # probe, build, and the final left-join
+    build = p.select(
+        "id", "x", "y",
+        F.expr(f"x div {eps}").alias("cx"),
+        F.expr(f"y div {eps}").alias("cy"),
+    )
+    probe = p.select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+    ).select(
+        "ia", "xa", "ya",
+        (F.expr(f"xa div {eps}") + F.col("dx")).alias("cx"),
+        F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+    ).select(
+        "ia", "xa", "ya", "cx",
+        (F.expr(f"ya div {eps}") + F.col("dy")).alias("cy"),
+    )
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .where(
+            F.expr(
+                f"(xa - x) * (xa - x) + (ya - y) * (ya - y) <= {eps2}"
+            )
+        )
+        .select("ia", F.col("id").alias("ib"))
+        .localCheckpoint()  # neighbor counts, core edges, border pick
+    )
+    neps = pairs.groupBy(F.col("ia").alias("id")).agg(
+        F.count("*").alias("n_eps")
+    )
+    core = neps.where(F.col("n_eps") >= min_pts).select("id").localCheckpoint()
+    core_edges = (
+        pairs.where(F.col("ia") < F.col("ib"))
+        .join(core.select(F.col("id").alias("ia")), "ia")
+        .join(core.select(F.col("id").alias("ib")), "ib")
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    comp = connected_components(core_edges, max_iterations=max_iterations)
+    # isolated cores (no core neighbor) are their own cluster
+    core_lbl = (
+        core.join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster")
+        )
+        .localCheckpoint()  # border pick + final join
+    )
+    border = (
+        pairs.join(
+            core_lbl.select(
+                F.col("id").alias("ib"), F.col("cluster").alias("cl_b")
+            ),
+            "ib",
+        )
+        .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cl_b").alias("cluster"))
+    )
+    return (
+        p.select("id")
+        .join(neps, "id", "left")
+        .join(
+            core_lbl.select("id", F.col("cluster").alias("cl_core")), "id", "left"
+        )
+        .join(border.select("id", F.col("cluster").alias("cl_bord")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_eps", F.lit(1)).alias("n_eps"),
+            F.expr(
+                "CASE WHEN cl_core IS NOT NULL THEN 'core'"
+                " WHEN cl_bord IS NOT NULL THEN 'border'"
+                " ELSE 'noise' END"
+            ).alias("role"),
+            F.coalesce("cl_core", "cl_bord", F.lit(-1)).alias("cluster"),
+        )
+    )

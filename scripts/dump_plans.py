@@ -245,6 +245,7 @@ SHOW = [
     "kfold_cv",
     "ktruss",
     "lof_outliers",
+    "dbscan_customers",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
