@@ -240,27 +240,6 @@ def q_kcore(spark, sf_dir):
     return k_core(copurchase_edges(spark, sf_dir), k=4)
 
 
-# k-truss peel-round budget: the Spark loop raises past it and the
-# oracle unrolls exactly this many rounds, so an unconverged iterate can
-# never silently hash-compare (measured convergence at sf0.01/sf0.1 is
-# well inside it).
-_KTRUSS_ROUNDS = 8
-
-
-def q_ktruss(spark, sf_dir):
-    # 4-truss of the co-purchase graph (r10): the EDGE-grain cohesion
-    # filter next to kcore's vertex peel — every surviving edge sits in
-    # >= 2 triangles of the survivor subgraph (Cohen 2008; every
-    # k-truss is inside the (k-1)-core, strictly stronger). Integer
-    # supports, order-independent peel; oracle unrolls the same
-    # triangle-enumeration rounds (operators/ktruss.py).
-    from graph_database_spark.operators.ktruss import k_truss
-
-    return k_truss(
-        copurchase_edges(spark, sf_dir), k=4, max_iterations=_KTRUSS_ROUNDS
-    )
-
-
 def q_bfs_distances(spark, sf_dir):
     # Hash-verified vs a DuckDB recursive-CTE walk (integer hop counts,
     # so no float canonicalization concerns): BFS distances from the
@@ -8751,56 +8730,6 @@ def _build_coreness_sql(rounds: int = 16) -> str:
 
 
 ORACLES["coreness"] = _build_coreness_sql()
-
-
-def _build_ktruss_sql(k: int = 4, rounds: int = _KTRUSS_ROUNDS) -> str:
-    # q_ktruss's unrolled mirror: per round, canonical-triangle
-    # enumeration (x=(a,b) wedge y=(b,c) closed by z=(a,c) — every
-    # consecutive join pair equality-connected), 3-way member explode,
-    # per-edge count, peel; a fixed round count past the measured
-    # convergence depth, no-op once the fixpoint is reached.
-    parts = [f"WITH {GRAPH_CTES},\ne0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
-
-    def tri_cte(tag: str, src: str) -> str:
-        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-        # each round references its predecessor 4x — an 8-round chain
-        # would expand 4^8 copies of the base scan (observed as a
-        # too-many-open-files explosion), the markov-oracle lesson.
-        return f""",
-t{tag} AS MATERIALIZED (
-    SELECT x.src AS a, x.dst AS b, y.dst AS c
-    FROM {src} x JOIN {src} y ON y.src = x.dst
-    JOIN {src} z ON z.src = x.src AND z.dst = y.dst
-),
-s{tag} AS MATERIALIZED (
-    SELECT src, dst, CAST(count(*) AS BIGINT) AS supp FROM (
-        SELECT a AS src, b AS dst FROM t{tag}
-        UNION ALL SELECT b, c FROM t{tag}
-        UNION ALL SELECT a, c FROM t{tag}
-    ) u GROUP BY 1, 2
-)"""
-
-    for r in range(rounds):
-        parts.append(tri_cte(str(r), f"e{r}"))
-        parts.append(
-            f""",
-e{r + 1} AS MATERIALIZED (
-    SELECT e.src, e.dst FROM e{r} e
-    JOIN s{r} s ON s.src = e.src AND s.dst = e.dst
-    WHERE s.supp >= {k - 2}
-)"""
-        )
-    parts.append(tri_cte("fin", f"e{rounds}"))
-    parts.append(
-        f"""
-SELECT e.src, e.dst, s.supp AS support
-FROM e{rounds} e JOIN sfin s ON s.src = e.src AND s.dst = e.dst
-"""
-    )
-    return "".join(parts)
-
-
-ORACLES["ktruss"] = _build_ktruss_sql()
 ORACLES["hits_scores"] = _build_hits_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["edge_betweenness"] = _build_edge_betweenness_sql()
@@ -14402,7 +14331,6 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank": q_pagerank,
     "pagerank_personalized": q_pagerank_personalized,
     "kcore": q_kcore,
-    "ktruss": q_ktruss,
     "dedup_exact": q_dedup_exact,
     "dedup_norm": q_dedup_norm,
     "doc_fingerprint": q_doc_fingerprint,
