@@ -312,6 +312,7 @@ HEADLINE = [
     "ktruss",
     "lof_outliers",
     "dbscan_customers",
+    "mg_heavy_hitters",
 ]
 
 

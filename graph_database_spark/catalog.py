@@ -1049,6 +1049,17 @@ _LOGIT_ROUNDS = 4
 # Fellegi-Sunter EM rounds (q_fellegi_sunter + its oracle builder).
 _FS_ROUNDS = 5
 
+# Misra-Gries fold geometry shared by q_mg_heavy_hitters, its oracle
+# builder, and the streaming sink's batch twin.
+_MG_K = 8
+_MG_BUCKETS = 30
+
+
+def _mg_merge(state: dict, delta: dict, k: int = _MG_K) -> dict:
+    from graph_database_spark.operators.sketches import mg_merge
+
+    return mg_merge(state, delta, k)
+
 
 def q_woe_iv(spark, sf_dir):
     # Weight-of-evidence / information-value profiling (r9): the
@@ -10258,6 +10269,68 @@ FROM sc WHERE mlcp >= {min_match} GROUP BY 1
 
 ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
 
+
+def _build_mg_sql(k: int = _MG_K, buckets: int = _MG_BUCKETS) -> str:
+    # q_mg_heavy_hitters' mirror: same md5 buckets, same one-window
+    # per-bucket summaries, then every driver merge round replayed as
+    # generated MATERIALIZED CTEs (the m{b} frame is referenced twice —
+    # order statistic + subtraction; plain CTEs would inline).
+    parts = [
+        f"""
+WITH toks AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+           AS BIGINT) % {buckets} AS bkt,
+           unnest({_DUCK_TOKENS}) AS token
+    FROM documents
+),
+counts AS (
+    SELECT bkt, token, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT bkt, token, c,
+           row_number() OVER (PARTITION BY bkt ORDER BY c DESC, token)
+             AS rnk
+    FROM counts
+),
+tb AS (SELECT bkt, c AS t FROM ranked WHERE rnk = {k + 1}),
+summ AS MATERIALIZED (
+    SELECT r.bkt, r.token, r.c - coalesce(tb.t, 0) AS est
+    FROM ranked r LEFT JOIN tb ON tb.bkt = r.bkt
+    WHERE r.c - coalesce(tb.t, 0) > 0
+),
+st0 AS (
+    SELECT CAST(NULL AS VARCHAR) AS token, CAST(0 AS BIGINT) AS est
+    WHERE 1 = 0
+)"""
+    ]
+    for b in range(buckets):
+        parts.append(
+            f""",
+m{b} AS MATERIALIZED (
+    SELECT coalesce(s.token, d.token) AS token,
+           coalesce(s.est, 0) + coalesce(d.est, 0) AS est
+    FROM st{b} s FULL OUTER JOIN
+         (SELECT token, est FROM summ WHERE bkt = {b}) d
+      ON d.token = s.token
+),
+t{b} AS (
+    SELECT coalesce(max(CASE WHEN rnk = {k + 1} THEN est END), 0) AS t
+    FROM (SELECT est, row_number() OVER (ORDER BY est DESC, token)
+                 AS rnk
+          FROM m{b})
+),
+st{b + 1} AS MATERIALIZED (
+    SELECT token, est - t.t AS est
+    FROM m{b} CROSS JOIN t{b} t WHERE est - t.t > 0
+)"""
+        )
+    parts.append(f"\nSELECT token, est FROM st{buckets}")
+    return "".join(parts)
+
+
+ORACLES["mg_heavy_hitters"] = _build_mg_sql()
+
 ORACLES["dbscan_customers"] = """
 WITH RECURSIVE sp AS (
     SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT))
@@ -12951,6 +13024,54 @@ def q_conformal_intervals(spark, sf_dir):
     )
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    # Misra-Gries heavy hitters via the mergeable-summaries merge (r10):
+    # the DETERMINISTIC counter-based companion of the CMS read path —
+    # guarantees est <= true <= est + n/(k+1) with exactly k counters of
+    # state, no hash collisions, no randomness. The corpus is split
+    # into 30 md5 doc buckets ("days"); each bucket's exact token counts
+    # collapse to a valid MG_k summary IN ONE window (counts minus the
+    # (k+1)-th largest, clipped: <= k survivors, decrement t_b <=
+    # n_b/(k+1) — the canonical bound), and the <= 30*k summary rows
+    # fold on the
+    # driver in bucket order (markov's bounded-model discipline). The
+    # oracle replays every merge round as generated MATERIALIZED CTEs.
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            f" AS BIGINT) % {_MG_BUCKETS}"
+        ).alias("bkt"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = tok.groupBy("bkt", "token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("bkt").orderBy(F.desc("c"), "token")
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    tb = ranked.where(F.col("rnk") == _MG_K + 1).select(
+        "bkt", F.col("c").alias("t")
+    )
+    summ = (
+        ranked.join(F.broadcast(tb), "bkt", "left")
+        .select(
+            "bkt",
+            "token",
+            (F.col("c") - F.coalesce(F.col("t"), F.lit(0))).alias("est"),
+        )
+        .where(F.col("est") > 0)
+        .collect()
+    )
+    by_bkt: dict[int, dict[str, int]] = {}
+    for r in summ:
+        by_bkt.setdefault(int(r["bkt"]), {})[r["token"]] = int(r["est"])
+    state: dict[str, int] = {}
+    for b in range(_MG_BUCKETS):
+        state = _mg_merge(state, by_bkt.get(b, {}))
+    out = sorted(state.items())
+    return spark.createDataFrame(out, "token string, est long")
+
+
 def q_good_turing(spark, sf_dir):
     # Good-Turing frequency smoothing (r9 continuation): the classic
     # count-of-counts estimator over token TRIGRAM types (the 31-word
@@ -14650,6 +14771,7 @@ QUERIES: dict[str, QueryFn] = {
     "metaphone_blocks": q_metaphone_blocks,
     "conformal_intervals": q_conformal_intervals,
     "good_turing": q_good_turing,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,

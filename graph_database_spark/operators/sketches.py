@@ -34,6 +34,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "mg_merge",
+    "mg_batch_summary",
     "kmv_sketch",
     "kmv_estimate",
     "distinct_count_kmv",
@@ -528,3 +530,37 @@ def hll_neighborhood(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+def mg_merge(state: dict, delta: dict, k: int = 8) -> dict:
+    """One mergeable-summaries Misra-Gries merge (Agarwal et al. 2012):
+    per-key sum, then subtract the (k+1)-th largest value and drop
+    non-positives — at most k counters survive and the decrement is at
+    most (combined weight)/(k+1), so folding any sequence of valid MG
+    summaries keeps the canonical guarantee est <= true <= est + n/(k+1).
+    Driver-side by design: the state that fits anywhere (the CMS
+    merge's bounded-dict philosophy at k counters). Shared verbatim by
+    the batch catalog query (whose oracle replays each round as a
+    generated CTE) and the streaming sink (streaming/mg.py)."""
+    m = dict(state)
+    for key, v in delta.items():
+        m[key] = m.get(key, 0) + v
+    vals = sorted(m.values(), reverse=True)
+    t = vals[k] if len(vals) > k else 0
+    return {key: v - t for key, v in m.items() if v - t > 0}
+
+
+def mg_batch_summary(df, item_col: str, k: int = 8) -> dict:
+    """A valid MG_k summary of one batch/bucket: exact counts minus the
+    (k+1)-th largest, clipped positive (<= k survivors, decrement <=
+    n/(k+1)). Distributed counts; only the top k+1 rows ever reach the
+    driver."""
+    counts = df.groupBy(item_col).count()
+    top = counts.orderBy(F.desc("count"), item_col).limit(k + 1).collect()
+    if not top:
+        return {}
+    t = int(top[k]["count"]) if len(top) > k else 0
+    return {
+        r[item_col]: int(r["count"]) - t
+        for r in top[:k]
+        if int(r["count"]) - t > 0
+    }

@@ -246,6 +246,7 @@ SHOW = [
     "ktruss",
     "lof_outliers",
     "dbscan_customers",
+    "mg_heavy_hitters",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
