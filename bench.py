@@ -313,6 +313,7 @@ HEADLINE = [
     "lof_outliers",
     "dbscan_customers",
     "mg_heavy_hitters",
+    "cmh_test",
 ]
 
 

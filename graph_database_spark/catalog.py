@@ -5195,6 +5195,64 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_cmh_test(spark, sf_dir):
+    # Cochran-Mantel-Haenszel stratified association test (r10): the
+    # confounder-adjusted 2x2 test completing the family next to
+    # chi2_independence (unstratified) and logrank_test (censored) —
+    # does the BUILDING segment order urgent-priority more often,
+    # CONTROLLING for nation? Per-nation 2x2 cells are exact integer
+    # counts; the O-E numerator and the hypergeometric variance use the
+    # logrank discipline: floor-snapped micro terms via STAGED
+    # truncating division (v1 = 1e6*r1*c1 div n; v2 = v1*r2 div n;
+    # v3 = v2*c2 div (n(n-1))) so every per-stratum term is the same
+    # BIGINT on both engines, and integer sums over the 25 strata are
+    # partition-order-exact. Headroom: 1e6*r1*c1 needs r1*c1 < 9.2e12
+    # — safe to ~3e6 orders per stratum (drop to milli beyond). The
+    # final statistic is ONE double chain over the two integer sums
+    # (the ab_test_welch rule).
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("e"),
+    )
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("e") * F.col("y")).alias("a"),
+            F.sum("e").alias("r1"),
+            F.sum("y").alias("c1"),
+            F.count("*").alias("nn"),
+        )
+        .where((F.col("nn") >= 2) & (F.col("r1") > 0) & (F.col("c1") > 0))
+    )
+    terms = cells.select(
+        "c_nationkey",
+        F.expr("1000000 * a - (1000000 * r1 * c1) div nn").alias(
+            "num_micro"
+        ),
+        F.expr(
+            "((((1000000 * r1 * c1) div nn) * (nn - r1)) div nn)"
+            " * (nn - c1) div (nn - 1)"
+        ).alias("var_micro"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_strata"),
+        F.sum("num_micro").alias("s_num_micro"),
+        F.sum("var_micro").alias("s_var_micro"),
+        F.expr(
+            "(CAST(sum(num_micro) AS DOUBLE)"
+            " * CAST(sum(num_micro) AS DOUBLE))"
+            " / (CAST(1000000.0 AS DOUBLE)"
+            " * CAST(sum(var_micro) AS DOUBLE))"
+        ).alias("cmh_stat"),
+    )
+
+
 def q_fellegi_sunter(spark, sf_dir):
     # Fellegi-Sunter probabilistic record linkage (r10): THE published
     # decision model the blocking legs (head-noun, soundex, cologne,
@@ -14776,6 +14834,7 @@ QUERIES: dict[str, QueryFn] = {
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
     "fellegi_sunter": q_fellegi_sunter,
+    "cmh_test": q_cmh_test,
     "kfold_cv": q_kfold_cv,
     "wl_refinement": q_wl_refinement,
     "jl_projection": q_jl_projection,
@@ -16819,6 +16878,39 @@ FROM wfin"""
 
 
 ORACLES["fellegi_sunter"] = _build_fs_sql()
+
+ORACLES["cmh_test"] = """
+WITH cells AS (
+    SELECT c.c_nationkey,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                          AND o.o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS nn
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    HAVING count(*) >= 2
+       AND sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) > 0
+),
+terms AS (
+    SELECT c_nationkey,
+           1000000 * a - (1000000 * r1 * c1) // nn AS num_micro,
+           ((((1000000 * r1 * c1) // nn) * (nn - r1)) // nn)
+             * (nn - c1) // (nn - 1) AS var_micro
+    FROM cells
+)
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(sum(num_micro) AS BIGINT) AS s_num_micro,
+       CAST(sum(var_micro) AS BIGINT) AS s_var_micro,
+       (CAST(sum(num_micro) AS DOUBLE) * CAST(sum(num_micro) AS DOUBLE))
+         / (CAST(1000000.0 AS DOUBLE) * CAST(sum(var_micro) AS DOUBLE))
+         AS cmh_stat
+FROM terms
+"""
 
 
 def _build_kfold_sql() -> str:

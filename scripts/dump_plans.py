@@ -247,6 +247,7 @@ SHOW = [
     "lof_outliers",
     "dbscan_customers",
     "mg_heavy_hitters",
+    "cmh_test",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
