@@ -65,6 +65,21 @@ _REFERENCE_SURFACE = [
     "circles_membership",
 ]
 
+# r11 (VERDICT r10 next-#1): km_survival has been red on the driver's
+# gate for two rounds while passing locally on every manufactured ts
+# vintage. These four are PINNED into the reserved head-50 slots so the
+# driver's own row/hash report bisects the pipeline: horizon_probe red
+# => ingest epochs; user_lifetimes red => per-user min/max or the 6h
+# cutoff; risk_table red => running-count window / total; only
+# km_survival red => the driver-side fold / oracle recursion. Unpin
+# once km_survival is green on a driver gate.
+_KM_BISECTION = [
+    "km_horizon_probe",
+    "km_user_lifetimes",
+    "km_risk_table",
+    "km_survival",
+]
+
 
 def _last_verified_rounds() -> dict[str, int]:
     """Per-query round of most recent external hash-pass (rows-only
@@ -102,7 +117,11 @@ def _last_verified_rounds() -> dict[str, int]:
 def _ordered_names() -> list[str]:
     verified = _last_verified_rounds()
     order = {n: i for i, n in enumerate(catalog.QUERIES)}
-    reserved = [n for n in _REFERENCE_SURFACE if n in catalog.QUERIES]
+    reserved = [
+        n
+        for n in (*_REFERENCE_SURFACE, *_KM_BISECTION)
+        if n in catalog.QUERIES
+    ]
     rows_only = [
         n for n in catalog.QUERIES if n in catalog.ROWS_ONLY and n not in reserved
     ]

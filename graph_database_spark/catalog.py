@@ -848,11 +848,85 @@ def q_embedding_gram(spark, sf_dir):
     )
 
 
+def _km_user_frame(spark, sf_dir):
+    """Shared per-user lifetime census for the Kaplan-Meier family:
+    one row per user with (dur_h, death) — activity lifetime in whole
+    hours between first and last event, and the churn indicator (last
+    event predates the corpus horizon by > 6 hours). All arithmetic is
+    integer microseconds from ``unix_micros`` over the normalized ts
+    (sources/parquet.normalize_events_ts truncates any ns vintage)."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.expr("unix_micros(ts)")).alias("hmax_us"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.expr("unix_micros(ts)")).alias("t0_us"),
+            F.max(F.expr("unix_micros(ts)")).alias("t1_us"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("(t1_us - t0_us) div 3600000000").alias("dur_h"),
+            (
+                F.col("t1_us") < F.col("hmax_us") - F.lit(21600000000)
+            ).cast("int").alias("death"),
+        )
+    )
+
+
+def q_km_horizon_probe(spark, sf_dir):
+    # Diagnostic 1 of the km_survival bisection (VERDICT r10 next-#1):
+    # the raw ingest epochs as one row. If THIS diverges on the driver
+    # gate, the red row is in the events ingest itself (a ts-encoding
+    # cast the two engines disagree on), before any KM logic runs.
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.min(F.expr("unix_micros(ts)")).alias("tmin_us"),
+        F.max(F.expr("unix_micros(ts)")).alias("tmax_us"),
+    )
+
+
+def q_km_user_lifetimes(spark, sf_dir):
+    # Diagnostic 2: the per-user (dur_h, death) census as a grouped
+    # count frame — the km_survival input before any risk-set math.
+    # Red here but green on km_horizon_probe ⇒ the per-user min/max or
+    # the 6h death cutoff is where the engines diverge.
+    users = _km_user_frame(spark, sf_dir)
+    return (
+        users.groupBy("dur_h", "death")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_km_risk_table(spark, sf_dir):
+    # Diagnostic 3: the pre-fold risk table (dur_h, n_at, n_deaths,
+    # n_risk) with the same death-row filter km_survival applies — the
+    # full pipeline MINUS the driver-side product fold and the oracle's
+    # recursive CTE. Red here but green on km_user_lifetimes ⇒ the
+    # running-count window / total; only km_survival red ⇒ the fold or
+    # the recursion replay.
+    users = _km_user_frame(spark, sf_dir)
+    total = users.count()  # bounded driver-side model (one integer)
+    by_dur = users.groupBy("dur_h").agg(
+        F.count("*").alias("n_at"),
+        F.sum("death").alias("n_deaths"),
+    )
+    w = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        by_dur.withColumn(
+            "n_risk", F.lit(total) - F.coalesce(F.sum("n_at").over(w), F.lit(0))
+        )
+        .where((F.col("n_deaths") > 0) & (F.col("n_risk") > F.col("n_deaths")))
+        .select("dur_h", "n_at", "n_deaths", "n_risk")
+    )
+
+
 def q_km_survival(spark, sf_dir):
     # Kaplan-Meier survival curve (r9, rebuilt r10 after the driver
-    # gate's first-ever red row): per-user activity lifetime (hours
-    # between first and last event); a user "churns" (death observed)
-    # when their last event predates the corpus horizon by > 6 hours,
+    # gate's first-ever red row, decomposed r11 into the three gated
+    # diagnostics above): per-user activity lifetime (hours between
+    # first and last event); a user "churns" (death observed) when
+    # their last event predates the corpus horizon by > 6 hours,
     # otherwise censored — the product-limit estimator every retention
     # team plots. r10 hardening (VERDICT r9 #1): the r9 shape carried
     # two libm transcendentals (a round-snapped ln per factor and a
@@ -871,35 +945,8 @@ def q_km_survival(spark, sf_dir):
     # the sequential product folds on the driver like
     # markov_attribution's value iteration; the oracle replays it as a
     # recursive CTE.
-    e = load_table(spark, sf_dir, "events")
-    horizon = e.agg(F.max(F.expr("unix_micros(ts)")).alias("hmax_us"))
-    users = (
-        e.groupBy("user_id")
-        .agg(
-            F.min(F.expr("unix_micros(ts)")).alias("t0_us"),
-            F.max(F.expr("unix_micros(ts)")).alias("t1_us"),
-        )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.expr("(t1_us - t0_us) div 3600000000").alias("dur_h"),
-            (
-                F.col("t1_us") < F.col("hmax_us") - F.lit(21600000000)
-            ).cast("int").alias("death"),
-        )
-    )
-    total = users.count()  # bounded driver-side model (one integer)
-    by_dur = users.groupBy("dur_h").agg(
-        F.count("*").alias("n_at"),
-        F.sum("death").alias("n_deaths"),
-    )
-    w = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
     km = (
-        by_dur.withColumn(
-            "n_risk", F.lit(total) - F.coalesce(F.sum("n_at").over(w), F.lit(0))
-        )
-        # n_risk == n_deaths would be survival exactly 0: the terminal
-        # all-die row is omitted rather than special-cased
-        .where((F.col("n_deaths") > 0) & (F.col("n_risk") > F.col("n_deaths")))
+        q_km_risk_table(spark, sf_dir)
         .select("dur_h", "n_risk", "n_deaths")
         .orderBy("dur_h")
     )
@@ -7443,15 +7490,60 @@ FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
 GROUP BY 1, 2
 """
 
-ORACLES["km_survival"] = """
-WITH RECURSIVE h AS (SELECT epoch_us(max(ts)) AS hmax_us FROM events),
+# km oracle family (r11 hardening, VERDICT r10 next-#1): every epoch is
+# epoch_ns(ts) // 1000 — TRUNCATION made explicit and version-proof. In
+# duckdb 1.0.0 epoch_ns(TIMESTAMP_NS) itself truncates to us (verified:
+# '.123456789' -> ...123456000); in newer engines it returns exact ns;
+# either way // 1000 floors to the same us value Spark's normalize
+# (`ts div 1000`) produces. epoch_us() was the one call whose ns->us
+# behavior an engine-version bump could silently change to rounding —
+# the only hypothesis four local vintage replicas could not rule out.
+# min/max commute with the truncation (monotone), so aggregating at ns
+# then truncating equals Spark's truncate-then-aggregate.
+_KM_USERS_SQL = """
+h AS (SELECT epoch_ns(max(ts)) // 1000 AS hmax_us FROM events),
 users AS (
-  SELECT CAST((epoch_us(max(e.ts)) - epoch_us(min(e.ts))) // 3600000000 AS BIGINT)
-             AS dur_h,
-         CASE WHEN epoch_us(max(e.ts)) < (SELECT hmax_us FROM h) - 21600000000
+  SELECT CAST(((epoch_ns(max(e.ts)) // 1000) - (epoch_ns(min(e.ts)) // 1000))
+              // 3600000000 AS BIGINT) AS dur_h,
+         CASE WHEN epoch_ns(max(e.ts)) // 1000
+                   < (SELECT hmax_us FROM h) - 21600000000
               THEN 1 ELSE 0 END AS death
   FROM events e GROUP BY e.user_id
-),
+)"""
+
+ORACLES["km_horizon_probe"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS tmin_us,
+       CAST(epoch_ns(max(ts)) // 1000 AS BIGINT) AS tmax_us
+FROM events
+"""
+
+ORACLES["km_user_lifetimes"] = f"""
+WITH {_KM_USERS_SQL}
+SELECT dur_h, CAST(death AS INTEGER) AS death,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM users GROUP BY 1, 2
+"""
+
+ORACLES["km_risk_table"] = f"""
+WITH {_KM_USERS_SQL},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+by_dur AS (
+  SELECT dur_h, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(death) AS BIGINT) AS n_deaths
+  FROM users GROUP BY 1
+)
+SELECT dur_h, n_at, n_deaths,
+       (SELECT n FROM tot)
+         - coalesce(sum(n_at) OVER (ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+FROM by_dur
+QUALIFY n_deaths > 0 AND n_risk > n_deaths
+"""
+
+ORACLES["km_survival"] = f"""
+WITH RECURSIVE {_KM_USERS_SQL},
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
 by_dur AS (
   SELECT dur_h, CAST(count(*) AS BIGINT) AS n_at,
@@ -10389,6 +10481,58 @@ st{b + 1} AS MATERIALIZED (
 
 ORACLES["mg_heavy_hitters"] = _build_mg_sql()
 
+
+def _build_space_saving_sql(
+    k: int = _MG_K, buckets: int = _MG_BUCKETS
+) -> str:
+    # q_space_saving_hh's mirror: identical md5-bucketed (bkt, token)
+    # count stream in (bkt, token) order, replayed one weighted arrival
+    # per recursion step. The state is ALWAYS exactly k rows: it seeds
+    # with k zero-count placeholder counters ('~pad0'.., '~' > any
+    # [a-z0-9] token byte), which makes "add while fewer than k" the
+    # same rule as "evict the min" (evicting a cnt=0 placeholder yields
+    # cnt = w, err = 0 — exactly the insert case), so the recursive
+    # member is ONE select: windows over the k rows find the hit flag
+    # and the min row, CASEs apply the update.
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+           AS BIGINT) % {buckets} AS bkt,
+           unnest({_DUCK_TOKENS}) AS token
+    FROM documents
+),
+stream AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY bkt, token) AS rn, token,
+           CAST(c AS BIGINT) AS w
+    FROM (SELECT bkt, token, count(*) AS c FROM toks GROUP BY 1, 2)
+),
+ss(step, token, cnt, err) AS (
+    SELECT 0, '~pad' || CAST(i AS VARCHAR), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM range({k}) t(i)
+    UNION ALL
+    SELECT step + 1,
+           CASE WHEN hit = 0 AND pos = 1 THEN atoken ELSE token END,
+           CASE WHEN (hit = 1 AND token = atoken)
+                     OR (hit = 0 AND pos = 1)
+                THEN cnt + w ELSE cnt END,
+           CASE WHEN hit = 0 AND pos = 1 THEN cnt ELSE err END
+    FROM (
+        SELECT s.step, s.token, s.cnt, s.err, a.token AS atoken, a.w,
+               max(CASE WHEN s.token = a.token THEN 1 ELSE 0 END)
+                 OVER () AS hit,
+               row_number() OVER (ORDER BY s.cnt, s.token) AS pos
+        FROM ss s JOIN stream a ON a.rn = s.step + 1
+    )
+)
+SELECT token, cnt AS est, err
+FROM ss
+WHERE step = (SELECT count(*) FROM stream) AND cnt > 0
+"""
+
+
+ORACLES["space_saving_hh"] = _build_space_saving_sql()
+
 ORACLES["dbscan_customers"] = """
 WITH RECURSIVE sp AS (
     SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT))
@@ -13130,6 +13274,40 @@ def q_mg_heavy_hitters(spark, sf_dir):
     return spark.createDataFrame(out, "token string, est long")
 
 
+def q_space_saving_hh(spark, sf_dir):
+    # Space-Saving heavy hitters (r11, VERDICT r10 next-#3): the other
+    # canonical k-counter next to mg_heavy_hitters — MG decrements all
+    # counters (underestimates), Space-Saving evicts the MIN counter and
+    # inherits its count (overestimates; est - err <= true <= est, min
+    # counter <= n/k). Order-DEPENDENT, so the replayed stream must be
+    # deterministic on both engines: the same md5 doc buckets as MG,
+    # with the per-(bkt, token) EXACT counts arriving as weighted
+    # updates in (bkt, token) order. The stream the fold consumes is
+    # bounded by buckets x vocabulary (30 x |tokens|) — a model frame,
+    # never the corpus — and the oracle replays every arrival as one
+    # recursive-CTE step over the k state rows (the ucb_replay
+    # two-encodings pattern; windows inside the recursive member update
+    # the whole counter set per step, the kcore-oracle discipline).
+    from graph_database_spark.operators.sketches import space_saving_fold
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            f" AS BIGINT) % {_MG_BUCKETS}"
+        ).alias("bkt"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = tok.groupBy("bkt", "token").agg(F.count("*").alias("c"))
+    arrivals = counts.orderBy("bkt", "token").collect()  # <= buckets*vocab
+    state = space_saving_fold(
+        ((r["token"], int(r["c"])) for r in arrivals), _MG_K
+    )
+    out = sorted((t, v[0], v[1]) for t, v in state.items())
+    return spark.createDataFrame(out, "token string, est long, err long")
+
+
 def q_good_turing(spark, sf_dir):
     # Good-Turing frequency smoothing (r9 continuation): the classic
     # count-of-counts estimator over token TRIGRAM types (the 31-word
@@ -13461,6 +13639,122 @@ def q_propensity_matching(spark, sf_dir):
             F.lit(w1).alias("pw1"),
             "att_micro",
         )
+        # Degenerate no-match symmetry (ADVICE r10): with zero treated
+        # cells inside the caliper, the global agg yields one all-NULL
+        # row while the oracle's `FROM ok ... GROUP BY` yields zero
+        # rows. Filter the NULL row so both engines report empty.
+        .where(F.col("n_matched").isNotNull())
+    )
+
+
+# Synthetic-control fit geometry shared by q_synthetic_control and its
+# oracle builder: Frank-Wolfe rounds, the treated unit, and the
+# pre/post cutoff month (1996-01 in year*12+month-1 encoding).
+_SC_ITERS = 12
+_SC_TREATED = 0
+_SC_CUT_M = 1996 * 12
+
+
+def q_synthetic_control(spark, sf_dir):
+    # Synthetic control (r11, VERDICT r10 next-#4 — completes the
+    # causal family next to ipw_effect / diff_in_diff / cuped /
+    # propensity_matching / uplift / shapley): which weighted blend of
+    # donor nations best reproduces the treated nation's PRE-period
+    # monthly revenue, and what does that synthetic twin say the
+    # POST-period effect is (Abadie & Gardeazabal 2003 shape).
+    #
+    # The simplex-constrained least-squares fit runs as FRANK-WOLFE in
+    # exact integer PPM weights — the kfold_cv sufficient-stats idiom
+    # applied to a constrained fit: ONE distributed pass builds the
+    # donor x donor Gram A = X X^T and b = X y over pre-period monthly
+    # k$ revenue (bounded: |donors|^2 x months products, <= 576 cells
+    # at any corpus size), then 12 deterministic driver rounds over the
+    # 24-weight vector:
+    #   g_t   = A w_t - b * 1e6            (integer gradient, PPM scale)
+    #   s_t   = argmin_d (g_t[d], d)       (FW vertex, ties by key)
+    #   gamma = 2e6 div (t + 2)            (the canonical 2/(t+2) step)
+    #   w'    = w - (gamma * w) div 1e6, then w'[s] += 1e6 - sum(w')
+    # The floor-div shrink + residual reassignment keeps sum(w) == 1e6
+    # EXACTLY every round, so the whole trajectory is integer and the
+    # oracle replays it operand-for-operand as generated MATERIALIZED
+    # CTEs (the mg_heavy_hitters round-replay discipline). Effect
+    # readout in micro-dollars: eff = post_treated$ * 1e6 -
+    # sum_d w_ppm[d] * post_donor$[d].
+    #
+    # Headroom: k$ revenue quantization keeps A*w under 2^63 through
+    # ~1e8 k$ of monthly per-nation revenue; past that (extreme scale)
+    # the documented knob is coarser units (M$), the ks_drift
+    # branch-switch discipline.
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cal = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+            F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("d"),
+        )
+        .groupBy("nk", "m")
+        .agg(F.sum("d").alias("rev"))
+        .select("nk", "m", "rev", F.expr("rev div 1000").alias("rk"))
+        .localCheckpoint()
+    )
+    dpre = cal.where(
+        (F.col("nk") != _SC_TREATED) & (F.col("m") < _SC_CUT_M)
+    ).select("nk", "m", "rk")
+    tpre = cal.where(
+        (F.col("nk") == _SC_TREATED) & (F.col("m") < _SC_CUT_M)
+    ).select("m", F.col("rk").alias("rt"))
+    a, bb = dpre.alias("a"), dpre.alias("b")
+    gram = (
+        a.join(bb, "m")
+        .groupBy(
+            F.col("a.nk").alias("nk_a"), F.col("b.nk").alias("nk_b")
+        )
+        .agg(F.sum(F.col("a.rk") * F.col("b.rk")).alias("g"))
+        .collect()
+    )  # bounded: <= |donors|^2 cells
+    bvec = (
+        dpre.join(tpre, "m")
+        .groupBy("nk")
+        .agg(F.sum(F.col("rk") * F.col("rt")).alias("bv"))
+        .collect()
+    )  # bounded: <= |donors| cells
+    A = {(int(r["nk_a"]), int(r["nk_b"])): int(r["g"]) for r in gram}
+    b = {int(r["nk"]): int(r["bv"]) for r in bvec}
+    donors = sorted({nk for nk, _ in A})
+    n = len(donors)
+    base = 10**6 // n
+    w = {d: base for d in donors}
+    w[donors[0]] += 10**6 - base * n
+    for t in range(_SC_ITERS):
+        g = {
+            d: sum(A.get((d, e), 0) * w[e] for e in donors)
+            - b.get(d, 0) * 10**6
+            for d in donors
+        }
+        s = min(donors, key=lambda d: (g[d], d))
+        gamma = 2 * 10**6 // (t + 2)
+        w = {d: w[d] - (gamma * w[d]) // 10**6 for d in donors}
+        w[s] += 10**6 - sum(w.values())
+    post = {
+        int(r["nk"]): int(r["pr"])
+        for r in cal.where(F.col("m") >= _SC_CUT_M)
+        .groupBy("nk")
+        .agg(F.sum("rev").alias("pr"))
+        .collect()
+    }  # bounded: one row per nation
+    synth_micro = sum(w[d] * post.get(d, 0) for d in donors)
+    eff = post.get(_SC_TREATED, 0) * 10**6 - synth_micro
+    out = [(d, w[d], eff) for d in donors]
+    return spark.createDataFrame(
+        out, "nk BIGINT, w_ppm BIGINT, eff_micro BIGINT"
     )
 
 
@@ -14554,6 +14848,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_ohlc": q_events_ohlc,
     "parts_skyline": q_parts_skyline,
     "km_survival": q_km_survival,
+    "km_horizon_probe": q_km_horizon_probe,
+    "km_user_lifetimes": q_km_user_lifetimes,
+    "km_risk_table": q_km_risk_table,
     "embedding_gram": q_embedding_gram,
     "readability": q_readability,
     "score_auc": q_score_auc,
@@ -14830,9 +15127,11 @@ QUERIES: dict[str, QueryFn] = {
     "conformal_intervals": q_conformal_intervals,
     "good_turing": q_good_turing,
     "mg_heavy_hitters": q_mg_heavy_hitters,
+    "space_saving_hh": q_space_saving_hh,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
+    "synthetic_control": q_synthetic_control,
     "fellegi_sunter": q_fellegi_sunter,
     "cmh_test": q_cmh_test,
     "kfold_cv": q_kfold_cv,
@@ -17077,6 +17376,100 @@ GROUP BY tot.n_treated"""
 
 
 ORACLES["propensity_matching"] = _build_psm_sql()
+
+
+def _build_synthetic_control_sql(
+    iters: int = _SC_ITERS,
+    treated: int = _SC_TREATED,
+    cut_m: int = _SC_CUT_M,
+) -> str:
+    # q_synthetic_control's unrolled mirror: same monthly k$ revenue
+    # calendar, same Gram/b sufficient stats, then every Frank-Wolfe
+    # round replayed operand-for-operand — integer gradient, argmin
+    # vertex (ties by donor key), floor-div shrink, residual
+    # reassignment — as generated MATERIALIZED CTEs (w{t} is referenced
+    # twice per round: gradient join and shrink).
+    parts = [
+        f"""
+WITH cal AS MATERIALIZED (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                AS BIGINT) AS m,
+           CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
+             AS rev,
+           CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
+             // 1000 AS rk
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+dpre AS MATERIALIZED (
+    SELECT nk, m, rk FROM cal WHERE nk != {treated} AND m < {cut_m}
+),
+gram AS MATERIALIZED (
+    SELECT a.nk AS nk_a, b.nk AS nk_b, CAST(sum(a.rk * b.rk) AS BIGINT) AS g
+    FROM dpre a JOIN dpre b ON b.m = a.m
+    GROUP BY 1, 2
+),
+bvec AS MATERIALIZED (
+    SELECT d.nk, CAST(sum(d.rk * t.rt) AS BIGINT) AS bv
+    FROM dpre d JOIN (SELECT m, rk AS rt FROM cal
+                      WHERE nk = {treated} AND m < {cut_m}) t
+      ON t.m = d.m
+    GROUP BY 1
+),
+donors AS (SELECT DISTINCT nk FROM dpre),
+w0 AS MATERIALIZED (
+    SELECT nk,
+           1000000 // (SELECT count(*) FROM donors)
+           + CASE WHEN row_number() OVER (ORDER BY nk) = 1
+                  THEN 1000000 - (1000000 // (SELECT count(*) FROM donors))
+                       * (SELECT count(*) FROM donors)
+                  ELSE 0 END AS w
+    FROM donors
+)"""
+    ]
+    for t in range(iters):
+        gamma = 2 * 10**6 // (t + 2)
+        parts.append(
+            f""",
+g{t} AS MATERIALIZED (
+    SELECT wd.nk,
+           coalesce(sum(gm.g * we.w), 0)
+           - coalesce(max(b.bv), 0) * 1000000 AS grad
+    FROM w{t} wd
+    LEFT JOIN bvec b ON b.nk = wd.nk
+    LEFT JOIN gram gm ON gm.nk_a = wd.nk
+    LEFT JOIN w{t} we ON we.nk = gm.nk_b
+    GROUP BY 1
+),
+s{t} AS (SELECT nk FROM g{t} ORDER BY grad, nk LIMIT 1),
+w{t + 1} AS MATERIALIZED (
+    SELECT nk,
+           shr + CASE WHEN nk = (SELECT nk FROM s{t})
+                 THEN 1000000 - sum(shr) OVER () ELSE 0 END AS w
+    FROM (SELECT nk, w - ({gamma} * w) // 1000000 AS shr FROM w{t})
+)"""
+        )
+    parts.append(
+        f""",
+post AS (
+    SELECT nk, CAST(sum(rev) AS BIGINT) AS pr
+    FROM cal WHERE m >= {cut_m} GROUP BY 1
+),
+eff AS (
+    SELECT coalesce((SELECT pr FROM post WHERE nk = {treated}), 0) * 1000000
+           - (SELECT coalesce(CAST(sum(w.w * coalesce(p.pr, 0)) AS BIGINT),
+                              0)
+              FROM w{iters} w LEFT JOIN post p ON p.nk = w.nk) AS eff_micro
+)
+SELECT w.nk, CAST(w.w AS BIGINT) AS w_ppm,
+       CAST(e.eff_micro AS BIGINT) AS eff_micro
+FROM w{iters} w CROSS JOIN eff e"""
+    )
+    return "".join(parts)
+
+
+ORACLES["synthetic_control"] = _build_synthetic_control_sql()
 
 
 ORACLES["wl_refinement"] = f"""

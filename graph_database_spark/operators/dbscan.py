@@ -91,39 +91,37 @@ def dbscan_grid(
     )
     comp = connected_components(core_edges, max_iterations=max_iterations)
     # isolated cores (no core neighbor) are their own cluster
-    core_lbl = (
-        core.join(comp, "id", "left")
-        .select(
-            "id", F.coalesce("component", F.col("id")).alias("cluster")
-        )
-        .localCheckpoint()  # border pick + final join
+    core_lbl = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
     )
-    border = (
-        pairs.join(
-            core_lbl.select(
-                F.col("id").alias("ib"), F.col("cluster").alias("cl_b")
-            ),
-            "ib",
-        )
-        .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
-        .groupBy(F.col("ia").alias("id"))
-        .agg(F.min("cl_b").alias("cluster"))
+    # Single-pass readout (r11, VERDICT r10 next-#6 — replaces three
+    # sequential id-keyed left joins + a border groupBy): every point
+    # has its self-pair in `pairs`, so ONE left join of pairs against
+    # the core labels on ib and ONE groupBy on ia yields everything —
+    #   n_eps        = count(*)            (self included, as before)
+    #   min(cl_b)    = for a CORE point its own component label (all
+    #                  its in-eps cores, self included, share it by
+    #                  construction of the core-core edge set); for a
+    #                  non-core point the minimum in-eps core cluster
+    #                  (the determinized border rule); NULL = noise.
+    nbr = pairs.join(
+        core_lbl.select(
+            F.col("id").alias("ib"), F.col("cluster").alias("cl_b")
+        ),
+        "ib",
+        "left",
     )
     return (
-        p.select("id")
-        .join(neps, "id", "left")
-        .join(
-            core_lbl.select("id", F.col("cluster").alias("cl_core")), "id", "left"
-        )
-        .join(border.select("id", F.col("cluster").alias("cl_bord")), "id", "left")
+        nbr.groupBy(F.col("ia").alias("id"))
+        .agg(F.count("*").alias("n_eps"), F.min("cl_b").alias("cl"))
         .select(
             "id",
-            F.coalesce("n_eps", F.lit(1)).alias("n_eps"),
+            "n_eps",
             F.expr(
-                "CASE WHEN cl_core IS NOT NULL THEN 'core'"
-                " WHEN cl_bord IS NOT NULL THEN 'border'"
+                f"CASE WHEN n_eps >= {min_pts} THEN 'core'"
+                " WHEN cl IS NOT NULL THEN 'border'"
                 " ELSE 'noise' END"
             ).alias("role"),
-            F.coalesce("cl_core", "cl_bord", F.lit(-1)).alias("cluster"),
+            F.coalesce("cl", F.lit(-1)).alias("cluster"),
         )
     )

@@ -549,6 +549,47 @@ def mg_merge(state: dict, delta: dict, k: int = 8) -> dict:
     return {key: v - t for key, v in m.items() if v - t > 0}
 
 
+def space_saving_fold(
+    arrivals, k: int = 8, state: dict | None = None
+) -> dict:
+    """Weighted Space-Saving (Metwally et al. 2005, "Efficient
+    computation of frequent and top-k elements in data streams"): the
+    other canonical k-counter heavy-hitter next to Misra-Gries
+    (mg_merge) — where MG decrements everything and UNDER-estimates,
+    Space-Saving evicts the minimum counter and OVER-estimates:
+    for each final counter, est - err <= true <= est, and the smallest
+    counter is <= n/k, so every item with true count > n/k is
+    guaranteed present.
+
+    Per weighted arrival (item, w):
+      * monitored           -> cnt += w
+      * fewer than k active -> new counter (w, err=0)
+      * else                -> evict the MIN counter (ties: smallest
+                               item — deterministic in both engines'
+                               byte collation) and inherit its count:
+                               (cnt_min + w, err=cnt_min).
+
+    Order-dependent BY DESIGN (unlike MG's mergeable summaries), so
+    callers must present arrivals in a deterministic order and the SQL
+    oracle replays the same ordered stream as a recursive CTE (the
+    ucb_replay two-encodings pattern). ``state`` maps item ->
+    [cnt, err] and is mutated in place when given (the streaming sink's
+    continuation); returns the state dict.
+    """
+    st: dict = {} if state is None else state
+    for item, w in arrivals:
+        if item in st:
+            st[item][0] += w
+        elif len(st) < k:
+            st[item] = [w, 0]
+        else:
+            victim = min(st, key=lambda t: (st[t][0], t))
+            cm = st[victim][0]
+            del st[victim]
+            st[item] = [cm + w, cm]
+    return st
+
+
 def mg_batch_summary(df, item_col: str, k: int = 8) -> dict:
     """A valid MG_k summary of one batch/bucket: exact counts minus the
     (k+1)-th largest, clipped positive (<= k survivors, decrement <=

@@ -61,8 +61,19 @@ def suffix_lcp_dedup(
     """Per-document duplicated-span-start profile from the suffix
     array: for each doc with at least one token-start suffix whose
     maximal corpus match is >= ``min_match`` chars, the count of such
-    starts, the longest match observed (capped at ``ext_cap``), and how
-    many of those starts match ACROSS documents (vs self-repetition).
+    starts, the longest match observed (capped at ``ext_cap``), and
+    ``n_cross_doc`` — of those starts, how many have a qualifying match
+    against a DIFFERENT document **among their two sort-neighbors**.
+
+    ``n_cross_doc`` is a LOWER BOUND on true cross-document attribution
+    (ADVICE r10): only the MAX lcp is guaranteed adjacent in a suffix
+    array, so a start sandwiched between same-doc repeats is counted as
+    self-repetition even if a cross-doc match >= ``min_match`` exists
+    further away in the bucket. ``n_dup_starts`` / ``max_lcp`` (the
+    ExactSubstr quantities from Lee et al.) are exact; widening the
+    neighbor window would buy exact attribution at k x the window cost
+    and is not what the dedup decision needs. The oracle mirrors the
+    two-neighbor semantics, so the hash gate pins exactly this.
 
     Returns columns ``doc_id, n_dup_starts, max_lcp, n_cross_doc``.
     """

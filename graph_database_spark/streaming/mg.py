@@ -45,11 +45,14 @@ __all__ = ["read_mg", "merge_batch_into_mg", "mg_stream"]
 
 def read_mg(spark, path: str) -> dict[str, int]:
     """Latest committed counters as {token: est} (empty before the
-    first commit)."""
+    first commit). The NULL-token sentinel row (see
+    ``merge_batch_into_mg``) is watermark metadata, not a counter."""
     if not list_versions(path):
         return {}
     return {
-        r["token"]: r["est"] for r in read_version(spark, path).collect()
+        r["token"]: r["est"]
+        for r in read_version(spark, path).collect()
+        if r["token"] is not None
     }
 
 
@@ -61,18 +64,28 @@ def merge_batch_into_mg(
     k: int = 8,
 ) -> None:
     """Fold one micro-batch into the persisted counters at ``path``
-    (idempotent skip when ``batch_id`` was already merged)."""
+    (idempotent skip when ``batch_id`` was already merged).
+
+    Every committed version carries a NULL-token sentinel row holding
+    the merged ``batch_id`` (ADVICE r10): a merge can legitimately
+    return an EMPTY counter set (exactly k+1 counters tying — all
+    decrement to zero), and without the sentinel that zero-row version
+    would lose ``last_batch``, so an at-least-once replay of the
+    already-merged batch would be re-merged into the emptied state —
+    exactly the idempotence break the module promises away."""
     spark = batch_df.sparkSession
     state: dict[str, int] = {}
     last = -1
     if list_versions(path):
         for r in read_version(spark, path).collect():
-            state[r["token"]] = r["est"]
             last = max(last, r["last_batch"])
+            if r["token"] is not None:
+                state[r["token"]] = r["est"]
     if batch_id <= last:
         return  # replayed batch — already merged
     new = mg_merge(state, mg_batch_summary(batch_df, item_col, k), k)
     out = [(token, est, batch_id) for token, est in sorted(new.items())]
+    out.append((None, 0, batch_id))  # watermark sentinel
     write_version(
         spark.createDataFrame(out, _SCHEMA).coalesce(1),
         path,

@@ -64,3 +64,31 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     once = read_mg(spark, path)
     merge_batch_into_mg(batches[-1], len(batches) - 1, path, "token", k=K)
     assert read_mg(spark, path) == once  # at-least-once replay is a no-op
+
+
+def test_empty_state_keeps_replay_idempotent(spark, tmp_path):
+    """ADVICE r10: a merge that empties the counter set (K+1 tying
+    counters all decrement to zero) must still advance last_batch, or a
+    replay of the emptied batch re-merges it into the empty state.
+
+    With K=4: batch 0 gives state {a:2,b:2,c:2} (3 distinct, no
+    decrement); batch 1's summary is {d:2,e:2} — the merged total is 5
+    equal counters, the (K+1)-th largest is 2, everything decrements to
+    zero. An empty version MUST still skip batch 1 on replay."""
+    path = str(tmp_path / "mg")
+    b0 = spark.createDataFrame(
+        [("a",), ("b",), ("c",)] * 2, "token string"
+    )
+    merge_batch_into_mg(b0, 0, path, "token", k=K)
+    assert read_mg(spark, path) == {"a": 2, "b": 2, "c": 2}
+    b1 = spark.createDataFrame([("d",), ("e",)] * 2, "token string")
+    merge_batch_into_mg(b1, 1, path, "token", k=K)
+    assert read_mg(spark, path) == {}  # the tie emptied the state
+    # replay batch 1: without the sentinel, last_batch would read -1
+    # and the re-merge would resurrect {d:2, e:2}.
+    merge_batch_into_mg(b1, 1, path, "token", k=K)
+    assert read_mg(spark, path) == {}
+    # and the NEXT batch merges from the emptied state
+    b2 = spark.createDataFrame([("f",)] * 4, "token string")
+    merge_batch_into_mg(b2, 2, path, "token", k=K)
+    assert read_mg(spark, path) == {"f": 4}
