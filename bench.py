@@ -314,7 +314,21 @@ HEADLINE = [
     "dbscan_customers",
     "mg_heavy_hitters",
     "cmh_test",
+    # r11 additions
+    "space_saving_hh",
+    "synthetic_control",
 ]
+
+# Queries pinned into the min-of-3 bonus set regardless of their min
+# (VERDICT r9 next-#7, extended r10 next-#5): anything that produced a
+# round-over-round min swing > 1.5x with NO commit touching it sits in
+# the scheduler-hiccup noise band that one extra sample kills.
+#   - triangles_sampled: r9 2.29->3.37 phantom, re-measured 1.77 in r10
+#   - maximal_matching:  r10 4.07->7.26 with no code change either round
+#   - hyper_anf:         r10 3.71->6.48 with no code change either round
+BONUS_PINNED = frozenset(
+    {"triangles_sampled", "maximal_matching", "hyper_anf"}
+)
 
 
 def main() -> None:
@@ -386,13 +400,12 @@ def main() -> None:
         # A failure of this BONUS sample is discarded (ADVICE r9): the
         # query already benchmarked fine min-of-2 — recording it would
         # report the same query as both timed and errored.
-        # triangles_sampled is pinned into the bonus set regardless of
-        # its min: it sits right at the 3 s boundary and produced two
-        # rounds of phantom "regressions" (r9: 2.29->3.37 with no code
-        # change; re-measured 1.77 in r10) — exactly the noise band the
-        # extra sample exists to kill (VERDICT r9 next-#7).
+        # BONUS_PINNED queries get the extra sample regardless of their
+        # min: each sat at/above the 3 s boundary and produced phantom
+        # round-over-round "regressions" with no code change — exactly
+        # the noise band the extra sample exists to kill.
         if samples and len(samples) == repeats and (
-            min(samples) < 3.0 or name == "triangles_sampled"
+            min(samples) < 3.0 or name in BONUS_PINNED
         ):
             one_sample(record_error=False)
         if samples:

@@ -4611,8 +4611,40 @@ def q_hybrid_search(spark, sf_dir):
 def q_compression_ratio(spark, sf_dir):
     # zlib compressibility quality signal — the one text-family Arrow
     # path (DEFLATE has no SQL analog): rows-only, exact values pinned
-    # by tests/test_r6_operators.py.
+    # by tests/test_r6_operators.py. Why no oracle (VERDICT r10
+    # next-#7 audit): level-6 DEFLATE output length depends on the
+    # LZ77 match search and Huffman coding of the actual bytes — not
+    # expressible in SQL. The PLUMBING is hash-gated by the
+    # `compression_stored_twin` query below: zlib level 0 emits one
+    # stored block for inputs < 65531 bytes, so n_compressed ==
+    # n_bytes + 11 exactly (2B header + 5B block header + 4B adler),
+    # which DuckDB computes from octet_length — same md5-twin
+    # philosophy as ann_lsh_md5.
     return T.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def q_compression_stored_twin(spark, sf_dir):
+    # compression_ratio's hash-verified twin (r11): the identical
+    # mapInPandas Arrow path (utf-8 encode -> zlib.compress -> byte
+    # counts) at level 0, where DEFLATE degenerates to ONE stored
+    # block for any input < 65531 bytes and the output size is the
+    # spec constant n_bytes + 11 — so the oracle replays it from
+    # octet_length alone. Ratio in exact PPM (micro-unit rule). The
+    # size filter keeps the query inside the single-block regime on
+    # both sides (documents here are ~1-2 KB; a corpus with >64 KB
+    # docs simply drops them from the twin, never from the real
+    # level-6 signal).
+    base = T.compression_ratio(
+        load_table(spark, sf_dir, "documents"), level=0
+    )
+    return base.where(
+        (F.col("n_bytes") > 0) & (F.col("n_bytes") < 65531)
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.expr("(1000000 * n_compressed) div n_bytes").alias("ratio_ppm"),
+    )
 
 
 _ENTROPY_COLS = {
@@ -10533,6 +10565,21 @@ WHERE step = (SELECT count(*) FROM stream) AND cnt > 0
 
 ORACLES["space_saving_hh"] = _build_space_saving_sql()
 
+# compression_ratio's Arrow-plumbing twin: one zlib stored block below
+# 65531 bytes is exactly octet_length + 11 (see q_compression_stored_twin).
+ORACLES["compression_stored_twin"] = """
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, n_bytes,
+       CAST(n_bytes + 11 AS BIGINT) AS n_compressed,
+       CAST((1000000 * (n_bytes + 11)) // n_bytes AS BIGINT) AS ratio_ppm
+FROM b
+WHERE n_bytes > 0 AND n_bytes < 65531
+"""
+
 ORACLES["dbscan_customers"] = """
 WITH RECURSIVE sp AS (
     SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT))
@@ -15014,6 +15061,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment": q_ngram_containment,
     "hybrid_search": q_hybrid_search,
     "compression_ratio": q_compression_ratio,
+    "compression_stored_twin": q_compression_stored_twin,
     "events_rolling_median": q_events_rolling_median,
     "graph_coloring": q_graph_coloring,
     "densest_subgraph": q_densest_subgraph,

@@ -5,7 +5,15 @@ sf0.01 (row-count + schema-width + order-insensitive value hash), prints
 one status line per query and a summary. Rows-only queries (no oracle)
 are executed and checked for rows >= 0.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--vintage] [sf_dir] [query ...]
+
+--vintage (VERDICT r10 next-#8): instead of one run on sf_dir, sweep
+the EVENTS-reading queries across every manufactured ts encoding the
+driver has shipped or could ship — us (the source dir), us-aligned
+nanos, genuine-sub-us-jitter nanos, and INT96 — so an
+encoding-sensitive regression is caught locally before the driver's
+gate sees it. Replicas are built once per sweep under /tmp via
+scripts/make_nanos_replica.build_replica. Query args still filter.
 """
 
 from __future__ import annotations
@@ -15,8 +23,16 @@ import sys
 import time
 import traceback
 
+import os
+
 import duckdb
 
+# cwd-independent imports (CLAUDE.md: driver-spawned scripts don't
+# inherit the repo cwd): repo root for graph_database_spark /
+# __spark_entry__, scripts/ for make_nanos_replica.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 sys.path.insert(0, ".")
 
 from graph_database_spark.session import get_spark
@@ -46,21 +62,19 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = get_spark("correctness-check")
+def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
+    """One full gate pass over ``sf_dir``; returns (pass, rows_only,
+    fail, failures)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    tag = f" [{label}]" if label else ""
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -71,13 +85,16 @@ def main() -> int:
             rows = [tuple(r) for r in df.collect()]
             elapsed = time.time() - t0
         except Exception:
-            print(f"FAIL  {name}: spark raised")
+            print(f"FAIL  {name}{tag}: spark raised")
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(rows)} rows in {elapsed:.1f}s (rows-only)")
+            print(
+                f"ROWS  {name}{tag}: {len(rows)} rows in {elapsed:.1f}s"
+                " (rows-only)"
+            )
             n_rows_only += 1
             continue
         try:
@@ -85,7 +102,7 @@ def main() -> int:
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
-            print(f"FAIL  {name}: duckdb oracle raised")
+            print(f"FAIL  {name}{tag}: duckdb oracle raised")
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
@@ -95,20 +112,76 @@ def main() -> int:
         hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
         ok_hash = hs == ho
         if ok_rows and ok_width and ok_hash:
-            print(f"PASS  {name}: {len(rows)} rows in {elapsed:.1f}s")
+            print(f"PASS  {name}{tag}: {len(rows)} rows in {elapsed:.1f}s")
             n_pass += 1
         else:
             print(
-                f"FAIL  {name}: rows {len(rows)}/{len(orows)}"
+                f"FAIL  {name}{tag}: rows {len(rows)}/{len(orows)}"
                 f" width {len(cols)}/{len(ocols)} hash {hs}/{ho}"
             )
             n_fail += 1
             failures.append(name)
-    print(
-        f"\nsummary: {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
-        + (f" -- failures: {', '.join(failures)}" if failures else "")
-    )
-    return 1 if n_fail else 0
+    return n_pass, n_rows_only, n_fail, failures
+
+
+def _events_queries() -> set[str]:
+    """Oracle-backed queries whose SQL reads the events table (the
+    ts-encoding-sensitive family the --vintage sweep targets)."""
+    import re
+
+    return {
+        name
+        for name, sql in entry_mod.oracle_sql().items()
+        if re.search(r"\bevents\b", sql)
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    vintage = "--vintage" in args
+    if vintage:
+        args.remove("--vintage")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark("correctness-check")
+
+    if not vintage:
+        n_pass, n_rows_only, n_fail, failures = run_gate(spark, sf_dir, only)
+        print(
+            f"\nsummary: {n_pass} pass, {n_rows_only} rows-only,"
+            f" {n_fail} fail"
+            + (f" -- failures: {', '.join(failures)}" if failures else "")
+        )
+        return 1 if n_fail else 0
+
+    from make_nanos_replica import build_replica
+
+    family = _events_queries()
+    if only:
+        family &= only
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sweeps = [("us", sf_dir)]
+    for mode in ("ns-aligned", "ns", "int96"):
+        dest = f"/tmp/{base}_vintage_{mode.replace('-', '_')}"
+        build_replica(sf_dir, dest, mode)
+        sweeps.append((mode, dest))
+    total_fail = 0
+    lines = []
+    for label, d in sweeps:
+        n_pass, n_rows_only, n_fail, failures = run_gate(
+            spark, d, family, label
+        )
+        total_fail += n_fail
+        lines.append(
+            f"  {label:<10} {n_pass} pass, {n_rows_only} rows-only,"
+            f" {n_fail} fail"
+            + (f" -- {', '.join(failures)}" if failures else "")
+        )
+    print(f"\nvintage sweep over {len(family)} events queries:")
+    for line in lines:
+        print(line)
+    return 1 if total_fail else 0
 
 
 if __name__ == "__main__":

@@ -46,11 +46,22 @@ GATED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def sf_nanos(tmp_path_factory):
-    dest = tmp_path_factory.mktemp("nanos") / "sf0.001_nanos"
+@pytest.fixture(scope="module", params=["ns", "int96"])
+def sf_nanos(tmp_path_factory, request):
+    """Both non-us encodings the driver could ship: TIMESTAMP(NANOS)
+    (Spark's nanosAsLong fallback path) and INT96 (Spark's native
+    legacy read path, DuckDB's TIMESTAMP_NS read) — r11, VERDICT r10
+    next-#8."""
+    mode = request.param
+    dest = tmp_path_factory.mktemp("vintage") / f"sf0.001_{mode}"
     subprocess.run(
-        [sys.executable, "scripts/make_nanos_replica.py", SF_US, str(dest)],
+        [
+            sys.executable,
+            "scripts/make_nanos_replica.py",
+            SF_US,
+            str(dest),
+            mode,
+        ],
         check=True,
         cwd="/root/repo",
     )
