@@ -10565,6 +10565,152 @@ WHERE step = (SELECT count(*) FROM stream) AND cnt > 0
 
 ORACLES["space_saving_hh"] = _build_space_saving_sql()
 
+def _build_mmr_sql(pool_n: int = 32, k: int = 10) -> str:
+    # q_mmr_diversify's mirror: the same rounded-cosine pool (the
+    # similarity_topk oracle shape for query vec 0), the same
+    # micro-snap, then every greedy selection round replayed as a
+    # (sel{t}, ms{t}) MATERIALIZED CTE pair — pick = ORDER BY score
+    # DESC, cand LIMIT 1; max-sim state updated by a left join against
+    # the symmetric pool-pairs frame.
+    parts = [
+        f"""
+WITH {_SIM_CTES},
+qdots AS (
+    SELECT c.vec_id AS cand_id, sum(q.x * c.x) AS dp
+    FROM ex q JOIN ex c ON c.i = q.i
+    WHERE q.vec_id = 0 AND c.vec_id <> 0
+    GROUP BY 1
+),
+pool AS MATERIALIZED (
+    SELECT cand_id,
+           CAST(round(round(dp / (nq.nrm * nc.nrm), 6)
+                * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS rel_micro,
+           row_number() OVER (
+               ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, cand_id
+           ) AS rn
+    FROM qdots
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN norms nc ON nc.vec_id = cand_id
+    QUALIFY rn <= {pool_n}
+),
+pdots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON b.i = a.i AND a.vec_id < b.vec_id
+    WHERE a.vec_id IN (SELECT cand_id FROM pool)
+      AND b.vec_id IN (SELECT cand_id FROM pool)
+    GROUP BY 1, 2
+),
+phalf AS (
+    SELECT ia, ib,
+           CAST(round(round(dp / (na.nrm * nb.nrm), 6)
+                * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS sim_micro
+    FROM pdots
+    JOIN norms na ON na.vec_id = ia
+    JOIN norms nb ON nb.vec_id = ib
+),
+psim AS MATERIALIZED (
+    SELECT ia, ib, sim_micro FROM phalf
+    UNION ALL
+    SELECT ib, ia, sim_micro FROM phalf
+),
+sel1 AS MATERIALIZED (
+    SELECT cand_id, rel_micro, 7 * rel_micro AS score_micro
+    FROM pool WHERE rn = 1
+),
+ms1 AS MATERIALIZED (
+    SELECT p.cand_id, p.rel_micro, coalesce(s.sim_micro, 0) AS maxsim
+    FROM pool p CROSS JOIN sel1 f
+    LEFT JOIN psim s ON s.ia = p.cand_id AND s.ib = f.cand_id
+    WHERE p.cand_id <> f.cand_id
+)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+sel{t} AS MATERIALIZED (
+    SELECT cand_id, rel_micro,
+           7 * rel_micro - 3 * maxsim AS score_micro
+    FROM ms{t - 1}
+    ORDER BY 7 * rel_micro - 3 * maxsim DESC, cand_id
+    LIMIT 1
+),
+ms{t} AS MATERIALIZED (
+    SELECT m.cand_id, m.rel_micro,
+           greatest(m.maxsim, coalesce(s.sim_micro, 0)) AS maxsim
+    FROM ms{t - 1} m CROSS JOIN sel{t} f
+    LEFT JOIN psim s ON s.ia = m.cand_id AND s.ib = f.cand_id
+    WHERE m.cand_id <> f.cand_id
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS sel_rank,"
+        f" CAST(cand_id AS BIGINT) AS cand_id, rel_micro, score_micro"
+        f" FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
+
+
+ORACLES["mmr_diversify"] = _build_mmr_sql()
+
+ORACLES["priority_sample"] = """
+WITH scored AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice) AS BIGINT) AS w,
+           (CAST(round(o_totalprice) AS BIGINT) * 1099511627776)
+             // (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                       1, 10)) AS BIGINT) + 1) AS q
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderkey, w, q,
+           row_number() OVER (ORDER BY q DESC, o_orderkey) AS rn
+    FROM scored QUALIFY rn <= 65
+),
+tau AS (SELECT q AS tq FROM ranked WHERE rn = 65)
+SELECT r.o_orderkey, r.w, r.q, greatest(r.w, t.tq) AS w_hat
+FROM ranked r CROSS JOIN tau t
+WHERE r.rn <= 64
+"""
+
+ORACLES["bh_fdr"] = """
+WITH cells AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS x_l FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(x_l) AS BIGINT) AS nn,
+           CAST(count(*) AS BIGINT) AS ll
+    FROM cells
+),
+scored AS (
+    SELECT lang, x_l, t.nn AS n_docs,
+           (x_l * 1000000) // t.nn - 1000000 // t.ll AS dppm
+    FROM cells CROSS JOIN tot t
+),
+p AS (
+    SELECT lang, x_l, n_docs,
+           least(CAST(1000000 AS BIGINT), CAST(round(
+             CAST(2000000 AS DOUBLE) * exp(
+               CAST(-2 * n_docs * dppm * dppm AS DOUBLE)
+               / CAST(1000000000000 AS DOUBLE)), 0) AS BIGINT))
+             AS p_micro
+    FROM scored
+),
+ranked AS (
+    SELECT lang, x_l, n_docs, p_micro,
+           CAST(row_number() OVER (ORDER BY p_micro, lang) AS BIGINT)
+             AS bh_rank,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM p
+)
+SELECT lang, x_l, n_docs, p_micro, bh_rank,
+       CAST(CASE WHEN bh_rank <= max(CASE WHEN p_micro * m
+                      <= bh_rank * 100000 THEN bh_rank ELSE 0 END)
+                 OVER () THEN 1 ELSE 0 END AS INTEGER) AS rejected
+FROM ranked
+"""
+
 # compression_ratio's Arrow-plumbing twin: one zlib stored block below
 # 65531 bytes is exactly octet_length + 11 (see q_compression_stored_twin).
 ORACLES["compression_stored_twin"] = """
@@ -13355,6 +13501,181 @@ def q_space_saving_hh(spark, sf_dir):
     return spark.createDataFrame(out, "token string, est long, err long")
 
 
+def q_priority_sample(spark, sf_dir):
+    # Priority sampling (r11; Duffield-Lund-Thorup 2007, "Priority
+    # sampling for estimation of arbitrary subset sums"): the ONE
+    # weighted-without-replacement sample every training-data pipeline
+    # needs — k items with priorities q_i = w_i / u_i, u_i uniform, kept
+    # if q_i is top-k; subset sums are estimated unbiasedly by
+    # w_hat = max(w_i, tau) with tau the (k+1)-th priority. The
+    # deterministic twin draws u_i from a 40-bit md5 slice, so the
+    # priority is the exact integer (w << 40) div (h40 + 1) and both
+    # engines rank identically (the docs_hash_sample md5 discipline).
+    # Scale shape: priorities are a map-only projection; the ONLY
+    # ordering is a TakeOrdered top-(k+1) — no global window ever sees
+    # the corpus (the §2.6 distributed-top-k rule). Headroom: w * 2^40
+    # needs w < 8.4e6 (order totalprice is ~1e5-1e6 dollars); heavier
+    # weights drop to a 30-bit slice (documented knob).
+    k = 64
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("w"),
+        F.expr(
+            "(CAST(round(o_totalprice) AS BIGINT) * 1099511627776) div"
+            " (CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 10),"
+            " 16, 10) AS BIGINT) + 1)"
+        ).alias("q"),
+    )
+    top = scored.orderBy(F.desc("q"), F.asc("o_orderkey")).limit(k + 1)
+    w = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    tau = ranked.where(F.col("rn") == k + 1).select(
+        F.col("q").alias("tq")
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            "w",
+            "q",
+            F.greatest("w", "tq").alias("w_hat"),
+        )
+    )
+
+
+def q_mmr_diversify(spark, sf_dir):
+    # Maximal Marginal Relevance re-ranking (r11; Carbonell & Goldstein
+    # 1998): the diversity step between retrieval and a RAG context
+    # window — greedily pick k results maximizing
+    # lambda*rel - (1-lambda)*max-sim-to-selected (lambda = 0.7 as the
+    # exact integer weights 7/10). Candidate pool = top-32 by the
+    # already-hash-verified rounded cosine vs query vector 0
+    # (brute_force_topk), pairwise pool sims from cosine_pairs_above —
+    # both micro-snapped IN SPARK (round half-up, mirrored in the
+    # oracle) so the greedy fold is pure integer arithmetic. The fold
+    # itself runs on the driver over the bounded pool (32 rel rows +
+    # 496 pair rows — the markov bounded-model discipline); the oracle
+    # replays each of the 10 selection rounds as generated MATERIALIZED
+    # CTEs. Scale shape: pool selection is the distributed top-k;
+    # nothing downstream ever sees the corpus.
+    pool_n, k = 32, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0)
+    rel = S.brute_force_topk(qv, emb, k=pool_n, max_broadcast_rows=None)
+    pool = rel.select(
+        "cand_id",
+        F.expr(
+            "CAST(round(sim * CAST(1000000 AS DOUBLE), 0) AS BIGINT)"
+        ).alias("rel_micro"),
+        "rank",
+    ).collect()  # bounded: pool_n rows
+    ids = [int(r["cand_id"]) for r in pool]
+    pairs = S.cosine_pairs_above(
+        emb.where(F.col("vec_id").isin(ids)), threshold=-2.0
+    )
+    sim_m: dict[tuple[int, int], int] = {}
+    for r in pairs.select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "CAST(round(sim * CAST(1000000 AS DOUBLE), 0) AS BIGINT)"
+        ).alias("sim_micro"),
+    ).collect():  # bounded: pool_n*(pool_n-1)/2 rows
+        a, b, s = int(r["id_a"]), int(r["id_b"]), int(r["sim_micro"])
+        sim_m[(a, b)] = s
+        sim_m[(b, a)] = s
+    rel_m = {int(r["cand_id"]): int(r["rel_micro"]) for r in pool}
+    first = min(rel_m, key=lambda c: (-rel_m[c], c))
+    out = [(1, first, rel_m[first], 7 * rel_m[first])]
+    remaining = {c for c in rel_m if c != first}
+    maxsim = {c: sim_m.get((c, first), 0) for c in remaining}
+    for t in range(2, k + 1):
+        pick = min(
+            remaining,
+            key=lambda c: (-(7 * rel_m[c] - 3 * maxsim[c]), c),
+        )
+        out.append((t, pick, rel_m[pick], 7 * rel_m[pick] - 3 * maxsim[pick]))
+        remaining.discard(pick)
+        for c in remaining:
+            maxsim[c] = max(maxsim[c], sim_m.get((c, pick), 0))
+    return spark.createDataFrame(
+        out,
+        "sel_rank INT, cand_id BIGINT, rel_micro BIGINT, score_micro BIGINT",
+    )
+
+
+def q_bh_fdr(spark, sf_dir):
+    # Benjamini-Hochberg FDR control (r11): the multiple-testing gate
+    # every experimentation/drift platform runs over a family of
+    # hypotheses. Family here: per language, "is this language's corpus
+    # share the uniform 1/L?" — a per-category goodness-of-fit sweep
+    # (the corpus is heavily en-skewed, so the family genuinely mixes
+    # rejections and acceptances), with a HOEFFDING tail-bound p-value
+    # p = min(1, 2*exp(-2 N (x_l/N - 1/L)^2)) — a valid (conservative)
+    # p-value needing only exp(), no erf. The shares are snapped to
+    # exact ppm integers BEFORE the one libm call, whose output is
+    # micro-rounded (the CLAUDE.md micro-unit rule), so ordering and
+    # the BH step-up compare p_(i) * m <= i * q_micro are pure integer
+    # arithmetic (q = 10%). Scale shape: one groupBy to L language
+    # cells + windows over L rows. Headroom: 2 * N * dppm^2 needs
+    # N * dppm^2 < 4.6e18 — safe to ~4.6e6 docs at full ppm
+    # resolution; beyond that the documented knob is per-mille units.
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    cells = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("x_l"))
+        .localCheckpoint()  # totals + window both read it
+    )
+    tot = cells.agg(
+        F.sum("x_l").alias("nn"), F.count("*").alias("ll")
+    )
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "x_l",
+        F.col("nn").alias("n_docs"),
+        F.expr(
+            "(x_l * 1000000) div nn - 1000000 div ll"
+        ).alias("dppm"),
+    )
+    p = scored.select(
+        "lang",
+        "x_l",
+        "n_docs",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), CAST(round("
+            " CAST(2000000 AS DOUBLE) * exp("
+            "  CAST(-2 * n_docs * dppm * dppm AS DOUBLE)"
+            "  / CAST(1000000000000 AS DOUBLE)), 0) AS BIGINT))"
+        ).alias("p_micro"),
+    )
+    wrank = Window.orderBy("p_micro", "lang")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = p.withColumn("bh_rank", F.row_number().over(wrank)).withColumn(
+        "m", F.count("*").over(wall)
+    )
+    return ranked.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("m")
+                <= F.col("bh_rank") * F.lit(100000),
+                F.col("bh_rank"),
+            ).otherwise(F.lit(0))
+        ).over(wall),
+    ).select(
+        "lang",
+        "x_l",
+        "n_docs",
+        "p_micro",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("kmax")).cast("int").alias("rejected"),
+    )
+
+
 def q_good_turing(spark, sf_dir):
     # Good-Turing frequency smoothing (r9 continuation): the classic
     # count-of-counts estimator over token TRIGRAM types (the 31-word
@@ -15176,6 +15497,9 @@ QUERIES: dict[str, QueryFn] = {
     "good_turing": q_good_turing,
     "mg_heavy_hitters": q_mg_heavy_hitters,
     "space_saving_hh": q_space_saving_hh,
+    "priority_sample": q_priority_sample,
+    "bh_fdr": q_bh_fdr,
+    "mmr_diversify": q_mmr_diversify,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
