@@ -10833,6 +10833,22 @@ ORACLES["knn_graph"] = f"""
     WHERE f.query_id < f.cand_id
 """
 
+ORACLES["knn_label_noise"] = f"""
+    WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
+    lbl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
+    SELECT CAST(t.query_id AS BIGINT) AS vec_id, lq.lang,
+           CAST(count(*) AS BIGINT) AS n_nbr,
+           CAST(sum(CASE WHEN lc.lang <> lq.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff,
+           (CAST(sum(CASE WHEN lc.lang <> lq.lang THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+             AS noise_ppm
+    FROM topk t
+    JOIN lbl lq ON lq.vid = t.query_id
+    JOIN lbl lc ON lc.vid = t.cand_id
+    GROUP BY 1, 2
+"""
+
 ORACLES["events_resample"] = """
     WITH hrs AS (
         SELECT user_id, date_trunc('hour', ts) AS hour, value FROM events
@@ -13527,7 +13543,14 @@ def q_priority_sample(spark, sf_dir):
             " 16, 10) AS BIGINT) + 1)"
         ).alias("q"),
     )
-    top = scored.orderBy(F.desc("q"), F.asc("o_orderkey")).limit(k + 1)
+    # the k+1 survivors feed the rank window, the sample filter, AND
+    # tau — checkpoint so the corpus TakeOrdered scan runs once
+    # (reuse rule; bounded at k+1 rows).
+    top = (
+        scored.orderBy(F.desc("q"), F.asc("o_orderkey"))
+        .limit(k + 1)
+        .localCheckpoint()
+    )
     w = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
     ranked = top.withColumn("rn", F.row_number().over(w))
     tau = ranked.where(F.col("rn") == k + 1).select(
@@ -13541,6 +13564,58 @@ def q_priority_sample(spark, sf_dir):
             "w",
             "q",
             F.greatest("w", "tq").alias("w_hat"),
+        )
+    )
+
+
+def q_knn_label_noise(spark, sf_dir):
+    # kNN label-noise scoring (r11; the cheap half of confident
+    # learning, Northcutt et al.): for every labeled example, the
+    # fraction of its k nearest embedding neighbors carrying a
+    # DIFFERENT label — the standard first-pass mislabel screen a
+    # training-data pipeline runs before handing labels to a model.
+    # Labels = documents.lang (doc_id aligns 1:1 with vec_id); the kNN
+    # leg is the same hash-verified md5 LSH top-k the lof/knn_graph
+    # family rides (bucketed, sub-quadratic, corpus-adaptive width).
+    # noise_ppm is an exact integer ratio; no floats anywhere past the
+    # verified rounded-cosine ranking.
+    emb = load_table(spark, sf_dir, "embeddings")
+    lbl = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    topk = S.lsh_topk_md5(emb, emb, k=10, n_bits=None, n_tables=16)
+    e = topk.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+    ).join(
+        F.broadcast(
+            lbl.select(
+                F.col("vid").alias("query_id"), F.col("lang").alias("lang_q")
+            )
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(
+            lbl.select(
+                F.col("vid").alias("cand_id"), F.col("lang").alias("lang_c")
+            )
+        ),
+        "cand_id",
+    )
+    return (
+        e.groupBy(F.col("query_id").alias("vec_id"), F.col("lang_q").alias("lang"))
+        .agg(
+            F.count("*").alias("n_nbr"),
+            F.sum(
+                (F.col("lang_c") != F.col("lang_q")).cast("long")
+            ).alias("n_diff"),
+        )
+        .select(
+            "vec_id",
+            "lang",
+            "n_nbr",
+            "n_diff",
+            F.expr("(n_diff * 1000000) div n_nbr").alias("noise_ppm"),
         )
     )
 
@@ -15500,6 +15575,7 @@ QUERIES: dict[str, QueryFn] = {
     "priority_sample": q_priority_sample,
     "bh_fdr": q_bh_fdr,
     "mmr_diversify": q_mmr_diversify,
+    "knn_label_noise": q_knn_label_noise,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
