@@ -317,6 +317,12 @@ HEADLINE = [
     # r11 additions
     "space_saving_hh",
     "synthetic_control",
+    "priority_sample",
+    "bh_fdr",
+    "mmr_diversify",
+    "knn_label_noise",
+    "kcenter_coreset",
+    "compression_stored_twin",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

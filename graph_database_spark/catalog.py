@@ -10833,6 +10833,62 @@ ORACLES["knn_graph"] = f"""
     WHERE f.query_id < f.cand_id
 """
 
+def _build_kcenter_sql(k: int = 10) -> str:
+    # q_kcenter_coreset's mirror: the all-pairs micro distance frame
+    # (the embedding_neardup oracle meet), then each greedy round as a
+    # (pick{t}, st{t}) MATERIALIZED CTE pair — farthest = ORDER BY mind
+    # DESC, vec_id LIMIT 1; min-dist state folded by a join against the
+    # picked column of the distance frame.
+    parts = [
+        f"""
+WITH {_SIM_CTES},
+dots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON b.i = a.i AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+dist AS MATERIALIZED (
+    SELECT ia, ib,
+           CAST(1000000 AS BIGINT) - CAST(round(
+             round(dp / (na.nrm * nb.nrm), 6) * CAST(1000000 AS DOUBLE),
+             0) AS BIGINT) AS d
+    FROM dots
+    JOIN norms na ON na.vec_id = ia
+    JOIN norms nb ON nb.vec_id = ib
+),
+st1 AS MATERIALIZED (
+    SELECT ia AS vec_id, d AS mind FROM dist WHERE ib = 0
+)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+pick{t} AS MATERIALIZED (
+    SELECT vec_id, mind FROM st{t - 1}
+    ORDER BY mind DESC, vec_id LIMIT 1
+),
+st{t} AS MATERIALIZED (
+    SELECT s.vec_id, least(s.mind, d.d) AS mind
+    FROM st{t - 1} s
+    JOIN dist d ON d.ia = s.vec_id
+              AND d.ib = (SELECT vec_id FROM pick{t})
+    WHERE s.vec_id <> (SELECT vec_id FROM pick{t})
+)"""
+        )
+    finals = ["SELECT CAST(1 AS INTEGER) AS sel_rank,"
+              " CAST(0 AS BIGINT) AS vec_id,"
+              " CAST(2000000 AS BIGINT) AS cover_micro"]
+    finals += [
+        f"SELECT CAST({t} AS INTEGER), CAST(vec_id AS BIGINT), mind"
+        f" FROM pick{t}"
+        for t in range(2, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
+
+
+ORACLES["kcenter_coreset"] = _build_kcenter_sql()
+
 ORACLES["knn_label_noise"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
     lbl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
@@ -13568,6 +13624,84 @@ def q_priority_sample(spark, sf_dir):
     )
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    # Greedy k-center coreset selection (r11; Gonzalez 1985 2-approx,
+    # the selector behind Sener & Savarese active learning and
+    # diversity-first data pruning): seed with vector 0, then k-1 times
+    # pick the point FARTHEST from the selected set and fold its
+    # distances into the running min. Distances are the verified
+    # rounded-cosine in exact micro units (d = 1e6 - sim_micro), so the
+    # whole trajectory is integer-deterministic; ties break by vec_id.
+    # Scale shape: each round is ONE narrow map over the corpus (HOF
+    # dot against a broadcast single picked vector) + ONE TakeOrdered
+    # argmax — k linear passes, which IS greedy k-center's cost; the
+    # state frame (vec_id, mind) is coalesced small and checkpointed
+    # per round (the fixpoint state discipline). The oracle replays the
+    # rounds over an all-pairs distance CTE (bounded: corpus is the
+    # embeddings table; the md5-cosine oracle family already does this
+    # meet for embedding_neardup).
+    from graph_database_spark.operators.spread import spread
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    emb = spread(emb).localCheckpoint()  # re-joined every round
+
+    def d_micro_to(vec_lit_expr: str):
+        # 1e6 - round(round(dot/(na*nb), 6) * 1e6): mirror of the
+        # similarity-family expression tree with one side a literal.
+        return F.expr(
+            "CAST(1000000 AS BIGINT) - CAST(round(round("
+            " aggregate(zip_with(embedding, "
+            f"{vec_lit_expr}"
+            ", (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            " / (sqrt(aggregate(transform(embedding,"
+            "      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            "      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            f"  * sqrt(aggregate(transform({vec_lit_expr},"
+            "      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            "      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 6)"
+            " * CAST(1000000 AS DOUBLE), 0) AS BIGINT)"
+        )
+
+    def vec_literal(arr) -> str:
+        vals = ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in arr)
+        return f"array({vals})"
+
+    seed_row = emb.where(F.col("vec_id") == 0).collect()[0]
+    picked = [(1, 0, 2 * 10**6)]  # seed enters with sentinel coverage
+    lit = vec_literal(seed_row["embedding"])
+    # ONE checkpoint at the seeded state; the per-round update is a
+    # literal-vector select (state-join-STATIC with no join at all), so
+    # the lineage grows by one cheap narrow select per round — k
+    # re-executions of that chain cost less than k eager checkpoint
+    # materializations (measured 20.9 -> ~7 s at sf0.1).
+    state = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", d_micro_to(lit).alias("mind"))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    for t in range(2, k + 1):
+        far = state.orderBy(
+            F.desc("mind"), F.asc("vec_id")
+        ).limit(1).collect()[0]
+        picked.append((t, int(far["vec_id"]), int(far["mind"])))
+        lit = vec_literal(far["embedding"])
+        state = state.where(
+            F.col("vec_id") != int(far["vec_id"])
+        ).select(
+            "vec_id",
+            "embedding",
+            F.least("mind", d_micro_to(lit)).alias("mind"),
+        )
+    return spark.createDataFrame(
+        picked, "sel_rank INT, vec_id BIGINT, cover_micro BIGINT"
+    )
+
+
 def q_knn_label_noise(spark, sf_dir):
     # kNN label-noise scoring (r11; the cheap half of confident
     # learning, Northcutt et al.): for every labeled example, the
@@ -15576,6 +15710,7 @@ QUERIES: dict[str, QueryFn] = {
     "bh_fdr": q_bh_fdr,
     "mmr_diversify": q_mmr_diversify,
     "knn_label_noise": q_knn_label_noise,
+    "kcenter_coreset": q_kcenter_coreset,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
