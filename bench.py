@@ -323,6 +323,8 @@ HEADLINE = [
     "knn_label_noise",
     "kcenter_coreset",
     "compression_stored_twin",
+    "dedup_span_cuts",
+    "dedup_span_apply",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

@@ -4491,6 +4491,37 @@ def q_suffix_array_dedup(spark, sf_dir):
     )
 
 
+def q_dedup_span_cuts(spark, sf_dir):
+    # The actionable ExactSubstr readout (r11): per document, the
+    # MERGED union of its duplicated spans — each qualifying token
+    # start contributes [pos, pos + mlcp), touching/overlapping
+    # intervals fold in one gaps-and-islands pass — and cut_chars is
+    # exactly what a Lee-et-al. cut pass would delete. Same single
+    # bucket-keyed shuffle as suffix_array_dedup; the island windows
+    # are per-doc (bounded by document length).
+    from graph_database_spark.operators.suffixarray import (
+        duplicate_span_cuts,
+    )
+
+    return duplicate_span_cuts(
+        load_table(spark, sf_dir, "documents"), min_match=30, ext_cap=64
+    )
+
+
+def q_dedup_span_apply(spark, sf_dir):
+    # The executed ExactSubstr transform (r11): remove every merged
+    # duplicated interval from the normalized text and hash what
+    # survives — md5 parity proves the cut SURGERY (segment boundaries,
+    # concat order, tails) is byte-identical across engines, not just
+    # the span arithmetic. Docs without spans pass through whole, so
+    # the output covers the full corpus.
+    from graph_database_spark.operators.suffixarray import apply_span_cuts
+
+    return apply_span_cuts(
+        load_table(spark, sf_dir, "documents"), min_match=30, ext_cap=64
+    )
+
+
 def q_knn_graph(spark, sf_dir):
     # Mutual-kNN graph over the embeddings table — the geometry-derived
     # graph that SemDeDup-style cluster pruning runs on. Since r7 the
@@ -10386,6 +10417,20 @@ def _build_suffix_lcp_sql(min_match: int = 30, ext_cap: int = 64) -> str:
     # SQL — token starts from an exclusive prefix sum, bucket = first
     # min_match chars, adjacent-LCP via list HOFs. Sort collation is
     # byte order over [a-z0-9 ] in both engines.
+    return f"""
+WITH {_suffix_span_ctes(min_match, ext_cap)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_starts,
+       CAST(max(mlcp) AS BIGINT) AS max_lcp,
+       CAST(sum(xd) AS BIGINT) AS n_cross_doc
+FROM sc WHERE mlcp >= {min_match} GROUP BY 1
+"""
+
+
+def _suffix_span_ctes(min_match: int, ext_cap: int) -> str:
+    # Shared CTE chain of the ExactSubstr oracle family, ending in
+    # sc(doc_id, pos, mlcp, xd) — the mirror of
+    # operators/suffixarray._span_scores.
     def lcp(a: str, b: str) -> str:
         n = f"least(length({a}), length({b}))"
         return (
@@ -10394,8 +10439,7 @@ def _build_suffix_lcp_sql(min_match: int = 30, ext_cap: int = 64) -> str:
             f" != substr({b}, CAST(i AS INT), 1))) - 1, {n})"
         )
 
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
 ),
 norm AS (
@@ -10420,14 +10464,14 @@ fsuf AS (
     WHERE length(suf) >= {min_match}
 ),
 nb AS (
-    SELECT doc_id, suf,
+    SELECT doc_id, pos, suf,
            lag(suf) OVER w AS pv_suf, lag(doc_id) OVER w AS pv_doc,
            lead(suf) OVER w AS nx_suf, lead(doc_id) OVER w AS nx_doc
     FROM fsuf
     WINDOW w AS (PARTITION BY bkt ORDER BY suf, doc_id, pos)
 ),
 l AS (
-    SELECT doc_id, pv_doc, nx_doc,
+    SELECT doc_id, pos, pv_doc, nx_doc,
            CASE WHEN pv_suf IS NULL THEN 0
                 ELSE {lcp('suf', 'pv_suf')} END AS lcp_pv,
            CASE WHEN nx_suf IS NULL THEN 0
@@ -10435,21 +10479,104 @@ l AS (
     FROM nb
 ),
 sc AS (
-    SELECT doc_id, greatest(lcp_pv, lcp_nx) AS mlcp,
+    SELECT doc_id, pos, greatest(lcp_pv, lcp_nx) AS mlcp,
            CASE WHEN (lcp_pv >= {min_match} AND pv_doc != doc_id)
                   OR (lcp_nx >= {min_match} AND nx_doc != doc_id)
                 THEN 1 ELSE 0 END AS xd
     FROM l
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_dup_starts,
-       CAST(max(mlcp) AS BIGINT) AS max_lcp,
-       CAST(sum(xd) AS BIGINT) AS n_cross_doc
-FROM sc WHERE mlcp >= {min_match} GROUP BY 1
-"""
+)"""
 
 
 ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
+
+ORACLES["dedup_span_cuts"] = f"""
+WITH {_suffix_span_ctes(30, 64)},
+spans AS (SELECT doc_id, pos, mlcp FROM sc WHERE mlcp >= 30),
+isl AS (
+    SELECT doc_id, pos, mlcp,
+           CASE WHEN pos > coalesce(max(pos + mlcp) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM spans
+),
+isl2 AS (
+    SELECT doc_id, pos, mlcp,
+           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM isl
+),
+per_island AS (
+    SELECT doc_id, island,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           min(pos) AS s, max(pos + mlcp) AS e
+    FROM isl2 GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(n_starts) AS BIGINT) AS n_starts,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e - s) AS BIGINT) AS cut_chars
+FROM per_island GROUP BY 1
+"""
+
+ORACLES["dedup_span_apply"] = f"""
+WITH {_suffix_span_ctes(30, 64)},
+spans AS (SELECT doc_id, pos, mlcp FROM sc WHERE mlcp >= 30),
+isl AS (
+    SELECT doc_id, pos, mlcp,
+           CASE WHEN pos > coalesce(max(pos + mlcp) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM spans
+),
+isl2 AS (
+    SELECT doc_id, pos, mlcp,
+           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM isl
+),
+per_island AS (
+    SELECT doc_id, island, min(pos) AS s, max(pos + mlcp) AS e
+    FROM isl2 GROUP BY 1, 2
+),
+segs AS (
+    SELECT i.doc_id, i.island,
+           substring(n.norm,
+                     CAST(coalesce(lag(i.e) OVER (
+                         PARTITION BY i.doc_id ORDER BY i.island), 1)
+                       AS INT),
+                     CAST(greatest(0, i.s - coalesce(lag(i.e) OVER (
+                         PARTITION BY i.doc_id ORDER BY i.island), 1))
+                       AS INT)) AS seg,
+           i.e
+    FROM per_island i JOIN norm n ON n.doc_id = i.doc_id
+),
+kept0 AS (
+    SELECT doc_id,
+           string_agg(seg, '' ORDER BY island) AS head,
+           max(e) AS e_max
+    FROM segs GROUP BY 1
+),
+kept AS (
+    SELECT n.doc_id,
+           CASE WHEN k.e_max IS NULL THEN n.norm
+                ELSE concat(k.head,
+                     substring(n.norm, CAST(k.e_max AS INT),
+                               CAST(greatest(0, length(n.norm)
+                                    - k.e_max + 1) AS INT)))
+           END AS kept
+    FROM norm n LEFT JOIN kept0 k ON k.doc_id = n.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(kept) AS BIGINT) AS kept_chars,
+       md5(kept) AS kept_md5
+FROM kept
+"""
 
 
 def _build_mg_sql(k: int = _MG_K, buckets: int = _MG_BUCKETS) -> str:
@@ -15711,6 +15838,8 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_diversify": q_mmr_diversify,
     "knn_label_noise": q_knn_label_noise,
     "kcenter_coreset": q_kcenter_coreset,
+    "dedup_span_cuts": q_dedup_span_cuts,
+    "dedup_span_apply": q_dedup_span_apply,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,

@@ -40,7 +40,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_database_spark.functions.textnorm import tokens
 
-__all__ = ["suffix_lcp_dedup", "lcp_sql"]
+__all__ = [
+    "suffix_lcp_dedup",
+    "duplicate_span_cuts",
+    "apply_span_cuts",
+    "lcp_sql",
+]
 
 
 def lcp_sql(a: str, b: str, sub: str = "substring") -> str:
@@ -77,6 +82,24 @@ def suffix_lcp_dedup(
 
     Returns columns ``doc_id, n_dup_starts, max_lcp, n_cross_doc``.
     """
+    scored = _span_scores(docs, min_match, ext_cap)
+    return (
+        scored.where(F.col("mlcp") >= min_match)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_starts"),
+            F.max("mlcp").cast("long").alias("max_lcp"),
+            F.sum("xd").alias("n_cross_doc"),
+        )
+    )
+
+
+def _span_scores(
+    docs: DataFrame, min_match: int, ext_cap: int
+) -> DataFrame:
+    """Shared span frame of the ExactSubstr family: one row per
+    token-start suffix with its maximal adjacent-LCP ``mlcp`` and the
+    two-neighbor cross-doc flag ``xd`` — ``(doc_id, pos, mlcp, xd)``."""
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens(F.col("text")).alias("toks"),
@@ -120,8 +143,9 @@ def suffix_lcp_dedup(
             f" ELSE {lcp_sql('suf', 'nx.suf')} END"
         ),
     )
-    scored = nb.select(
+    return nb.select(
         "doc_id",
+        "pos",
         F.greatest("lcp_pv", "lcp_nx").alias("mlcp"),
         F.expr(
             f"CASE WHEN (lcp_pv >= {min_match} AND pv.doc_id != doc_id)"
@@ -129,12 +153,117 @@ def suffix_lcp_dedup(
             " THEN 1 ELSE 0 END"
         ).alias("xd"),
     )
+
+
+def duplicate_span_cuts(
+    docs: DataFrame, min_match: int = 30, ext_cap: int = 64
+) -> DataFrame:
+    """The ACTIONABLE readout of the ExactSubstr profile: per document,
+    the union of its duplicated character spans — each qualifying start
+    ``pos`` contributes interval [pos, pos + mlcp), overlapping/touching
+    intervals merge (the classic gaps-and-islands fold), and
+    ``cut_chars`` is the total character length an ExactSubstr-style
+    cut pass would remove (Lee et al. 2022 drop the matched span; this
+    reports exactly what that pass would delete, per doc).
+
+    Returns ``(doc_id, n_starts, n_islands, cut_chars)`` for docs with
+    at least one duplicated span. Windows are per-doc (bounded by doc
+    length), the spans frame rides the same single bucket-keyed shuffle
+    as ``suffix_lcp_dedup``.
+    """
+    per_island = _islands(docs, min_match, ext_cap)
+    return per_island.groupBy("doc_id").agg(
+        F.sum("n_starts").alias("n_starts"),
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("cut_chars"),
+    )
+
+
+def _islands(docs: DataFrame, min_match: int, ext_cap: int) -> DataFrame:
+    """Merged duplicated intervals per doc: ``(doc_id, island,
+    n_starts, s, e)`` with [s, e) the union span (1-based char
+    positions, e exclusive)."""
+    spans = _span_scores(docs, min_match, ext_cap).where(
+        F.col("mlcp") >= min_match
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = (
+        spans.withColumn(
+            "new_isl",
+            (
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + F.col("mlcp")).over(wprev),
+                    F.lit(-1),
+                )
+            ).cast("long"),
+        )
+        .withColumn("island", F.sum("new_isl").over(wrun))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.count("*").alias("n_starts"),
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + F.col("mlcp")).alias("e"),
+    )
+
+
+def apply_span_cuts(
+    docs: DataFrame, min_match: int = 30, ext_cap: int = 64
+) -> DataFrame:
+    """Execute the ExactSubstr cut plan: remove every merged duplicated
+    interval from the normalized text and return the surviving string's
+    length and md5 per document — the cross-engine parity proof that
+    the TRANSFORM (not just the plan) is deterministic. Docs with no
+    duplicated span pass through whole.
+
+    Per doc the kept text is the ordered concatenation of the gaps
+    between islands plus the tail: segment t = norm[prev_e, s_t) and
+    tail = norm[e_last, end]. Built with one per-doc collect_list over
+    the (bounded-by-doc-length) island set; order restored by
+    array_sort on the island index, so the concat is deterministic on
+    both engines.
+
+    Returns ``(doc_id, kept_chars, kept_md5)`` for EVERY document.
+    """
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(tokens(F.col("text")), " ").alias("norm"),
+    )
+    isl = _islands(docs, min_match, ext_cap)
+    wseq = Window.partitionBy("doc_id").orderBy("island")
+    segs = (
+        isl.join(d, "doc_id")
+        .withColumn("prev_e", F.coalesce(F.lag("e").over(wseq), F.lit(1)))
+        .withColumn(
+            "seg",
+            F.expr("substring(norm, prev_e, greatest(0, s - prev_e))"),
+        )
+    )
+    kept = segs.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(island, seg))), x -> x.seg), '')"
+        ).alias("head"),
+        F.max("e").alias("e_max"),
+    )
     return (
-        scored.where(F.col("mlcp") >= min_match)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_dup_starts"),
-            F.max("mlcp").cast("long").alias("max_lcp"),
-            F.sum("xd").alias("n_cross_doc"),
+        d.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN e_max IS NULL THEN norm"
+                " ELSE concat(head, substring(norm, e_max,"
+                "      greatest(0, length(norm) - e_max + 1))) END"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.length("kept").cast("long").alias("kept_chars"),
+            F.md5(F.col("kept")).alias("kept_md5"),
         )
     )
