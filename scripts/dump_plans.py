@@ -248,6 +248,17 @@ SHOW = [
     "dbscan_customers",
     "mg_heavy_hitters",
     "cmh_test",
+    # r11 additions
+    "km_risk_table",
+    "space_saving_hh",
+    "priority_sample",
+    "bh_fdr",
+    "mmr_diversify",
+    "knn_label_noise",
+    "kcenter_coreset",
+    "dedup_span_cuts",
+    "dedup_span_apply",
+    "compression_stored_twin",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
