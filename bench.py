@@ -325,6 +325,8 @@ HEADLINE = [
     "compression_stored_twin",
     "dedup_span_cuts",
     "dedup_span_apply",
+    "cohens_kappa",
+    "hopkins_statistic",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

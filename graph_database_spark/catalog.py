@@ -34,6 +34,7 @@ from graph_database_spark.operators import text as T
 from graph_database_spark.operators.betweenness import betweenness
 from graph_database_spark.operators.hits import hits_quantized
 from graph_database_spark.functions.textnorm import text_fingerprint, tokens
+from graph_database_spark.functions.vectors import l2_norm
 from graph_database_spark.plans.copurchase import copurchase_edges, copurchase_vertices
 from graph_database_spark.sources.parquet import load_table
 
@@ -10306,6 +10307,94 @@ ORACLES["order_stats_ext"] = """
 ORACLES["docs_hash_sample"] = _build_hash_sample_sql()
 ORACLES["token_packing"] = _build_token_packing_sql()
 ORACLES["lang_id"] = _build_lang_id_sql()
+
+ORACLES["hopkins_statistic"] = f"""
+WITH {_SIM_CTES},
+synth AS (
+    SELECT j, i,
+           (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                 || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001
+            - 1000) / CAST(1000.0 AS DOUBLE) AS y
+    FROM range(32) t(j), range(64) u(i)
+),
+snorm AS (SELECT j, sqrt(sum(y * y)) AS nrm FROM synth GROUP BY 1),
+udots AS (
+    SELECT s.j, e.vec_id, sum(s.y * e.x) AS dp
+    FROM synth s JOIN ex e ON e.i = s.i + 1
+    GROUP BY 1, 2
+),
+umin AS (
+    SELECT d.j,
+           min(CAST(1000000 AS BIGINT) - CAST(round(
+               round(d.dp / (sn.nrm * cn.nrm), 6)
+               * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS umin
+    FROM udots d
+    JOIN snorm sn ON sn.j = d.j
+    JOIN norms cn ON cn.vec_id = d.vec_id
+    GROUP BY 1
+),
+probes AS (
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM norms
+    ) WHERE rn <= 32
+),
+wdots AS (
+    SELECT a.vec_id AS pj, b.vec_id AS cid, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON b.i = a.i AND b.vec_id <> a.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM probes)
+    GROUP BY 1, 2
+),
+wmin AS (
+    SELECT d.pj,
+           min(CAST(1000000 AS BIGINT) - CAST(round(
+               round(d.dp / (pn.nrm * cn.nrm), 6)
+               * CAST(1000000 AS DOUBLE), 0) AS BIGINT)) AS wmin
+    FROM wdots d
+    JOIN norms pn ON pn.vec_id = d.pj
+    JOIN norms cn ON cn.vec_id = d.cid
+    GROUP BY 1
+)
+SELECT CAST(32 AS BIGINT) AS m,
+       CAST(su.sum_u AS BIGINT) AS sum_u,
+       CAST(sw.sum_w AS BIGINT) AS sum_w,
+       (CAST(su.sum_u AS BIGINT) * 1000000)
+         // (CAST(su.sum_u AS BIGINT) + CAST(sw.sum_w AS BIGINT))
+         AS hopkins_ppm
+FROM (SELECT sum(umin) AS sum_u FROM umin) su
+CROSS JOIN (SELECT sum(wmin) AS sum_w FROM wmin) sw
+"""
+
+ORACLES["cohens_kappa"] = f"""
+WITH p AS ({_build_lang_id_sql()}),
+cells AS (
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+),
+rm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rown FROM cells GROUP BY 1),
+cm AS (
+    SELECT pred_lang, CAST(sum(n) AS BIGINT) AS coln FROM cells GROUP BY 1
+),
+pe AS (
+    SELECT CAST(coalesce(sum(rm.rown * cm.coln), 0) AS BIGINT) AS pv
+    FROM rm JOIN cm ON cm.pred_lang = rm.lang
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn,
+           CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                AS BIGINT) AS agree
+    FROM cells
+)
+SELECT nn AS n_docs, agree AS n_agree,
+       (agree * 1000000) // nn AS po_ppm,
+       (pv * 1000000) // (nn * nn) AS pe_ppm,
+       CASE WHEN nn * nn = pv THEN CAST(1000000 AS BIGINT)
+            ELSE (1000000 * (nn * agree - pv)) // (nn * nn - pv)
+       END AS kappa_ppm
+FROM tot CROSS JOIN pe
+"""
 ORACLES["quality_score"] = _build_quality_sql()
 ORACLES["quality_dedup"] = f"""
     WITH q AS ({_build_quality_sql()}),
@@ -13751,6 +13840,146 @@ def q_priority_sample(spark, sf_dir):
     )
 
 
+def q_hopkins_statistic(spark, sf_dir):
+    # Hopkins clusterability statistic (r11): BEFORE running kmeans /
+    # DBSCAN / SemDeDup pruning, is the embedding space clustered at
+    # all? H = sum(u) / (sum(u) + sum(w)) where u = nearest-corpus
+    # distance from m SYNTHETIC probes (uniform per-mille components
+    # from md5 — deterministic on both engines) and w = nearest-OTHER
+    # distance from m md5-sampled REAL points; ~0.5 = unstructured,
+    # -> 1 = clustered. Distances are the verified rounded-cosine in
+    # exact micro units, so H folds as one integer ratio. Scale shape:
+    # both legs are (m x N) broadcast meets + one min-groupBy — m is
+    # the cost knob, the corpus is scanned twice.
+    m = 32
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    synth = spark.range(m).select(
+        F.col("id").alias("j"),
+        F.expr(
+            "transform(sequence(0, 63), i ->"
+            " (CAST(conv(substr(md5(concat(CAST(id AS STRING), '|',"
+            " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
+            " - 1000) / CAST(1000.0 AS DOUBLE))"
+        ).alias("sv"),
+    ).select("j", "sv", l2_norm(F.col("sv")).alias("sn"))
+    d_u = (
+        corpus.crossJoin(F.broadcast(synth))
+        .select(
+            "j",
+            (
+                F.lit(1000000).cast("long")
+                - F.expr(
+                    "CAST(round(round("
+                    " aggregate(zip_with(sv, cv, (x, y) ->"
+                    "  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                    "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                    " / (sn * cn), 6) * CAST(1000000 AS DOUBLE), 0)"
+                    " AS BIGINT)"
+                )
+            ).alias("d"),
+        )
+        .groupBy("j")
+        .agg(F.min("d").alias("umin"))
+    )
+    wrnk = Window.orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+    probes = (
+        corpus.withColumn("rn", F.row_number().over(wrnk))
+        .where(F.col("rn") <= m)
+        .select(
+            F.col("cid").alias("pj"),
+            F.col("cv").alias("pv"),
+            F.col("cn").alias("pn"),
+        )
+    )
+    d_w = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("cid") != F.col("pj"))
+        .select(
+            "pj",
+            (
+                F.lit(1000000).cast("long")
+                - F.expr(
+                    "CAST(round(round("
+                    " aggregate(zip_with(pv, cv, (x, y) ->"
+                    "  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                    "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                    " / (pn * cn), 6) * CAST(1000000 AS DOUBLE), 0)"
+                    " AS BIGINT)"
+                )
+            ).alias("d"),
+        )
+        .groupBy("pj")
+        .agg(F.min("d").alias("wmin"))
+    )
+    su = d_u.agg(F.sum("umin").alias("sum_u"))
+    sw = d_w.agg(F.sum("wmin").alias("sum_w"))
+    return su.crossJoin(F.broadcast(sw)).select(
+        F.lit(m).cast("long").alias("m"),
+        "sum_u",
+        "sum_w",
+        F.expr("(sum_u * 1000000) div (sum_u + sum_w)").alias(
+            "hopkins_ppm"
+        ),
+    )
+
+
+def q_cohens_kappa(spark, sf_dir):
+    # Cohen's kappa (r11): chance-corrected agreement between the
+    # lang_id predictor and the stored labels — the summary statistic
+    # label_confusion's full matrix feeds into. All integer: the
+    # confusion cells, both marginals, and
+    # kappa_ppm = 1e6 * (N*agree - sum_k row_k*col_k)
+    #                div (N^2 - sum_k row_k*col_k),
+    # truncation toward zero on BOTH engines even when kappa < 0
+    # (verified: DuckDB // and Spark div agree on negatives). Perfect
+    # chance agreement (N^2 == pe, a degenerate one-category matrix)
+    # is pinned to kappa = 1e6 by convention on both sides. Headroom:
+    # N^2 needs N < 3e9 docs; beyond that the documented knob is the
+    # hash-sampled kappa. Scale shape: one groupBy to |langs|^2 cells;
+    # everything after is marginal-table-sized.
+    pred = T.language_id(load_table(spark, sf_dir, "documents")).select(
+        "lang", "pred_lang"
+    )
+    cells = (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # totals + two marginals read it
+    )
+    rm = cells.groupBy("lang").agg(F.sum("n").alias("rown"))
+    cm = cells.groupBy("pred_lang").agg(F.sum("n").alias("coln"))
+    pe = (
+        rm.join(cm, rm.lang == cm.pred_lang)
+        .agg(F.coalesce(F.sum(F.col("rown") * F.col("coln")), F.lit(0)).alias("pv"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.expr("(agree * 1000000) div nn").alias("po_ppm"),
+            F.expr("(pv * 1000000) div (nn * nn)").alias("pe_ppm"),
+            F.expr(
+                "CASE WHEN nn * nn = pv THEN CAST(1000000 AS BIGINT)"
+                " ELSE (1000000 * (nn * agree - pv)) div (nn * nn - pv)"
+                " END"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
 def q_kcenter_coreset(spark, sf_dir):
     # Greedy k-center coreset selection (r11; Gonzalez 1985 2-approx,
     # the selector behind Sener & Savarese active learning and
@@ -15840,6 +16069,8 @@ QUERIES: dict[str, QueryFn] = {
     "kcenter_coreset": q_kcenter_coreset,
     "dedup_span_cuts": q_dedup_span_cuts,
     "dedup_span_apply": q_dedup_span_apply,
+    "cohens_kappa": q_cohens_kappa,
+    "hopkins_statistic": q_hopkins_statistic,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
