@@ -259,6 +259,8 @@ SHOW = [
     "dedup_span_cuts",
     "dedup_span_apply",
     "compression_stored_twin",
+    "cohens_kappa",
+    "hopkins_statistic",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
