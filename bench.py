@@ -327,6 +327,7 @@ HEADLINE = [
     "dedup_span_apply",
     "cohens_kappa",
     "hopkins_statistic",
+    "source_influence",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

@@ -1848,6 +1848,77 @@ def q_kfold_cv(spark, sf_dir):
     )
 
 
+def q_source_influence(spark, sf_dir):
+    # Leave-one-source-out influence (r11): the data-valuation readout
+    # a curation pipeline runs before dropping a source — for every
+    # document source, fit the token-count -> char-length OLS on ALL
+    # OTHER sources (complement subtraction of integer sufficient
+    # stats, the kfold_cv idiom: one combinable stats shuffle, never
+    # |sources| passes) and score the held-out source's SSE with
+    # floor-snapped integer residuals. A source whose rows the
+    # rest-of-corpus model predicts badly is distribution-shifted —
+    # exactly what LOGO influence measures. sse_per_row_micro makes
+    # sources comparable across sizes in exact integers. Fully
+    # distributed; no driver loop.
+    docs = load_table(spark, sf_dir, "documents")
+    rows_ = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    ).localCheckpoint()  # feeds the stats pass and the scoring pass
+    fs = rows_.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = rows_.agg(
+        F.count("*").alias("tn"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("tsxy"),
+    )
+    num = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))"
+    )
+    mdl = fs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"{num} / {den}").alias("slope"),
+        F.expr(
+            f"(CAST(tsy - sy AS DOUBLE) - {num} / {den}"
+            " * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE)"
+        ).alias("intercept"),
+    )
+    return (
+        rows_.join(F.broadcast(mdl), "source")
+        .withColumn(
+            "r",
+            F.expr(
+                "y - CAST(floor(intercept + slope * CAST(x AS DOUBLE))"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.max("slope").alias("slope"),
+            F.max("intercept").alias("intercept"),
+            F.sum(F.col("r") * F.col("r")).alias("sse_test"),
+        )
+        .withColumn(
+            "sse_per_row_micro",
+            F.expr("(sse_test * 1000000) div n_test"),
+        )
+    )
+
+
 def q_ucb_replay(spark, sf_dir):
     # Deterministic UCB1 bandit replay (r9): the sequential-decision
     # primitive — replay 30 daily batches, each day choosing the
@@ -16071,6 +16142,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_span_apply": q_dedup_span_apply,
     "cohens_kappa": q_cohens_kappa,
     "hopkins_statistic": q_hopkins_statistic,
+    "source_influence": q_source_influence,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
@@ -18211,6 +18283,65 @@ FROM sc GROUP BY 1
 
 
 ORACLES["kfold_cv"] = _build_kfold_sql()
+
+
+def _build_source_influence_sql() -> str:
+    # q_source_influence's mirror: the kfold complement-stat chains
+    # keyed by document source; x = textnorm token count (the
+    # _DUCK_TOKENS fragment, never regexp-count — CLAUDE.md rule),
+    # y = raw char length.
+    num = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)"
+        " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))"
+    )
+    return f"""
+WITH rows_ AS (
+    SELECT source,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS x,
+           CAST(length(text) AS BIGINT) AS y
+    FROM documents
+),
+fs AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM rows_ GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS tn,
+           CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy,
+           CAST(sum(x * x) AS BIGINT) AS tsxx,
+           CAST(sum(x * y) AS BIGINT) AS tsxy
+    FROM rows_
+),
+mdl AS (
+    SELECT source, {num} / {den} AS slope,
+           (CAST(tsy - sy AS DOUBLE) - {num} / {den}
+            * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE)
+             AS intercept
+    FROM fs CROSS JOIN tot
+),
+sc AS (
+    SELECT r.source, m.slope, m.intercept,
+           r.y - CAST(floor(m.intercept + m.slope * CAST(r.x AS DOUBLE))
+                 AS BIGINT) AS res
+    FROM rows_ r JOIN mdl m ON m.source = r.source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+       max(slope) AS slope, max(intercept) AS intercept,
+       CAST(sum(res * res) AS BIGINT) AS sse_test,
+       (CAST(sum(res * res) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS sse_per_row_micro
+FROM sc GROUP BY 1
+"""
+
+
+ORACLES["source_influence"] = _build_source_influence_sql()
 
 
 def _build_psm_sql(rounds: int = _LOGIT_ROUNDS) -> str:
