@@ -328,6 +328,7 @@ HEADLINE = [
     "cohens_kappa",
     "hopkins_statistic",
     "source_influence",
+    "quantile_treatment_effect",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

@@ -1848,6 +1848,58 @@ def q_kfold_cv(spark, sf_dir):
     )
 
 
+def q_quantile_treatment_effect(spark, sf_dir):
+    # Quantile treatment effects (r11): WHERE in the outcome
+    # distribution does the treatment act — the distributional readout
+    # ab_test_welch (means) and mannwhitney_test (ranks) cannot give.
+    # Deciles of URGENT vs LOW order value as exact TYPE-1 order
+    # statistics (value at rank ceil(p*n), 1-based) in integer cents —
+    # no interpolation, so no dyadic-ratio rounding hazard
+    # (events_resample lesson) and ties need no ordering beyond the
+    # value itself. Shape: one (grp, cents) count shuffle, a cumulative
+    # window over the VALUE GRID partitioned by group (weighted_median
+    # class — never a raw-corpus global window), and a 9-row broadcast
+    # band join picking the row whose cumulative range covers each
+    # decile rank: rank_k = ceil(k*n/10) = (k*n + 9) div 10.
+    o = load_table(spark, sf_dir, "orders")
+    src = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    counts = src.groupBy("grp", "cents").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("grp").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = counts.withColumn("cum", F.sum("cnt").over(wcum)).localCheckpoint()
+    ns = grid.groupBy("grp").agg(F.max("cum").alias("n"))
+    deciles = spark.range(1, 10).select(F.col("id").alias("k"))
+    # rename the rank frame's group key: ns derives from grid, so a
+    # bare `grp` on both join sides is an ambiguous self-reference
+    ranks = ns.crossJoin(F.broadcast(deciles)).select(
+        F.col("grp").alias("rgrp"), "k", F.expr("(k * n + 9) div 10").alias("rk")
+    )
+    picked = grid.join(
+        F.broadcast(ranks),
+        (F.col("grp") == F.col("rgrp"))
+        & (F.col("cum") >= F.col("rk"))
+        & (F.col("cum") - F.col("cnt") < F.col("rk")),
+    ).select(F.col("rgrp").alias("g"), "k", F.col("cents").alias("q"))
+    u = picked.where(F.col("g") == 1).select(
+        "k", F.col("q").alias("q_urgent_cents")
+    )
+    l = picked.where(F.col("g") == 0).select(
+        "k", F.col("q").alias("q_low_cents")
+    )
+    return u.join(l, "k").select(
+        F.col("k").cast("long").alias("decile"),
+        "q_urgent_cents",
+        "q_low_cents",
+        (F.col("q_urgent_cents") - F.col("q_low_cents")).alias("qte_cents"),
+    )
+
+
 def q_source_influence(spark, sf_dir):
     # Leave-one-source-out influence (r11): the data-valuation readout
     # a curation pipeline runs before dropping a source — for every
@@ -16143,6 +16195,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohens_kappa": q_cohens_kappa,
     "hopkins_statistic": q_hopkins_statistic,
     "source_influence": q_source_influence,
+    "quantile_treatment_effect": q_quantile_treatment_effect,
     "shapley_attribution": q_shapley_attribution,
     "ipw_effect": q_ipw_effect,
     "propensity_matching": q_propensity_matching,
@@ -18342,6 +18395,41 @@ FROM sc GROUP BY 1
 
 
 ORACLES["source_influence"] = _build_source_influence_sql()
+
+ORACLES["quantile_treatment_effect"] = """
+WITH src AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+counts AS (
+    SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+    FROM src GROUP BY 1, 2
+),
+grid AS (
+    SELECT grp, cents, cnt,
+           sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counts
+),
+ns AS (SELECT grp, CAST(max(cum) AS BIGINT) AS n FROM grid GROUP BY 1),
+ranks AS (
+    SELECT ns.grp, d.k, (d.k * ns.n + 9) // 10 AS rk
+    FROM ns CROSS JOIN (SELECT unnest(range(1, 10)) AS k) d
+),
+picked AS (
+    SELECT r.grp AS g, r.k, g2.cents AS q
+    FROM grid g2 JOIN ranks r
+      ON r.grp = g2.grp AND g2.cum >= r.rk AND g2.cum - g2.cnt < r.rk
+)
+SELECT CAST(u.k AS BIGINT) AS decile,
+       u.q AS q_urgent_cents,
+       l.q AS q_low_cents,
+       u.q - l.q AS qte_cents
+FROM (SELECT k, q FROM picked WHERE g = 1) u
+JOIN (SELECT k, q FROM picked WHERE g = 0) l ON l.k = u.k
+"""
 
 
 def _build_psm_sql(rounds: int = _LOGIT_ROUNDS) -> str:
