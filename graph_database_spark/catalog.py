@@ -3767,6 +3767,16 @@ def q_decontamination(spark, sf_dir):
     return D.cross_contamination(load_table(spark, sf_dir, "documents"))
 
 
+def q_decontamination_bloom(spark, sf_dir):
+    # The scale shape of decontamination (r12): broadcast Bloom of eval
+    # 8-grams probed map-side — the training side never shuffles for
+    # the membership test (vs cross_contamination's inverted-index
+    # join). The exact-membership broadcast join rides along only to
+    # hash-gate the filter's full bit pattern via the fp census
+    # (operators/dedup.contamination_bloom).
+    return D.contamination_bloom(load_table(spark, sf_dir, "documents"))
+
+
 def q_media_resize(spark, sf_dir):
     # Value-check of the Arrow resize path (like multimodal_features
     # checks the featurizer): md5 of the decimated byte stream vs a
@@ -4611,6 +4621,21 @@ def q_suffix_array_dedup(spark, sf_dir):
     from graph_database_spark.operators.suffixarray import suffix_lcp_dedup
 
     return suffix_lcp_dedup(
+        load_table(spark, sf_dir, "documents"), min_match=30, ext_cap=64
+    )
+
+
+def q_suffix_cross_doc(spark, sf_dir):
+    # EXACT cross-doc attribution of duplicated spans (r12, the ADVICE
+    # r10 lower bound upgraded per VERDICT r11 #6): max LCP against the
+    # nearest OTHER-document suffix in each sort direction via one
+    # forward + one backward running-min scan per bucket — exact by the
+    # suffix-array range-minimum property, still bucket-local. Outputs
+    # both the old two-neighbor lower bound and the exact count, so
+    # lb <= exact is pinned in the hash.
+    from graph_database_spark.operators.suffixarray import suffix_cross_doc
+
+    return suffix_cross_doc(
         load_table(spark, sf_dir, "documents"), min_match=30, ext_cap=64
     )
 
@@ -7721,10 +7746,10 @@ by_dur AS (
   FROM users GROUP BY 1
 )
 SELECT dur_h, n_at, n_deaths,
-       (SELECT n FROM tot)
+       CAST((SELECT n FROM tot)
          - coalesce(sum(n_at) OVER (ORDER BY dur_h
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n_risk
+           AS BIGINT) AS n_risk
 FROM by_dur
 QUALIFY n_deaths > 0 AND n_risk > n_deaths
 """
@@ -7739,10 +7764,10 @@ by_dur AS (
 ),
 risk AS (
   SELECT dur_h, n_deaths,
-         (SELECT n FROM tot)
+         CAST((SELECT n FROM tot)
            - coalesce(sum(n_at) OVER (ORDER BY dur_h
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS n_risk
+             AS BIGINT) AS n_risk
   FROM by_dur
 ),
 km AS (
@@ -7752,11 +7777,12 @@ km AS (
 ),
 prod AS (
   SELECT rn, dur_h, n_risk, n_deaths,
-         CAST(1000000000 AS BIGINT) * (n_risk - n_deaths) // n_risk AS surv_nano
+         CAST(CAST(1000000000 AS BIGINT) * (n_risk - n_deaths) // n_risk
+              AS BIGINT) AS surv_nano
   FROM km WHERE rn = 1
   UNION ALL
   SELECT k.rn, k.dur_h, k.n_risk, k.n_deaths,
-         p.surv_nano * (k.n_risk - k.n_deaths) // k.n_risk
+         CAST(p.surv_nano * (k.n_risk - k.n_deaths) // k.n_risk AS BIGINT)
   FROM prod p JOIN km k ON k.rn = p.rn + 1
 )
 SELECT dur_h, n_risk, n_deaths, surv_nano FROM prod
@@ -10026,6 +10052,62 @@ ORACLES["decontamination"] = f"""
     )
     SELECT doc_id, count(*) AS n_eval_matches FROM hits GROUP BY 1
 """
+ORACLES["decontamination_bloom"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+    ),
+    eval_docs AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    ),
+    eg AS (
+        SELECT DISTINCT g.g FROM grams g
+        JOIN eval_docs e USING (doc_id)
+    ),
+    pos AS (
+        SELECT (CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || g),
+                                        1, 15)) AS BIGINT) % 131072) AS p
+        FROM eg, UNNEST(range(0, 3)) AS u(j)
+    ),
+    words AS (
+        SELECT p // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    train AS (
+        SELECT doc_id, g FROM grams
+        WHERE doc_id NOT IN (SELECT doc_id FROM eval_docs)
+    ),
+    probe AS (
+        SELECT t.doc_id, t.g, h.j,
+               (CAST(('0x' || substring(md5(CAST(h.j AS VARCHAR) || '|'
+                                        || t.g), 1, 15)) AS BIGINT)
+                % 131072) AS p
+        FROM train t, UNNEST(range(0, 3)) AS h(j)
+    ),
+    checked AS (
+        SELECT pr.doc_id, pr.g,
+               bool_and((coalesce(w.bits, 0)
+                         & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INTEGER)))
+                        != 0) AS pass
+        FROM probe pr LEFT JOIN words w ON w.word = pr.p // 32
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN c.pass THEN 1 END) AS BIGINT) AS n_pass,
+           CAST(count(CASE WHEN m.g IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_hits,
+           CAST(count(CASE WHEN c.pass AND m.g IS NULL THEN 1 END) AS BIGINT)
+               AS n_false_pos
+    FROM checked c LEFT JOIN eg m ON m.g = c.g
+    GROUP BY 1
+    HAVING count(CASE WHEN c.pass THEN 1 END) > 0
+"""
 ORACLES["media_resize"] = """
     SELECT doc_id AS media_id,
            CAST(length(text) AS BIGINT) AS orig_bytes,
@@ -10188,7 +10270,8 @@ ORACLES["link_scores"] = f"""
     ),
     wedge AS (
         SELECT a.n AS id_a, b.n AS id_b, count(*) AS common,
-               sum(a.aa_unit) AS aa_micro, sum(a.ra_unit) AS ra_micro
+               CAST(sum(a.aa_unit) AS BIGINT) AS aa_micro,
+               CAST(sum(a.ra_unit) AS BIGINT) AS ra_micro
         FROM nbr a JOIN nbr b ON a.v = b.v AND a.n < b.n
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
@@ -10676,14 +10759,14 @@ fsuf AS (
     WHERE length(suf) >= {min_match}
 ),
 nb AS (
-    SELECT doc_id, pos, suf,
+    SELECT bkt, doc_id, pos, suf,
            lag(suf) OVER w AS pv_suf, lag(doc_id) OVER w AS pv_doc,
            lead(suf) OVER w AS nx_suf, lead(doc_id) OVER w AS nx_doc
     FROM fsuf
     WINDOW w AS (PARTITION BY bkt ORDER BY suf, doc_id, pos)
 ),
 l AS (
-    SELECT doc_id, pos, pv_doc, nx_doc,
+    SELECT bkt, doc_id, pos, suf, pv_suf, nx_suf, pv_doc, nx_doc,
            CASE WHEN pv_suf IS NULL THEN 0
                 ELSE {lcp('suf', 'pv_suf')} END AS lcp_pv,
            CASE WHEN nx_suf IS NULL THEN 0
@@ -10700,6 +10783,48 @@ sc AS (
 
 
 ORACLES["suffix_array_dedup"] = _build_suffix_lcp_sql()
+
+ORACLES["suffix_cross_doc"] = f"""
+WITH {_suffix_span_ctes(30, 64)},
+seg AS (
+    SELECT *,
+           sum(CASE WHEN pv_suf IS NULL OR pv_doc != doc_id
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY bkt ORDER BY suf, doc_id, pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS seg_b,
+           sum(CASE WHEN nx_suf IS NULL OR nx_doc != doc_id
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY bkt
+                     ORDER BY suf DESC, doc_id DESC, pos DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS seg_f
+    FROM l
+),
+cr AS (
+    SELECT doc_id, greatest(lcp_pv, lcp_nx) AS mlcp,
+           CASE WHEN (lcp_pv >= 30 AND pv_doc != doc_id)
+                  OR (lcp_nx >= 30 AND nx_doc != doc_id)
+                THEN 1 ELSE 0 END AS xd,
+           greatest(
+               min(lcp_pv) OVER (PARTITION BY bkt, seg_b
+                   ORDER BY suf, doc_id, pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               min(lcp_nx) OVER (PARTITION BY bkt, seg_f
+                   ORDER BY suf DESC, doc_id DESC, pos DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ) AS cross_lcp
+    FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_starts,
+       CAST(sum(xd) AS BIGINT) AS n_cross_lb,
+       CAST(sum(CASE WHEN cross_lcp >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_exact,
+       CAST(max(CASE WHEN cross_lcp >= 30 THEN cross_lcp ELSE 0 END)
+            AS BIGINT) AS max_cross_lcp
+FROM cr WHERE mlcp >= 30 GROUP BY 1
+"""
 
 ORACLES["dedup_span_cuts"] = f"""
 WITH {_suffix_span_ctes(30, 64)},
@@ -14062,8 +14187,12 @@ def q_cohens_kappa(spark, sf_dir):
     # (verified: DuckDB // and Spark div agree on negatives). Perfect
     # chance agreement (N^2 == pe, a degenerate one-category matrix)
     # is pinned to kappa = 1e6 by convention on both sides. Headroom:
-    # N^2 needs N < 3e9 docs; beyond that the documented knob is the
-    # hash-sampled kappa. Scale shape: one groupBy to |langs|^2 cells;
+    # the kappa numerator 1e6 * (N*agree - pe) is O(1e6 * N^2), so int64
+    # holds only N < ~3e6 docs at full micro resolution (the N^2 term
+    # alone would allow 3e9, but the *1e6 scaling dominates; ANSI mode
+    # throws rather than wraps past it) — beyond that the documented
+    # knob is the hash-sampled kappa. Scale shape: one groupBy to
+    # |langs|^2 cells;
     # everything after is marginal-table-sized.
     pred = T.language_id(load_table(spark, sf_dir, "documents")).select(
         "lang", "pred_lang"
@@ -15975,6 +16104,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "media_resize": q_media_resize,
     "decontamination": q_decontamination,
+    "decontamination_bloom": q_decontamination_bloom,
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_md5": q_dedup_minhash_md5,
@@ -16057,6 +16187,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_burstiness": q_event_burstiness,
     "span_dedup": q_span_dedup,
     "suffix_array_dedup": q_suffix_array_dedup,
+    "suffix_cross_doc": q_suffix_cross_doc,
     "lof_outliers": q_lof_outliers,
     "dbscan_customers": q_dbscan_customers,
     "knn_graph": q_knn_graph,
@@ -19579,8 +19710,8 @@ d1 AS (
 ),
 d2 AS (
   SELECT t, wd, cents,
-         CASE WHEN c7 = 7 THEN (2 * s7 * 1000000 + 7) // 14 END
-           AS trend_micro
+         CAST(CASE WHEN c7 = 7 THEN (2 * s7 * 1000000 + 7) // 14 END
+              AS BIGINT) AS trend_micro
   FROM d1
 ),
 d3 AS (
@@ -19593,7 +19724,8 @@ seas AS (
   FROM d3 WHERE detr IS NOT NULL GROUP BY 1
 )
 SELECT d3.t, CAST(d3.wd AS BIGINT) AS wd, d3.cents, d3.trend_micro,
-       s.seasonal_micro, d3.detr - s.seasonal_micro AS residual_micro
+       s.seasonal_micro,
+       CAST(d3.detr - s.seasonal_micro AS BIGINT) AS residual_micro
 FROM d3 JOIN seas s ON s.wd = d3.wd
 """
 
@@ -19963,8 +20095,8 @@ stats AS (
 ),
 tot AS (
   SELECT feature, bin, pos, neg,
-         sum(pos) OVER (PARTITION BY feature) AS pt,
-         sum(neg) OVER (PARTITION BY feature) AS nt
+         CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt,
+         CAST(sum(neg) OVER (PARTITION BY feature) AS BIGINT) AS nt
   FROM stats
 ),
 scored AS (
@@ -19972,8 +20104,8 @@ scored AS (
          CAST(round(ln(CAST((pos + 1) * (nt + 1) AS DOUBLE)
               / CAST((neg + 1) * (pt + 1) AS DOUBLE))
               * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS woe_micro,
-         (2 * pos * 1000000 + pt) // (2 * pt)
-           - (2 * neg * 1000000 + nt) // (2 * nt) AS gap_ppm
+         CAST((2 * pos * 1000000 + pt) // (2 * pt)
+           - (2 * neg * 1000000 + nt) // (2 * nt) AS BIGINT) AS gap_ppm
   FROM tot
 )
 SELECT feature, bin, pos, neg, woe_micro, gap_ppm,

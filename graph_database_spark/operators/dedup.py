@@ -500,6 +500,91 @@ def cross_contamination(
     )
 
 
+def contamination_bloom(
+    docs: DataFrame,
+    ngram: int = 8,
+    n_hash: int = 3,
+    m_bits: int = 131072,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB shape of benchmark decontamination (VERDICT r11 #7):
+    a Bloom filter of the EVAL set's distinct ``ngram``-grams, broadcast
+    as one driver-side literal and probed map-side by every training
+    gram — the corpus side never shuffles for the membership test
+    (``cross_contamination``'s inverted-index join moves training grams
+    through an exchange; here only the per-doc census aggregation
+    does). The exact-membership join rides along ONLY to hash-gate the
+    filter's full bit pattern via the false-positive census, exactly as
+    ``bloom.bloom_probe_stats`` does — a production pass stops at the
+    projection.
+
+    Sizing is an occupancy decision (the LSH ``auto_bits`` rule):
+    ``m_bits`` = 131072 with ``n_hash`` = 3 gives ~10 bits/key at the
+    shipped sf0.1 eval-gram count (~12.8k distinct grams; measured fp
+    ~1.6% there, ~0 at sf0.01). At a real eval-suite scale the knob is
+    raising ``m_bits`` with the same formula; the words literal stays
+    m_bits/32 longs (4096 here — built as ONE expr string per the
+    array-literal rule).
+
+    Returns ``(doc_id, n_grams, n_pass, n_hits, n_false_pos)`` for
+    every NON-eval doc with at least one Bloom-positive gram.
+    """
+    from graph_database_spark.operators.bloom import _pos_sql, bloom_build
+
+    t = _tokens_df(docs, text_col, id_col)
+    grams = (
+        t.select(
+            "id", F.explode(_shingles_from(F.col("toks"), ngram)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint()  # eval build + train probe both read it
+    )
+    eval_ids = docs.select(F.col(id_col).alias("id")).where(
+        F.md5(F.col(id_col).cast("string")).substr(1, 2) < "0d"
+    )
+    eg = (
+        grams.join(eval_ids, "id", "left_semi").select("g").distinct()
+    ).localCheckpoint()  # filter build + exact-membership verify
+    n_words = m_bits // 32
+    words = {
+        r["word"]: r["bits"] for r in bloom_build(eg, "g", n_hash, m_bits).collect()
+    }
+    arr = ", ".join(f"{words.get(w, 0)}L" for w in range(n_words))
+    train = grams.join(eval_ids, "id", "left_anti")
+    pos_cols = {
+        f"p{j}": F.expr(_pos_sql("g", j, m_bits)) for j in range(n_hash)
+    }
+    # One literal node referenced by all n_hash tests (constant-folded;
+    # never carried through the census shuffle — pruned by the select).
+    pass_expr = " AND ".join(
+        f"(element_at(bf, cast(p{j} div 32 as int) + 1)"
+        f" & shiftleft(1L, cast(p{j} % 32 as int))) != 0L"
+        for j in range(n_hash)
+    )
+    probed = (
+        train.withColumns(pos_cols)
+        .withColumn("bf", F.expr(f"array({arr})"))
+        .withColumn("pass", F.expr(pass_expr))
+        .select("id", "g", "pass")
+        .join(
+            F.broadcast(eg.withColumn("member", F.lit(True))), "g", "left"
+        )
+    )
+    return (
+        probed.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("pass"), 1)).alias("n_pass"),
+            F.count(F.when(F.col("member"), 1)).alias("n_hits"),
+            F.count(
+                F.when(F.col("pass") & F.col("member").isNull(), 1)
+            ).alias("n_false_pos"),
+        )
+        .where(F.col("n_pass") > 0)
+    )
+
+
 def simhash_signatures_md5(
     docs: DataFrame,
     text_col: str = "text",

@@ -42,6 +42,7 @@ from graph_database_spark.functions.textnorm import tokens
 
 __all__ = [
     "suffix_lcp_dedup",
+    "suffix_cross_doc",
     "duplicate_span_cuts",
     "apply_span_cuts",
     "lcp_sql",
@@ -100,6 +101,24 @@ def _span_scores(
     """Shared span frame of the ExactSubstr family: one row per
     token-start suffix with its maximal adjacent-LCP ``mlcp`` and the
     two-neighbor cross-doc flag ``xd`` — ``(doc_id, pos, mlcp, xd)``."""
+    nb = _lcp_frame(docs, min_match, ext_cap)
+    return nb.select(
+        "doc_id",
+        "pos",
+        F.greatest("lcp_pv", "lcp_nx").alias("mlcp"),
+        F.expr(
+            f"CASE WHEN (lcp_pv >= {min_match} AND pv.doc_id != doc_id)"
+            f" OR (lcp_nx >= {min_match} AND nx.doc_id != doc_id)"
+            " THEN 1 ELSE 0 END"
+        ).alias("xd"),
+    )
+
+
+def _lcp_frame(docs: DataFrame, min_match: int, ext_cap: int) -> DataFrame:
+    """Sorted-bucket suffix frame with both adjacent LCPs — ``(bkt,
+    doc_id, pos, suf, pv, nx, lcp_pv, lcp_nx)`` where ``pv``/``nx`` are
+    the sort-neighbor structs. The single bucket-keyed shuffle every
+    ExactSubstr readout rides."""
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens(F.col("text")).alias("toks"),
@@ -130,7 +149,7 @@ def _span_scores(
     nb = suf.withColumn(
         "pv", F.lag(F.struct("suf", "doc_id")).over(w)
     ).withColumn("nx", F.lead(F.struct("suf", "doc_id")).over(w))
-    nb = nb.withColumn(
+    return nb.withColumn(
         "lcp_pv",
         F.expr(
             f"CASE WHEN pv IS NULL THEN 0"
@@ -143,15 +162,106 @@ def _span_scores(
             f" ELSE {lcp_sql('suf', 'nx.suf')} END"
         ),
     )
-    return nb.select(
-        "doc_id",
-        "pos",
-        F.greatest("lcp_pv", "lcp_nx").alias("mlcp"),
-        F.expr(
-            f"CASE WHEN (lcp_pv >= {min_match} AND pv.doc_id != doc_id)"
-            f" OR (lcp_nx >= {min_match} AND nx.doc_id != doc_id)"
-            " THEN 1 ELSE 0 END"
-        ).alias("xd"),
+
+
+def suffix_cross_doc(
+    docs: DataFrame, min_match: int = 30, ext_cap: int = 64
+) -> DataFrame:
+    """EXACT cross-document attribution of duplicated spans (the r11
+    upgrade of ``suffix_lcp_dedup``'s documented two-neighbor lower
+    bound): for each start, the maximal LCP against the nearest
+    OTHER-document suffix in either sort direction — which, by the
+    suffix-array range-minimum property (LCP(i, j) = min of adjacent
+    LCPs between them, non-increasing as j moves away), equals the
+    maximal cross-doc match length over the WHOLE corpus (capped at
+    ``ext_cap``).
+
+    Two segment scans per bucket: a run of consecutive same-doc
+    suffixes forms a segment (the previous row of a segment head is by
+    construction another doc, or absent); the backward cross-doc LCP of
+    row i is then min(lcp_pv) from its segment head through i, and
+    forward symmetrically over reversed order. Each scan is a running
+    min over a (bucket, segment) window — still bucket-local, still one
+    row per token; the two extra hash partitionings are on strictly
+    finer keys of the same frame.
+
+    Returns ``(doc_id, n_dup_starts, n_cross_lb, n_cross_exact,
+    max_cross_lcp)`` per doc with >= 1 duplicated start: the two-
+    neighbor lower bound rides along, so lb <= exact is visible in the
+    output (and pinned by the oracle, which replays both scans).
+    """
+    nb = _lcp_frame(docs, min_match, ext_cap)
+    asc = ["suf", "doc_id", "pos"]
+    desc = [F.desc(c) for c in asc]
+    wb = Window.partitionBy("bkt").orderBy(*asc).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("bkt").orderBy(*desc).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = nb.withColumn(
+        "seg_b",
+        F.sum(
+            F.expr(
+                "CASE WHEN pv IS NULL OR pv.doc_id != doc_id"
+                " THEN 1 ELSE 0 END"
+            )
+        ).over(wb),
+    ).withColumn(
+        "seg_f",
+        F.sum(
+            F.expr(
+                "CASE WHEN nx IS NULL OR nx.doc_id != doc_id"
+                " THEN 1 ELSE 0 END"
+            )
+        ).over(wf),
+    )
+    wsb = Window.partitionBy("bkt", "seg_b").orderBy(*asc).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wsf = Window.partitionBy("bkt", "seg_f").orderBy(*desc).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # Segment-head rows carry lcp vs the previous segment's last row —
+    # an OTHER-doc suffix — so the running min through row i is exactly
+    # LCP(i, nearest previous other-doc suffix); 0 at bucket edges
+    # (pv/nx NULL) reads as "no cross match", correct at any
+    # min_match >= 1.
+    scored = (
+        seg.withColumn("cb", F.min("lcp_pv").over(wsb))
+        .withColumn("cf", F.min("lcp_nx").over(wsf))
+        .select(
+            "doc_id",
+            F.greatest("lcp_pv", "lcp_nx").alias("mlcp"),
+            F.expr(
+                f"CASE WHEN (lcp_pv >= {min_match} AND pv.doc_id != doc_id)"
+                f" OR (lcp_nx >= {min_match} AND nx.doc_id != doc_id)"
+                " THEN 1 ELSE 0 END"
+            ).alias("xd"),
+            F.greatest("cb", "cf").alias("cross_lcp"),
+        )
+    )
+    return (
+        scored.where(F.col("mlcp") >= min_match)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_starts"),
+            F.sum("xd").alias("n_cross_lb"),
+            F.sum(
+                (F.col("cross_lcp") >= min_match).cast("long")
+            ).alias("n_cross_exact"),
+            # Below min_match a bucket-local cross_lcp is only a lower
+            # bound (an out-of-bucket pair may share up to min_match - 1
+            # chars), so the reported max clamps sub-threshold values to
+            # 0 — every nonzero output is globally exact.
+            F.max(
+                F.when(
+                    F.col("cross_lcp") >= min_match, F.col("cross_lcp")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("max_cross_lcp"),
+        )
     )
 
 

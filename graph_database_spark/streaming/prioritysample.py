@@ -101,7 +101,16 @@ def merge_batch_into_ps(
         .collect()
     )
     for r in batch_top:
-        state[r["item"]] = (int(r["w"]), int(r["q"]))
+        # Merge mirrors the batch groupBy(item).agg(max(w), max(q))
+        # semantics: q is a function of (item, w), so an item whose
+        # weight varies across batches must keep its max-q entry, not
+        # the latest batch's (ADVICE r11) — overwriting would break the
+        # bit-identical-to-batch-over-the-union guarantee.
+        w, q = int(r["w"]), int(r["q"])
+        if r["item"] in state:
+            pw, pq_ = state[r["item"]]
+            w, q = max(w, pw), max(q, pq_)
+        state[r["item"]] = (w, q)
     merged = sorted(
         ((item, w, q) for item, (w, q) in state.items()),
         key=lambda t: (-t[2], t[0]),

@@ -40,6 +40,67 @@ from graph_database_spark.sources.parquet import TABLES
 import __spark_entry__ as entry_mod
 
 
+# DuckDB result types an oracle may NOT emit: the driver fetches through
+# pandas/Arrow, where HUGEINT renders 39 -> 39.0 (float64) / decimal128
+# while the local fetchall path renders 39 -> int 39. sum(BIGINT) returns
+# HUGEINT, so any uncast aggregate/window-sum output column silently
+# diverges at the driver only (the r9-r11 km_survival saga). Substring
+# match also catches nested list element types (e.g. HUGEINT[]).
+_BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+              "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def banned_type_cols(con, sql) -> list:
+    """Plan-only (bind, no execution) scan of an oracle's output column
+    types; returns [(col, type), ...] for banned types."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(b in str(t) for b in _BANNED_TYPES)
+    ]
+
+
+def df_rows(res):
+    """Fetch a DuckDB result through the driver's pandas path and
+    normalize back to python-native rows, using the declared column
+    types to undo ONLY the lossless pandas conversions (NaN padding of
+    nullable ints, datetime64 for DATE, numpy scalars/arrays). A
+    HUGEINT/DECIMAL rendering divergence is deliberately NOT undone --
+    but those are rejected by the type guard before we get here."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    decls = [str(t) for t in res.types]
+    df = res.fetchdf()
+
+    def conv(v, decl):
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        if isinstance(v, __import__("datetime").datetime) and decl == "DATE":
+            v = v.date()
+        if isinstance(v, float) and decl in _INT_TYPES and v.is_integer():
+            v = int(v)
+        return v
+
+    return [
+        tuple(conv(v, d) for v, d in zip(row, decls))
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def value_hash(rows, colnames) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     canon = sorted(
@@ -98,19 +159,35 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
             n_rows_only += 1
             continue
         try:
+            bad = banned_type_cols(con, oracles[name])
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # Driver-fetch-path parity (VERDICT r11 #3): re-fetch through
+            # pandas and hash again; a fetchall/fetchdf divergence is a
+            # rendering bug the driver WILL see even when fetchall agrees
+            # with Spark.
+            drows = df_rows(con.sql(oracles[name]))
         except Exception:
             print(f"FAIL  {name}{tag}: duckdb oracle raised")
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
             continue
+        if bad:
+            print(
+                f"FAIL  {name}{tag}: banned oracle output type(s) "
+                + ", ".join(f"{c}:{t}" for c, t in bad)
+                + " (driver pandas fetch renders these differently)"
+            )
+            n_fail += 1
+            failures.append(name)
+            continue
         ok_rows = len(rows) == len(orows)
         ok_width = len(cols) == len(ocols)
         hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
-        ok_hash = hs == ho
+        hd = value_hash(drows, ocols)
+        ok_hash = hs == ho == hd
         if ok_rows and ok_width and ok_hash:
             print(f"PASS  {name}{tag}: {len(rows)} rows in {elapsed:.1f}s")
             n_pass += 1
@@ -118,6 +195,7 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
             print(
                 f"FAIL  {name}{tag}: rows {len(rows)}/{len(orows)}"
                 f" width {len(cols)}/{len(ocols)} hash {hs}/{ho}"
+                + (f" dfhash {hd}" if hd != ho else "")
             )
             n_fail += 1
             failures.append(name)

@@ -51,8 +51,13 @@ def build_replica(from_dir: str, dest: str, mode: str = "ns") -> str:
     for name in os.listdir(from_dir):
         if name.endswith(".parquet") and name != "events.parquet":
             link = os.path.join(dest, name)
-            if not os.path.exists(link):
-                os.symlink(os.path.join(from_dir, name), link)
+            # Recreate unconditionally (ADVICE r11): a stale symlink
+            # left from a previous sweep over a since-regenerated source
+            # dir with the same basename would silently gate against
+            # mixed-vintage data.
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(os.path.join(from_dir, name), link)
 
     t = pq.read_table(os.path.join(from_dir, "events.parquet"))
     ts_ns = pc.cast(t["ts"], pa.timestamp("ns"))

@@ -56,3 +56,41 @@ def test_all_oracle_sql_binds_in_duckdb():
         except Exception as exc:  # noqa: BLE001 — collect all failures
             bad[name] = str(exc).splitlines()[0]
     assert not bad, f"oracle SQL failed to bind: {bad}"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_no_oracle_emits_driver_hostile_types():
+    """No oracle output column may be HUGEINT/UHUGEINT/DECIMAL.
+
+    DuckDB widens sum(BIGINT) -> HUGEINT (including window sums), and the
+    driver's pandas/Arrow fetch renders HUGEINT 39 as 39.0/decimal128
+    while the local fetchall path renders int 39 — rows match, width
+    matches, value-hash diverges at the driver only (the r9-r11
+    km_survival saga; root-caused in VERDICT r11). Plan-only: binds each
+    oracle and inspects declared output types, no execution.
+    """
+    con = duckdb.connect()
+    from graph_database_spark.sources.parquet import TABLES
+
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    bad = {}
+    for name, sql in catalog.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            hits = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if any(b in str(t) for b in banned)
+            ]
+        except Exception as exc:  # noqa: BLE001 — bind failures -> other test
+            hits = []
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "oracle output columns the driver's pandas fetch mis-renders "
+        f"(CAST them to BIGINT/DOUBLE): {bad}"
+    )

@@ -78,3 +78,31 @@ def test_replay_and_stale_batches_are_noops(spark, tmp_path):
         orders.where(F.col("b") == 0), 0, path, "item", "w", k=K
     )
     assert read_priority_sample(spark, path, k=K) == once
+
+
+def test_item_reappearing_with_different_weight_keeps_max_q(spark, tmp_path):
+    """ADVICE r11: q is a function of (item, w), not item alone. An item
+    arriving again in a later batch with a LOWER weight must not
+    overwrite its persisted (w, q) — the merge mirrors the batch
+    groupBy(item).agg(max(w), max(q)) over the union of batches."""
+    orders = _orders(spark).localCheckpoint()
+    halved = orders.select("item", F.expr("w div 2").alias("w"))
+    path = str(tmp_path / "ps_reweigh")
+    merge_batch_into_ps(orders, 0, path, "item", "w", k=K)
+    merge_batch_into_ps(halved, 1, path, "item", "w", k=K)
+
+    scored = (
+        orders.unionAll(halved)
+        .select("item", "w", priority_score("item", "w").alias("q"))
+        .groupBy("item")
+        .agg(F.max("w").alias("w"), F.max("q").alias("q"))
+    )
+    top = scored.orderBy(F.desc("q"), F.asc("item")).limit(K + 1).collect()
+    tau_ref = int(top[K]["q"]) if len(top) > K else 0
+    ref = [
+        (r["item"], int(r["w"]), int(r["q"]), max(int(r["w"]), tau_ref))
+        for r in top[:K]
+    ]
+    rows, tau = read_priority_sample(spark, path, k=K)
+    assert tau == tau_ref
+    assert rows == ref

@@ -79,3 +79,32 @@ def test_max_lcp_capped_at_ext_cap(spark):
         ext_cap=64,
     )
     assert got[1][1] == 64 and got[2][1] == 64
+
+
+def test_cross_doc_exact_beats_two_neighbor_lower_bound(spark):
+    # The sandwiched case (ADVICE r10 / VERDICT r11 #6): doc 9 repeats
+    # SHARED three times, doc 10 once. The identical 64-char suffixes
+    # cluster in sort order with doc 9's copies adjacent to each other
+    # (ties break by doc_id, pos), so a middle doc-9 start has BOTH
+    # sort-neighbors same-doc — invisible to the two-neighbor lower
+    # bound — while its exact nearest-other-doc scan reaches doc 10's
+    # identical suffix (cross LCP = 64).
+    from graph_database_spark.operators.suffixarray import suffix_cross_doc
+
+    df = spark.createDataFrame(
+        [
+            (9, f"{SHARED} {UNIQUE_A} {SHARED} {UNIQUE_B} {SHARED}"),
+            (10, f"{SHARED} {UNIQUE_B}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in suffix_cross_doc(df, min_match=30, ext_cap=64).collect()
+    }
+    assert set(got) == {9, 10}
+    for d in got.values():  # exact dominates the lower bound everywhere
+        assert d["n_cross_exact"] >= d["n_cross_lb"]
+    assert got[9]["n_cross_exact"] > got[9]["n_cross_lb"]
+    assert got[9]["max_cross_lcp"] >= 60
+    assert got[10]["n_cross_exact"] >= 1
