@@ -80,6 +80,20 @@ _KM_BISECTION = [
     "km_survival",
 ]
 
+# r12 (VERDICT r11 next-#1/#5): the bisection landed — the red rows were
+# DuckDB HUGEINT output columns rendering 39 -> 39.0 through the
+# driver's pandas fetch (never engine logic, never a ts vintage). All
+# five affected oracles are now CAST ... AS BIGINT; pin them into the
+# r12 head-50 so the driver confirms the two red names go green AND the
+# two latent ones (seasonal_decompose, woe_iv — HUGEINT present but
+# never yet driver-gated) never show red at all. Unpin in r13 once the
+# r12 gate shows all five green.
+_HUGEINT_REGATE = [
+    "link_scores",
+    "seasonal_decompose",
+    "woe_iv",
+]
+
 
 def _last_verified_rounds() -> dict[str, int]:
     """Per-query round of most recent external hash-pass (rows-only
@@ -119,7 +133,7 @@ def _ordered_names() -> list[str]:
     order = {n: i for i, n in enumerate(catalog.QUERIES)}
     reserved = [
         n
-        for n in (*_REFERENCE_SURFACE, *_KM_BISECTION)
+        for n in (*_REFERENCE_SURFACE, *_KM_BISECTION, *_HUGEINT_REGATE)
         if n in catalog.QUERIES
     ]
     rows_only = [

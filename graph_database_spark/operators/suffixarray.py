@@ -182,8 +182,10 @@ def suffix_cross_doc(
     row i is then min(lcp_pv) from its segment head through i, and
     forward symmetrically over reversed order. Each scan is a running
     min over a (bucket, segment) window — still bucket-local, still one
-    row per token; the two extra hash partitionings are on strictly
-    finer keys of the same frame.
+    row per token, and still ONE hash shuffle: hash(bkt) already
+    satisfies the finer (bkt, seg) clustered-distribution requirement,
+    so the scans add per-partition sorts, not exchanges (verified: 2
+    Exchanges total incl. the final per-doc groupBy).
 
     Returns ``(doc_id, n_dup_starts, n_cross_lb, n_cross_exact,
     max_cross_lcp)`` per doc with >= 1 duplicated start: the two-
