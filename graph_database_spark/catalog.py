@@ -154,6 +154,35 @@ def q_clustering_coefficient(spark, sf_dir):
     return G.clustering_coefficient(_edges(spark, sf_dir))
 
 
+def q_edge_embeddedness(spark, sf_dir):
+    # Edge-resolution tie strength (r12): common-neighbor count +
+    # endpoint-excluded neighborhood Jaccard (exact ppm) per canonical
+    # co-purchase edge — common = 0 marks local bridges. Same
+    # hub-salted wedge plan as triangle_edges, grouped by the wedge
+    # endpoints instead of the corner.
+    return G.edge_embeddedness(_edges(spark, sf_dir))
+
+
+def q_local_bridges(spark, sf_dir):
+    # Bridge census over the embeddedness frame (r12): how much of the
+    # graph's connectivity hangs on triangle-free ties — one row,
+    # integer ppm.
+    emb = G.edge_embeddedness(_edges(spark, sf_dir))
+    return emb.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum((F.col("common") == 0).cast("long"))
+        .cast("long")
+        .alias("n_local_bridges"),
+        F.expr(
+            "(sum(CASE WHEN common = 0 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("bridge_ppm"),
+        F.max("common").cast("long").alias("max_embeddedness"),
+    )
+
+
 def q_feature_decode(spark, sf_dir):
     # Last-bit-wins analog (src/main.js:185-197, M5): per order, the
     # attributes of the highest-positioned lineitem win. The ordering key
@@ -4503,6 +4532,36 @@ def q_closeness_sampled(spark, sf_dir):
 
 def q_doc_repetition(spark, sf_dir):
     return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    # Exact proportional stratified sampling (r12): 20% of EVERY
+    # source, floor allocation, rows picked in deterministic
+    # (md5(doc_id), doc_id) order — the mixture-rebuild primitive next
+    # to stratified_cap (fixed cap) and hash_sample (binomial rate).
+    # Output pins the exact sampled id set.
+    from graph_database_spark.operators.sampling import proportional_sample
+
+    return proportional_sample(
+        load_table(spark, sf_dir, "documents"), ["source"], num=1, den=5
+    ).select("doc_id", "source")
+
+
+def q_char_entropy(spark, sf_dir):
+    # Character-bigram Shannon entropy per doc in micro-nats (r12) —
+    # the gibberish/templating band filter. Per-distinct-count ln terms
+    # micro-snapped before the integer weighted sum (CLAUDE.md rule),
+    # one truncating division at the end.
+    return T.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_gopher_repetition(spark, sf_dir):
+    # The full Gopher repetition-filter suite (r12): top-{2,3,4}-gram
+    # and duplicated-{5..8}-gram character fractions per doc, exact
+    # integer ppm — the templating signals doc_repetition's distinct
+    # ratio can't see. One explode of 7 tagged shingle arrays, one
+    # (doc, n, gram) count, window-max + pivot (2 shuffles).
+    return T.gopher_repetition(load_table(spark, sf_dir, "documents"))
 
 
 _STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -10234,6 +10293,46 @@ ORACLES["copurchase_strength"] = f"""
            CAST(sum(weight) AS BIGINT) AS strength
     FROM wsym GROUP BY 1
 """
+_EMBEDDEDNESS_SQL = """
+deg AS (SELECT v AS id, count(*) AS degree FROM sym GROUP BY 1),
+w AS (
+    SELECT a.n AS n1, b.n AS n2, count(*) AS cw
+    FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+    GROUP BY 1, 2
+),
+emb AS (
+    SELECT e.src, e.dst,
+           CAST(coalesce(w.cw, 0) AS BIGINT) AS common,
+           da.degree AS da, db.degree AS db
+    FROM edges e
+    LEFT JOIN w ON w.n1 = e.src AND w.n2 = e.dst
+    JOIN deg da ON da.id = e.src
+    JOIN deg db ON db.id = e.dst
+)"""
+
+ORACLES["edge_embeddedness"] = f"""
+    WITH {GRAPH_CTES},
+    {_EMBEDDEDNESS_SQL}
+    SELECT src, dst, common,
+           CAST(CASE WHEN da + db - 2 - common > 0
+                THEN (common * 1000000) // (da + db - 2 - common)
+                ELSE 0 END AS BIGINT) AS jaccard_ppm
+    FROM emb
+"""
+
+ORACLES["local_bridges"] = f"""
+    WITH {GRAPH_CTES},
+    {_EMBEDDEDNESS_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN common = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_local_bridges,
+           CAST((CAST(sum(CASE WHEN common = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) * 1000000) // count(*) AS BIGINT)
+               AS bridge_ppm,
+           CAST(max(common) AS BIGINT) AS max_embeddedness
+    FROM emb
+"""
+
 ORACLES["link_prediction"] = f"""
     WITH {GRAPH_CTES},
     wedge_pairs AS (
@@ -10396,6 +10495,91 @@ ORACLES["doc_repetition"] = """
            CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
            1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
     FROM toks WHERE len(t) > 0
+"""
+ORACLES["stratified_sample"] = """
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn * 5 <= n * 1
+"""
+
+ORACLES["char_entropy"] = f"""
+WITH norm AS (
+    SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS norm
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, substring(norm, CAST(i AS INT), 2) AS b
+    FROM norm, UNNEST(range(1, length(norm))) AS u(i)
+    WHERE length(norm) >= 2
+),
+c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+            - CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0)
+                                AS BIGINT)) AS BIGINT) // sum(c)
+            AS BIGINT) AS h_micro
+FROM c GROUP BY 1
+"""
+
+ORACLES["gopher_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+base AS (
+    SELECT doc_id, t, length(array_to_string(t, ' ')) AS tc
+    FROM toks WHERE len(t) > 0
+),
+g AS (
+    SELECT doc_id, tc, nn.n AS n,
+           array_to_string(t[i:i + nn.n - 1], ' ') AS g
+    FROM base, UNNEST([2, 3, 4, 5, 6, 7, 8]) AS nn(n),
+         UNNEST(range(1, len(t) - nn.n + 2)) AS u(i)
+    WHERE len(t) >= nn.n
+),
+c AS (
+    SELECT doc_id, n, g, max(tc) AS tc, count(*) AS cnt
+    FROM g GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT *, CAST(length(g) AS BIGINT) AS charlen,
+           max(cnt) OVER (PARTITION BY doc_id, n) AS mx
+    FROM c
+),
+s AS (
+    SELECT doc_id, n, max(tc) AS tc,
+           CAST(max(CASE WHEN cnt = mx THEN cnt * charlen END) AS BIGINT)
+               AS top_chars,
+           CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * charlen END), 0)
+                AS BIGINT) AS dup_chars
+    FROM m GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(coalesce(max(CASE WHEN n = 2
+                THEN (top_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS top2_ppm,
+       CAST(coalesce(max(CASE WHEN n = 3
+                THEN (top_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS top3_ppm,
+       CAST(coalesce(max(CASE WHEN n = 4
+                THEN (top_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS top4_ppm,
+       CAST(coalesce(max(CASE WHEN n = 5
+                THEN (dup_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS dup5_ppm,
+       CAST(coalesce(max(CASE WHEN n = 6
+                THEN (dup_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS dup6_ppm,
+       CAST(coalesce(max(CASE WHEN n = 7
+                THEN (dup_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS dup7_ppm,
+       CAST(coalesce(max(CASE WHEN n = 8
+                THEN (dup_chars * 1000000) // tc END), 0) AS BIGINT)
+           AS dup8_ppm
+FROM s GROUP BY 1
 """
 ORACLES["common_ngrams"] = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -15982,6 +16166,8 @@ QUERIES: dict[str, QueryFn] = {
     "degree": q_degree,
     "triangle_edges": q_triangle_edges,
     "clustering_coefficient": q_clustering_coefficient,
+    "edge_embeddedness": q_edge_embeddedness,
+    "local_bridges": q_local_bridges,
     "feature_decode": q_feature_decode,
     "circles_membership": q_circles_membership,
     "betweenness": q_betweenness,
@@ -16082,6 +16268,9 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count": q_triangle_count,
     "copurchase_components": q_copurchase_components,
     "doc_repetition": q_doc_repetition,
+    "gopher_repetition": q_gopher_repetition,
+    "stratified_sample": q_stratified_sample,
+    "char_entropy": q_char_entropy,
     "common_ngrams": q_common_ngrams,
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
     "weighted_jaccard": q_weighted_jaccard,

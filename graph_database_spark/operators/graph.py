@@ -317,6 +317,64 @@ def link_prediction(edges: DataFrame, min_common: int = 2, top_k: int = 100) -> 
     return scored.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(top_k)
 
 
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Per-EDGE structural embeddedness: ``(src, dst, common,
+    jaccard_ppm)`` — the number of common neighbors of the edge's
+    endpoints and the neighborhood-overlap Jaccard (endpoints excluded:
+    union = deg_a + deg_b - 2 - common, since each endpoint is in the
+    other's neighborhood), in exact integer ppm. The tie-strength
+    signal of Granovetter-style analyses: common = 0 marks a LOCAL
+    BRIDGE (the edge sits in no triangle — removing it lengthens every
+    path between its endpoints), high jaccard marks redundant intra-
+    community ties. Per-vertex triangle counts can't disambiguate which
+    EDGE carries the bridging role; this is the edge-resolution twin of
+    ``triangle_edges`` on the same hub-salted wedge plan.
+
+    Isolated-pair guard: a two-vertex component has union = 0; its
+    jaccard is pinned 0.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    sym = symmetrize(edges).localCheckpoint()
+    deg = degree(edges).localCheckpoint()
+    blocks = _grid_blocks_for(deg.agg(F.max("degree")).first()[0])
+    pairs = (
+        _wedge_pairs(sym, blocks)
+        .groupBy("n1", "n2")
+        .agg(F.count("*").alias("cw"))
+    )
+    emb = edges.join(
+        pairs,
+        (F.col("src") == F.col("n1")) & (F.col("dst") == F.col("n2")),
+        "left",
+    ).select(
+        "src", "dst", F.coalesce(F.col("cw"), F.lit(0)).alias("common")
+    )
+    return (
+        emb.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("da")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("db")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("common").cast("long").alias("common"),
+            F.when(
+                F.col("da") + F.col("db") - 2 - F.col("common") > 0,
+                F.expr(
+                    "(common * 1000000) div (da + db - 2 - common)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count: ``(n_triangles)`` — one row.
 

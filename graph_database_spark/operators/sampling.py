@@ -78,6 +78,34 @@ def stratified_cap(
     )
 
 
+def proportional_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    num: int = 1,
+    den: int = 5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact proportional stratified sampling: keep the first
+    ``count_s * num div den`` rows of each stratum in deterministic
+    (md5(key), key) order — every stratum is represented at EXACTLY the
+    target rate (floor), unlike a per-row hash threshold whose realized
+    per-stratum rate is binomial (``hash_sample``) or a fixed cap that
+    distorts the mix (``stratified_cap``). The shape a training-mixture
+    rebuild wants when the spec says "20% of every source".
+
+    One window shuffle keyed by the group columns; rank and stratum
+    size come from the same window pass.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(_hash_hex(key), F.col(key))
+    wc = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .where(F.col("_rn") * den <= F.col("_n") * num)
+        .drop("_rn", "_n")
+    )
+
+
 def token_chunks(
     docs: DataFrame,
     budget: int,

@@ -14,6 +14,7 @@ from graph_database_spark.functions.textnorm import (
     TOKEN_PATTERN,
     normalize_text,
     text_fingerprint,
+    tokens,
 )
 
 # Tiny per-language stopword marker lists for the n-gram/stopword language
@@ -370,6 +371,134 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         # Single IEEE divide of exact ints, then one subtract: engine-
         # portable bit-for-bit (catalog convention, no rounding needed).
         (F.lit(1.0) - n_distinct.cast("double") / n_tok).alias("repetition"),
+    )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-bigram Shannon entropy in micro-nats —
+    the classic gibberish/boilerplate detector (natural text sits in a
+    narrow entropy band; keyboard mash scores high, repeated templating
+    low). Computed over the single-space-normalized text.
+
+    Exactness: H = ln(N) - (1/N) * sum_c c*ln(c) over bigram counts c.
+    Each libm term is micro-snapped BEFORE the weighted sum (the
+    CLAUDE.md integer micro-unit rule): h_micro = round(ln(N)*1e6) -
+    (sum_c c * round(ln(c)*1e6)) div N — one integer truncating
+    division, partition-order-independent. Narrow map + one (doc,
+    bigram) count + one per-doc fold.
+
+    Returns ``(doc_id, n_bigrams, h_micro)`` for docs with >= 1 bigram.
+    """
+    from graph_database_spark.operators.spread import spread
+
+    d = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.array_join(tokens(F.col("text")), " ").alias("norm"),
+        )
+        .where(F.length("norm") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(norm) - 1),"
+                " i -> substring(norm, i, 2))"
+            )
+        ).alias("b"),
+    )
+    c = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        (
+            F.expr(
+                "CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0, 0)"
+                " AS BIGINT)"
+            )
+            - F.expr(
+                "sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0)"
+                " AS BIGINT)) div sum(c)"
+            )
+        ).cast("long").alias("h_micro"),
+    )
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """The full Gopher repetition-filter suite (Rae et al. 2021, Table
+    A1), per document in exact integer ppm: fraction of characters in
+    the most frequent {2,3,4}-gram (``top{n}_ppm``) and fraction of
+    characters in duplicated {5,6,7,8}-grams (``dup{n}_ppm``) —
+    the within-document templating signals ``repetition_stats``' plain
+    distinct-ratio cannot see (a doc cycling "a b c a b c ..." has high
+    2-gram repetition at modest token repetition).
+
+    Character accounting: gram chars = occurrences x length(gram) over
+    the single-space-normalized text (overlapping occurrences each
+    count, as in the published filter, so ppm can exceed 1e6 on
+    degenerate docs — deterministic either way). Top-gram ties break by
+    larger char length (max over argmax-count grams) identically in
+    both engines. All integer until one trailing div by total_chars.
+
+    Plan: ONE explode of the 7 tagged shingle arrays, one (doc, n,
+    gram) count, per-(doc, n) window max + fold, pivot by n — two
+    shuffles total (count, per-doc pivot), rows linear in tokens x 7.
+    """
+    from graph_database_spark.operators.spread import spread
+
+    d = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") > 0)
+        .withColumn("tc", F.length(F.array_join("t", " ")))
+    )
+    shingle_structs = ", ".join(
+        f"transform("
+        f" CASE WHEN size(t) >= {n}"
+        f"  THEN transform(sequence(1, size(t) - {n - 1}),"
+        f"       i -> concat_ws(' ', slice(t, i, {n})))"
+        f"  ELSE CAST(array() AS array<string>) END,"
+        f" g -> struct(CAST({n} AS INT) AS n, g AS g))"
+        for n in range(2, 9)
+    )
+    longs = d.select(
+        "doc_id",
+        "tc",
+        F.explode(F.expr(f"flatten(array({shingle_structs}))")).alias("x"),
+    ).select("doc_id", "tc", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    c = longs.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("cnt"), F.max("tc").alias("tc")
+    )
+    w = Window.partitionBy("doc_id", "n")
+    m = c.withColumn("charlen", F.length("g").cast("long")).withColumn(
+        "mx", F.max("cnt").over(w)
+    )
+    s = m.groupBy("doc_id", "n").agg(
+        F.max("tc").alias("tc"),
+        F.max(
+            F.when(F.col("cnt") == F.col("mx"), F.col("cnt") * F.col("charlen"))
+        ).alias("top_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("charlen"))
+            ),
+            F.lit(0),
+        ).alias("dup_chars"),
+    )
+    def ppm(src: str, n: int) -> F.Column:
+        return F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.expr(f"({src} * 1000000) div tc"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    return s.groupBy("doc_id").agg(
+        *[ppm("top_chars", n).alias(f"top{n}_ppm") for n in (2, 3, 4)],
+        *[ppm("dup_chars", n).alias(f"dup{n}_ppm") for n in (5, 6, 7, 8)],
     )
 
 
