@@ -1755,6 +1755,77 @@ def q_logistic_calibration(spark, sf_dir):
     )
 
 
+def q_regression_discontinuity(spark, sf_dir):
+    # Sharp regression discontinuity (r12): local linear fit on each
+    # side of a 150k-dollar order-value cutoff within a +-50k band,
+    # outcome = lineitems per order; tau = intercept gap at the cutoff
+    # — the causal-inference leg next to diff_in_diff (time) and
+    # synthetic_control (units), completing the design trio.
+    # Determinism: the running variable is TENS of dollars via
+    # non-negative `d div 10 - 15000` (Spark div truncates toward zero,
+    # DuckDB // floors — they agree only on non-negative operands, so
+    # the shift happens AFTER the division; CLAUDE.md rule). All five
+    # sufficient stats per side are exact BIGINTs; slope/intercept/tau
+    # are identical-operand IEEE chains (ols_price_model's pattern).
+    # Headroom: |x| <= 5000, so n * sxx <= n^2 * 2.5e7 needs n < 1.9e7
+    # band orders — fine past sf1; beyond that, hundreds units.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(round(o_totalprice) AS BIGINT) div 10 - 15000"
+        ).alias("xt"),
+    )
+    y = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("y"))
+    )
+    j = o.join(y, o.o_orderkey == y.l_orderkey).where(
+        F.abs(F.col("xt")) <= 5000
+    )
+    right = F.col("xt") >= 0
+
+    def side_aggs(cond, tag):
+        return [
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("xt")).otherwise(0)).alias(f"sx_{tag}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).alias(f"sy_{tag}"),
+            F.sum(
+                F.when(cond, F.col("xt") * F.col("xt")).otherwise(0)
+            ).alias(f"sxx_{tag}"),
+            F.sum(
+                F.when(cond, F.col("xt") * F.col("y")).otherwise(0)
+            ).alias(f"sxy_{tag}"),
+        ]
+
+    g = j.agg(*side_aggs(~right, "l"), *side_aggs(right, "r"))
+
+    def fit(tag):
+        b = (
+            f"CAST(n_{tag} * sxy_{tag} - sx_{tag} * sy_{tag} AS DOUBLE)"
+            f" / CAST(n_{tag} * sxx_{tag} - sx_{tag} * sx_{tag} AS DOUBLE)"
+        )
+        a = (
+            f"(CAST(sy_{tag} AS DOUBLE) - {b} * CAST(sx_{tag} AS DOUBLE))"
+            f" / CAST(n_{tag} AS DOUBLE)"
+        )
+        return b, a
+
+    bl, al = fit("l")
+    br, ar = fit("r")
+    return g.select(
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.expr(bl).alias("slope_left"),
+        F.expr(br).alias("slope_right"),
+        F.expr(al).alias("icept_left"),
+        F.expr(ar).alias("icept_right"),
+    ).select(
+        "*",
+        (F.col("icept_right") - F.col("icept_left")).alias("tau"),
+    )
+
+
 def q_ols_price_model(spark, sf_dir):
     # Per-brand ordinary least squares (r9): price-vs-quantity fit from
     # the five INTEGER sufficient statistics (n, Sx, Sy, Sxx, Sxy in
@@ -3796,6 +3867,30 @@ def q_decontamination(spark, sf_dir):
     return D.cross_contamination(load_table(spark, sf_dir, "documents"))
 
 
+def q_merkle_ranges(spark, sf_dir):
+    # Anti-entropy range reconciliation (r12): orders vs a
+    # deterministically drifted replica (+1 cent where md5(key) prefix
+    # < '01', ~0.4% of rows). Two leaf-fingerprint groupBys + a
+    # broadcast-scale reconciliation join localize every divergence;
+    # the leaf readout honors the tree-probe drill (parent must differ).
+    from graph_database_spark.operators.merkle import merkle_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    drift = o.select(
+        "o_orderkey",
+        F.expr(
+            "cents + CASE WHEN substring(md5(CAST(o_orderkey AS STRING)),"
+            " 1, 2) < '01' THEN 1 ELSE 0 END"
+        ).alias("cents"),
+    )
+    return merkle_diff(
+        o, drift, "o_orderkey", "cast(cents as string)", 1024, 16
+    )
+
+
 def q_decontamination_bloom(spark, sf_dir):
     # The scale shape of decontamination (r12): broadcast Bloom of eval
     # 8-grams probed map-side — the training side never shuffles for
@@ -4056,6 +4151,18 @@ def q_heaps_fit(spark, sf_dir):
             6,
         ).alias("beta"),
     )
+
+
+def q_onion_layers(spark, sf_dir):
+    # Onion decomposition (r12): peel-round layer + in-force core
+    # threshold per vertex — separates a shell's fringe from its center
+    # (invisible to coreness). Driver loop peels synchronously (k_r =
+    # max(k, min deg), so every round retires at least the argmin);
+    # the oracle replays it as ONE recursive CTE carrying edge + vertex
+    # + emitted rows (operators/kcore.onion_layers).
+    from graph_database_spark.operators.kcore import onion_layers
+
+    return onion_layers(_edges(spark, sf_dir))
 
 
 def q_coreness(spark, sf_dir):
@@ -9163,6 +9270,49 @@ def _build_coreness_sql(rounds: int = 16) -> str:
 
 
 ORACLES["coreness"] = _build_coreness_sql()
+
+ORACLES["onion_layers"] = f"""
+WITH RECURSIVE {GRAPH_CTES},
+-- Onion decomposition: the recursive state carries BOTH the surviving
+-- edge rows (kind 'e') and the alive vertex rows (kind 'v' — so
+-- isolated vertices keep degree 0 instead of vanishing with their last
+-- edge), plus the peel threshold k on every row. Peeled vertices are
+-- emitted as kind 'o' rows that never recurse (the CLAUDE.md
+-- carry-the-edge-list pattern, extended with vertex rows + emission).
+st(r, kind, v, n, k, layer, core) AS (
+    SELECT * FROM (
+        SELECT 0 AS r, 'e' AS kind, v, n, CAST(0 AS BIGINT) AS k,
+               CAST(NULL AS BIGINT) AS layer, CAST(NULL AS BIGINT) AS core
+        FROM sym
+        UNION ALL
+        SELECT 0, 'v', v, NULL, CAST(0 AS BIGINT), NULL, NULL
+        FROM (SELECT DISTINCT v FROM sym)
+    )
+    UNION ALL
+    SELECT r + 1,
+           CASE WHEN kind = 'v' AND dv_v <= k2 THEN 'o' ELSE kind END,
+           v, n, k2,
+           CASE WHEN kind = 'v' AND dv_v <= k2
+                THEN CAST(r + 1 AS BIGINT) END,
+           CASE WHEN kind = 'v' AND dv_v <= k2 THEN k2 END
+    FROM (
+        SELECT *, greatest(k, min(CASE WHEN kind = 'v' THEN dv_v END)
+                              OVER ()) AS k2
+        FROM (
+            SELECT r, kind, v, n, k,
+                   sum(CASE WHEN kind = 'e' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY v) AS dv_v,
+                   sum(CASE WHEN kind = 'e' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY n) AS dv_n
+            FROM st WHERE kind != 'o' AND r < 64
+        ) t1
+    ) t2
+    WHERE kind = 'v'
+       OR (kind = 'e' AND dv_v > k2 AND dv_n > k2)
+)
+SELECT v AS id, CAST(layer AS BIGINT) AS layer, CAST(core AS BIGINT) AS core
+FROM st WHERE kind = 'o'
+"""
 ORACLES["hits_scores"] = _build_hits_sql()
 ORACLES["betweenness"] = _build_betweenness_sql()
 ORACLES["edge_betweenness"] = _build_edge_betweenness_sql()
@@ -10110,6 +10260,49 @@ ORACLES["decontamination"] = f"""
         WHERE t.doc_id <> e.eval_doc
     )
     SELECT doc_id, count(*) AS n_eval_matches FROM hits GROUP BY 1
+"""
+ORACLES["merkle_ranges"] = """
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+dst AS (
+    SELECT k,
+           cents + CASE WHEN substring(md5(CAST(k AS VARCHAR)), 1, 2) < '01'
+                        THEN 1 ELSE 0 END AS cents
+    FROM src
+),
+fl AS (
+    SELECT k // 1024 AS leaf, CAST(count(*) AS BIGINT) AS n_left,
+           CAST(sum(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+                         || CAST(cents AS VARCHAR)), 1, 10)) AS BIGINT))
+                AS BIGINT) AS fp_left
+    FROM src GROUP BY 1
+),
+fr AS (
+    SELECT k // 1024 AS leaf, CAST(count(*) AS BIGINT) AS n_right,
+           CAST(sum(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+                         || CAST(cents AS VARCHAR)), 1, 10)) AS BIGINT))
+                AS BIGINT) AS fp_right
+    FROM dst GROUP BY 1
+),
+j AS (
+    SELECT coalesce(fl.leaf, fr.leaf) AS leaf,
+           CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+           CAST(coalesce(n_right, 0) AS BIGINT) AS n_right,
+           CAST(coalesce(fp_left, 0) AS BIGINT) AS fp_left,
+           CAST(coalesce(fp_right, 0) AS BIGINT) AS fp_right
+    FROM fl FULL OUTER JOIN fr ON fl.leaf = fr.leaf
+),
+p AS (
+    SELECT leaf // 16 AS parent
+    FROM j GROUP BY 1
+    HAVING CAST(sum(fp_left) AS BIGINT) != CAST(sum(fp_right) AS BIGINT)
+)
+SELECT p.parent, j.leaf, j.n_left, j.n_right, j.fp_left, j.fp_right
+FROM j JOIN p ON j.leaf // 16 = p.parent
+WHERE j.fp_left != j.fp_right
 """
 ORACLES["decontamination_bloom"] = f"""
     WITH toks AS (
@@ -12379,6 +12572,37 @@ def q_bpe_encode(spark, sf_dir):
     from graph_database_spark.operators.bpe import bpe_encode_vocab
 
     return bpe_encode_vocab(load_table(spark, sf_dir, "documents"), n_merges=3)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    # Tokenizer fertility audit (r12): BPE tokens per character by
+    # language under the 3 learned merges — the compression-equity
+    # readout multilingual-tokenizer work tracks (a language the merges
+    # underserve pays more tokens per char of training budget). Word
+    # char base excludes separators; both ratios exact integer
+    # micro/ppm. The ~31-word vocab encoding table broadcasts; the
+    # corpus side is one explode + groupBy(lang).
+    from graph_database_spark.operators.bpe import bpe_encode_vocab
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_encode_vocab(docs, n_merges=3).select("w", "n_syms")
+    dw = spread(docs).select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    per = dw.join(F.broadcast(vocab), "w")
+    return per.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.expr("(sum(n_syms) * 1000000) div sum(length(w))")
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.expr("(sum(length(w)) * 1000000) div sum(n_syms)")
+        .cast("long")
+        .alias("chars_per_token_micro"),
+    )
 
 
 def q_adpcm_features(spark, sf_dir):
@@ -16294,6 +16518,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_resize": q_media_resize,
     "decontamination": q_decontamination,
     "decontamination_bloom": q_decontamination_bloom,
+    "merkle_ranges": q_merkle_ranges,
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_md5": q_dedup_minhash_md5,
@@ -16308,6 +16533,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi": q_token_pmi,
     "triad_census": q_triad_census,
     "coreness": q_coreness,
+    "onion_layers": q_onion_layers,
     "heaps_fit": q_heaps_fit,
     "degree_powerlaw": q_degree_powerlaw,
     "events_ewma": q_events_ewma,
@@ -16334,6 +16560,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_policy": q_corpus_policy,
     "ucb_replay": q_ucb_replay,
     "ols_price_model": q_ols_price_model,
+    "regression_discontinuity": q_regression_discontinuity,
     "logistic_calibration": q_logistic_calibration,
     "woe_iv": q_woe_iv,
     "target_encoding": q_target_encoding,
@@ -16456,6 +16683,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_distinct": q_incremental_distinct,
     "scc_reach": q_scc_reach,
     "bpe_encode": q_bpe_encode,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "weighted_median": q_weighted_median,
     "incremental_quantiles": q_incremental_quantiles,
     "join_cardinality": q_join_cardinality,
@@ -18153,6 +18381,29 @@ def _build_bpe_encode_sql(n_merges: int = 3) -> str:
 
 
 ORACLES["bpe_encode"] = _build_bpe_encode_sql(3)
+
+ORACLES["tokenizer_fertility"] = _bpe_ctes(3) + f""",
+    vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+        FROM sym4 GROUP BY w
+    ),
+    dw AS (
+        SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w FROM documents
+    )
+    SELECT d.lang,
+           CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+           CAST((CAST(sum(v.n_syms) AS BIGINT) * 1000000)
+                // CAST(sum(length(d.w)) AS BIGINT) AS BIGINT)
+               AS fertility_ppm,
+           CAST((CAST(sum(length(d.w)) AS BIGINT) * 1000000)
+                // CAST(sum(v.n_syms) AS BIGINT) AS BIGINT)
+               AS chars_per_token_micro
+    FROM dw d JOIN vocab v ON v.w = d.w
+    GROUP BY 1
+"""
 
 from graph_database_spark.operators.pii import (  # noqa: E402
     EMAIL_RE as _PII_EMAIL,
@@ -20303,6 +20554,56 @@ SELECT feature, bin, pos, neg, woe_micro, gap_ppm,
 FROM scored
 """
 
+ORACLES["regression_discontinuity"] = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice) AS BIGINT) // 10 - 15000 AS xt
+    FROM orders
+),
+yc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+       FROM lineitem GROUP BY 1),
+j AS (
+    SELECT xt, y FROM o JOIN yc ON yc.l_orderkey = o.o_orderkey
+    WHERE abs(xt) <= 5000
+),
+g AS (
+    SELECT
+        CAST(sum(CASE WHEN xt < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        CAST(sum(CASE WHEN xt < 0 THEN xt ELSE 0 END) AS BIGINT) AS sx_l,
+        CAST(sum(CASE WHEN xt < 0 THEN y ELSE 0 END) AS BIGINT) AS sy_l,
+        CAST(sum(CASE WHEN xt < 0 THEN xt * xt ELSE 0 END) AS BIGINT)
+            AS sxx_l,
+        CAST(sum(CASE WHEN xt < 0 THEN xt * y ELSE 0 END) AS BIGINT)
+            AS sxy_l,
+        CAST(sum(CASE WHEN xt >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        CAST(sum(CASE WHEN xt >= 0 THEN xt ELSE 0 END) AS BIGINT) AS sx_r,
+        CAST(sum(CASE WHEN xt >= 0 THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+        CAST(sum(CASE WHEN xt >= 0 THEN xt * xt ELSE 0 END) AS BIGINT)
+            AS sxx_r,
+        CAST(sum(CASE WHEN xt >= 0 THEN xt * y ELSE 0 END) AS BIGINT)
+            AS sxy_r
+    FROM j
+),
+fit AS (
+    SELECT n_l AS n_left, n_r AS n_right,
+           CAST(n_l * sxy_l - sx_l * sy_l AS DOUBLE)
+             / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) AS slope_left,
+           CAST(n_r * sxy_r - sx_r * sy_r AS DOUBLE)
+             / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) AS slope_right,
+           (CAST(sy_l AS DOUBLE)
+              - CAST(n_l * sxy_l - sx_l * sy_l AS DOUBLE)
+                / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE)
+                * CAST(sx_l AS DOUBLE)) / CAST(n_l AS DOUBLE)
+               AS icept_left,
+           (CAST(sy_r AS DOUBLE)
+              - CAST(n_r * sxy_r - sx_r * sy_r AS DOUBLE)
+                / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE)
+                * CAST(sx_r AS DOUBLE)) / CAST(n_r AS DOUBLE)
+               AS icept_right
+    FROM g
+)
+SELECT *, icept_right - icept_left AS tau FROM fit
+"""
 ORACLES["ols_price_model"] = """
 WITH j AS (
   SELECT p.p_brand,

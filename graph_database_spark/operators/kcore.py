@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from graph_database_spark.operators.fixpoint import fixpoint, materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
-__all__ = ["k_core", "coreness"]
+__all__ = ["k_core", "coreness", "onion_layers"]
 
 
 def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
@@ -61,6 +61,74 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
 
     core_edges = fixpoint(sym0, step, converged, max_iterations, name="k_core")
     return degrees(core_edges)
+
+
+def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """``(id, layer, core)`` — the onion decomposition (Hébert-Dufresne
+    et al. 2016): layer = the synchronous peel round at which the vertex
+    leaves the graph, core = the peel threshold in force that round.
+    Coreness says how deep a vertex sits; the LAYER separates the
+    fringe of a shell from its center (tree-like vs dense regions with
+    equal coreness look identical to ``coreness``, not to this).
+
+    Round rule (identical in the oracle): k_r = max(k_{r-1}, min
+    current degree) — the threshold never skips a vertex, so EVERY
+    round peels at least the argmin vertex and the loop terminates in
+    <= |V| rounds (typically tens: each round peels a whole shell
+    fringe at once). Isolated survivors keep degree 0 via the left
+    join, so they peel next round rather than vanish.
+
+    Per round: one degree groupBy + two anti-joins against the (small)
+    peel frame — the k_core plan with an extra min() probe; state
+    frames are materialized per round, peel frames accumulate into one
+    union read once at the end. Raises past ``max_rounds`` (the oracle
+    unrolls a fixed cap; budget-pinning beats silently truncating).
+    """
+    sym = materialize(symmetrize(edges))
+    verts = materialize(
+        sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("deg"))
+    )
+    k = 0
+    peeled: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        row = verts.agg(
+            F.min("deg").alias("mn"), F.count("*").alias("alive")
+        ).first()
+        if row["alive"] == 0:
+            break
+        k = max(k, row["mn"])
+        peel = materialize(
+            verts.where(F.col("deg") <= k).select(
+                "id",
+                F.lit(r).cast("long").alias("layer"),
+                F.lit(k).cast("long").alias("core"),
+            )
+        )
+        peeled.append(peel)
+        sym = materialize(
+            sym.join(
+                peel.select(F.col("id").alias("v")), "v", "left_anti"
+            ).join(peel.select(F.col("id").alias("n")), "n", "left_anti")
+        )
+        deg2 = sym.groupBy(F.col("v").alias("id")).agg(
+            F.count("*").alias("d2")
+        )
+        verts = materialize(
+            verts.join(peel.select("id"), "id", "left_anti")
+            .join(deg2, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("d2"), F.lit(0)).alias("deg")
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"onion_layers did not finish in {max_rounds} rounds; raise "
+            "the budget (the oracle recursion cap must match)"
+        )
+    out = peeled[0]
+    for p in peeled[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def coreness(edges: DataFrame, rounds: int = 16) -> DataFrame:
