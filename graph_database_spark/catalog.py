@@ -11730,6 +11730,54 @@ st{t} AS MATERIALIZED (
 
 ORACLES["kcenter_coreset"] = _build_kcenter_sql()
 
+ORACLES["label_spreading"] = f"""
+    WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
+    lbl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents),
+    seeds AS (
+        SELECT vid, lang FROM lbl
+        WHERE substring(md5(CAST(vid AS VARCHAR)), 1, 2) < '40'
+    ),
+    tk AS (
+        SELECT CAST(query_id AS BIGINT) AS q, CAST(cand_id AS BIGINT) AS c
+        FROM topk
+    ),
+    v1 AS (
+        SELECT q AS vid, lang FROM (
+            SELECT t.q, s.lang,
+                   row_number() OVER (PARTITION BY t.q
+                       ORDER BY count(*) DESC, s.lang) AS rn
+            FROM tk t JOIN seeds s ON s.vid = t.c
+            GROUP BY t.q, s.lang
+        ) x WHERE rn = 1
+    ),
+    r1 AS (
+        SELECT * FROM seeds
+        UNION ALL
+        SELECT * FROM v1 WHERE vid NOT IN (SELECT vid FROM seeds)
+    ),
+    v2 AS (
+        SELECT q AS vid, lang FROM (
+            SELECT t.q, s.lang,
+                   row_number() OVER (PARTITION BY t.q
+                       ORDER BY count(*) DESC, s.lang) AS rn
+            FROM tk t JOIN r1 s ON s.vid = t.c
+            GROUP BY t.q, s.lang
+        ) x WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT * FROM r1
+        UNION ALL
+        SELECT * FROM v2 WHERE vid NOT IN (SELECT vid FROM r1)
+    )
+    SELECT e.vec_id,
+           CAST(CASE WHEN sd.vid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS seed,
+           coalesce(r2.lang, 'none') AS lang_out
+    FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings) e
+    LEFT JOIN r2 ON r2.vid = e.vec_id
+    LEFT JOIN seeds sd ON sd.vid = e.vec_id
+"""
+
 ORACLES["knn_label_noise"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
     lbl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
@@ -13792,6 +13840,92 @@ def q_holt_linear(spark, sf_dir):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    # Holt-Winters ADDITIVE seasonal smoothing (r12), period m=7 over
+    # the dense per-type daily counts — the third exponential rung
+    # above events_ewma (level) and holt_linear (level+trend): the
+    # seasonal state lets the one-step forecast anticipate the weekly
+    # cycle instead of lagging it. alpha=1/5, beta=1/10, gamma=1/5 as
+    # exact integer-micro truncating divisions (verified: Spark div and
+    # DuckDB // both truncate toward zero on negatives, which seasonal
+    # deviations produce). Init: l = mean of days 1..7, b = 0, s_i =
+    # y_i*1e6 - l. One aggregate-HOF fold per event type carries
+    # (l, b, s[7], out); the oracle replays the identical recurrence as
+    # a lockstep recursive CTE with seven seasonal columns.
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    daily = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    types = e.select("event_type").distinct()
+    span = bounds.select((F.datediff("d1", "d0") + 1).alias("n_days"))
+    dense = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type", F.explode(F.expr("sequence(1, n_days)")).alias("day")
+        )
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    packed = (
+        dense.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
+        .withColumn(
+            "l0",
+            F.expr(
+                "(aggregate(slice(a, 1, 7), 0L, (acc, x) -> acc + x.y)"
+                " * 1000000) div 7"
+            ),
+        )
+    )
+    s_prev = "element_at(st.s, cast((x.day - 1) % 7 + 1 as int))"
+    l_new = f"(x.y * 1000000 - {s_prev} + 4 * (st.l + st.b)) div 5"
+    b_new = f"(({l_new}) - st.l + 9 * st.b) div 10"
+    s_new = f"(x.y * 1000000 - ({l_new}) + 4 * {s_prev}) div 5"
+    s_arr = (
+        f"transform(st.s, (v, j) -> CASE WHEN j + 1 = (x.day - 1) % 7 + 1"
+        f" THEN {s_new} ELSE v END)"
+    )
+    fc = f"({l_new}) + ({b_new}) + element_at({s_arr}, cast(x.day % 7 + 1 as int))"
+    step = (
+        f"named_struct('l', {l_new}, 'b', {b_new}, 's', {s_arr},"
+        f" 'out', concat(st.out, array(named_struct("
+        f"'day', x.day, 'level_micro', {l_new}, 'trend_micro', {b_new},"
+        f" 'seasonal_micro', {s_new}, 'forecast_micro', {fc}))))"
+    )
+    fold = (
+        "aggregate(slice(a, 8, greatest(size(a) - 7, 0)),"
+        " named_struct('l', l0, 'b', 0L,"
+        " 's', transform(slice(a, 1, 7), x -> x.y * 1000000 - l0),"
+        " 'out', CAST(array() AS array<struct<day: int,"
+        " level_micro: bigint, trend_micro: bigint,"
+        " seasonal_micro: bigint, forecast_micro: bigint>>)),"
+        f" (st, x) -> {step},"
+        " st -> st.out)"
+    )
+    return packed.select(
+        "event_type", F.explode(F.expr(fold)).alias("o")
+    ).select(
+        "event_type",
+        F.col("o.day").cast("long").alias("day"),
+        "o.level_micro",
+        "o.trend_micro",
+        "o.seasonal_micro",
+        "o.forecast_micro",
+    )
+
+
 def q_ndcg_eval(spark, sf_dir):
     # nDCG@10 ranking evaluation (r9 continuation): the graded-relevance
     # metric the retrieval family (BM25/hybrid/PRF) is ultimately judged
@@ -14715,6 +14849,65 @@ def q_kcenter_coreset(spark, sf_dir):
         )
     return spark.createDataFrame(
         picked, "sel_rank INT, vec_id BIGINT, cover_micro BIGINT"
+    )
+
+
+def q_label_spreading(spark, sf_dir):
+    # Semi-supervised label spreading (r12): a deterministic 25% md5
+    # seed set keeps its documents.lang label; everyone else pulls the
+    # MODE of their k=10 nearest LSH neighbors' current labels for 2
+    # synchronous rounds (ties break on the smaller label string; seeds
+    # clamped; pull-only over the directed top-k graph). The
+    # label-completion pass a curation pipeline runs when only a slice
+    # of the corpus is annotated. Rides the same hash-verified md5 LSH
+    # top-k leg as knn_label_noise/lof; each round is one join + one
+    # argmax window on the bounded k*N candidate frame.
+    emb = load_table(spark, sf_dir, "embeddings")
+    lbl = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    topk = S.lsh_topk_md5(emb, emb, k=10, n_bits=None, n_tables=16).select(
+        F.col("query_id").cast("long").alias("q"),
+        F.col("cand_id").cast("long").alias("c"),
+    ).localCheckpoint()  # both spreading rounds read it
+    seeds = lbl.where(
+        F.md5(F.col("vid").cast("string")).substr(1, 2) < "40"
+    )
+    state = seeds.localCheckpoint()
+    w = Window.partitionBy("q").orderBy(F.desc("cnt"), F.asc("lang"))
+    for _ in range(2):
+        votes = (
+            topk.join(
+                F.broadcast(
+                    state.select(F.col("vid").alias("c"), "lang")
+                ),
+                "c",
+            )
+            .groupBy("q", "lang")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("q").alias("vid"), "lang")
+        )
+        newly = votes.join(state.select("vid"), "vid", "left_anti")
+        state = state.unionByName(newly).localCheckpoint()
+    return (
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .join(
+            state.select(F.col("vid").alias("vec_id"), "lang"), "vec_id", "left"
+        )
+        .join(
+            seeds.select(
+                F.col("vid").alias("vec_id"), F.lit(1).alias("s")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("s", F.lit(0)).cast("long").alias("seed"),
+            F.coalesce("lang", F.lit("none")).alias("lang_out"),
+        )
     )
 
 
@@ -16712,6 +16905,7 @@ QUERIES: dict[str, QueryFn] = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "viterbi_paths": q_viterbi_paths,
     "holt_linear": q_holt_linear,
+    "holt_winters": q_holt_winters,
     "ndcg_eval": q_ndcg_eval,
     "rake_keywords": q_rake_keywords,
     "cdc_chunks": q_cdc_chunks,
@@ -16737,6 +16931,7 @@ QUERIES: dict[str, QueryFn] = {
     "bh_fdr": q_bh_fdr,
     "mmr_diversify": q_mmr_diversify,
     "knn_label_noise": q_knn_label_noise,
+    "label_spreading": q_label_spreading,
     "kcenter_coreset": q_kcenter_coreset,
     "dedup_span_cuts": q_dedup_span_cuts,
     "dedup_span_apply": q_dedup_span_apply,
@@ -21563,6 +21758,88 @@ SELECT event_type, day, l AS level_micro, b AS trend_micro,
 FROM rec
 """
 
+
+def _build_holt_winters_sql() -> str:
+    # Lockstep replay of q_holt_winters' recurrence: seven seasonal
+    # columns stand in for the Spark fold's s[7] array; slot(t) =
+    # ((t-1) % 7) + 1. Both engines truncate integer division toward
+    # zero (verified on negatives), so every state step is exact.
+    s_prev = (
+        "CASE (r.day) % 7 + 1 "
+        + " ".join(f"WHEN {i} THEN r.s{i}" for i in range(1, 8))
+        + " END"
+    )
+    l_new = f"(x.y * 1000000 - ({s_prev}) + 4 * (r.l + r.b)) // 5"
+    b_new = f"(({l_new}) - r.l + 9 * r.b) // 10"
+    s_new = f"(x.y * 1000000 - ({l_new}) + 4 * ({s_prev})) // 5"
+    s_cols = ", ".join(
+        f"CAST(CASE WHEN (r.day) % 7 + 1 = {i} THEN {s_new}"
+        f" ELSE r.s{i} END AS BIGINT)"
+        for i in range(1, 8)
+    )
+    sinit_cols = ", ".join(
+        f"CAST(max(CASE WHEN d.day = {i} THEN d.y END) * 1000000 - i.l"
+        f" AS BIGINT) AS s{i}"
+        for i in range(1, 8)
+    )
+    cur_slot = (
+        "CASE (day - 1) % 7 + 1 "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, 8))
+        + " END"
+    )
+    nxt_slot = (
+        "CASE (day) % 7 + 1 "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, 8))
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - d0 AS BIGINT) + 1 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events, bounds GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+span AS (SELECT CAST(d1 - d0 AS BIGINT) + 1 AS n_days FROM bounds),
+days AS (SELECT unnest(range(1, n_days + 1)) AS day FROM span),
+dense AS (
+  SELECT t.event_type, d.day, coalesce(dl.y, 0) AS y
+  FROM types t
+  CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
+),
+init AS (
+  SELECT event_type, CAST((sum(y) * 1000000) // 7 AS BIGINT) AS l
+  FROM dense WHERE day <= 7 GROUP BY 1
+),
+sinit AS (
+  SELECT d.event_type, i.l, {sinit_cols}
+  FROM dense d JOIN init i ON i.event_type = d.event_type
+  WHERE d.day <= 7 GROUP BY d.event_type, i.l
+),
+rec AS (
+  SELECT event_type, CAST(7 AS BIGINT) AS day, l, CAST(0 AS BIGINT) AS b,
+         s1, s2, s3, s4, s5, s6, s7
+  FROM sinit
+  UNION ALL
+  SELECT r.event_type, r.day + 1,
+         CAST({l_new} AS BIGINT), CAST({b_new} AS BIGINT), {s_cols}
+  FROM rec r
+  JOIN dense x ON x.event_type = r.event_type AND x.day = r.day + 1
+)
+SELECT event_type, day, l AS level_micro, b AS trend_micro,
+       CAST({cur_slot} AS BIGINT) AS seasonal_micro,
+       CAST(l + b + ({nxt_slot}) AS BIGINT) AS forecast_micro
+FROM rec WHERE day >= 8
+"""
+
+
+ORACLES["holt_winters"] = _build_holt_winters_sql()
 
 ORACLES["ks_drift"] = """
 WITH src AS (
