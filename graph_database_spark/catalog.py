@@ -11730,6 +11730,53 @@ st{t} AS MATERIALIZED (
 
 ORACLES["kcenter_coreset"] = _build_kcenter_sql()
 
+ORACLES["ann_recall_audit"] = f"""
+    WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
+    bd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               sum(q.x * c.x) AS dp
+        FROM ex q JOIN ex c ON q.i = c.i
+        WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    bs AS (
+        SELECT query_id, cand_id,
+               round(dp / (nq.nrm * nc.nrm), 6) AS sim
+        FROM bd
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    ),
+    brute AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, cand_id) AS rnk
+            FROM bs
+        ) r WHERE rnk <= 10
+    ),
+    ap AS (
+        SELECT query_id, cand_id FROM topk WHERE query_id % 50 = 0
+    ),
+    ta AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+           FROM ap GROUP BY 1),
+    h AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM brute b
+        JOIN ap a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+        GROUP BY 1
+    )
+    SELECT t.query_id,
+           t.n_true,
+           CAST(coalesce(ta.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((coalesce(h.n_hit, 0) * 1000000) // t.n_true AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+          FROM brute GROUP BY 1) t
+    LEFT JOIN ta ON ta.query_id = t.query_id
+    LEFT JOIN h ON h.query_id = t.query_id
+"""
+
 ORACLES["label_spreading"] = f"""
     WITH {_md5_all_topk_ctes(64, _AUTO_BITS_SQL, 16, 10)},
     lbl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents),
@@ -14911,6 +14958,46 @@ def q_label_spreading(spark, sf_dir):
     )
 
 
+def q_ann_recall_audit(spark, sf_dir):
+    # ANN index quality audit (r12): recall@10 of the md5-LSH top-k
+    # against the exact brute-force ranking over the same deterministic
+    # query sample (vec_id % 50) — the measurement that justifies (or
+    # indicts) an approximate index BEFORE it serves traffic, and the
+    # hash-gated closure of the LSH recall-floor pytest. Both legs are
+    # already individually hash-verified; this pins their INTERSECTION
+    # per query in exact ppm. Scale: the brute leg is bounded by the
+    # sample (the documented knob); the LSH leg is the usual bucketed
+    # candidate plan.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    true_tk = S.brute_force_topk(queries, emb, k=10).select(
+        "query_id", "cand_id"
+    )
+    appr = S.lsh_topk_md5(
+        queries, emb, k=10, n_bits=None, n_tables=16
+    ).select("query_id", "cand_id")
+    t = true_tk.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    a = appr.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    h = (
+        true_tk.join(appr, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        t.join(a, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "(coalesce(n_hit, 0) * 1000000) div n_true"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
 def q_knn_label_noise(spark, sf_dir):
     # kNN label-noise scoring (r11; the cheap half of confident
     # learning, Northcutt et al.): for every labeled example, the
@@ -16932,6 +17019,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_diversify": q_mmr_diversify,
     "knn_label_noise": q_knn_label_noise,
     "label_spreading": q_label_spreading,
+    "ann_recall_audit": q_ann_recall_audit,
     "kcenter_coreset": q_kcenter_coreset,
     "dedup_span_cuts": q_dedup_span_cuts,
     "dedup_span_apply": q_dedup_span_apply,
