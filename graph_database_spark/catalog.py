@@ -1473,6 +1473,61 @@ def q_quantile_digest_read(spark, sf_dir):
     return out
 
 
+def q_t_closeness(spark, sf_dir):
+    # t-closeness audit (r12): completes the release-readiness triad
+    # with k_anonymity_audit (k) and its l-diversity column — per
+    # quasi-identifier group, the ORDERED-attribute Earth-Mover's
+    # distance between the group's sensitive distribution (order
+    # priority rank 1..5) and the global one, t = sum_i |F_g(i) -
+    # F(i)| / (m-1) over the m-1 cumulative boundaries (Li et al.
+    # 2007). Exact integers throughout: t_ppm = sum|cumG_i*N -
+    # cum_i*n_g| * 1e6 div (n_g*N*(m-1)); headroom 4*n_g*N*1e6 needs
+    # N < ~1.5e6 rows — past sf1, band the cents instead. Frames are
+    # groups x 4 boundaries.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(round(c_acctbal) AS BIGINT) div 1000").alias(
+            "bal_band"
+        ),
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "p"
+        ),
+    )
+    bounds = spark.range(1, 5).select(F.col("id").alias("i"))
+    bi = (
+        j.crossJoin(F.broadcast(bounds))
+        .groupBy("nation", "segment", "bal_band", "i")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum((F.col("p") <= F.col("i")).cast("long")).alias("cum_g"),
+        )
+    )
+    glob = (
+        j.crossJoin(F.broadcast(bounds))
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.sum((F.col("p") <= F.col("i")).cast("long")).alias("cum_all"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(glob), "i")
+        .groupBy("nation", "segment", "bal_band")
+        .agg(
+            F.max("n_g").cast("long").alias("n_rows"),
+            F.expr(
+                "(sum(abs(cum_g * n_all - cum_all * n_g)) * 1000000)"
+                " div (max(n_g) * max(n_all) * 4)"
+            )
+            .cast("long")
+            .alias("t_ppm"),
+        )
+    )
+
+
 def q_neyman_allocation(spark, sf_dir):
     # Neyman-optimal stratified sampling allocation (r9): split a
     # 100-row sampling budget across sources proportional to N_h*sd_h
@@ -1513,6 +1568,46 @@ def q_neyman_allocation(spark, sf_dir):
             F.col("base")
             + (F.row_number().over(wr) <= F.col("leftover")).cast("long")
         ).alias("alloc"),
+    )
+
+
+def q_temperature_mixing(spark, sf_dir):
+    # Temperature-scaled language mixing (r12): the multilingual
+    # alpha-sampling rule (weight ∝ count^alpha, alpha = 1/2) that
+    # up-weights low-resource languages relative to proportional
+    # sampling — THE mixture knob multilingual LM corpora are built
+    # with. One milli-snapped sqrt per language (micro rule), then
+    # neyman_allocation's exact largest-remainder integer split of a
+    # 1000-doc budget; rate_ppm exposes the realized per-language
+    # sampling rate. Window universe = |languages|.
+    budget = 1000
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count("*").alias("nh"))
+    g = g.withColumn(
+        "wh",
+        F.expr(
+            "CAST(round(sqrt(CAST(nh AS DOUBLE)) * CAST(1000 AS DOUBLE),"
+            " 0) AS BIGINT)"
+        ),
+    )
+    wt = Window.partitionBy()
+    g = (
+        g.withColumn("w_tot", F.sum("wh").over(wt))
+        .withColumn("base", F.expr(f"({budget} * wh) div w_tot"))
+        .withColumn("rem", F.expr(f"{budget} * wh - base * w_tot"))
+        .withColumn("leftover", F.expr(f"{budget} - sum(base) OVER ()"))
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    return g.select(
+        "lang",
+        "nh",
+        "wh",
+        (
+            F.col("base")
+            + (F.row_number().over(wr) <= F.col("leftover")).cast("long")
+        ).alias("alloc"),
+    ).withColumn(
+        "rate_ppm", F.expr("(alloc * 1000000) div nh").cast("long")
     )
 
 
@@ -16135,6 +16230,70 @@ def q_kneser_ney(spark, sf_dir):
     )
 
 
+def q_perplexity_filter(spark, sf_dir):
+    # LM-perplexity quality scoring (r12): the CCNet-style filter — per
+    # document, the average Kneser-Ney bigram log-probability under the
+    # corpus model (q_kneser_ney's exact integer-micro model; every doc
+    # bigram is corpus-observed by construction, so no unseen-mass
+    # branch). Perplexity = exp(-avg) is monotone in avg_lp, so the
+    # filter thresholds on the INTEGER avg_lp_micro and the one libm
+    # ln() per distinct model bigram is micro-snapped before any sum —
+    # no exp, no derived-value rounding hazard (the events_resample
+    # lesson). Model rows broadcast (vocab-bounded); the corpus side is
+    # one bigram explode + one per-doc fold.
+    from graph_database_spark.operators.spread import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = spread(docs).select(
+        "doc_id", tokens(F.col("text")).alias("arr")
+    ).localCheckpoint()  # model build + per-doc scoring both read it
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) < 2 THEN"
+                " CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE transform(sequence(1, size(arr) - 1),"
+                " i -> named_struct('v', element_at(arr, i),"
+                " 'w', element_at(arr, i + 1))) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    c_vw = bg.groupBy("v", "w").agg(F.count("*").alias("c")).localCheckpoint()
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count("*").alias("n1v")
+    )
+    n_w = c_vw.groupBy("w").agg(F.count("*").alias("n1w"))
+    n_all = c_vw.agg(F.count("*").alias("n1all"))
+    model = (
+        c_vw.join(F.broadcast(c_v), "v")
+        .join(F.broadcast(n_w), "w")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "v",
+            "w",
+            F.expr(
+                "CAST(round(ln(CAST("
+                "((4 * c - 3) * 1000000) div (4 * cv)"
+                " + (3 * n1v * n1w * 1000000) div (4 * cv * n1all)"
+                " AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000.0, 0)"
+                " AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(model), ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("lp_sum_micro"),
+            F.expr("sum(lp_micro) div count(*)")
+            .cast("long")
+            .alias("avg_lp_micro"),
+        )
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     # Mutual information of (6-hour band, event type) (r9
     # continuation): the information-theoretic dependence screen next
@@ -16850,6 +17009,8 @@ QUERIES: dict[str, QueryFn] = {
     "mase_backtest": q_mase_backtest,
     "image_ahash": q_image_ahash,
     "neyman_allocation": q_neyman_allocation,
+    "temperature_mixing": q_temperature_mixing,
+    "t_closeness": q_t_closeness,
     "quantile_digest": q_quantile_digest,
     "k_anonymity_audit": q_k_anonymity_audit,
     "temporal_reachability": q_temporal_reachability,
@@ -17043,6 +17204,7 @@ QUERIES: dict[str, QueryFn] = {
     "band_join_pairs": q_band_join_pairs,
     "em_gmm": q_em_gmm,
     "kneser_ney": q_kneser_ney,
+    "perplexity_filter": q_perplexity_filter,
     "mutual_information": q_mutual_information,
     "boosted_stumps": q_boosted_stumps,
     "trimmed_mean": q_trimmed_mean,
@@ -19723,6 +19885,48 @@ CROSS JOIN n_all na
 """
 
 
+ORACLES["perplexity_filter"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS v, t[i + 1] AS w
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+),
+c_vw AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+c_v AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+         CAST(count(*) AS BIGINT) AS n1v
+  FROM c_vw GROUP BY 1
+),
+n_w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM c_vw GROUP BY 1
+),
+n_all AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c_vw),
+model AS (
+  SELECT b.v, b.w,
+         CAST(round(ln(CAST(
+             ((4 * b.c - 3) * 1000000) // (4 * cv.cv)
+               + (3 * cv.n1v * nw.n1w * 1000000) // (4 * cv.cv * na.n1all)
+             AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000.0, 0)
+           AS BIGINT) AS lp_micro
+  FROM c_vw b
+  JOIN c_v cv ON cv.v = b.v
+  JOIN n_w nw ON nw.w = b.w
+  CROSS JOIN n_all na
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.lp_micro) AS BIGINT) AS lp_sum_micro,
+       CAST(CAST(sum(m.lp_micro) AS BIGINT) // count(*) AS BIGINT)
+           AS avg_lp_micro
+FROM bg g JOIN model m ON m.v = g.v AND m.w = g.w
+GROUP BY 1
+"""
+
+
 def _boost_stage_sql(idx: int, src: str, xcol: str, tcol: str) -> str:
     # One stump fit: per-value grid, window prefix sums, the SAME
     # double gain tree the driver computes, argmax with value
@@ -20675,6 +20879,35 @@ SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
 FROM g
 """
 
+ORACLES["t_closeness"] = """
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+         c.c_mktsegment AS segment,
+         CAST(round(c.c_acctbal) AS BIGINT) // 1000 AS bal_band,
+         CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS p
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+),
+bounds AS (SELECT unnest(range(1, 5)) AS i),
+bi AS (
+  SELECT nation, segment, bal_band, i,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CASE WHEN p <= i THEN 1 ELSE 0 END) AS BIGINT) AS cum_g
+  FROM j CROSS JOIN bounds GROUP BY 1, 2, 3, 4
+),
+gall AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN p <= i THEN 1 ELSE 0 END) AS BIGINT) AS cum_all
+  FROM j CROSS JOIN bounds GROUP BY 1
+)
+SELECT b.nation, b.segment, b.bal_band,
+       CAST(max(b.n_g) AS BIGINT) AS n_rows,
+       CAST((CAST(sum(abs(b.cum_g * g.n_all - g.cum_all * b.n_g))
+                  AS BIGINT) * 1000000)
+            // (max(b.n_g) * max(g.n_all) * 4) AS BIGINT) AS t_ppm
+FROM bi b JOIN gall g ON g.i = b.i
+GROUP BY 1, 2, 3
+"""
+
 ORACLES["neyman_allocation"] = """
 WITH g AS (
   SELECT source, CAST(count(*) AS BIGINT) AS nh,
@@ -20705,6 +20938,34 @@ l AS (
 SELECT source, nh, wh,
        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
          AS alloc
+FROM l
+"""
+
+ORACLES["temperature_mixing"] = """
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nh FROM documents GROUP BY 1
+),
+w AS (
+  SELECT *, CAST(round(sqrt(CAST(nh AS DOUBLE)) * CAST(1000 AS DOUBLE), 0)
+                 AS BIGINT) AS wh
+  FROM g
+),
+t AS (SELECT *, CAST(sum(wh) OVER () AS BIGINT) AS w_tot FROM w),
+b AS (
+  SELECT *, (1000 * wh) // w_tot AS base,
+         1000 * wh - ((1000 * wh) // w_tot) * w_tot AS rem
+  FROM t
+),
+l AS (
+  SELECT *, 1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+  FROM b
+)
+SELECT lang, nh, wh,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc,
+       CAST(((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000)
+            // nh AS BIGINT) AS rate_ppm
 FROM l
 """
 
