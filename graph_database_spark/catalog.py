@@ -2946,6 +2946,66 @@ def q_ann_ivf_md5(spark, sf_dir):
     return ivf_topk_md5(queries, emb, k=10, n_centroids=16, n_probe=4)
 
 
+def q_ivf_recall_audit(spark, sf_dir):
+    # IVF twin of ann_recall_audit (r12): recall@10 of the md5 IVF
+    # probe (16 centroids, 4 probed cells) vs exact brute force on the
+    # same query sample — the two audits together price the LSH-vs-IVF
+    # tradeoff on live data instead of folklore.
+    from graph_database_spark.operators.ivf import ivf_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    true_tk = S.brute_force_topk(queries, emb, k=10).select(
+        "query_id", "cand_id"
+    )
+    appr = ivf_topk_md5(
+        queries, emb, k=10, n_centroids=16, n_probe=4
+    ).select("query_id", "cand_id")
+    t = true_tk.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    a = appr.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    h = (
+        true_tk.join(appr, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        t.join(a, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("(coalesce(n_hit, 0) * 1000000) div n_true")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    # Arbitrary GROUPING SETS (r12): (nation, segment), (segment), ()
+    # — deliberately NOT a cube or rollup (it skips the (nation)
+    # level), exercising the one multi-level aggregation shape
+    # cube_orders/rollup_customers can't express. Grouped-out levels
+    # read 'ALL' via coalesce so the hash is engine-stable without
+    # grouping_id bit-order assumptions.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_o")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_c")
+    return spark.sql(
+        """
+        SELECT coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM gs_o JOIN gs_c ON c_custkey = o_custkey
+        GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                                (c_mktsegment), ())
+        """
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     # Rows-only: IVF-cell ANN (data-adaptive counterpart of ann_lsh);
     # recall floor vs brute force pinned by tests/test_ivf.py.
@@ -4755,6 +4815,45 @@ def q_char_entropy(spark, sf_dir):
     # micro-snapped before the integer weighted sum (CLAUDE.md rule),
     # one truncating division at the end.
     return T.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_rag_chunks(spark, sf_dir):
+    # Overlapping fixed-window chunking (r12): 32-token windows at
+    # stride 24 (8-token overlap) per document — the RAG/embedding-
+    # index prep step, distinct from token_chunks (which packs WHOLE
+    # docs into shard budgets). Chunk md5 pins the exact split text;
+    # the final partial window is kept iff it adds >= 8 new tokens
+    # (stride rule: start positions 1, 25, 49, ... while start <=
+    # n_tokens - 8 + 1, plus the n <= 32 whole-doc case). Narrow map +
+    # one explode; no shuffle at all.
+    from graph_database_spark.operators.spread import spread
+
+    d = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") > 0)
+    )
+    starts = (
+        "CASE WHEN size(t) <= 32 THEN array(1)"
+        " ELSE filter(transform(sequence(0, (size(t) - 1) div 24),"
+        " j -> j * 24 + 1), s -> s <= size(t) - 7) END"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("t").alias("n_toks"),
+            F.explode(F.expr(starts)).alias("s"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            F.expr("(s - 1) div 24").cast("long").alias("chunk_idx"),
+            F.expr("size(slice(t, s, 32))").cast("long").alias("n_tokens"),
+            F.md5(F.expr("concat_ws(' ', slice(t, s, 32))")).alias(
+                "chunk_md5"
+            ),
+        )
+    )
 
 
 def q_gopher_repetition(spark, sf_dir):
@@ -10815,6 +10914,29 @@ SELECT doc_id,
 FROM c GROUP BY 1
 """
 
+ORACLES["rag_chunks"] = f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+st AS (
+    SELECT doc_id, t, n,
+           CASE WHEN n <= 32 THEN [CAST(1 AS BIGINT)]
+                ELSE list_filter(
+                    list_transform(range(0, (n - 1) // 24 + 1),
+                                   j -> j * 24 + 1),
+                    s -> s <= n - 7)
+           END AS starts
+    FROM base
+),
+exd AS (SELECT doc_id, t, unnest(starts) AS s FROM st)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(t[CAST(s AS INT):CAST(s + 31 AS INT)]) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(t[CAST(s AS INT):CAST(s + 31 AS INT)], ' '))
+           AS chunk_md5
+FROM exd
+"""
+
 ORACLES["gopher_repetition"] = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
 base AS (
@@ -11870,6 +11992,63 @@ ORACLES["ann_recall_audit"] = f"""
           FROM brute GROUP BY 1) t
     LEFT JOIN ta ON ta.query_id = t.query_id
     LEFT JOIN h ON h.query_id = t.query_id
+"""
+
+ORACLES["ivf_recall_audit"] = f"""
+    WITH {_SIM_CTES},
+    ap0 AS ({_build_ann_ivf_md5_sql(16, 4, 10)}),
+    ap AS (SELECT query_id, cand_id FROM ap0),
+    bd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               sum(q.x * c.x) AS dp
+        FROM ex q JOIN ex c ON q.i = c.i
+        WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    bs AS (
+        SELECT query_id, cand_id,
+               round(dp / (nq.nrm * nc.nrm), 6) AS sim
+        FROM bd
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    ),
+    brute AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, cand_id) AS rnk
+            FROM bs
+        ) r WHERE rnk <= 10
+    ),
+    ta AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+           FROM ap GROUP BY 1),
+    h AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM brute b
+        JOIN ap a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+        GROUP BY 1
+    )
+    SELECT t.query_id,
+           t.n_true,
+           CAST(coalesce(ta.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((coalesce(h.n_hit, 0) * 1000000) // t.n_true AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+          FROM brute GROUP BY 1) t
+    LEFT JOIN ta ON ta.query_id = t.query_id
+    LEFT JOIN h ON h.query_id = t.query_id
+"""
+
+ORACLES["grouping_sets_revenue"] = """
+    SELECT coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                            (c_mktsegment), ())
 """
 
 ORACLES["label_spreading"] = f"""
@@ -16932,6 +17111,7 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_components": q_copurchase_components,
     "doc_repetition": q_doc_repetition,
     "gopher_repetition": q_gopher_repetition,
+    "rag_chunks": q_rag_chunks,
     "stratified_sample": q_stratified_sample,
     "char_entropy": q_char_entropy,
     "common_ngrams": q_common_ngrams,
@@ -17181,6 +17361,8 @@ QUERIES: dict[str, QueryFn] = {
     "knn_label_noise": q_knn_label_noise,
     "label_spreading": q_label_spreading,
     "ann_recall_audit": q_ann_recall_audit,
+    "ivf_recall_audit": q_ivf_recall_audit,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
     "kcenter_coreset": q_kcenter_coreset,
     "dedup_span_cuts": q_dedup_span_cuts,
     "dedup_span_apply": q_dedup_span_apply,
