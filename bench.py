@@ -332,6 +332,25 @@ HEADLINE = [
     # r12 additions
     "suffix_cross_doc",
     "decontamination_bloom",
+    "gopher_repetition",
+    "stratified_sample",
+    "char_entropy",
+    "edge_embeddedness",
+    "local_bridges",
+    "merkle_ranges",
+    "regression_discontinuity",
+    "onion_layers",
+    "tokenizer_fertility",
+    "label_spreading",
+    "holt_winters",
+    "sax_symbols",
+    "ann_recall_audit",
+    "ivf_recall_audit",
+    "perplexity_filter",
+    "temperature_mixing",
+    "t_closeness",
+    "grouping_sets_revenue",
+    "rag_chunks",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

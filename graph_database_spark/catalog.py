@@ -14161,6 +14161,69 @@ def q_holt_linear(spark, sf_dir):
     )
 
 
+def q_sax_symbols(spark, sf_dir):
+    # SAX symbolization (r12): per event type, the daily value series
+    # PAA-compressed into 4-day window sums and mapped to a 4-letter
+    # alphabet by EQUAL-FREQUENCY rank breakpoints (the deterministic
+    # integer variant of SAX's Gaussian breakpoints — no z-normalize,
+    # no floats: sym = ((rank-1)*4) div n, rank ties broken by window
+    # index). The symbolic word is what motif/discord indexing stores
+    # instead of raw series. One dense-series build + two windows over
+    # the bounded (types x windows) frame.
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    daily = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1).alias("day"),
+        )
+        .agg(
+            F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .alias("cents")
+        )
+    )
+    types = e.select("event_type").distinct()
+    span = bounds.select((F.datediff("d1", "d0") + 1).alias("n_days"))
+    dense = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type", F.explode(F.expr("sequence(1, n_days)")).alias("day")
+        )
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    paa = (
+        dense.groupBy(
+            "event_type", F.expr("(day - 1) div 4").alias("win")
+        )
+        .agg(F.sum("cents").alias("paa_cents"), F.count("*").alias("nd"))
+        .where(F.col("nd") == 4)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("paa_cents"), F.asc("win")
+    )
+    wn = Window.partitionBy("event_type")
+    sym = (
+        paa.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn("s", F.expr("substring('abcd', ((r - 1) * 4) div n + 1, 1)"))
+    )
+    return sym.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(win, s))), x -> x.s), '')"
+        ).alias("sax_word"),
+    )
+
+
 def q_holt_winters(spark, sf_dir):
     # Holt-Winters ADDITIVE seasonal smoothing (r12), period m=7 over
     # the dense per-type daily counts — the third exponential rung
@@ -17334,6 +17397,7 @@ QUERIES: dict[str, QueryFn] = {
     "viterbi_paths": q_viterbi_paths,
     "holt_linear": q_holt_linear,
     "holt_winters": q_holt_winters,
+    "sax_symbols": q_sax_symbols,
     "ndcg_eval": q_ndcg_eval,
     "rake_keywords": q_rake_keywords,
     "cdc_chunks": q_cdc_chunks,
@@ -22287,6 +22351,47 @@ rec AS (
 SELECT event_type, day, l AS level_micro, b AS trend_micro,
        l + b AS forecast_micro
 FROM rec
+"""
+
+
+ORACLES["sax_symbols"] = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - d0 AS BIGINT) + 1 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events, bounds GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+span AS (SELECT CAST(d1 - d0 AS BIGINT) + 1 AS n_days FROM bounds),
+days AS (SELECT unnest(range(1, n_days + 1)) AS day FROM span),
+dense AS (
+  SELECT t.event_type, d.day, coalesce(dl.cents, 0) AS cents
+  FROM types t CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
+),
+paa AS (
+  SELECT event_type, (day - 1) // 4 AS win,
+         CAST(sum(cents) AS BIGINT) AS paa_cents,
+         count(*) AS nd
+  FROM dense GROUP BY 1, 2 HAVING count(*) = 4
+),
+sym AS (
+  SELECT event_type, win,
+         substring('abcd',
+             CAST(((row_number() OVER (PARTITION BY event_type
+                        ORDER BY paa_cents ASC, win ASC) - 1) * 4)
+                  // (count(*) OVER (PARTITION BY event_type)) + 1
+                  AS INT), 1) AS s
+  FROM paa
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       string_agg(s, '' ORDER BY win) AS sax_word
+FROM sym GROUP BY 1
 """
 
 
