@@ -113,8 +113,12 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         deg2 = sym.groupBy(F.col("v").alias("id")).agg(
             F.count("*").alias("d2")
         )
+        # Survivors are exactly deg > k (peel took deg <= k), so no
+        # anti-join against the peel frame is needed — one less join
+        # per round across the ~45-round peel (measured at sf0.1).
         verts = materialize(
-            verts.join(peel.select("id"), "id", "left_anti")
+            verts.where(F.col("deg") > k)
+            .select("id")
             .join(deg2, "id", "left")
             .select(
                 "id", F.coalesce(F.col("d2"), F.lit(0)).alias("deg")
