@@ -3672,6 +3672,125 @@ def q_degree_assortativity(spark, sf_dir):
     return G.degree_assortativity(copurchase_edges(spark, sf_dir))
 
 
+def q_attribute_assortativity(spark, sf_dir):
+    # Newman's CATEGORICAL assortativity (r12): nation homophily of the
+    # co-purchase graph — r = (sum_i e_ii - sum_i a_i*b_i) / (1 - sum_i
+    # a_i*b_i) over the directed mixing matrix (symmetrized edges, so
+    # a = b). Clears denominators: r_ppm = (se*m - sab)*1e6 div
+    # (m*m - sab), all exact BIGINTs (negative r truncates toward zero
+    # identically on both engines). Headroom: m^2*1e6 needs m < 3e6
+    # directed edges — past that, per-mille. Complements
+    # degree_assortativity (structural) with the attribute-mixing form.
+    from graph_database_spark.plans.copurchase import copurchase_vertices
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    verts = copurchase_vertices(spark, sf_dir, edges).select(
+        "id", F.col("attr_a").cast("long").alias("nat")
+    ).localCheckpoint()  # both endpoint joins read it
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    lab = sym.join(
+        F.broadcast(verts.select(F.col("id").alias("src"),
+                                 F.col("nat").alias("ni"))), "src"
+    ).join(
+        F.broadcast(verts.select(F.col("id").alias("dst"),
+                                 F.col("nat").alias("nj"))), "dst"
+    ).localCheckpoint()
+    tot = lab.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("ni") == F.col("nj")).cast("long")).alias("se"),
+    )
+    sab = (
+        lab.groupBy("ni")
+        .agg(F.count("*").alias("ai"))
+        .agg(F.sum(F.col("ai") * F.col("ai")).alias("sab"))
+    )
+    return tot.crossJoin(F.broadcast(sab)).select(
+        F.col("m").cast("long").alias("m_directed"),
+        F.col("se").cast("long").alias("n_same"),
+        F.col("sab").cast("long").alias("sab"),
+        F.expr("((se * m - sab) * 1000000) div (m * m - sab)")
+        .cast("long")
+        .alias("r_ppm"),
+    )
+
+
+def q_source_diversity(spark, sf_dir):
+    # Simpson diversity of SOURCES within each language (r12): the
+    # mixture-health readout next to temperature_mixing — a language
+    # fed by one source is a contamination/bias risk however large it
+    # is. lambda = sum n_s(n_s-1) / (N(N-1)) exact; diversity_ppm =
+    # 1e6 - lambda_ppm.
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("ns"))
+    return g.groupBy("lang").agg(
+        F.sum("ns").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.expr(
+            "CASE WHEN sum(ns) > 1 THEN"
+            " 1000000 - (sum(ns * (ns - 1)) * 1000000)"
+            " div (sum(ns) * (sum(ns) - 1)) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("diversity_ppm"),
+    )
+
+
+def q_interarrival_fit(spark, sf_dir):
+    # Exponential inter-arrival fit + KS goodness (r12): per event
+    # type, MLE rate from exact integer-microsecond gaps and the
+    # Kolmogorov-Smirnov distance of the empirical gap CDF from
+    # Exp(1/mean) — the Poissonity check that decides whether burst
+    # detection (event_burstiness) is even meaningful. The one libm
+    # exp() per DISTINCT gap value is micro-snapped before the max;
+    # cum/prev bounds use truncating ppm. Epochs via explicit
+    # epoch-microsecond integers (the km hardening discipline).
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    gaps = (
+        e.withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("gap").alias("s")
+    )
+    dist = gaps.groupBy("event_type", "gap").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    scored = cum.join(F.broadcast(stats), "event_type").withColumn(
+        "f_micro",
+        F.expr(
+            "CAST(round((CAST(1 AS DOUBLE) - exp(-(CAST(gap * n AS DOUBLE)"
+            " / CAST(s AS DOUBLE)))) * 1000000.0, 0) AS BIGINT)"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.expr("max(s) div max(n)").cast("long").alias("mean_gap_us"),
+        F.greatest(
+            F.max(F.expr("(cum * 1000000) div n - f_micro")),
+            F.max(F.expr("f_micro - (prev * 1000000) div n")),
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+
+
 def q_graph_mis(spark, sf_dir):
     # Luby MIS over the co-purchase graph (deterministic per-round md5
     # priorities), hash-verified vs an unrolled-round oracle. The same
@@ -9864,6 +9983,87 @@ ORACLES["user_retention"] = """
     FROM active a JOIN first f USING (user_id)
     GROUP BY 1, 2
 """
+ORACLES["attribute_assortativity"] = f"""
+    WITH {GRAPH_CTES},
+    lab AS (
+        SELECT va.attr_a AS ni, vb.attr_a AS nj
+        FROM sym s
+        JOIN verts va ON va.id = s.v
+        JOIN verts vb ON vb.id = s.n
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN ni = nj THEN 1 ELSE 0 END) AS BIGINT)
+                   AS se
+        FROM lab
+    ),
+    pa AS (SELECT ni, CAST(count(*) AS BIGINT) AS ai FROM lab GROUP BY 1),
+    sq AS (SELECT CAST(sum(ai * ai) AS BIGINT) AS sab FROM pa)
+    SELECT m AS m_directed, se AS n_same, sab,
+           CAST(((se * m - sab) * 1000000) // (m * m - sab) AS BIGINT)
+               AS r_ppm
+    FROM tot CROSS JOIN sq
+"""
+
+ORACLES["source_diversity"] = """
+    WITH g AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS ns
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(ns) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(CASE WHEN CAST(sum(ns) AS BIGINT) > 1 THEN
+               1000000 - (CAST(sum(ns * (ns - 1)) AS BIGINT) * 1000000)
+                 // (CAST(sum(ns) AS BIGINT) * (CAST(sum(ns) AS BIGINT) - 1))
+               ELSE 0 END AS BIGINT) AS diversity_ppm
+    FROM g GROUP BY 1
+"""
+
+ORACLES["interarrival_fit"] = """
+    WITH e AS (
+        SELECT event_type, epoch_ns(ts) // 1000 AS t, event_id FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               t - lag(t) OVER (PARTITION BY event_type
+                                ORDER BY t, event_id) AS gap
+        FROM e
+    ),
+    gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+    st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap) AS BIGINT) AS s
+        FROM gg GROUP BY 1
+    ),
+    d AS (
+        SELECT event_type, gap, CAST(count(*) AS BIGINT) AS cnt
+        FROM gg GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, gap, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM d
+    ),
+    sc AS (
+        SELECT c.event_type, c.cum, c.cum - c.cnt AS prev, st.n, st.s,
+               CAST(round((CAST(1 AS DOUBLE)
+                   - exp(-(CAST(c.gap * st.n AS DOUBLE)
+                           / CAST(st.s AS DOUBLE)))) * 1000000.0, 0)
+                   AS BIGINT) AS f_micro
+        FROM c JOIN st ON st.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(s) // max(n) AS BIGINT) AS mean_gap_us,
+           CAST(greatest(max((cum * 1000000) // n - f_micro),
+                         max(f_micro - (prev * 1000000) // n))
+                AS BIGINT) AS d_micro
+    FROM sc GROUP BY 1
+"""
+
 ORACLES["degree_assortativity"] = f"""
     WITH {GRAPH_CTES},
     deg AS (SELECT v AS id, count(*) AS d FROM sym GROUP BY v),
@@ -17264,6 +17464,9 @@ QUERIES: dict[str, QueryFn] = {
     "walk_skipgrams": q_walk_skipgrams,
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
     "degree_assortativity": q_degree_assortativity,
+    "attribute_assortativity": q_attribute_assortativity,
+    "source_diversity": q_source_diversity,
+    "interarrival_fit": q_interarrival_fit,
     "community_modularity": q_community_modularity,
     "conductance": q_conductance,
     "user_retention": q_user_retention,
