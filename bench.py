@@ -351,6 +351,9 @@ HEADLINE = [
     "t_closeness",
     "grouping_sets_revenue",
     "rag_chunks",
+    "attribute_assortativity",
+    "source_diversity",
+    "interarrival_fit",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

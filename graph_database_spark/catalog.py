@@ -3718,6 +3718,74 @@ def q_attribute_assortativity(spark, sf_dir):
     )
 
 
+def q_length_emd_matrix(spark, sf_dir):
+    # Pairwise dataset-shift matrix (r12): exact 1-D Wasserstein-1
+    # between every two languages' doc-length distributions, the
+    # emd_drift integer idiom generalized to all C(L,2) pairs — the
+    # "which slices of my corpus differ, and by how much" readout a
+    # mixture rebuild starts from. Per-lang CDFs forward-fill onto the
+    # global value grid with ONE window per lang (linear, never a
+    # values x values join); emd_ppm = sum |F_a - F_b| dv normalized by
+    # the value range. Headroom: |cumA*nB| <= nA*nB * gapsum = nA*nB*
+    # range; x1e6 needs nA*nB*range < 9e12 — documents' n_chars range
+    # (~1e3) allows ~3e4 docs/lang at full micro; band lengths past
+    # that.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    g = docs.groupBy("lang", "v").agg(F.count("*").alias("cnt"))
+    vals = (
+        docs.select("v")
+        .distinct()
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.lead("v").over(Window.orderBy("v")) - F.col("v"),
+                F.lit(0),
+            ),
+        )
+    )
+    langs = docs.select("lang").distinct()
+    lv = (
+        vals.crossJoin(F.broadcast(langs))
+        .join(g, ["lang", "v"], "left")
+        .select(
+            "lang", "v", "gap", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("lang")
+    cum = (
+        lv.withColumn("cum", F.sum("cnt").over(wl))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .select("lang", "v", "gap", "cum", "n")
+        .localCheckpoint()  # both pair sides read it
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.lang") < F.col("b.lang")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(
+            F.max("a.n").cast("long").alias("n_a"),
+            F.max("b.n").cast("long").alias("n_b"),
+            F.expr(
+                "(sum(abs(a.cum * b.n - b.cum * a.n) * a.gap) * 1000000)"
+                " div (max(a.n) * max(b.n) * (max(a.v) - min(a.v)))"
+            )
+            .cast("long")
+            .alias("emd_ppm"),
+        )
+    )
+
+
 def q_source_diversity(spark, sf_dir):
     # Simpson diversity of SOURCES within each language (r12): the
     # mixture-health readout next to temperature_mixing — a language
@@ -10003,6 +10071,39 @@ ORACLES["attribute_assortativity"] = f"""
            CAST(((se * m - sab) * 1000000) // (m * m - sab) AS BIGINT)
                AS r_ppm
     FROM tot CROSS JOIN sq
+"""
+
+ORACLES["length_emd_matrix"] = """
+    WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+    g AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2),
+    vals AS (
+        SELECT v, coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+        FROM (SELECT DISTINCT v FROM d)
+    ),
+    langs AS (SELECT DISTINCT lang FROM d),
+    lv AS (
+        SELECT l.lang, va.v, va.gap, coalesce(g.cnt, 0) AS cnt
+        FROM vals va CROSS JOIN langs l
+        LEFT JOIN g ON g.lang = l.lang AND g.v = va.v
+    ),
+    cum AS (
+        SELECT lang, v, gap,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM lv
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b,
+           CAST((CAST(sum(abs(a.cum * b.n - b.cum * a.n) * a.gap)
+                      AS BIGINT) * 1000000)
+                // (max(a.n) * max(b.n) * (max(a.v) - min(a.v)))
+                AS BIGINT) AS emd_ppm
+    FROM cum a JOIN cum b ON a.v = b.v AND a.lang < b.lang
+    GROUP BY 1, 2
 """
 
 ORACLES["source_diversity"] = """
@@ -17466,6 +17567,7 @@ QUERIES: dict[str, QueryFn] = {
     "degree_assortativity": q_degree_assortativity,
     "attribute_assortativity": q_attribute_assortativity,
     "source_diversity": q_source_diversity,
+    "length_emd_matrix": q_length_emd_matrix,
     "interarrival_fit": q_interarrival_fit,
     "community_modularity": q_community_modularity,
     "conductance": q_conductance,
