@@ -354,6 +354,9 @@ HEADLINE = [
     "attribute_assortativity",
     "source_diversity",
     "interarrival_fit",
+    "length_emd_matrix",
+    "lsh_pair_prf",
+    "rolling_beta",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

@@ -1850,6 +1850,57 @@ def q_logistic_calibration(spark, sf_dir):
     )
 
 
+def q_rolling_beta(spark, sf_dir):
+    # 7-day rolling OLS slope of daily order revenue vs time (r12):
+    # the local-trend readout between theil_sen_trend (one global
+    # robust slope) and holt_linear (recursive state) — a windowed
+    # regression whose sufficient stats ride ONE frame-bounded window
+    # pass. n is pinned at 7 by the dense day grid (missing days
+    # contribute 0 revenue), so the slope is the usual identical-
+    # operand IEEE chain over exact BIGINT window sums. The calendar
+    # frame is day-count-sized; the single unpartitioned window runs
+    # over ~2.5k rows regardless of order volume.
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_orderdate").alias("d0"),
+                   F.max("o_orderdate").alias("d1"))
+    daily = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy((F.datediff("o_orderdate", "d0") + 1).alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    span = bounds.select((F.datediff("d1", "d0") + 1).alias("n_days"))
+    dense = (
+        span.select(F.explode(F.expr("sequence(1, n_days)")).alias("day"))
+        .join(daily, "day", "left")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    s = (
+        dense.withColumn("n", F.count("*").over(w7))
+        .withColumn("sx", F.sum("day").over(w7))
+        .withColumn("sy", F.sum("cents").over(w7))
+        .withColumn("sxx", F.sum(F.col("day") * F.col("day")).over(w7))
+        .withColumn("sxy", F.sum(F.col("day") * F.col("cents")).over(w7))
+        .where(F.col("n") == 7)
+    )
+    return s.select(
+        "day",
+        "cents",
+        F.expr(
+            "CAST(7 * sxy - sx * sy AS DOUBLE)"
+            " / CAST(7 * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope"),
+    )
+
+
 def q_regression_discontinuity(spark, sf_dir):
     # Sharp regression discontinuity (r12): local linear fit on each
     # side of a 150k-dollar order-value cutoff within a +-50k band,
@@ -5108,6 +5159,47 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     # so this pins the Jaccard math AND cross-validates the LSH
     # variant's output (same 25 pairs at sf0.01).
     return D.ngram_jaccard_exact_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_lsh_pair_prf(spark, sf_dir):
+    # Dedup-decision EVALUATION (r12): pairwise precision/recall/F1 of
+    # the banded-LSH pair stage (md5 MinHash, est_jaccard >= 0.5)
+    # against the EXACT Jaccard >= 0.5 pair set — the dedup analog of
+    # ann_recall_audit, turning banding parameters from folklore into a
+    # measured operating point (precision prices estimator overshoot,
+    # recall prices band misses). Both legs are individually
+    # hash-verified; this pins their intersection. Zero denominators
+    # guarded (empty pair sets read 0).
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    pred = D.minhash_lsh_pairs_md5(docs).select(
+        "id_a", "id_b"
+    ).localCheckpoint()  # census + hit join both read it
+    truth = D.ngram_jaccard_exact_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    hit = pred.join(truth, ["id_a", "id_b"], "left_semi")
+    stats = (
+        pred.agg(F.count("*").alias("n_pred"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return stats.select(
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr(
+            "CASE WHEN n_pred > 0 THEN (n_hit * 1000000) div n_pred"
+            " ELSE 0 END"
+        ).cast("long").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN (n_hit * 1000000) div n_truth"
+            " ELSE 0 END"
+        ).cast("long").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_pred + n_truth > 0 THEN"
+            " (2 * n_hit * 1000000) div (n_pred + n_truth) ELSE 0 END"
+        ).cast("long").alias("f1_ppm"),
+    )
 
 
 def q_weighted_jaccard(spark, sf_dir):
@@ -17544,6 +17636,7 @@ QUERIES: dict[str, QueryFn] = {
     "ucb_replay": q_ucb_replay,
     "ols_price_model": q_ols_price_model,
     "regression_discontinuity": q_regression_discontinuity,
+    "rolling_beta": q_rolling_beta,
     "logistic_calibration": q_logistic_calibration,
     "woe_iv": q_woe_iv,
     "target_encoding": q_target_encoding,
@@ -17568,6 +17661,7 @@ QUERIES: dict[str, QueryFn] = {
     "attribute_assortativity": q_attribute_assortativity,
     "source_diversity": q_source_diversity,
     "length_emd_matrix": q_length_emd_matrix,
+    "lsh_pair_prf": q_lsh_pair_prf,
     "interarrival_fit": q_interarrival_fit,
     "community_modularity": q_community_modularity,
     "conductance": q_conductance,
@@ -21649,6 +21743,42 @@ SELECT feature, bin, pos, neg, woe_micro, gap_ppm,
 FROM scored
 """
 
+ORACLES["rolling_beta"] = """
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+daily AS (
+  SELECT CAST(date_diff('day', d0, CAST(o_orderdate AS DATE)) AS BIGINT)
+             + 1 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders, bounds GROUP BY 1
+),
+span AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT) + 1 AS n_days
+         FROM bounds),
+dense AS (
+  SELECT d.day, coalesce(dl.cents, 0) AS cents
+  FROM (SELECT unnest(range(1, n_days + 1)) AS day FROM span) d
+  LEFT JOIN daily dl ON dl.day = d.day
+),
+s AS (
+  SELECT day, cents,
+         count(*) OVER w AS n,
+         CAST(sum(day) OVER w AS BIGINT) AS sx,
+         CAST(sum(cents) OVER w AS BIGINT) AS sy,
+         CAST(sum(day * day) OVER w AS BIGINT) AS sxx,
+         CAST(sum(day * cents) OVER w AS BIGINT) AS sxy
+  FROM dense
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, cents,
+       CAST(7 * sxy - sx * sy AS DOUBLE)
+         / CAST(7 * sxx - sx * sx AS DOUBLE) AS slope
+FROM s WHERE n = 7
+"""
+
 ORACLES["regression_discontinuity"] = """
 WITH o AS (
     SELECT o_orderkey,
@@ -23053,6 +23183,32 @@ FROM bg JOIN model m ON m.b = bg.b
 GROUP BY 1
 ORDER BY w_micro DESC, doc_id ASC
 LIMIT 50
+"""
+
+
+ORACLES["lsh_pair_prf"] = f"""
+    WITH pred0 AS ({ORACLES["dedup_minhash_md5"]}),
+    truth0 AS ({ORACLES["ngram_jaccard_exact"]}),
+    pred AS (SELECT id_a, id_b FROM pred0),
+    truth AS (SELECT id_a, id_b FROM truth0),
+    st AS (
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+            (SELECT CAST(count(*) AS BIGINT) FROM pred p
+             JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_hit
+    )
+    SELECT n_pred, n_truth, n_hit,
+           CAST(CASE WHEN n_pred > 0
+                THEN (n_hit * 1000000) // n_pred ELSE 0 END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN n_truth > 0
+                THEN (n_hit * 1000000) // n_truth ELSE 0 END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN n_pred + n_truth > 0
+                THEN (2 * n_hit * 1000000) // (n_pred + n_truth)
+                ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM st
 """
 
 
