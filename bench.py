@@ -357,6 +357,9 @@ HEADLINE = [
     "length_emd_matrix",
     "lsh_pair_prf",
     "rolling_beta",
+    "powerlaw_alpha",
+    "embedding_isotropy",
+    "effective_diameter",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

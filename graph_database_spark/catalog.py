@@ -3723,6 +3723,120 @@ def q_degree_assortativity(spark, sf_dir):
     return G.degree_assortativity(copurchase_edges(spark, sf_dir))
 
 
+def q_effective_diameter(spark, sf_dir):
+    # Effective-diameter readout over the verified HyperANF state
+    # (r12, Boldi-Vigna): NF(t) = corpus-summed ball-size estimates per
+    # hop; the effective diameter is the smallest t whose NF reaches
+    # 90% of the horizon's (discrete form over the 3-hop budget). Each
+    # per-vertex double estimate micro-snaps BEFORE the sum (the
+    # integer-sum rule — double group-sums are partition-order-unsafe).
+    from graph_database_spark.operators.sketches import hll_neighborhood
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    nf = (
+        hll_neighborhood(edges)
+        .groupBy("t")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(est_reach * 1000000.0, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("nf_micro")
+        )
+    )
+    p = nf.agg(
+        *[
+            F.max(
+                F.when(F.col("t") == t, F.col("nf_micro"))
+            ).alias(f"nf{t}_micro")
+            for t in (1, 2, 3)
+        ]
+    )
+    return p.select(
+        "nf1_micro",
+        "nf2_micro",
+        "nf3_micro",
+        F.expr(
+            "CAST(CASE WHEN nf1_micro * 10 >= 9 * nf3_micro THEN 1"
+            " WHEN nf2_micro * 10 >= 9 * nf3_micro THEN 2"
+            " ELSE 3 END AS BIGINT)"
+        ).alias("eff_diameter"),
+    )
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    # Discrete power-law exponent MLE over the co-purchase degree
+    # distribution (r12): alpha = 1 + n / sum ln(d / (dmin - 1/2))
+    # (the Clauset-Shalizi-Newman continuous-approximation estimator at
+    # fixed dmin = 1) — THE scale-free-or-not summary a graph dataset
+    # card leads with. One ln per DISTINCT degree, micro-snapped before
+    # the count-weighted integer sum (micro rule); alpha itself comes
+    # back as an exact integer ratio in micro units. Frames are
+    # degree-histogram-sized.
+    deg = G.degree(copurchase_edges(spark, sf_dir))
+    h = deg.groupBy("degree").agg(F.count("*").alias("cnt"))
+    return h.agg(
+        F.sum("cnt").cast("long").alias("n_vertices"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.expr(
+            "CAST(1000000 AS BIGINT)"
+            " + (sum(cnt) * 1000000000000)"
+            " div sum(cnt * CAST(round(ln(CAST(degree AS DOUBLE)"
+            " / CAST(0.5 AS DOUBLE)) * 1000000.0, 0) AS BIGINT))"
+        )
+        .cast("long")
+        .alias("alpha_micro"),
+    )
+
+
+def q_embedding_isotropy(spark, sf_dir):
+    # Embedding-space isotropy (r12, Ethayarajh-style): the average
+    # pairwise cosine over the corpus, computed WITHOUT any pairwise
+    # join — mean_cos = (||sum u||^2 - n) / (n(n-1)) over unit vectors,
+    # so one pass accumulates the 64 per-dimension sums. Each unit
+    # component is micro-snapped before the per-dimension integer sum
+    # (partition-order-exact); an anisotropic (clustered) space reads
+    # high, a healthy spread reads near 0. Complements hopkins_statistic
+    # (clusterability) with the directional-bias readout.
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Norm materialized as a checkpointed column BEFORE the lambda
+    # references it (CLAUDE.md HOF rule — projection collapse would
+    # otherwise inline the fold per element). MILLI component units:
+    # s_d <= n*1e3, so sum_d s_d^2 <= 64*(n*1e3)^2 needs n < 4e7
+    # vectors in int64 — micro would overflow at n ~ 4e4.
+    base = emb.where(
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) > 0"
+        )
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+        ),
+    ).localCheckpoint()
+    comp = base.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                " / nrm * 1000.0, 0) AS BIGINT))"
+            )
+        ).alias("d", "c")
+    )
+    sums = comp.groupBy("d").agg(F.sum("c").alias("s"))
+    n = base.count()
+    return sums.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("norm_sq_milli2"),
+        F.expr(
+            f"(sum(s * s) - CAST({n} AS BIGINT) * 1000000)"
+            f" div (CAST({n} AS BIGINT) * CAST({n - 1} AS BIGINT))"
+        )
+        .cast("long")
+        .alias("mean_cos_micro"),
+    )
+
+
 def q_attribute_assortativity(spark, sf_dir):
     # Newman's CATEGORICAL assortativity (r12): nation homophily of the
     # co-purchase graph — r = (sum_i e_ii - sum_i a_i*b_i) / (1 - sum_i
@@ -10143,6 +10257,72 @@ ORACLES["user_retention"] = """
     FROM active a JOIN first f USING (user_id)
     GROUP BY 1, 2
 """
+ORACLES["effective_diameter"] = f"""
+    WITH anf AS ({{ANF}}),
+    nf AS (
+        SELECT t,
+               CAST(sum(CAST(round(est_reach * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS nf_micro
+        FROM anf GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(max(CASE WHEN t = 1 THEN nf_micro END) AS BIGINT)
+                   AS nf1_micro,
+               CAST(max(CASE WHEN t = 2 THEN nf_micro END) AS BIGINT)
+                   AS nf2_micro,
+               CAST(max(CASE WHEN t = 3 THEN nf_micro END) AS BIGINT)
+                   AS nf3_micro
+        FROM nf
+    )
+    SELECT nf1_micro, nf2_micro, nf3_micro,
+           CAST(CASE WHEN nf1_micro * 10 >= 9 * nf3_micro THEN 1
+                WHEN nf2_micro * 10 >= 9 * nf3_micro THEN 2
+                ELSE 3 END AS BIGINT) AS eff_diameter
+    FROM p
+"""
+
+ORACLES["powerlaw_alpha"] = f"""
+    WITH {GRAPH_CTES},
+    deg AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    h AS (SELECT degree, CAST(count(*) AS BIGINT) AS cnt
+          FROM deg GROUP BY 1)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_vertices,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(CAST(1000000 AS BIGINT)
+                + (CAST(sum(cnt) AS BIGINT) * 1000000000000)
+                  // CAST(sum(cnt * CAST(round(ln(CAST(degree AS DOUBLE)
+                         / CAST(0.5 AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+                       AS BIGINT)
+                AS BIGINT) AS alpha_micro
+    FROM h
+"""
+
+ORACLES["embedding_isotropy"] = """
+    WITH nrm AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+        WHERE list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    ),
+    comp AS (
+        SELECT generate_subscripts(e.embedding, 1) AS d,
+               CAST(round(CAST(unnest(e.embedding) AS DOUBLE) / n.nrm
+                          * 1000.0, 0) AS BIGINT) AS c
+        FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+    ),
+    sums AS (SELECT d, CAST(sum(c) AS BIGINT) AS s FROM comp GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nrm)
+    SELECT nn.n AS n_vectors,
+           CAST(sum(s * s) AS BIGINT) AS norm_sq_milli2,
+           CAST((CAST(sum(s * s) AS BIGINT) - nn.n * 1000000)
+                // (nn.n * (nn.n - 1)) AS BIGINT) AS mean_cos_micro
+    FROM sums CROSS JOIN nn
+    GROUP BY nn.n
+"""
+
 ORACLES["attribute_assortativity"] = f"""
     WITH {GRAPH_CTES},
     lab AS (
@@ -17659,6 +17839,9 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_personalized_quantized": q_pagerank_personalized_quantized,
     "degree_assortativity": q_degree_assortativity,
     "attribute_assortativity": q_attribute_assortativity,
+    "powerlaw_alpha": q_powerlaw_alpha,
+    "effective_diameter": q_effective_diameter,
+    "embedding_isotropy": q_embedding_isotropy,
     "source_diversity": q_source_diversity,
     "length_emd_matrix": q_length_emd_matrix,
     "lsh_pair_prf": q_lsh_pair_prf,
@@ -23210,6 +23393,13 @@ ORACLES["lsh_pair_prf"] = f"""
                 ELSE 0 END AS BIGINT) AS f1_ppm
     FROM st
 """
+
+
+# Late composition: hyper_anf's oracle is defined after the
+# effective_diameter template above; splice it in once both exist.
+ORACLES["effective_diameter"] = ORACLES["effective_diameter"].replace(
+    "{ANF}", ORACLES["hyper_anf"]
+)
 
 
 def oracle_sql() -> dict[str, str]:
