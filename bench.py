@@ -360,6 +360,7 @@ HEADLINE = [
     "powerlaw_alpha",
     "embedding_isotropy",
     "effective_diameter",
+    "minhash_calibration",
 ]
 
 # Queries pinned into the min-of-3 bonus set regardless of their min

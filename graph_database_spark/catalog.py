@@ -5275,6 +5275,47 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     return D.ngram_jaccard_exact_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_minhash_calibration(spark, sf_dir):
+    # MinHash estimator calibration (r12): for every banded-LSH pair,
+    # the signature estimate (matching bands / 16) against the EXACT
+    # shingle-set Jaccard, grouped by estimator value — the calibration
+    # curve that tells you what an est of 10/16 actually means on THIS
+    # corpus (lsh_pair_prf scores the decisions; this scores the
+    # estimator itself). Exact leg bounded by the candidate pair set.
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    pred = D.minhash_lsh_pairs_md5(docs).select(
+        "id_a", "id_b", F.expr("CAST(round(est_jaccard * 16) AS BIGINT)")
+        .alias("est_16")
+    )
+    t = D._tokens_df(docs, "text", "doc_id")
+    sh = t.select(
+        "id",
+        F.array_distinct(D._shingles_from(F.col("toks"), 3)).alias("s"),
+    ).localCheckpoint()  # both pair sides read it
+    j = (
+        pred.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("s").alias("sb")), "id_b")
+        .withColumn("ni", F.expr("size(array_intersect(sa, sb))"))
+        .withColumn(
+            "exact_ppm",
+            F.expr(
+                "(CAST(ni AS BIGINT) * 1000000)"
+                " div (size(sa) + size(sb) - ni)"
+            ),
+        )
+    )
+    return j.groupBy("est_16").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(exact_ppm) div count(*)").cast("long").alias(
+            "mean_exact_ppm"
+        ),
+        F.min("exact_ppm").cast("long").alias("min_exact_ppm"),
+        F.max("exact_ppm").cast("long").alias("max_exact_ppm"),
+    )
+
+
 def q_lsh_pair_prf(spark, sf_dir):
     # Dedup-decision EVALUATION (r12): pairwise precision/recall/F1 of
     # the banded-LSH pair stage (md5 MinHash, est_jaccard >= 0.5)
@@ -17845,6 +17886,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_diversity": q_source_diversity,
     "length_emd_matrix": q_length_emd_matrix,
     "lsh_pair_prf": q_lsh_pair_prf,
+    "minhash_calibration": q_minhash_calibration,
     "interarrival_fit": q_interarrival_fit,
     "community_modularity": q_community_modularity,
     "conductance": q_conductance,
@@ -23392,6 +23434,52 @@ ORACLES["lsh_pair_prf"] = f"""
                 THEN (2 * n_hit * 1000000) // (n_pred + n_truth)
                 ELSE 0 END AS BIGINT) AS f1_ppm
     FROM st
+"""
+
+
+ORACLES["minhash_calibration"] = f"""
+    WITH pred0 AS ({ORACLES["dedup_minhash_md5"]}),
+    pred AS (
+        SELECT id_a, id_b,
+               CAST(round(est_jaccard * 16) AS BIGINT) AS est_16
+        FROM pred0
+    ),
+    tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+                   ' '), t -> t != '') AS t
+        FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
+        FROM tk
+    ),
+    j AS (
+        SELECT p.est_16,
+               len(list_intersect(sa.s, sb.s)) AS ni,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM pred p
+        JOIN sets sa ON sa.doc_id = p.id_a
+        JOIN sets sb ON sb.doc_id = p.id_b
+    ),
+    e AS (
+        SELECT est_16,
+               (CAST(ni AS BIGINT) * 1000000) // (na + nb - ni) AS exact_ppm
+        FROM j
+    )
+    SELECT est_16,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(sum(exact_ppm) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_exact_ppm,
+           CAST(min(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           CAST(max(exact_ppm) AS BIGINT) AS max_exact_ppm
+    FROM e GROUP BY 1
 """
 
 
