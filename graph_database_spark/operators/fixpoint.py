@@ -53,6 +53,8 @@ def fixpoint(
     name: str = "fixpoint",
     on_exhaust: str = "raise",
     stats: dict | None = None,
+    reset_stats: bool = False,
+    fuse: int = 1,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``converged(old, new)``.
 
@@ -66,11 +68,38 @@ def fixpoint(
     label-propagation-style algorithms (ADVICE r2 on components);
     'return' hands back the last iterate, the right contract for
     anytime algorithms (PageRank's fixed round budget).
+
+    ``reset_stats``: set True when ``step`` SELF-JOINS the evolving
+    state (pointer-doubling shortcuts, Borůvka jumps) — see
+    ``reset_plan_stats``: without it the carried sizeInBytes estimate
+    squares per round and the driver drowns in BigInteger math.
+    State-join-STATIC steps don't need it.
+
+    ``fuse``: run this many ``step`` applications per materialization.
+    Per-round cost at moderate scale is DOMINATED by the fixed
+    checkpoint-job + convergence-probe overhead (~0.5 s regardless of
+    data size — measured r13, SCALE.md scc_reach row), so fusing 3
+    steps into one job cut the phase-0 hash-min fixpoints 1.65x with a
+    hash-identical result; the intermediate state inside a fused job is
+    deduplicated by Spark's ReuseExchange. ONLY safe for steps that are
+    idempotent at convergence (monotone label relaxations: hash-min,
+    max-layer) — a fixed-budget anytime loop (PageRank) or a per-round
+    readout (onion peels) must keep fuse=1 because overshooting rounds
+    there changes the answer. Convergence still sound: ``converged``
+    sees the LAST fused step's prev-columns, and "last step changed
+    nothing" means the state is a fixpoint of one step.
     """
     parts = state_partitions(initial.sparkSession)
     state = materialize(initial, parts)
+    if reset_stats:
+        state = reset_plan_stats(state)
     for i in range(max_iterations):
-        new = materialize(step(state), parts)
+        s = state
+        for _ in range(fuse):
+            s = step(s)
+        new = materialize(s, parts)
+        if reset_stats:
+            new = reset_plan_stats(new)
         if converged(state, new):
             if stats is not None:
                 # observability hook: rounds-to-convergence per named

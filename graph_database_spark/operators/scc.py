@@ -77,8 +77,14 @@ def _hash_min(
     """Hash-min label fixpoint over DIRECTED edges ``(u, v)``: label(x) =
     min id among {x} + {sources of directed paths into x}. ``verts``
     is one ``id`` per vertex (isolated ids allowed — they keep their own
-    label). One keyed shuffle per round; state rides the aggregation as
-    union rows (no join-back, CLAUDE.md)."""
+    label). One keyed shuffle per step; state rides the aggregation as
+    union rows (no join-back, CLAUDE.md). Steps are fused 3-per-job
+    (fixpoint ``fuse``): the per-round floor is checkpoint+probe
+    overhead, not data, so one materialization per 3 label hops cut the
+    phase-0 fixpoints 1.65x hash-identically (r13, SCALE.md; the
+    tried-and-rejected alternatives — label(label(v)) pointer shortcuts,
+    a static capped 2-hop edge union — cut rounds 8->7 and 8->5 but
+    LOST wall-clock to their extra self-join/build shuffles)."""
     labels = verts.select("id", F.col("id").alias(out_col))
 
     def step(state: DataFrame) -> DataFrame:
@@ -103,7 +109,7 @@ def _hash_min(
         return new.where(F.col(out_col) != F.col("prev")).isEmpty()
 
     return fixpoint(
-        labels, step, converged, max_rounds, name=name, stats=stats
+        labels, step, converged, max_rounds, name=name, stats=stats, fuse=3
     ).select("id", out_col)
 
 
@@ -223,7 +229,7 @@ def scc_reach_sketch(
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.where(F.col("_reg") != F.col("prev")).isEmpty()
 
-    regs = fixpoint(regs0, step, converged, max_rounds, name="scc_reach")
+    regs = fixpoint(regs0, step, converged, max_rounds, name="scc_reach", fuse=2)
     ssum = (
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
         + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
@@ -278,7 +284,9 @@ def condensation_layers(
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.where(F.col("layer") != F.col("prev")).isEmpty()
 
-    out = fixpoint(layers, step, converged, max_rounds, name="condensation_layers")
+    out = fixpoint(
+        layers, step, converged, max_rounds, name="condensation_layers", fuse=2
+    )
     members = scc.groupBy("scc_id").agg(F.count("*").alias("n_members"))
     return members.join(
         out.select(F.col("id").alias("scc_id"), "layer"), "scc_id"
