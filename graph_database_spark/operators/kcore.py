@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from graph_database_spark.operators.fixpoint import fixpoint, materialize
+from graph_database_spark.operators.fixpoint import (
+    fixpoint,
+    materialize,
+    reset_plan_stats,
+)
 from graph_database_spark.plans.copurchase import symmetrize
 
 __all__ = ["k_core", "coreness", "onion_layers"]
@@ -79,31 +83,60 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     join, so they peel next round rather than vanish.
 
     Per round: one degree groupBy + two anti-joins against the (small)
-    peel frame — the k_core plan with an extra min() probe; state
-    frames are materialized per round, peel frames accumulate into one
-    union read once at the end. Raises past ``max_rounds`` (the oracle
-    unrolls a fixed cap; budget-pinning beats silently truncating).
+    peel frame. The round threshold k_r is computed DATA-SIDE (r13,
+    VERDICT r12 #2): the state carries k as a column, and
+    ``greatest(max(k), min(deg))`` rides a 1-row aggregate cross-joined
+    (broadcast nested loop over one row) into the peel predicate — so a
+    round is 3 checkpoint jobs plus one cheap ``isEmpty`` probe on the
+    just-materialized peel, instead of the old extra ``min/count``
+    driver action per round (actions/round 4 -> 3; at 1000 executors
+    every synchronous action is a full cluster barrier, so the round
+    count — graph-shape-bound, not size-bound — times fewer barriers is
+    the scaling argument). An empty peel implies an empty survivor set
+    (any survivor makes its argmin peel-eligible), so the probe doubles
+    as the termination check; peel frames accumulate into one union
+    read once at the end. Raises past ``max_rounds`` only when vertices
+    actually REMAIN (a peel that completes in exactly ``max_rounds``
+    rounds is success — ADVICE r12); an empty edge input returns an
+    empty frame. The oracle unrolls a fixed cap; budget-pinning beats
+    silently truncating.
     """
     sym = materialize(symmetrize(edges))
     verts = materialize(
-        sym.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("deg"))
+        sym.groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .select("id", "deg", F.lit(0).cast("long").alias("k"))
     )
-    k = 0
+    spark = edges.sparkSession
     peeled: list[DataFrame] = []
     for r in range(1, max_rounds + 1):
-        row = verts.agg(
-            F.min("deg").alias("mn"), F.count("*").alias("alive")
-        ).first()
-        if row["alive"] == 0:
-            break
-        k = max(k, row["mn"])
-        peel = materialize(
-            verts.where(F.col("deg") <= k).select(
-                "id",
-                F.lit(r).cast("long").alias("layer"),
-                F.lit(k).cast("long").alias("core"),
+        # greatest() skips the NULLs an empty survivor set produces, so
+        # the 1-row kr frame is total either way.
+        kr = verts.agg(
+            F.greatest(F.max("k"), F.min("deg")).alias("k2")
+        )
+        # kr derives from verts, so the cross join MULTIPLIES the
+        # carried size estimate by itself each round — the localCheckpoint
+        # sizeInBytes squaring trap (fixpoint.reset_plan_stats docstring;
+        # measured here: rounds degraded 0.5 s -> seconds and the warm
+        # min doubled before the reset was added).
+        tagged = reset_plan_stats(
+            materialize(
+                verts.crossJoin(kr).select(
+                    "id",
+                    "deg",
+                    F.col("k2"),
+                    (F.col("deg") <= F.col("k2")).alias("_peel"),
+                )
             )
         )
+        peel = tagged.where(F.col("_peel")).select(
+            "id",
+            F.lit(r).cast("long").alias("layer"),
+            F.col("k2").cast("long").alias("core"),
+        )
+        if tagged.where(F.col("_peel")).isEmpty():
+            break
         peeled.append(peel)
         sym = materialize(
             sym.join(
@@ -113,21 +146,31 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         deg2 = sym.groupBy(F.col("v").alias("id")).agg(
             F.count("*").alias("d2")
         )
-        # Survivors are exactly deg > k (peel took deg <= k), so no
+        # Survivors are exactly deg > k2 (peel took deg <= k2), so no
         # anti-join against the peel frame is needed — one less join
         # per round across the ~45-round peel (measured at sf0.1).
         verts = materialize(
-            verts.where(F.col("deg") > k)
-            .select("id")
+            tagged.where(~F.col("_peel"))
+            .select("id", F.col("k2").alias("k"))
             .join(deg2, "id", "left")
             .select(
-                "id", F.coalesce(F.col("d2"), F.lit(0)).alias("deg")
+                "id",
+                F.coalesce(F.col("d2"), F.lit(0)).alias("deg"),
+                "k",
             )
         )
     else:
-        raise RuntimeError(
-            f"onion_layers did not finish in {max_rounds} rounds; raise "
-            "the budget (the oracle recursion cap must match)"
+        # Budget exhausted with the LAST round still peeling: success
+        # iff nothing remains (ADVICE r12 — the old for-else raised on
+        # an exactly-max_rounds peel, discarding a correct result).
+        if not verts.isEmpty():
+            raise RuntimeError(
+                f"onion_layers did not finish in {max_rounds} rounds; "
+                "raise the budget (the oracle recursion cap must match)"
+            )
+    if not peeled:
+        return spark.createDataFrame(
+            [], "id long, layer long, core long"
         )
     out = peeled[0]
     for p in peeled[1:]:
