@@ -65,33 +65,41 @@ _REFERENCE_SURFACE = [
     "circles_membership",
 ]
 
-# r11 (VERDICT r10 next-#1): km_survival has been red on the driver's
-# gate for two rounds while passing locally on every manufactured ts
-# vintage. These four are PINNED into the reserved head-50 slots so the
-# driver's own row/hash report bisects the pipeline: horizon_probe red
-# => ingest epochs; user_lifetimes red => per-user min/max or the 6h
-# cutoff; risk_table red => running-count window / total; only
-# km_survival red => the driver-side fold / oracle recursion. Unpin
-# once km_survival is green on a driver gate.
-_KM_BISECTION = [
-    "km_horizon_probe",
-    "km_user_lifetimes",
-    "km_risk_table",
-    "km_survival",
+# r13: the r11 KM bisection pins and the r12 HUGEINT regate pins are
+# RETIRED — CORRECTNESS_r12.json shows every pinned name green on the
+# driver's own gate (35/35 oracle-backed), which was each pin's stated
+# unpin condition. History: km_* pinned r11 (VERDICT r10 #1), HUGEINT
+# trio pinned r12 (VERDICT r11 #1/#5).
+#
+# r13 pins (VERDICT r12 #1/#2): the four iterative queries whose
+# execution shape changed this round — fixpoint step fusion (scc
+# family) and the data-side peel threshold (onion_layers). Results are
+# hash-identical locally; the pin makes the driver confirm the hashes
+# on ITS gate in the same round the plans changed. Unpin in r14 once
+# the r13 gate shows all four green.
+_R13_REPLAN_REGATE = [
+    "scc_reach",
+    "scc_components",
+    "topo_layers",
+    "onion_layers",
 ]
 
-# r12 (VERDICT r11 next-#1/#5): the bisection landed — the red rows were
-# DuckDB HUGEINT output columns rendering 39 -> 39.0 through the
-# driver's pandas fetch (never engine logic, never a ts vintage). All
-# five affected oracles are now CAST ... AS BIGINT; pin them into the
-# r12 head-50 so the driver confirms the two red names go green AND the
-# two latent ones (seasonal_decompose, woe_iv — HUGEINT present but
-# never yet driver-gated) never show red at all. Unpin in r13 once the
-# r12 gate shows all five green.
-_HUGEINT_REGATE = [
-    "link_scores",
-    "seasonal_decompose",
-    "woe_iv",
+# r13 (VERDICT r12 #3): queries written in r12 that have never had a
+# driver-gate row. Catalog order is SECTION-based, not chronological,
+# so the standing least-recently-verified rotation cannot express
+# "newest code first" — these are pinned for one round instead (newest
+# code with zero external rows is the riskiest tier; the HUGEINT saga
+# started exactly there). Unpin in r14 once green.
+_R13_NEWEST_GATE = [
+    "suffix_cross_doc",
+    "bm25_search",
+    "tfidf_terms",
+    "lsh_pair_prf",
+    "minhash_calibration",
+    "perplexity_filter",
+    "powerlaw_alpha",
+    "embedding_isotropy",
+    "effective_diameter",
 ]
 
 
@@ -133,7 +141,7 @@ def _ordered_names() -> list[str]:
     order = {n: i for i, n in enumerate(catalog.QUERIES)}
     reserved = [
         n
-        for n in (*_REFERENCE_SURFACE, *_KM_BISECTION, *_HUGEINT_REGATE)
+        for n in (*_REFERENCE_SURFACE, *_R13_REPLAN_REGATE, *_R13_NEWEST_GATE)
         if n in catalog.QUERIES
     ]
     rows_only = [
