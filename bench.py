@@ -361,18 +361,14 @@ HEADLINE = [
     "embedding_isotropy",
     "effective_diameter",
     "minhash_calibration",
+    # r13 additions
+    "dedup_incremental",
 ]
 
-# Queries pinned into the min-of-3 bonus set regardless of their min
-# (VERDICT r9 next-#7, extended r10 next-#5): anything that produced a
-# round-over-round min swing > 1.5x with NO commit touching it sits in
-# the scheduler-hiccup noise band that one extra sample kills.
-#   - triangles_sampled: r9 2.29->3.37 phantom, re-measured 1.77 in r10
-#   - maximal_matching:  r10 4.07->7.26 with no code change either round
-#   - hyper_anf:         r10 3.71->6.48 with no code change either round
-BONUS_PINNED = frozenset(
-    {"triangles_sampled", "maximal_matching", "hyper_anf"}
-)
+# (r13: the BONUS_PINNED escape hatch — triangles_sampled,
+# maximal_matching, hyper_anf, each a >1.5x phantom swing on untouched
+# code — is retired: every query now takes the third sample, see the
+# bonus-sample comment in main().)
 
 
 def main() -> None:
@@ -436,25 +432,19 @@ def main() -> None:
         for _ in range(repeats):
             if not one_sample():
                 break
-        # Sub-8 s queries get one extra sample (min-of-3): below that a
-        # single scheduler hiccup dominates min-of-2 — the three r8
-        # "regressions" (kmeans_cells +39%, audio_features +63%,
-        # entity_resolution +70%) were exactly this noise band (VERDICT
-        # r8 next-#6), and r10/r11 minted the same phantoms in the
-        # 2-8 s mid-band (ransac_line 2.37x, prf_search 2.06x, pq_codes
-        # 1.86x, all on untouched code — VERDICT r11 next-#4 raised the
-        # boundary from 3 to 8). Extra cost ~190 s over the 42 mid-band
-        # queries, the price of cross-round deltas meaning anything.
+        # EVERY query gets one extra sample (min-of-3). History: r8
+        # bounded this at <3 s, r11 raised it to <8 s, and r12 still
+        # minted 3-7x phantom driver swings in the 8-40 s band
+        # (propensity_matching 1.78 s committed vs 12.66 s driver read,
+        # video_codec_features 2.02 vs 10.11, scc_reach's "regression"
+        # bisected in r13 to pure environment drift) — VERDICT r12 #8
+        # extends the third sample to the expensive band too. Extra
+        # cost ~3-4 min over the ~15 queries >= 8 s, the price of
+        # cross-round deltas on exactly the queries the judge grades.
         # A failure of this BONUS sample is discarded (ADVICE r9): the
         # query already benchmarked fine min-of-2 — recording it would
         # report the same query as both timed and errored.
-        # BONUS_PINNED queries get the extra sample regardless of their
-        # min: each sat at/above the 3 s boundary and produced phantom
-        # round-over-round "regressions" with no code change — exactly
-        # the noise band the extra sample exists to kill.
-        if samples and len(samples) == repeats and (
-            min(samples) < 8.0 or name in BONUS_PINNED
-        ):
+        if samples and len(samples) == repeats:
             one_sample(record_error=False)
         if samples:
             runs[name] = samples
@@ -464,11 +454,23 @@ def main() -> None:
             timings[name] = None
         release_checkpoints()
 
+    # Top-10 most expensive: min + second-smallest sample survive in the
+    # driver's stdout artifact (VERDICT r12 #8), so a cross-round delta
+    # can be read as real drift (both samples moved) vs a cold sample
+    # (min flat, second sample high) without re-running anything.
+    top10 = sorted(
+        (n for n, t in timings.items() if t is not None),
+        key=lambda n: -timings[n],
+    )[:10]
+    top2 = {
+        n: sorted(runs[n])[:2] for n in top10 if len(runs.get(n, [])) > 1
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 2),
         "unit": "sec",
         "queries": timings,
+        "top2": top2,
         "sf": sf_val,
     }
     if errors:

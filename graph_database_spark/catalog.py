@@ -3518,6 +3518,24 @@ def q_dedup_minhash_md5(spark, sf_dir):
     return D.minhash_lsh_pairs_md5(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # Append-batch near-dup dedup (r13, VERDICT r12 #7): the corpus
+    # (doc_id % 10 != 0) is indexed ONCE via minhash_index_md5 — the
+    # persistable artifact a production pipeline writes as bucketed
+    # parquet — and the new batch (doc_id % 10 == 0) is signed and
+    # probed against it; no corpus signature is recomputed. Decisions
+    # per batch doc: distinct corpus near-dups, distinct smaller-id
+    # batch near-dups (greedy predecessor rule), kept = both zero. The
+    # oracle replays the SAME banding over the union from scratch —
+    # hash equality IS the append-equals-rerun contract. Probe cost
+    # scales with the batch, not the corpus (SCALE.md r13 row).
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index = D.minhash_index_md5(corpus)
+    return D.incremental_minhash_dedup(index, batch)
+
+
 def q_tfidf_terms(spark, sf_dir):
     return R.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -3771,7 +3789,13 @@ def q_powerlaw_alpha(spark, sf_dir):
     # card leads with. One ln per DISTINCT degree, micro-snapped before
     # the count-weighted integer sum (micro rule); alpha itself comes
     # back as an exact integer ratio in micro units. Frames are
-    # degree-histogram-sized.
+    # degree-histogram-sized. Headroom (ADVICE r12): the numerator
+    # sum(cnt) * 1e12 overflows int64 past n_vertices ~ 9.2e6 — ANSI
+    # mode throws loudly rather than wrapping. Past that scale, drop
+    # the ratio to 1e9 scaling (alpha in nano/milli hybrid units, same
+    # truncation contract on both engines) or estimate on a
+    # deterministic vertex sample; the denominator is safe much further
+    # (ln(d/0.5) micro-ints grow with sum(cnt)*ln(max_degree)*1e6).
     deg = G.degree(copurchase_edges(spark, sf_dir))
     h = deg.groupBy("degree").agg(F.count("*").alias("cnt"))
     return h.agg(
@@ -10863,6 +10887,61 @@ ORACLES["dedup_minhash_md5"] = f"""
     )
     SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
 """
+# Append-equals-rerun contract: the oracle reruns the FULL banding over
+# corpus UNION batch from scratch (nothing incremental), applies the
+# "corpus before batch, then smaller id" order, and must hash-match the
+# incremental probe — same md5 signature fragments as dedup_minhash_md5.
+ORACLES["dedup_incremental"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, coalesce(array_to_string(t, ' '), '') AS s
+        FROM toks WHERE len(t) < 3
+    ),
+    sigrow AS (
+        SELECT doc_id, seed,
+               min(CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || s),
+                                           1, 15)) AS BIGINT)) AS mh
+        FROM sh, UNNEST(range(0, 16)) AS v(seed)
+        GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigrow GROUP BY 1),
+    banded AS (
+        SELECT doc_id, sig, band,
+               array_to_string(list_transform(sig[band*4+1:band*4+4],
+                                              x -> CAST(x AS VARCHAR)), ',') AS bkey,
+               (doc_id % 10 = 0) AS is_batch
+        FROM sig, UNNEST(range(0, 4)) AS u(band)
+    ),
+    hits AS (
+        SELECT DISTINCT a.doc_id AS id, b.doc_id AS other, b.is_batch AS o_batch
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.is_batch AND a.doc_id != b.doc_id
+          AND (NOT b.is_batch OR b.doc_id < a.doc_id)
+          AND CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / 16 >= CAST(0.5 AS DOUBLE)
+    ),
+    counts AS (
+        SELECT id,
+               count(DISTINCT CASE WHEN NOT o_batch THEN other END) AS cd,
+               count(DISTINCT CASE WHEN o_batch THEN other END) AS bd
+        FROM hits GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.cd, 0) AS BIGINT) AS corpus_dups,
+           CAST(coalesce(c.bd, 0) AS BIGINT) AS batch_dups,
+           (coalesce(c.cd, 0) + coalesce(c.bd, 0) = 0) AS kept
+    FROM (SELECT doc_id FROM sig WHERE doc_id % 10 = 0) d
+    LEFT JOIN counts c ON c.id = d.doc_id
+"""
 ORACLES["tfidf_terms"] = f"""
     WITH {_RETRIEVAL_TERMS},
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -17818,6 +17897,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pca": q_embedding_pca,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_incremental": q_dedup_incremental,
     "pagerank_quantized": q_pagerank_quantized,
     "hits_scores": q_hits_scores,
     "link_scores": q_link_scores,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from graph_database_spark.operators.fixpoint import materialize
 from graph_database_spark.plans.copurchase import symmetrize
 
 __all__ = ["betweenness", "edge_betweenness"]
@@ -107,7 +108,7 @@ def _sigma_g(
             "sigma",
         )
         seen = visited.select("s", "v", F.lit(True).alias("old"), "dist", "sigma")
-        visited = (
+        visited = materialize(
             msgs.unionByName(seen)
             .groupBy("s", "v")
             .agg(
@@ -125,9 +126,8 @@ def _sigma_g(
                 F.when(F.col("was_seen"), F.col("old_sigma"))
                 .otherwise(F.col("new_sigma"))
                 .alias("sigma"),
-            )
-            .coalesce(state_parts)
-            .localCheckpoint()
+            ),
+            state_parts,
         )
         count = visited.count()
         if count == prev_count:
@@ -188,13 +188,11 @@ def _sigma_g(
             # aggregate below becomes a groupBy over the checkpointed
             # frame (same shuffle it already paid) and the edge score
             # reads these frames for free.
-            dag_l = dag_l.coalesce(state_parts).localCheckpoint()
+            dag_l = materialize(dag_l, state_parts)
             dag_levels.append(dag_l)
-        succ = (
-            dag_l.groupBy("s", "v")
-            .agg(F.sum(F.col("g_next") + 1).alias("g"))
-            .coalesce(state_parts)
-            .localCheckpoint()
+        succ = materialize(
+            dag_l.groupBy("s", "v").agg(F.sum(F.col("g_next") + 1).alias("g")),
+            state_parts,
         )
         level_frames.append(succ)
         g_above = succ

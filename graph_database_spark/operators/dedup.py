@@ -35,6 +35,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "winnow_fingerprints",
+    "minhash_index_md5",
+    "incremental_minhash_dedup",
     "ngram_jaccard_pairs",
     "weighted_jaccard_pairs",
     "staged_dedup",
@@ -198,6 +200,161 @@ def minhash_signatures_md5(
     )
 
 
+def minhash_index_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded MinHash signature index ``(id, sig, band, key)`` — the
+    persistable corpus-side artifact of the LSH dedup pipeline (one row
+    per document per band; ``sig`` is the n_hashes-long md5 signature
+    the estimator reads, ``key`` the band's bucket key).
+
+    This is the frame a 100 TB pipeline WRITES once per corpus (bucketed
+    by (band, key)) and appends to: ``minhash_lsh_pairs_md5`` derives
+    its candidate join from it, and ``incremental_minhash_dedup`` probes
+    a NEW batch against it without touching corpus texts — probe cost
+    scales with the batch, not the corpus. Checkpointed: every consumer
+    joins it at least twice (self-join or probe + readout)."""
+    rows = n_hashes // bands
+    sig = (
+        _md5_sig_wide(docs, text_col, id_col, n_hashes, shingle_k)
+        .select(
+            "id",
+            F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig"),
+        )
+        .localCheckpoint()
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+
+def _sig_agreement(n_hashes: int):
+    """est_jaccard between the aliased ``a.sig``/``b.sig`` of a bucket
+    join — computed INSIDE the join so downstream dedups shuffle scored
+    scalars, never the signatures (the SCALE.md payload rule)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        ).cast("double")
+        / F.lit(n_hashes)
+    )
+
+
+def incremental_minhash_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Append-batch near-dup dedup (r13, VERDICT r12 #7): probe a NEW
+    document batch against a PERSISTED corpus signature index without
+    recomputing any corpus signature — the missing shape for a real
+    100 TB pipeline, which is append-heavy.
+
+    ``index``: corpus-side ``minhash_index_md5`` rows (read back from
+    its parquet sink in production; only its (band, key, sig) columns
+    are touched). ``batch``: new documents. Returns one row per batch
+    document: ``(doc_id, corpus_dups, batch_dups, kept)`` where
+    corpus_dups counts distinct corpus documents with estimated Jaccard
+    >= threshold, batch_dups counts distinct SMALLER-id batch documents
+    likewise (greedy predecessor rule — a batch doc is dropped by any
+    earlier near-dup whether or not that one was itself dropped,
+    matching staged_dedup's keep semantics), and kept = both are zero.
+
+    Equivalence contract (the oracle): running the same banding over
+    corpus UNION batch from scratch, with the order "corpus before
+    batch, then id", yields exactly these decisions — so appending
+    batches is semantically the same as re-running the full dedup,
+    while costing one batch-side signature pass + one (band, key)
+    bucket join against the index. Scale: the probe shuffle carries the
+    batch's signatures only; the corpus side arrives pre-bucketed (at
+    rest: bucketed parquet on the band key), so probe cost scales with
+    |batch|, not |corpus| (SCALE.md r13 row)."""
+    bidx = minhash_index_md5(
+        batch, text_col, id_col, n_hashes, bands, shingle_k
+    ).localCheckpoint()
+    est = _sig_agreement(n_hashes)
+    probe = (
+        bidx.alias("a")
+        .join(
+            index.select("id", "sig", "band", "key").alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("other"),
+            est.alias("est"),
+        )
+        .where(F.col("est") >= threshold)
+        .groupBy("id")
+        .agg(F.countDistinct("other").alias("corpus_dups"))
+    )
+    within = (
+        bidx.alias("a")
+        .join(
+            bidx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("other"),
+            est.alias("est"),
+        )
+        .where(F.col("est") >= threshold)
+        .groupBy("id")
+        .agg(F.countDistinct("other").alias("batch_dups"))
+    )
+    ids = bidx.select("id").distinct()
+    return (
+        ids.join(probe, "id", "left")
+        .join(within, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("corpus_dups", F.lit(0)).cast("long").alias("corpus_dups"),
+            F.coalesce("batch_dups", F.lit(0)).cast("long").alias("batch_dups"),
+            (
+                F.coalesce("corpus_dups", F.lit(0))
+                + F.coalesce("batch_dups", F.lit(0))
+                == 0
+            ).alias("kept"),
+        )
+    )
+
+
 def minhash_lsh_pairs_md5(
     docs: DataFrame,
     text_col: str = "text",
@@ -224,47 +381,11 @@ def minhash_lsh_pairs_md5(
     is computed INSIDE the bucket join so the dedup shuffles only scored
     scalar rows.
     """
-    rows = n_hashes // bands
-    sig = (
-        _md5_sig_wide(docs, text_col, id_col, n_hashes, shingle_k)
-        .select(
-            "id",
-            F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig"),
-        )
-        .localCheckpoint()
+    banded = minhash_index_md5(
+        docs, text_col, id_col, n_hashes, bands, shingle_k
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.sig"),
-                F.col("b.sig"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, m: acc + m,
-        ).cast("double")
-        / F.lit(n_hashes)
-    )
+    est = _sig_agreement(n_hashes)
     return (
         a.join(
             b,

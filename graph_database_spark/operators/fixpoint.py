@@ -37,11 +37,28 @@ def state_partitions(spark) -> int:
     return max(4, spark.sparkContext.defaultParallelism // 4)
 
 
+# Observability hook (r13, VERDICT r12 #4): when a list is assigned
+# here, materialize() appends the pre-AQE executed-plan string of every
+# frame it checkpoints. The iterative operators' per-round plans are
+# otherwise invisible to scripts/dump_plans.py (the loops run eagerly
+# inside the operator call), which is exactly where the r12 perf
+# regression hid. Costs nothing when None (the default); only
+# scripts/dump_plans.py sets it.
+PLAN_CAPTURE: list[str] | None = None
+
+
 def materialize(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Coalesce onto the state partition count and localCheckpoint —
     the per-round state hygiene every iterative operator needs."""
     if parts is None:
         parts = state_partitions(df.sparkSession)
+    if PLAN_CAPTURE is not None:
+        try:
+            PLAN_CAPTURE.append(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
     return df.coalesce(parts).localCheckpoint()
 
 

@@ -292,6 +292,25 @@ SHOW = [
     "embedding_isotropy",
     "effective_diameter",
     "minhash_calibration",
+    # r13 additions
+    "dedup_incremental",
+]
+
+# Iterative operators (r13, VERDICT r12 #4): their per-round plans are
+# built and executed INSIDE the operator call, so plan_text() on the
+# returned frame only shows the post-loop readout (onion_layers' union
+# was the only artifact the five most expensive queries had — which is
+# where the r12 perf regression hid). These run to completion at
+# sf0.001 with fixpoint.PLAN_CAPTURE set, recording the pre-AQE plan of
+# every state materialization; PLANS.md pins the per-materialization
+# Exchange-count sequence plus the worst round's full plan.
+ITERATIVE = [
+    "scc_reach",
+    "scc_components",
+    "topo_layers",
+    "onion_layers",
+    "graph_coloring",
+    "betweenness",
 ]
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
@@ -300,7 +319,9 @@ Generated by `python scripts/dump_plans.py`. What to look for:
 scans list only needed columns (`ReadSchema`), dimension joins broadcast,
 similarity plans contain no `CartesianProduct` (except the documented
 broadcast top-k), and per-query shuffle (`Exchange`) counts stay flat as
-data grows.
+data grows. The trailing "iterative per-round" sections pin each
+state-materialization's Exchange count across a full run (sf0.001) —
+a growing count round-over-round is the lineage/stats leak signature.
 """
 
 
@@ -327,6 +348,37 @@ def main() -> None:
         out.append(f"- shuffles (Exchange nodes, pre-AQE): {exchanges}")
         out.append(f"- scan schemas: {sorted(set(s[:120] for s in schemas))}")
         out.append("\n```\n" + plan[:3000] + ("\n… (truncated)" if len(plan) > 3000 else "") + "\n```")
+    from graph_database_spark.operators import fixpoint
+
+    for name in ITERATIVE:
+        fixpoint.PLAN_CAPTURE = []
+        try:
+            # sf0.001: round structure is graph-shape-bound, so the
+            # smallest SF exercises the same per-round plan shapes the
+            # big runs pay, in seconds instead of minutes.
+            catalog.QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            plans = fixpoint.PLAN_CAPTURE
+        finally:
+            fixpoint.PLAN_CAPTURE = None
+        counts = [count_exchanges(p) for p in plans]
+        out.append(f"\n## {name} (iterative per-round, sf0.001)\n")
+        out.append(
+            f"- state materializations: {len(plans)}; Exchange count per"
+            f" materialization: {counts}"
+        )
+        if plans:
+            worst = max(range(len(plans)), key=lambda i: counts[i])
+            out.append(
+                f"- worst materialization (#{worst + 1},"
+                f" {counts[worst]} exchanges):"
+            )
+            ptxt = plans[worst]
+            out.append(
+                "\n```\n"
+                + ptxt[:3000]
+                + ("\n… (truncated)" if len(ptxt) > 3000 else "")
+                + "\n```"
+            )
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote PLANS.md")

@@ -29,6 +29,16 @@ TABLES_1X = (
 def build_20x_documents(src: str, dest: str) -> str:
     os.makedirs(dest, exist_ok=True)
     out = os.path.join(dest, "documents.parquet")
+    # Rebuild when absent OR older than the source parquet (ADVICE r12):
+    # a stale 20x replica of a since-regenerated source dir would
+    # silently mix vintages — the same stale-replica lesson the symlink
+    # branch below already applies unconditionally.
+    src_parquet = os.path.join(src, "documents.parquet")
+    stale = os.path.exists(out) and (
+        os.path.getmtime(out) < os.path.getmtime(src_parquet)
+    )
+    if stale:
+        os.remove(out)
     if not os.path.exists(out):
         duckdb.connect().execute(
             f"""
