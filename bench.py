@@ -13,6 +13,11 @@ and ~2x-noisy, making the perf gate unenforceable):
 - **Full results go to BENCH_LOCAL.json** at the repo root (committed),
   including every repeat, the spread, and any errors — the durable
   record regardless of what survives the driver's stdout capture.
+  Artifact convention (VERDICT r12 #6): the COMMITTED BENCH_LOCAL.json
+  is whatever run happened last before the round's final commit — when
+  the driver's own per-round bench rewrites it, commit that refresh at
+  the next round's start so diffs track what the driver actually
+  measured; never leave it dirty in the worktree.
 - **The stdout line is kept under the driver's 2000-char tail window.**
   BENCH_r06.json was unparseable because the 90-query line ran 2176
   chars and the driver keeps only the last 2000 chars of stdout. The
@@ -363,6 +368,7 @@ HEADLINE = [
     "minhash_calibration",
     # r13 additions
     "dedup_incremental",
+    "ann_ivfpq",
 ]
 
 # (r13: the BONUS_PINNED escape hatch — triangles_sampled,

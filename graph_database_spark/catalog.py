@@ -6984,6 +6984,20 @@ def q_pq_codes(spark, sf_dir):
     return pq_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    # IVF-PQ asymmetric-distance search (r13): the FAISS-style serving
+    # layout as an actual SEARCH — coarse IVF cells prune candidates,
+    # PQ codes + per-query exact lookup tables rank them by integer ADC
+    # distance. Composes two already-verified twins (ann_ivf_md5 cells,
+    # pq_codes training) into one hash-verified pipeline; candidates
+    # are touched only through their 4 byte-sized codes, which is the
+    # compressed-index property that scales the layout to 100 TB
+    # (operators/pq.ivfpq_topk_md5).
+    from graph_database_spark.operators.pq import ivfpq_topk_md5
+
+    return ivfpq_topk_md5(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_association_rules(spark, sf_dir):
     # Market-basket association rules (r7): pairs with support >= 3
     # expanded to directed rules with confidence and lift in exact
@@ -18054,6 +18068,7 @@ QUERIES: dict[str, QueryFn] = {
     "entity_resolution": q_entity_resolution,
     "events_twap": q_events_twap,
     "pq_codes": q_pq_codes,
+    "ann_ivfpq": q_ann_ivfpq,
     "association_rules": q_association_rules,
     "rfm_segments": q_rfm_segments,
     "bootstrap_replicates": q_bootstrap_replicates,
@@ -19580,13 +19595,20 @@ def _build_kmeans_sql(k: int = 8, rounds: int = 3) -> str:
 ORACLES["kmeans_cells"] = _build_kmeans_sql(8, 3)
 
 
-def _build_pq_sql(k: int = 16, rounds: int = 2, sub_dims: int = 16) -> str:
+def _build_pq_sql(
+    k: int = 16, rounds: int = 2, sub_dims: int = 16,
+    final: str | None = None,
+) -> str:
     # _build_kmeans_sql generalized per-subspace (operators/pq.py):
     # every distance/argmin/update step additionally keys on
     # s = (i-1) // sub_dims, and the update join pins v.s = a.s so a
     # vector's code in one subspace never leaks into another's
     # centroid. Seeds are the same md5-ordered FULL vectors; each
-    # subspace just reads its own dims of them.
+    # subspace just reads its own dims of them. ``final`` (r13)
+    # replaces the default readout with caller-supplied SQL appended
+    # after the training chain — _build_ann_ivfpq_sql composes the IVF
+    # cell CTEs and the ADC ranking onto the same chain (CTE names
+    # ex/xm/cent/cm{r}/d{r}/a{r} are its public surface).
     parts = [
         f"""
     WITH ex AS (
@@ -19646,7 +19668,9 @@ def _build_pq_sql(k: int = 16, rounds: int = 2, sub_dims: int = 16) -> str:
     )"""
             )
     parts.append(
-        f"""
+        final
+        if final is not None
+        else f"""
     SELECT vec_id, CAST(s AS INTEGER) AS subspace, cell AS code,
            CAST(d2 AS BIGINT) AS dist2
     FROM a{rounds}"""
@@ -19655,6 +19679,101 @@ def _build_pq_sql(k: int = 16, rounds: int = 2, sub_dims: int = 16) -> str:
 
 
 ORACLES["pq_codes"] = _build_pq_sql(16, 2, 16)
+
+
+def _build_ann_ivfpq_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    pq_k: int = 64,
+    rounds: int = 2,
+    sub_dims: int = 8,
+    query_mod: int = 50,
+) -> str:
+    # Mirrors operators/pq.ivfpq_topk_md5: the PQ training chain from
+    # _build_pq_sql (shared ex/xm and the a{rounds} codes + cm{rounds}
+    # codebook), the IVF cell machinery from _build_ann_ivfpq's sibling
+    # _build_ann_ivf_md5_sql with i-prefixed CTE names (same md5 draw,
+    # unit micro centroids, integer cell sims, s DESC/c ASC candidate
+    # argmax, s DESC/c DESC probe order), and the ADC readout: per-query
+    # exact squared micro distance to every codebook centroid per
+    # subspace (qtab), summed over the candidate's codes. Every output
+    # an integer -> hash-exact.
+    final = f""",
+    icent AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {n_centroids}
+    ),
+    icnrm AS (
+        SELECT c, sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM icent JOIN embeddings e ON e.vec_id = cid
+    ),
+    icm AS (
+        SELECT n.c, ex.i,
+               CAST(round(ex.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END)
+                          * 1000000.0, 0) AS BIGINT) AS cm
+        FROM icent JOIN ex ON ex.vec_id = cid JOIN icnrm n USING (c)
+    ),
+    isims AS (
+        SELECT v.vec_id, c.c, sum(v.xm * c.cm) AS sv
+        FROM xm v JOIN icm c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    cand_cell AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sv DESC, c ASC
+                   ) AS rn
+            FROM isims
+        ) t WHERE rn = 1
+    ),
+    iprobe AS (
+        SELECT vec_id, CAST(c AS INTEGER) AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sv DESC, c DESC
+                   ) AS rn
+            FROM isims WHERE vec_id % {query_mod} = 0
+        ) t WHERE rn <= {n_probe}
+    ),
+    icand AS (
+        SELECT DISTINCT p.vec_id AS query_id, cc.vec_id AS cand_id
+        FROM iprobe p JOIN cand_cell cc USING (cell)
+        WHERE p.vec_id <> cc.vec_id
+    ),
+    qtab AS (
+        SELECT v.vec_id AS query_id, v.s, c.c AS code,
+               CAST(sum((v.xm - c.cm) * (v.xm - c.cm)) AS BIGINT) AS qd2
+        FROM xm v JOIN cm{rounds} c ON c.i = v.i
+        WHERE v.vec_id % {query_mod} = 0
+        GROUP BY 1, 2, 3
+    ),
+    adc AS (
+        SELECT ic.query_id, ic.cand_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
+        FROM icand ic
+        JOIN a{rounds} a ON a.vec_id = ic.cand_id
+        JOIN qtab q ON q.query_id = ic.query_id
+                   AND q.s = a.s AND q.code = a.cell
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+           CAST(rank AS INTEGER) AS rank FROM (
+        SELECT query_id, cand_id, adc_d2,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_d2, cand_id
+               ) AS rank
+        FROM adc
+    ) r WHERE rank <= {k}"""
+    return _build_pq_sql(pq_k, rounds, sub_dims, final=final)
+
+
+ORACLES["ann_ivfpq"] = _build_ann_ivfpq_sql()
 
 ORACLES["graph_diameter"] = f"""
     WITH RECURSIVE {{GRAPH_CTES}},

@@ -294,6 +294,7 @@ SHOW = [
     "minhash_calibration",
     # r13 additions
     "dedup_incremental",
+    "ann_ivfpq",
 ]
 
 # Iterative operators (r13, VERDICT r12 #4): their per-round plans are
