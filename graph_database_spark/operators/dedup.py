@@ -214,11 +214,18 @@ def minhash_index_md5(
     the estimator reads, ``key`` the band's bucket key).
 
     This is the frame a 100 TB pipeline WRITES once per corpus (bucketed
-    by (band, key)) and appends to: ``minhash_lsh_pairs_md5`` derives
+    by ``key``) and appends to: ``minhash_lsh_pairs_md5`` derives
     its candidate join from it, and ``incremental_minhash_dedup`` probes
     a NEW batch against it without touching corpus texts — probe cost
-    scales with the batch, not the corpus. Checkpointed: every consumer
-    joins it at least twice (self-join or probe + readout)."""
+    scales with the batch, not the corpus. ``key`` is band-PREFIXED
+    ("<band>|<row values>") so every bucket join is a SINGLE-column
+    equality: since Spark 3.3 EnsureRequirements demands co-partitioning
+    on ALL join keys, a (band, key) two-column join against a
+    key-bucketed table re-shuffles the index side ("Bucketed: false,
+    disabled by query planner" — measured r13); the packed key is the
+    same tb-packing discipline sinks/ann.build_lsh_index uses.
+    Checkpointed: every consumer joins it at least twice (self-join or
+    probe + readout)."""
     rows = n_hashes // bands
     sig = (
         _md5_sig_wide(docs, text_col, id_col, n_hashes, shingle_k)
@@ -236,11 +243,15 @@ def minhash_index_md5(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows + 1, rows),
-                            lambda v: v.cast("string"),
+                    F.concat(
+                        b.cast("string"),
+                        F.lit("|"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
                         ),
                     ).alias("key"),
                 ),
@@ -308,9 +319,11 @@ def incremental_minhash_dedup(
     probe = (
         bidx.alias("a")
         .join(
-            index.select("id", "sig", "band", "key").alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
+            # single-column key equality (band is packed into the key) —
+            # the bucketed-index probe stays shuffle-free on the index
+            # side under Spark 3.3+'s all-cluster-keys co-partitioning.
+            index.select("id", "sig", "key").alias("b"),
+            F.col("a.key") == F.col("b.key"),
         )
         .select(
             F.col("a.id").alias("id"),
@@ -325,8 +338,7 @@ def incremental_minhash_dedup(
         bidx.alias("a")
         .join(
             bidx.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") > F.col("b.id")),
         )
         .select(
@@ -389,8 +401,7 @@ def minhash_lsh_pairs_md5(
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

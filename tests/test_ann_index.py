@@ -89,3 +89,80 @@ def test_probe_join_has_no_index_side_shuffle(spark, tmp_path):
         assert bucket_scan in plan, plan[:3000]
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_ivf_idx2")
+
+
+def test_minhash_index_probe_matches_inline_operator(spark, tmp_path):
+    # r13: the persisted banded-signature index (build/probe/append
+    # lifecycle for incremental text dedup). Probe against the bucketed
+    # table must equal the pure-frame operator, and append-then-probe
+    # must equal build-over-union EXACTLY (the md5 family has no
+    # trained state to drift).
+    from graph_database_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index_md5,
+    )
+    from graph_database_spark.sinks.ann import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from graph_database_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_a = docs.where((docs.doc_id % 10).isin(1, 2, 3, 4))
+    corpus_b = docs.where((docs.doc_id % 10).isin(5, 6, 7, 8, 9))
+    batch = docs.where((docs.doc_id % 10) == 0)
+    try:
+        build_minhash_index(corpus_a, "mh_idx", str(tmp_path / "mh"))
+        append_minhash_index(corpus_b, str(tmp_path / "mh"))
+        probed = _rows(probe_minhash_index(spark, str(tmp_path / "mh"), batch))
+        inline = _rows(
+            incremental_minhash_dedup(
+                minhash_index_md5(docs.where((docs.doc_id % 10) != 0)), batch
+            )
+        )
+        assert probed == inline
+        assert len(probed) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx")
+
+
+def test_minhash_probe_has_no_index_side_shuffle(spark, tmp_path):
+    from graph_database_spark.sinks.ann import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from graph_database_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where((docs.doc_id % 10) != 0)
+    batch = docs.where((docs.doc_id % 10) == 0)
+    try:
+        build_minhash_index(corpus, "mh_plan_idx", str(tmp_path / "mhp"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = probe_minhash_index(spark, str(tmp_path / "mhp"), batch)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # Index side reads bucket-to-bucket (Bucketed: true); the only
+        # Exchanges belong to the batch side (signature build + its
+        # shuffle onto the index buckets, the batch self-join, and the
+        # final decision joins over batch-sized frames).
+        assert "Bucketed: true" in plan, plan[:3000]
+        # The corpus-scale frame is the index scan; its OWN key
+        # attribute must never feed an Exchange (the batch side's key —
+        # a different attribute id — shuffles onto the index buckets,
+        # which is the point). Extract the scan's key attr id from the
+        # FileScan line and assert no hashpartitioning on it.
+        import re
+
+        m2 = re.search(
+            r"FileScan parquet [^\[]*mh_plan_idx\[key#(\d+)", plan
+        )
+        assert m2, plan[:3000]
+        assert f"Exchange hashpartitioning(key#{m2.group(1)}" not in plan, (
+            plan[:3000]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_plan_idx")
