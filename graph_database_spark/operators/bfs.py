@@ -79,5 +79,7 @@ def bfs_distances(
         # changed, read off the prev column carried by the state.
         return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
 
-    out = fixpoint(init, step, converged, max_iterations, name="bfs_distances")
+    out = fixpoint(
+        init, step, converged, max_iterations, name="bfs_distances", fuse=3
+    )
     return out.where(F.col("dist").isNotNull()).select("id", "dist")

@@ -76,7 +76,9 @@ def closeness_sampled(
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
 
-    out = fixpoint(init, step, converged, max_iterations, name="closeness_sampled")
+    out = fixpoint(
+        init, step, converged, max_iterations, name="closeness_sampled", fuse=3
+    )
     return (
         out.where(F.col("dist").isNotNull())
         .groupBy(F.col("s").alias("source"))

@@ -72,7 +72,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     def converged(old: DataFrame, new: DataFrame) -> bool:
         return new.where(F.col("component") != F.col("prev")).isEmpty()
 
-    out = fixpoint(labels, step, converged, max_iterations, name="connected_components")
+    out = fixpoint(
+        labels, step, converged, max_iterations,
+        name="connected_components", fuse=3,
+    )
     return out.select("id", "component")
 
 
