@@ -369,6 +369,7 @@ HEADLINE = [
     # r13 additions
     "dedup_incremental",
     "ann_ivfpq",
+    "ivfpq_recall_audit",
 ]
 
 # (r13: the BONUS_PINNED escape hatch — triangles_sampled,

@@ -3034,6 +3034,66 @@ def q_ivf_recall_audit(spark, sf_dir):
     )
 
 
+def q_ivfpq_recall_audit(spark, sf_dir):
+    # Completes the audit trio (ann/ivf/ivfpq): recall@10 of the IVF-PQ
+    # ADC search vs EXACT L2 brute force on the same query sample — the
+    # truth leg uses micro-int squared distances, so unlike the cosine
+    # audits its ordering is partition-order-exact by construction.
+    # Prices what the byte-code compression costs on live data (ADC
+    # quantization + cell pruning vs the 0.35 IVF ceiling this corpus
+    # allows — test_ivf.py's documented clusterless regime).
+    from graph_database_spark.operators.pq import ivfpq_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xm = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("xa"),
+    ).localCheckpoint()
+    q = xm.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("xa").alias("qa")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("xa"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    true_tk = (
+        q.crossJoin(xm.select(F.col("vec_id").alias("cand_id"), "xa"))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "cand_id")
+    )
+    appr = ivfpq_topk_md5(emb).select("query_id", "cand_id")
+    t = true_tk.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    a = appr.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    h = (
+        true_tk.join(appr, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        t.join(a, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("(coalesce(n_hit, 0) * 1000000) div n_true")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     # Arbitrary GROUPING SETS (r12): (nation, segment), (segment), ()
     # — deliberately NOT a cube or rollup (it skips the (nation)
@@ -18069,6 +18129,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_twap": q_events_twap,
     "pq_codes": q_pq_codes,
     "ann_ivfpq": q_ann_ivfpq,
+    "ivfpq_recall_audit": q_ivfpq_recall_audit,
     "association_rules": q_association_rules,
     "rfm_segments": q_rfm_segments,
     "bootstrap_replicates": q_bootstrap_replicates,
@@ -19774,6 +19835,54 @@ def _build_ann_ivfpq_sql(
 
 
 ORACLES["ann_ivfpq"] = _build_ann_ivfpq_sql()
+
+ORACLES["ivfpq_recall_audit"] = f"""
+    WITH ap0 AS ({_build_ann_ivfpq_sql()}),
+    ap AS (SELECT query_id, cand_id FROM ap0),
+    bex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    bxm AS (
+        SELECT vec_id, i, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
+        FROM bex
+    ),
+    bd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(sum((q.xm - c.xm) * (q.xm - c.xm)) AS BIGINT) AS d2
+        FROM bxm q JOIN bxm c ON q.i = c.i
+        WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    brute AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY d2, cand_id) AS rnk
+            FROM bd
+        ) r WHERE rnk <= 10
+    ),
+    ta AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+           FROM ap GROUP BY 1),
+    h AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM brute b
+        JOIN ap a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+        GROUP BY 1
+    )
+    SELECT t.query_id,
+           t.n_true,
+           CAST(coalesce(ta.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((coalesce(h.n_hit, 0) * 1000000) // t.n_true AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+          FROM brute GROUP BY 1) t
+    LEFT JOIN ta ON ta.query_id = t.query_id
+    LEFT JOIN h ON h.query_id = t.query_id
+"""
+
 
 ORACLES["graph_diameter"] = f"""
     WITH RECURSIVE {{GRAPH_CTES}},

@@ -295,6 +295,7 @@ SHOW = [
     # r13 additions
     "dedup_incremental",
     "ann_ivfpq",
+    "ivfpq_recall_audit",
 ]
 
 # Iterative operators (r13, VERDICT r12 #4): their per-round plans are
