@@ -82,47 +82,58 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     fringe at once). Isolated survivors keep degree 0 via the left
     join, so they peel next round rather than vanish.
 
-    Per round: one degree groupBy + two anti-joins against the (small)
-    peel frame. The round threshold k_r is computed DATA-SIDE (r13,
-    VERDICT r12 #2): the state carries k as a column, and
-    ``greatest(max(k), min(deg))`` rides a 1-row aggregate cross-joined
-    (broadcast nested loop over one row) into the peel predicate — so a
-    round is 3 checkpoint jobs plus one cheap ``isEmpty`` probe on the
-    just-materialized peel, instead of the old extra ``min/count``
-    driver action per round (actions/round 4 -> 3; at 1000 executors
-    every synchronous action is a full cluster barrier, so the round
-    count — graph-shape-bound, not size-bound — times fewer barriers is
-    the scaling argument). An empty peel implies an empty survivor set
-    (any survivor makes its argmin peel-eligible), so the probe doubles
-    as the termination check; peel frames accumulate into one union
-    read once at the end. Raises past ``max_rounds`` only when vertices
-    actually REMAIN (a peel that completes in exactly ``max_rounds``
-    rounds is success — ADVICE r12); an empty edge input returns an
-    empty frame. The oracle unrolls a fixed cap; budget-pinning beats
-    silently truncating.
+    Per round: ONE checkpoint job + one cheap ``isEmpty`` probe (r13
+    wave 2; down from 3 jobs + a ``min/count`` driver action in r12).
+    Two structural moves get there:
+
+    - The round threshold k_r is computed DATA-SIDE (VERDICT r12 #2):
+      the state carries k as a column, and ``greatest(max(k),
+      min(deg))`` rides a 1-row aggregate cross-joined (broadcast
+      nested loop over one row) into the peel predicate, so no driver
+      action reads the threshold. At 1000 executors every synchronous
+      action is a full cluster barrier; the round count is
+      graph-shape-bound, so barriers/round is the scaling term.
+    - The edge set is NEVER updated: a survivor's degree decrement this
+      round equals its count of THIS round's peeled neighbors in the
+      ORIGINAL symmetrized edges — peel members were survivors until
+      now, so their incident edges were never removed (induction on
+      rounds). deg' = deg - count(sym0 ⋈ peel) replaces the old
+      "anti-join sym twice, re-aggregate degrees" per-round edge-set
+      rewrite, which WROTE a full new edge copy every round; reading
+      the static sym0 per round is strictly cheaper at any scale. The
+      next state derives lazily from the checkpointed tagged frame, and
+      its two references inside the next round's job share the removed-
+      count exchange (identical subtree -> ReuseExchange dedupes it —
+      the same criterion whose absence made fused peel rounds 2.7x
+      SLOWER; see SCALE.md r13 wave 2 rejection).
+
+    An empty peel implies an empty survivor set (any survivor makes its
+    argmin peel-eligible), so the probe doubles as the termination
+    check; peel frames are filters over the checkpointed tagged frames
+    and union once at the end. Raises past ``max_rounds`` only when
+    vertices actually REMAIN (a peel that completes in exactly
+    ``max_rounds`` rounds is success — ADVICE r12); an empty edge input
+    returns an empty frame. The oracle unrolls a fixed cap;
+    budget-pinning beats silently truncating.
     """
-    sym = materialize(symmetrize(edges))
-    verts = materialize(
-        sym.groupBy(F.col("v").alias("id"))
-        .agg(F.count("*").alias("deg"))
-        .select("id", "deg", F.lit(0).cast("long").alias("k"))
-    )
+    sym0 = materialize(symmetrize(edges))
+    state = sym0.groupBy(F.col("v").alias("id")).agg(
+        F.count("*").alias("deg")
+    ).select("id", "deg", F.lit(0).cast("long").alias("k"))
     spark = edges.sparkSession
     peeled: list[DataFrame] = []
     for r in range(1, max_rounds + 1):
         # greatest() skips the NULLs an empty survivor set produces, so
         # the 1-row kr frame is total either way.
-        kr = verts.agg(
-            F.greatest(F.max("k"), F.min("deg")).alias("k2")
-        )
-        # kr derives from verts, so the cross join MULTIPLIES the
-        # carried size estimate by itself each round — the localCheckpoint
-        # sizeInBytes squaring trap (fixpoint.reset_plan_stats docstring;
-        # measured here: rounds degraded 0.5 s -> seconds and the warm
-        # min doubled before the reset was added).
+        kr = state.agg(F.greatest(F.max("k"), F.min("deg")).alias("k2"))
+        # kr derives from state, so the cross join MULTIPLIES the
+        # carried size estimate by itself each round — the
+        # localCheckpoint sizeInBytes squaring trap
+        # (fixpoint.reset_plan_stats docstring; measured here: rounds
+        # degraded 0.5 s -> seconds before the reset was added).
         tagged = reset_plan_stats(
             materialize(
-                verts.crossJoin(kr).select(
+                state.crossJoin(kr).select(
                     "id",
                     "deg",
                     F.col("k2"),
@@ -130,32 +141,32 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                 )
             )
         )
-        peel = tagged.where(F.col("_peel")).select(
-            "id",
-            F.lit(r).cast("long").alias("layer"),
-            F.col("k2").cast("long").alias("core"),
-        )
-        if tagged.where(F.col("_peel")).isEmpty():
+        peel = tagged.where(F.col("_peel"))
+        if peel.isEmpty():
             break
-        peeled.append(peel)
-        sym = materialize(
-            sym.join(
-                peel.select(F.col("id").alias("v")), "v", "left_anti"
-            ).join(peel.select(F.col("id").alias("n")), "n", "left_anti")
+        peeled.append(
+            peel.select(
+                "id",
+                F.lit(r).cast("long").alias("layer"),
+                F.col("k2").cast("long").alias("core"),
+            )
         )
-        deg2 = sym.groupBy(F.col("v").alias("id")).agg(
-            F.count("*").alias("d2")
+        removed = (
+            sym0.join(peel.select(F.col("id").alias("n")), "n")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.count("*").alias("_rm"))
         )
         # Survivors are exactly deg > k2 (peel took deg <= k2), so no
-        # anti-join against the peel frame is needed — one less join
-        # per round across the ~45-round peel (measured at sf0.1).
-        verts = materialize(
+        # anti-join against the peel frame is needed.
+        state = (
             tagged.where(~F.col("_peel"))
-            .select("id", F.col("k2").alias("k"))
-            .join(deg2, "id", "left")
+            .select("id", "deg", F.col("k2").alias("k"))
+            .join(removed, "id", "left")
             .select(
                 "id",
-                F.coalesce(F.col("d2"), F.lit(0)).alias("deg"),
+                (F.col("deg") - F.coalesce(F.col("_rm"), F.lit(0))).alias(
+                    "deg"
+                ),
                 "k",
             )
         )
@@ -163,7 +174,7 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         # Budget exhausted with the LAST round still peeling: success
         # iff nothing remains (ADVICE r12 — the old for-else raised on
         # an exactly-max_rounds peel, discarding a correct result).
-        if not verts.isEmpty():
+        if not state.isEmpty():
             raise RuntimeError(
                 f"onion_layers did not finish in {max_rounds} rounds; "
                 "raise the budget (the oracle recursion cap must match)"
