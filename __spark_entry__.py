@@ -65,41 +65,20 @@ _REFERENCE_SURFACE = [
     "circles_membership",
 ]
 
-# r13: the r11 KM bisection pins and the r12 HUGEINT regate pins are
-# RETIRED — CORRECTNESS_r12.json shows every pinned name green on the
-# driver's own gate (35/35 oracle-backed), which was each pin's stated
-# unpin condition. History: km_* pinned r11 (VERDICT r10 #1), HUGEINT
-# trio pinned r12 (VERDICT r11 #1/#5).
+# Pin history: km_* pinned r11 (VERDICT r10 #1), HUGEINT trio pinned
+# r12 (VERDICT r11 #1/#5), replan-regate quartet + nine r12-new queries
+# pinned r13 (VERDICT r12 #1/#2/#3). All RETIRED: CORRECTNESS_r13.json
+# shows every pinned name hash-green, each pin's stated unpin condition.
 #
-# r13 pins (VERDICT r12 #1/#2): the four iterative queries whose
-# execution shape changed this round — fixpoint step fusion (scc
-# family) and the data-side peel threshold (onion_layers). Results are
-# hash-identical locally; the pin makes the driver confirm the hashes
-# on ITS gate in the same round the plans changed. Unpin in r14 once
-# the r13 gate shows all four green.
-_R13_REPLAN_REGATE = [
-    "scc_reach",
-    "scc_components",
-    "topo_layers",
-    "onion_layers",
-]
-
-# r13 (VERDICT r12 #3): queries written in r12 that have never had a
-# driver-gate row. Catalog order is SECTION-based, not chronological,
-# so the standing least-recently-verified rotation cannot express
-# "newest code first" — these are pinned for one round instead (newest
-# code with zero external rows is the riskiest tier; the HUGEINT saga
-# started exactly there). Unpin in r14 once green.
-_R13_NEWEST_GATE = [
-    "suffix_cross_doc",
-    "bm25_search",
-    "tfidf_terms",
-    "lsh_pair_prf",
-    "minhash_calibration",
-    "perplexity_filter",
-    "powerlaw_alpha",
-    "embedding_isotropy",
-    "effective_diameter",
+# r14 pins (VERDICT r13 #1): r13's flagship additions that have never
+# had a driver-gate row — newest code with zero external rows is the
+# riskiest tier (the HUGEINT saga started exactly there). Catalog order
+# is SECTION-based, not chronological, so the standing
+# least-recently-verified rotation cannot express "newest code first";
+# pin for one round instead. Unpin in r15 once green.
+_R14_NEWEST_GATE = [
+    "ann_ivfpq",
+    "ivfpq_recall_audit",
 ]
 
 
@@ -141,7 +120,7 @@ def _ordered_names() -> list[str]:
     order = {n: i for i, n in enumerate(catalog.QUERIES)}
     reserved = [
         n
-        for n in (*_REFERENCE_SURFACE, *_R13_REPLAN_REGATE, *_R13_NEWEST_GATE)
+        for n in (*_REFERENCE_SURFACE, *_R14_NEWEST_GATE)
         if n in catalog.QUERIES
     ]
     rows_only = [

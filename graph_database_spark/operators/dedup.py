@@ -294,8 +294,8 @@ def incremental_minhash_dedup(
     100 TB pipeline, which is append-heavy.
 
     ``index``: corpus-side ``minhash_index_md5`` rows (read back from
-    its parquet sink in production; only its (band, key, sig) columns
-    are touched). ``batch``: new documents. Returns one row per batch
+    its parquet sink in production; only its (id, key, sig) columns
+    are touched — band is packed into the key and never read). ``batch``: new documents. Returns one row per batch
     document: ``(doc_id, corpus_dups, batch_dups, kept)`` where
     corpus_dups counts distinct corpus documents with estimated Jaccard
     >= threshold, batch_dups counts distinct SMALLER-id batch documents

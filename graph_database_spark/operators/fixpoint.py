@@ -119,13 +119,18 @@ def fixpoint(
             new = reset_plan_stats(new)
         if converged(state, new):
             if stats is not None:
-                # observability hook: rounds-to-convergence per named
-                # fixpoint (stress runs read this; no behavior change)
+                # observability hook (stress runs read this; no behavior
+                # change). Under fuse>1, "rounds" counts MATERIALIZATIONS
+                # (checkpoint jobs) and "steps" counts step() applications
+                # ((i+1)*fuse) — cross-round comparisons of convergence
+                # behavior must read "steps" (ADVICE r13).
                 stats.setdefault("rounds", {})[name] = i + 1
+                stats.setdefault("steps", {})[name] = (i + 1) * fuse
             return new
         state = new
     if stats is not None:
         stats.setdefault("rounds", {})[name] = max_iterations
+        stats.setdefault("steps", {})[name] = max_iterations * fuse
     if on_exhaust == "return":
         return state
     raise RuntimeError(

@@ -381,7 +381,13 @@ def append_minhash_index(
     probes stay shuffle-free on the index side). Unlike IVF there is
     no trained model to go stale — the md5 family is data-independent —
     so append-then-probe equals build-over-union EXACTLY
-    (pytest-pinned), not just approximately."""
+    (pytest-pinned), not just approximately.
+
+    Precondition (ADVICE r13): appended doc ids must be DISJOINT from
+    ids already in the index — re-appending a batch leaves duplicate
+    (key, id, sig) rows. Probe DECISIONS stay correct (countDistinct
+    on the other side), but index size and the exact append==rebuild
+    equality degrade; dedupe ids upstream if a source can re-deliver."""
     from graph_database_spark.operators.dedup import minhash_index_md5
 
     m = _load_manifest(path)
@@ -392,13 +398,8 @@ def append_minhash_index(
     idx = minhash_index_md5(
         new_docs, text_col, id_col, m["n_hashes"], m["bands"], m["shingle_k"]
     ).select("key", "band", "id", "sig")
-    (
-        idx.write.mode("append")
-        .option("path", path)
-        .bucketBy(m["n_buckets"], "key")
-        .sortBy("key")
-        .format("parquet")
-        .saveAsTable(m["table"])
+    write_bucketed(
+        idx, m["table"], path, "key", m["n_buckets"], mode="append"
     )
 
 

@@ -24,10 +24,16 @@ def write_bucketed(
     path: str,
     bucket_by: str,
     n_buckets: int = 16,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a bucketed+sorted parquet table at ``path``."""
+    """Persist ``df`` as a bucketed+sorted parquet table at ``path``.
+
+    ``mode="append"`` grows an existing bucketed table — Spark keeps
+    the bucket spec on append, so this is the ONE write path for both
+    index build and index append (ADVICE r13: a second inline writer
+    would silently desync options/sort spec between the two)."""
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .option("path", path)
         .bucketBy(n_buckets, bucket_by)
         .sortBy(bucket_by)

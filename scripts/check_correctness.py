@@ -5,7 +5,16 @@ sf0.01 (row-count + schema-width + order-insensitive value hash), prints
 one status line per query and a summary. Rows-only queries (no oracle)
 are executed and checked for rows >= 0.
 
-Usage: python scripts/check_correctness.py [--vintage] [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--vintage] [--json PATH]
+       [sf_dir] [query ...]
+
+--json PATH (VERDICT r13 next-#2): also write a driver-artifact-shaped
+JSON file (name -> {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}, plus a "_meta" summary block) so the full-catalog
+local gate leaves durable committed evidence (CORRECTNESS_LOCAL.json)
+instead of a prose claim — for the never-driver-gated tail this run is
+the only correctness check. The filename deliberately does not match
+the CORRECTNESS_r*.json glob that drives the head-50 rotation.
 
 --vintage (VERDICT r10 next-#8): instead of one run on sf_dir, sweep
 the EVENTS-reading queries across every manufactured ts encoding the
@@ -123,9 +132,12 @@ def _norm(v) -> str:
     return str(v)
 
 
-def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
+def run_gate(
+    spark, sf_dir: str, only: set[str], label: str = "", results=None
+) -> tuple:
     """One full gate pass over ``sf_dir``; returns (pass, rows_only,
-    fail, failures)."""
+    fail, failures). When ``results`` is a dict, a driver-artifact-shaped
+    record is stored per query."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -136,6 +148,20 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
     n_pass = n_fail = n_rows_only = 0
     failures = []
     tag = f" [{label}]" if label else ""
+
+    def record(name, **kw):
+        if results is not None:
+            rec = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": None,
+            }
+            rec.update(kw)
+            results[name] = rec
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -150,6 +176,7 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            record(name, err="spark_raised")
             continue
         if name not in oracles:
             print(
@@ -157,6 +184,7 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
                 " (rows-only)"
             )
             n_rows_only += 1
+            record(name, spark_rows=len(rows), err="no_oracle")
             continue
         try:
             bad = banned_type_cols(con, oracles[name])
@@ -173,6 +201,7 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            record(name, spark_rows=len(rows), err="oracle_raised")
             continue
         if bad:
             print(
@@ -182,12 +211,21 @@ def run_gate(spark, sf_dir: str, only: set[str], label: str = "") -> tuple:
             )
             n_fail += 1
             failures.append(name)
+            record(name, spark_rows=len(rows), err="banned_oracle_type")
             continue
         ok_rows = len(rows) == len(orows)
         ok_width = len(cols) == len(ocols)
         hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
         hd = value_hash(drows, ocols)
         ok_hash = hs == ho == hd
+        record(
+            name,
+            rows_match=ok_rows,
+            schema_match=ok_width,
+            hash_match=ok_hash,
+            spark_rows=len(rows),
+            oracle_rows=len(orows),
+        )
         if ok_rows and ok_width and ok_hash:
             print(f"PASS  {name}{tag}: {len(rows)} rows in {elapsed:.1f}s")
             n_pass += 1
@@ -219,18 +257,46 @@ def main() -> int:
     vintage = "--vintage" in args
     if vintage:
         args.remove("--vintage")
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     spark = get_spark("correctness-check")
 
     if not vintage:
-        n_pass, n_rows_only, n_fail, failures = run_gate(spark, sf_dir, only)
+        results = {} if json_path else None
+        t0 = time.time()
+        n_pass, n_rows_only, n_fail, failures = run_gate(
+            spark, sf_dir, only, results=results
+        )
         print(
             f"\nsummary: {n_pass} pass, {n_rows_only} rows-only,"
             f" {n_fail} fail"
             + (f" -- failures: {', '.join(failures)}" if failures else "")
         )
+        if json_path:
+            import datetime
+            import json
+
+            results["_meta"] = {
+                "sf_dir": sf_dir,
+                "n_pass": n_pass,
+                "n_rows_only": n_rows_only,
+                "n_fail": n_fail,
+                "failures": failures,
+                "duration_sec": round(time.time() - t0, 1),
+                "utc": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            }
+            with open(json_path, "w") as f:
+                json.dump(results, f, indent=1)
+                f.write("\n")
+            print(f"wrote {json_path}")
         return 1 if n_fail else 0
 
     from make_nanos_replica import build_replica
