@@ -19659,6 +19659,8 @@ ORACLES["kmeans_cells"] = _build_kmeans_sql(8, 3)
 def _build_pq_sql(
     k: int = 16, rounds: int = 2, sub_dims: int = 16,
     final: str | None = None,
+    prelude: str = "",
+    train_src: str = "xm",
 ) -> str:
     # _build_kmeans_sql generalized per-subspace (operators/pq.py):
     # every distance/argmin/update step additionally keys on
@@ -19669,7 +19671,11 @@ def _build_pq_sql(
     # replaces the default readout with caller-supplied SQL appended
     # after the training chain — _build_ann_ivfpq_sql composes the IVF
     # cell CTEs and the ADC ranking onto the same chain (CTE names
-    # ex/xm/cent/cm{r}/d{r}/a{r} are its public surface).
+    # ex/xm/cent/cm{r}/d{r}/a{r} are its public surface). ``prelude``
+    # (r14) injects extra CTEs between xm and the seed draw, and
+    # ``train_src`` retargets the whole training chain at one of them —
+    # the residual-encoded IVF-PQ oracle trains on rxm (residual micro
+    # rows, same (vec_id, i, s, xm) shape) instead of the raw xm.
     parts = [
         f"""
     WITH ex AS (
@@ -19681,7 +19687,7 @@ def _build_pq_sql(
         SELECT vec_id, i, CAST((i - 1) // {sub_dims} AS INTEGER) AS s,
                CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm
         FROM ex
-    ),
+    ){prelude},
     cent AS (
         SELECT vec_id AS cid,
                row_number() OVER (
@@ -19692,7 +19698,7 @@ def _build_pq_sql(
     ),
     cm1 AS (
         SELECT CAST(cent.c AS INTEGER) AS c, x.i, x.xm AS cm
-        FROM cent JOIN xm x ON x.vec_id = cid
+        FROM cent JOIN {train_src} x ON x.vec_id = cid
     )"""
     ]
     for r in range(1, rounds + 1):
@@ -19701,7 +19707,7 @@ def _build_pq_sql(
     d{r} AS (
         SELECT v.vec_id, v.s, c.c,
                CAST(sum((v.xm - c.cm) * (v.xm - c.cm)) AS BIGINT) AS d2
-        FROM xm v JOIN cm{r} c ON c.i = v.i
+        FROM {train_src} v JOIN cm{r} c ON c.i = v.i
         GROUP BY 1, 2, 3
     ),
     a{r} AS (
@@ -19722,7 +19728,7 @@ def _build_pq_sql(
                    CAST(floor(CAST(sum(v.xm) AS DOUBLE)
                               / CAST(count(*) AS DOUBLE)) AS BIGINT)
                        AS cm_new
-            FROM a{r} a JOIN xm v
+            FROM a{r} a JOIN {train_src} v
               ON v.vec_id = a.vec_id AND v.s = a.s
             GROUP BY 1, 2
         ) m ON m.c = p.c AND m.i = p.i
@@ -19746,21 +19752,23 @@ def _build_ann_ivfpq_sql(
     n_centroids: int = 16,
     n_probe: int = 4,
     k: int = 10,
-    pq_k: int = 64,
+    pq_k: int = 256,
     rounds: int = 2,
     sub_dims: int = 8,
     query_mod: int = 50,
 ) -> str:
-    # Mirrors operators/pq.ivfpq_topk_md5: the PQ training chain from
-    # _build_pq_sql (shared ex/xm and the a{rounds} codes + cm{rounds}
-    # codebook), the IVF cell machinery from _build_ann_ivfpq's sibling
-    # _build_ann_ivf_md5_sql with i-prefixed CTE names (same md5 draw,
-    # unit micro centroids, integer cell sims, s DESC/c ASC candidate
-    # argmax, s DESC/c DESC probe order), and the ADC readout: per-query
-    # exact squared micro distance to every codebook centroid per
-    # subspace (qtab), summed over the candidate's codes. Every output
-    # an integer -> hash-exact.
-    final = f""",
+    # Mirrors operators/pq.ivfpq_topk_md5: the IVF cell machinery (same
+    # md5 draw, unit micro centroids, integer cell sims, s DESC/c ASC
+    # candidate argmax, s DESC/c DESC probe order) now sits in the
+    # PRELUDE because the PQ chain trains on rxm — each vector's
+    # micro-int RESIDUAL to its cell's integer-mean vector cmn (r14,
+    # FAISS IVF-ADC residual encoding; // and div both truncate toward
+    # zero, the signed-micro rule) — followed by the ADC readout:
+    # per (query, probed cell) exact squared micro distance from the
+    # query's residual IN that cell to every codebook centroid per
+    # subspace (qtab), summed over the candidate's codes, matched on
+    # the candidate's cell. Every output an integer -> hash-exact.
+    prelude = f""",
     icent AS (
         SELECT vec_id AS cid,
                row_number() OVER (
@@ -19803,23 +19811,42 @@ def _build_ann_ivfpq_sql(
             FROM isims WHERE vec_id % {query_mod} = 0
         ) t WHERE rn <= {n_probe}
     ),
+    cmn AS (
+        SELECT cc.cell, v.i, CAST(sum(v.xm) // count(*) AS BIGINT) AS cm
+        FROM xm v JOIN cand_cell cc ON cc.vec_id = v.vec_id
+        GROUP BY 1, 2
+    ),
+    rxm AS (
+        SELECT v.vec_id, v.i, v.s, CAST(v.xm - m.cm AS BIGINT) AS xm
+        FROM xm v
+        JOIN cand_cell cc ON cc.vec_id = v.vec_id
+        JOIN cmn m ON m.cell = cc.cell AND m.i = v.i
+    )"""
+    final = f""",
     icand AS (
-        SELECT DISTINCT p.vec_id AS query_id, cc.vec_id AS cand_id
+        SELECT DISTINCT p.vec_id AS query_id, cc.vec_id AS cand_id,
+               cc.cell
         FROM iprobe p JOIN cand_cell cc USING (cell)
         WHERE p.vec_id <> cc.vec_id
     ),
+    qres AS (
+        SELECT v.vec_id AS query_id, p.cell, v.i, v.s,
+               CAST(v.xm - c.cm AS BIGINT) AS rm
+        FROM xm v
+        JOIN iprobe p ON p.vec_id = v.vec_id
+        JOIN cmn c ON c.cell = p.cell AND c.i = v.i
+    ),
     qtab AS (
-        SELECT v.vec_id AS query_id, v.s, c.c AS code,
-               CAST(sum((v.xm - c.cm) * (v.xm - c.cm)) AS BIGINT) AS qd2
-        FROM xm v JOIN cm{rounds} c ON c.i = v.i
-        WHERE v.vec_id % {query_mod} = 0
-        GROUP BY 1, 2, 3
+        SELECT q.query_id, q.cell, q.s, c.c AS code,
+               CAST(sum((q.rm - c.cm) * (q.rm - c.cm)) AS BIGINT) AS qd2
+        FROM qres q JOIN cm{rounds} c ON c.i = q.i
+        GROUP BY 1, 2, 3, 4
     ),
     adc AS (
         SELECT ic.query_id, ic.cand_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
         FROM icand ic
         JOIN a{rounds} a ON a.vec_id = ic.cand_id
-        JOIN qtab q ON q.query_id = ic.query_id
+        JOIN qtab q ON q.query_id = ic.query_id AND q.cell = ic.cell
                    AND q.s = a.s AND q.code = a.cell
         GROUP BY 1, 2
     )
@@ -19831,7 +19858,10 @@ def _build_ann_ivfpq_sql(
                ) AS rank
         FROM adc
     ) r WHERE rank <= {k}"""
-    return _build_pq_sql(pq_k, rounds, sub_dims, final=final)
+    return _build_pq_sql(
+        pq_k, rounds, sub_dims, final=final, prelude=prelude,
+        train_src="rxm",
+    )
 
 
 ORACLES["ann_ivfpq"] = _build_ann_ivfpq_sql()

@@ -133,13 +133,16 @@ def test_standardize_profile_constant_dim_excluded(spark):
 
 
 def test_ivfpq_adc_recall_floor(spark, emb):
-    # IVF-PQ ADC search (r13): ranking by quantized asymmetric distance
-    # must land a usable fraction of the exact-L2 top-10 inside the
-    # probed cells. This corpus is near-random (no cluster structure —
-    # the regime the 0.35 IVF floor above documents); the PQ layer adds
-    # quantization error on top, measured mean recall 0.31 at the
-    # shipped 64-codes x 8-dim-subspace setting (0.15 at 16x16, which is
-    # why that is not the default). Floor at 0.2 mean.
+    # IVF-PQ ADC search (r13; residual-encoded r14): ranking by
+    # quantized asymmetric distance must land a usable fraction of the
+    # exact-L2 top-10 inside the probed cells. This corpus is
+    # near-random (no cluster structure — the regime the 0.35 IVF floor
+    # above documents); the PQ layer adds quantization error on top.
+    # r13 raw-vector PQ measured mean recall 0.31 at the shipped
+    # 64-codes x 8-dim-subspace setting (0.15 at 16x16, which is why
+    # that is not the default); r14 residual encoding (FAISS IVF-ADC,
+    # VERDICT r13 #6) lifted it to ~0.40 vs the ~0.44 probe-set
+    # ceiling. Floor at 0.3 mean.
     import numpy as np
 
     from graph_database_spark.operators.pq import ivfpq_topk_md5
@@ -159,4 +162,4 @@ def test_ivfpq_adc_recall_floor(spark, emb):
         truth = set(order[:10])
         recalls.append(len(approx & truth) / 10)
     mean = sum(recalls) / len(recalls)
-    assert mean >= 0.2, f"ADC mean recall@10 = {mean:.3f}"
+    assert mean >= 0.3, f"ADC mean recall@10 = {mean:.3f}"
