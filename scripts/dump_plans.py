@@ -110,7 +110,6 @@ SHOW = [
     "video_motion",
     "pii_scan",
     "source_reputation",
-    "knn_graph",
     "link_negative_samples",
     "record_linkage",
     "vocab_oov",
@@ -296,6 +295,116 @@ SHOW = [
     "dedup_incremental",
     "ann_ivfpq",
     "ivfpq_recall_audit",
+    # r14 (VERDICT r13 #7): full-coverage contract — every remaining
+    # catalog query whose construction does NOT execute a fixpoint loop
+    # (classified empirically: fixpoint.PLAN_CAPTURE stayed empty while
+    # building the frame at sf0.001). tests/test_plans_coverage.py
+    # enforces SHOW + ITERATIVE + EXCLUDED == catalog.QUERIES.
+    "adpcm_features",
+    "ann_ivf_md5",
+    "ann_lsh_md5",
+    "bigram_logprob",
+    "bpe_encode",
+    "bpe_merges",
+    "bpe_pair_counts",
+    "chi_square_events",
+    "circles_membership",
+    "column_stats",
+    "connected_pairs",
+    "cooccurrence_pairs",
+    "corpus_mixture",
+    "cube_orders",
+    "customers_intersect_eventusers",
+    "customers_minus_eventusers",
+    "customers_without_orders",
+    "dataset_split",
+    "dedup_editdist_verify",
+    "dedup_exact",
+    "dedup_norm",
+    "dedup_simhash",
+    "degree",
+    "degree_histogram",
+    "distinct_users_hll",
+    "distinct_users_kmv",
+    "distinct_users_sketch",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_kl_divergence",
+    "doc_repetition",
+    "dp_order_stats",
+    "edge_count",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_md5",
+    "embedding_pca",
+    "events_cusum",
+    "events_hourly",
+    "events_running_value",
+    "events_sliding_1h",
+    "fd_violations",
+    "feature_decode",
+    "group_split",
+    "grouping_sets_orders",
+    "heaps_fit",
+    "incremental_agg",
+    "incremental_distinct",
+    "incremental_quantiles",
+    "jaccard_prefix_join",
+    "join_cardinality",
+    "json_extract_events",
+    "km_horizon_probe",
+    "km_user_lifetimes",
+    "kmeans_cells",
+    "lang_id",
+    "large_volume_customers",
+    "local_bridges",
+    "media_frames",
+    "media_metadata",
+    "min_cost_supplier",
+    "mixture_weights",
+    "multimodal_features",
+    "nation_market_share",
+    "ngram_jaccard",
+    "node_count",
+    "ntile_orders",
+    "order_events_7d",
+    "order_price_quantiles",
+    "order_rank_stats",
+    "order_stats_ext",
+    "orders_pivot_year",
+    "parts_supplier_counts",
+    "png_features",
+    "pricing_summary",
+    "priority_line_counts",
+    "product_profit",
+    "promo_revenue",
+    "psi_drift",
+    "purchase_attribution",
+    "quality_score",
+    "quantile_treatment_effect",
+    "readability",
+    "rich_club",
+    "rollup_customers",
+    "score_auc",
+    "simhash_signatures",
+    "similarity_topk",
+    "snap_metrics",
+    "source_influence",
+    "synthetic_control",
+    "table_diff",
+    "text_embedding_neardup",
+    "text_embedding_neardup_md5",
+    "text_token_stats",
+    "top3_orders",
+    "top_supplier",
+    "top_tokens_per_lang",
+    "triangle_edges",
+    "triangles_sampled",
+    "two_hop_reach",
+    "user_event_types",
+    "value_histogram",
+    "video_codec_features",
+    "weighted_median",
+    "winnow_fingerprints",
 ]
 
 # Iterative operators (r13, VERDICT r12 #4): their per-round plans are
@@ -308,12 +417,42 @@ SHOW = [
 # Exchange-count sequence plus the worst round's full plan.
 ITERATIVE = [
     "scc_reach",
+    # r14 coverage contract: every query whose CONSTRUCTION ran
+    # fixpoint materializations at sf0.001 (captures>0 in the r14
+    # classification sweep) — their meaningful plan artifact is the
+    # per-materialization Exchange sequence, not the readout plan.
+    "bfs_distances",
+    "closeness_sampled",
+    "copurchase_components",
+    "coreness",
+    "embedding_dedup_groups",
+    "graph_diameter",
+    "graph_mis",
+    "hits_scores",
+    "kcore",
+    "label_propagation",
+    "max_spanning_forest",
+    "maximal_matching",
+    "msf_clusters",
+    "pagerank",
+    "pagerank_personalized",
+    "pagerank_personalized_quantized",
+    "pagerank_quantized",
+    "pagerank_weighted",
+    "pagerank_weighted_quantized",
+    "random_walks",
+    "staged_dedup",
     "scc_components",
     "topo_layers",
     "onion_layers",
     "graph_coloring",
     "betweenness",
 ]
+
+# Catalog queries deliberately absent from BOTH lists, with the reason
+# the coverage test accepts. Empty today: the r14 classification put
+# every query in SHOW (plain plan) or ITERATIVE (per-round capture).
+EXCLUDED: dict[str, str] = {}
 
 HEADER = """# Physical plans (sf0.01, AQE initial plans)
 

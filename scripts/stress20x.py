@@ -22,18 +22,21 @@ import duckdb
 
 TABLES_1X = (
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "embeddings",
+    "orders", "lineitem", "events",
 )
+# Tables replicated 20x with id-shifted keys; everything else symlinks
+# to the 1x source. embeddings joined documents here in r14 so the
+# ann_ivfpq ADC readout has a corpus-scaled stress row (VERDICT r13 #5).
+REPLICATED = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def build_20x_documents(src: str, dest: str) -> str:
-    os.makedirs(dest, exist_ok=True)
-    out = os.path.join(dest, "documents.parquet")
+def _replicate_20x(src: str, dest: str, table: str, id_col: str) -> None:
+    out = os.path.join(dest, f"{table}.parquet")
     # Rebuild when absent OR older than the source parquet (ADVICE r12):
     # a stale 20x replica of a since-regenerated source dir would
     # silently mix vintages — the same stale-replica lesson the symlink
     # branch below already applies unconditionally.
-    src_parquet = os.path.join(src, "documents.parquet")
+    src_parquet = os.path.join(src, f"{table}.parquet")
     stale = os.path.exists(out) and (
         os.path.getmtime(out) < os.path.getmtime(src_parquet)
     )
@@ -43,12 +46,19 @@ def build_20x_documents(src: str, dest: str) -> str:
         duckdb.connect().execute(
             f"""
             COPY (
-              SELECT doc_id + 10000000 * k AS doc_id, * EXCLUDE (doc_id)
-              FROM read_parquet('{src}/documents.parquet'),
+              SELECT {id_col} + 10000000 * k AS {id_col},
+                     * EXCLUDE ({id_col})
+              FROM read_parquet('{src_parquet}'),
                    UNNEST(range(0, 20)) u(k)
             ) TO '{out}' (FORMAT PARQUET)
             """
         )
+
+
+def build_20x_documents(src: str, dest: str) -> str:
+    os.makedirs(dest, exist_ok=True)
+    for table, id_col in REPLICATED.items():
+        _replicate_20x(src, dest, table, id_col)
     for t in TABLES_1X:
         link = os.path.join(dest, f"{t}.parquet")
         # Unconditional recreate — the make_nanos_replica stale-symlink
@@ -57,6 +67,55 @@ def build_20x_documents(src: str, dest: str) -> str:
             os.remove(link)
         os.symlink(os.path.join(src, f"{t}.parquet"), link)
     return dest
+
+
+def stress_minhash_index_lifecycle(spark, src: str, dest: str) -> None:
+    """Time the persisted-index lifecycle (build -> append -> probe) at
+    1x and 20x corpus scale (VERDICT r13 #5). The batch is a FIXED 500
+    documents at both scales (id-shifted to honor append's disjoint-id
+    precondition), so the append and probe timings isolate how corpus
+    growth affects a constant unit of incoming work: append signs only
+    the batch (corpus-size-independent by construction); probe's batch
+    side shuffles onto the index's key buckets, whose occupancy grows
+    20x — near-flat probe time is the bucketed-index scaling claim."""
+    import shutil
+
+    from graph_database_spark.sinks.ann import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from graph_database_spark.sources.parquet import load_table
+
+    for label, d in (("1x", src), ("20x", dest)):
+        docs = load_table(spark, d, "documents")
+        app_batch = docs.limit(500).selectExpr(
+            "doc_id + 900000000 AS doc_id", "text"
+        ).localCheckpoint()
+        probe_batch = docs.limit(500).selectExpr(
+            "doc_id + 950000000 AS doc_id", "text"
+        ).localCheckpoint()
+        path = f"/tmp/stress_mh_index_{label}"
+        shutil.rmtree(path, ignore_errors=True)
+        table = f"stress_mh_{label}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for step, fn in (
+            ("build", lambda: build_minhash_index(docs, table, path)),
+            ("append", lambda: append_minhash_index(app_batch, path)),
+            (
+                "probe",
+                lambda: probe_minhash_index(
+                    spark, path, probe_batch
+                ).count(),
+            ),
+        ):
+            t0 = time.time()
+            fn()
+            print(
+                f"RESULT minhash_index_lifecycle/{step} {label}:"
+                f" {time.time() - t0:.1f} s",
+                flush=True,
+            )
 
 
 def main() -> int:
@@ -74,6 +133,9 @@ def main() -> int:
     spark = get_spark("stress20x")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
+        if name == "minhash_index_lifecycle":
+            stress_minhash_index_lifecycle(spark, src, dest)
+            continue
         fn = catalog.QUERIES[name]
         for label, d, reps in (("1x", src, 2), ("20x", dest, 1)):
             best = None
