@@ -82,9 +82,16 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     fringe at once). Isolated survivors keep degree 0 via the left
     join, so they peel next round rather than vanish.
 
-    Per round: ONE checkpoint job + one cheap ``isEmpty`` probe (r13
-    wave 2; down from 3 jobs + a ``min/count`` driver action in r12).
-    Two structural moves get there:
+    Per round: ONE job total (r14; down from checkpoint + ``isEmpty``
+    in r13, and from 3 jobs + a ``min/count`` driver action in r12) —
+    the peel count rides the checkpoint job itself as a
+    ``DataFrame.observe`` metric (JVM-side ``CollectMetricsExec``
+    accumulator, no extra action, no extra shuffle), so the
+    termination probe costs nothing. At sf0.1 the loop is ~45 rounds
+    of FIXED per-round overhead (scheduler + plan compile,
+    data-size-independent — SCALE.md r13), so halving actions/round
+    is the one lever left after round fusion was measured 2.7x slower
+    (rejected, SCALE.md r13 wave 2). Three structural moves get here:
 
     - The round threshold k_r is computed DATA-SIDE (VERDICT r12 #2):
       the state carries k as a column, and ``greatest(max(k),
@@ -108,14 +115,16 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
       SLOWER; see SCALE.md r13 wave 2 rejection).
 
     An empty peel implies an empty survivor set (any survivor makes its
-    argmin peel-eligible), so the probe doubles as the termination
-    check; peel frames are filters over the checkpointed tagged frames
-    and union once at the end. Raises past ``max_rounds`` only when
+    argmin peel-eligible), so the observed peel count doubles as the
+    termination check; peel frames are filters over the checkpointed
+    tagged frames and union once at the end. Raises past ``max_rounds`` only when
     vertices actually REMAIN (a peel that completes in exactly
     ``max_rounds`` rounds is success — ADVICE r12); an empty edge input
     returns an empty frame. The oracle unrolls a fixed cap;
     budget-pinning beats silently truncating.
     """
+    from pyspark.sql import Observation
+
     sym0 = materialize(symmetrize(edges))
     state = sym0.groupBy(F.col("v").alias("id")).agg(
         F.count("*").alias("deg")
@@ -131,18 +140,30 @@ def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         # localCheckpoint sizeInBytes squaring trap
         # (fixpoint.reset_plan_stats docstring; measured here: rounds
         # degraded 0.5 s -> seconds before the reset was added).
+        #
+        # The observation's metric is collected BY the eager
+        # localCheckpoint job inside materialize (CollectMetricsExec
+        # executes with the plan; Observation.get blocks on that first
+        # action), so reading the peel count costs zero extra jobs —
+        # the r13 shape paid a second per-round action for isEmpty.
+        obs = Observation(f"onion_r{r}")
         tagged = reset_plan_stats(
             materialize(
-                state.crossJoin(kr).select(
+                state.crossJoin(kr)
+                .select(
                     "id",
                     "deg",
                     F.col("k2"),
                     (F.col("deg") <= F.col("k2")).alias("_peel"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.col("_peel").cast("long")).alias("n_peel"),
+                )
             )
         )
         peel = tagged.where(F.col("_peel"))
-        if peel.isEmpty():
+        if not (obs.get["n_peel"] or 0):
             break
         peeled.append(
             peel.select(
