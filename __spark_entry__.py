@@ -79,6 +79,8 @@ _REFERENCE_SURFACE = [
 _R14_NEWEST_GATE = [
     "ann_ivfpq",
     "ivfpq_recall_audit",
+    # added mid-r14: brand-new this round, gate it the same round
+    "ann_ivfpq_refined",
 ]
 
 

@@ -295,6 +295,8 @@ SHOW = [
     "dedup_incremental",
     "ann_ivfpq",
     "ivfpq_recall_audit",
+    # r14 additions
+    "ann_ivfpq_refined",
     # r14 (VERDICT r13 #7): full-coverage contract — every remaining
     # catalog query whose construction does NOT execute a fixpoint loop
     # (classified empirically: fixpoint.PLAN_CAPTURE stayed empty while

@@ -163,3 +163,30 @@ def test_ivfpq_adc_recall_floor(spark, emb):
         recalls.append(len(approx & truth) / 10)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.3, f"ADC mean recall@10 = {mean:.3f}"
+
+
+def test_ivfpq_refined_recall_floor_and_dominance(spark, emb):
+    # ADC-then-exact refine (r14, FAISS IndexRefineFlat): reranking the
+    # ADC top-30 by exact micro-L2 must recover (essentially) the
+    # probed-cell ceiling — measured 0.50 == ceiling at sf0.01 — and in
+    # particular beat the raw ADC ordering's floor. Floor at 0.4 mean.
+    import numpy as np
+
+    from graph_database_spark import catalog
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=float)
+    got = catalog.QUERIES["ann_ivfpq_refined"](spark, SF_DIR).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = []
+    for q, approx in by_q.items():
+        qi = int(np.where(ids == q)[0][0])
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        order = [int(ids[j]) for j in np.argsort(d) if ids[j] != q]
+        truth = set(order[:10])
+        recalls.append(len(approx & truth) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.4, f"refined mean recall@10 = {mean:.3f}"
