@@ -3784,7 +3784,13 @@ def q_rich_club(spark, sf_dir):
         .agg(F.count("*").alias("d"))
         .localCheckpoint()
     )
-    ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], "k int")
+    # broadcast: createDataFrame yields a LogicalRDD with UNKNOWN size
+    # stats (defaultSizeInBytes = huge), so without the hint the
+    # planner ran both theta-joins as un-broadcast CartesianProducts
+    # (caught by the r14 full-coverage PLANS.md sweep).
+    ks = F.broadcast(
+        spark.createDataFrame([(4,), (8,), (16,), (32,)], "k int")
+    )
     nk = (
         ks.crossJoin(deg)
         .filter(F.col("d") > F.col("k"))

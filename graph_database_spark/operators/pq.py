@@ -226,11 +226,34 @@ def ivfpq_topk_md5(
     window, all keyed. n_probe/n_centroids keep per-query candidate
     counts at ~n_probe/n_centroids of the corpus — the same occupancy
     knob discipline as LSH auto_bits."""
-    from graph_database_spark.operators.ivf import _unit_centroid_micro
+    model = ivfpq_fit(
+        vectors, n_centroids, pq_k, rounds, sub_dims, id_col, vec_col
+    )
+    probe = _probe_cells(
+        model["simmed"].where(F.col("vid") % query_mod == 0), n_probe
+    )
+    q_pex = model["pex"]
+    pairs = (
+        probe.join(model["cand_cell"], "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "cell")
+        .distinct()
+        .join(model["codes"], "cand_id")
+    )
+    qtab = _adc_qtab(probe, q_pex, model["cmn"], model["codebook"])
+    return _adc_rank(pairs, qtab, k)
+
+
+def _micro_sims(
+    vectors: DataFrame, cents: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(vid, sims)`` — exact integer micro dot products of every
+    vector against the (driver-side) unit centroid micro list, as ONE
+    array column (the ivf_topk_md5 integer cell machinery; centroid
+    literals built as single expr strings per the literal-array rule).
+    Checkpointed: cand/probe cells both derive from it."""
     from graph_database_spark.operators.spread import spread
 
-    # ---- IVF coarse cells (the ivf_topk_md5 integer cell machinery) ----
-    cents = _unit_centroid_micro(vectors, id_col, vec_col, n_centroids)
     cent_lits = [
         F.expr("array(" + ",".join(f"{x}L" for x in c) + ")") for c in cents
     ]
@@ -257,23 +280,15 @@ def ivfpq_topk_md5(
             for lit in cent_lits
         ]
     )
-    simmed = ex.select("vid", sims.alias("sims"))
-    # candidate cell: argmax sim, first-index tiebreak (s DESC, c ASC).
-    # 1-BASED (r14): cells now join against icm (and the oracle's
-    # row_number cells); the r13 0-based labels were only ever compared
-    # with each other, which hid the off-by-one until residual encoding
-    # brought the centroid values back into the plan.
-    best = F.expr(
-        "array_position(sims, array_max(sims))"
-    ).cast("int")
-    cand_cell = simmed.select(
-        F.col("vid").alias("cand_id"), best.alias("cell")
-    ).localCheckpoint()
-    # probe cells: top-n_probe by (s DESC, c DESC) — mirror the
-    # ann_ivf_md5 oracle's reverse(array_sort(struct(s, c))) order.
-    probe = (
-        simmed.where(F.col("vid") % query_mod == 0)
-        .select(
+    return ex.select("vid", sims.alias("sims"))
+
+
+def _probe_cells(simmed: DataFrame, n_probe: int) -> DataFrame:
+    """``(query_id, cell)`` — top-``n_probe`` cells by (sim DESC,
+    cell DESC), 1-based, mirroring the ann_ivf_md5 oracle's
+    reverse(array_sort(struct(s, c))) order."""
+    return (
+        simmed.select(
             F.col("vid").alias("query_id"),
             F.explode(
                 F.slice(
@@ -293,6 +308,44 @@ def ivfpq_topk_md5(
         )
         .localCheckpoint()
     )
+
+
+def ivfpq_fit(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    pq_k: int = 256,
+    rounds: int = 2,
+    sub_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train the full IVF-PQ model over ``vectors`` and return every
+    piece the serving paths need (r14; factored out of ivfpq_topk_md5
+    so sinks/ann.build_ivfpq_index persists the SAME model the inline
+    search uses — probe==inline parity is by construction):
+
+    - ``cents``: driver-side unit coarse centroid micro list
+    - ``simmed``: (vid, sims) corpus cell sims (for inline queries)
+    - ``cand_cell``: (cand_id, cell) argmax assignment, 1-based
+    - ``pex``: (vec_id, i, s, xm) corpus micro explode
+    - ``cmn``: (cell, i, cm) integer cell-mean base vectors
+    - ``codes``: (cand_id, s, code) residual PQ codes
+    - ``codebook``: (c, i, cm) residual codebook
+    """
+    from graph_database_spark.operators.ivf import _unit_centroid_micro
+
+    # ---- IVF coarse cells (the ivf_topk_md5 integer cell machinery) ----
+    cents = _unit_centroid_micro(vectors, id_col, vec_col, n_centroids)
+    simmed = _micro_sims(vectors, cents, id_col, vec_col)
+    # candidate cell: argmax sim, first-index tiebreak (s DESC, c ASC).
+    # 1-BASED (r14): cells now join against the cell-mean table (and
+    # the oracle's row_number cells); the r13 0-based labels were only
+    # ever compared with each other, which hid the off-by-one until
+    # residual encoding brought the centroid values back into the plan.
+    best = F.expr("array_position(sims, array_max(sims))").cast("int")
+    cand_cell = simmed.select(
+        F.col("vid").alias("cand_id"), best.alias("cell")
+    ).localCheckpoint()
 
     # ---- residual PQ training ------------------------------------------
     # Cell-mean base vectors (cell, i, cm): n_centroids x d rows of
@@ -323,11 +376,49 @@ def ivfpq_topk_md5(
     codes = assign.select(
         F.col("vec_id").alias("cand_id"), F.col("subspace").alias("s"), "code"
     ).localCheckpoint()
+    return {
+        "cents": cents,
+        "simmed": simmed,
+        "cand_cell": cand_cell,
+        "pex": pex,
+        "cmn": cmn,
+        "codes": codes,
+        "codebook": cent,
+    }
 
-    # ---- ADC tables: exact squared distance from the query's residual
-    # IN EACH PROBED CELL to every codebook centroid per subspace.
+
+def pq_encode(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+    """``(vec_id, s, code)`` — assign pre-exploded (residual) micro
+    rows to a FROZEN codebook: the Lloyd assign step without training,
+    same (d2, c) tie-break. This is how an append encodes arrivals
+    against a persisted model (sinks/ann.append_ivfpq_index)."""
+    return (
+        ex.join(F.broadcast(codebook), "i")
+        .groupBy("vec_id", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("d2")
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("c").alias("c"))
+            ).alias("best")
+        )
+        .select("vec_id", "s", F.col("best.c").alias("code"))
+    )
+
+
+def _adc_qtab(
+    probe: DataFrame, q_pex: DataFrame, cmn: DataFrame, codebook: DataFrame
+) -> DataFrame:
+    """``(query_id, cell, s, code, qd2)`` — exact squared distance from
+    the query's residual IN EACH PROBED CELL to every codebook centroid
+    per subspace (the ADC lookup tables; |Q| x n_probe x n_sub x pq_k
+    rows, broadcastable)."""
     qres = (
-        pex.join(
+        q_pex.join(
             probe.select(F.col("query_id").alias("vec_id"), "cell"),
             "vec_id",
         )
@@ -340,8 +431,8 @@ def ivfpq_topk_md5(
             (F.col("xm") - F.col("cm")).alias("rm"),
         )
     )
-    qtab = (
-        qres.join(F.broadcast(cent.withColumnRenamed("cm", "pcm")), "i")
+    return (
+        qres.join(F.broadcast(codebook.withColumnRenamed("cm", "pcm")), "i")
         .groupBy("query_id", "cell", "s", F.col("c").alias("code"))
         .agg(
             F.sum(
@@ -351,16 +442,14 @@ def ivfpq_topk_md5(
         .localCheckpoint()
     )
 
-    # ---- probe-pruned ADC ranking --------------------------------------
-    cand = (
-        probe.join(cand_cell, "cell")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "cell")
-        .distinct()
-    )
+
+def _adc_rank(pairs: DataFrame, qtab: DataFrame, k: int) -> DataFrame:
+    """``(query_id, cand_id, adc_d2, rank)`` — sum the candidate's code
+    lookups per query and keep the top-``k`` by (adc_d2, cand_id).
+    ``pairs``: (query_id, cand_id, cell, s, code) candidate codes in
+    probed cells."""
     adc = (
-        cand.join(codes, "cand_id")
-        .join(qtab, ["query_id", "cell", "s", "code"])
+        pairs.join(qtab, ["query_id", "cell", "s", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("qd2").alias("adc_d2"))
     )

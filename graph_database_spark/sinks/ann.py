@@ -44,6 +44,9 @@ __all__ = [
     "build_minhash_index",
     "append_minhash_index",
     "probe_minhash_index",
+    "build_ivfpq_index",
+    "append_ivfpq_index",
+    "probe_ivfpq_index",
 ]
 
 _MANIFEST = "_ann_index.json"
@@ -133,12 +136,10 @@ def append_ivf_index(
         "embedding",
         "nrm",
     )
-    (
-        assigned.write.mode("append")
-        .bucketBy(m["n_buckets"], "cell")
-        .sortBy("cell")
-        .format("parquet")
-        .saveAsTable(m["table"])
+    # One bucketed write path for build and append (the ADVICE r13
+    # desync rule, applied here as well as to the minhash index).
+    write_bucketed(
+        assigned, m["table"], path, "cell", m["n_buckets"], mode="append"
     )
 
 
@@ -433,3 +434,168 @@ def probe_minhash_index(
         m["shingle_k"],
         threshold,
     )
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    pq_k: int = 256,
+    rounds: int = 2,
+    sub_dims: int = 8,
+    n_buckets: int = 16,
+) -> dict:
+    """Persist the residual IVF-PQ serving layout (r14): the at-rest
+    artifact is ``(cell, cand_id, s, code)`` — n_sub byte-sized codes
+    per vector, bucketed+sorted by ``cell`` so the probe-time cell
+    equi-join reads the corpus side bucket-to-bucket with NO Exchange
+    (single-column join key == bucket spec, the Spark 3.3 all-keys
+    rule) — plus a manifest holding every model parameter (coarse unit
+    centroids, integer cell means, residual codebook; bounded
+    n_centroids x d + pq_k x d ints, the FAISS index-header analog).
+    The model comes from operators/pq.ivfpq_fit — the SAME training
+    the inline ivfpq_topk_md5 runs — so probe==inline parity is by
+    construction (pytest-pinned, tests/test_ann_index.py)."""
+    from graph_database_spark.operators.pq import ivfpq_fit
+
+    model = ivfpq_fit(
+        vectors, n_centroids, pq_k, rounds, sub_dims, id_col, vec_col
+    )
+    stored = model["cand_cell"].join(model["codes"], "cand_id").select(
+        "cell", "cand_id", "s", "code"
+    )
+    write_bucketed(stored, table, path, "cell", n_buckets)
+    manifest = {
+        "kind": "ivfpq",
+        "table": table,
+        "n_centroids": n_centroids,
+        "pq_k": pq_k,
+        "rounds": rounds,
+        "sub_dims": sub_dims,
+        "n_buckets": n_buckets,
+        "cents": model["cents"],
+        "cell_means": [
+            [r["cell"], r["i"], r["cm"]] for r in model["cmn"].collect()
+        ],
+        "codebook": [
+            [r["c"], r["i"], r["cm"]] for r in model["codebook"].collect()
+        ],
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def _ivfpq_model_frames(spark: SparkSession, m: dict):
+    """(cmn, codebook) DataFrames rebuilt from a manifest — bounded
+    driver-side model rows, broadcast at the join sites."""
+    cmn = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in m["cell_means"]],
+        "cell int, i int, cm long",
+    )
+    codebook = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in m["codebook"]],
+        "c int, i int, cm long",
+    )
+    return cmn, codebook
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF-PQ index WITHOUT retraining (the FAISS
+    ``add`` lifecycle): assign each arrival to its coarse cell against
+    the manifest's frozen centroids, encode its residual to the frozen
+    cell mean against the frozen codebook (operators/pq.pq_encode —
+    the Lloyd assign step alone), and APPEND the ``(cell, cand_id, s,
+    code)`` rows through the one bucketed write path. Same trade-off
+    as append_ivf_index: the model drifts stale as the distribution
+    moves (rebuild cadence is the operator's knob), and appended ids
+    must be disjoint from those indexed (the minhash append rule)."""
+    from graph_database_spark.operators.pq import (
+        _explode_micro,
+        _micro_sims,
+        pq_encode,
+    )
+
+    m = _load_manifest(path)
+    if m.get("kind") != "ivfpq":
+        raise ValueError(
+            f"index at {path} is kind={m.get('kind')!r}, not ivfpq"
+        )
+    spark = new_vectors.sparkSession
+    cmn, codebook = _ivfpq_model_frames(spark, m)
+    simmed = _micro_sims(new_vectors, m["cents"], id_col, vec_col)
+    best = F.expr("array_position(sims, array_max(sims))").cast("int")
+    cell_of = simmed.select(
+        F.col("vid").alias("vec_id"), best.alias("cell")
+    ).localCheckpoint()
+    nex = _explode_micro(
+        new_vectors, m["sub_dims"], id_col, vec_col
+    ).localCheckpoint()
+    rex = (
+        nex.join(cell_of, "vec_id")
+        .join(F.broadcast(cmn), ["cell", "i"])
+        .select(
+            "vec_id", "i", "s", (F.col("xm") - F.col("cm")).alias("xm")
+        )
+    )
+    stored = (
+        pq_encode(rex, codebook)
+        .join(cell_of, "vec_id")
+        .select("cell", F.col("vec_id").alias("cand_id"), "s", "code")
+    )
+    write_bucketed(
+        stored, m["table"], path, "cell", m["n_buckets"], mode="append"
+    )
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against a persisted IVF-PQ index — ``(query_id,
+    cand_id, adc_d2, rank)``, the ivfpq_topk_md5 contract with the
+    corpus side read from the bucketed code table: queries rank cells
+    against the manifest's centroid literals, build their per-probed-
+    cell residual lookup tables from the manifest's cell means +
+    codebook (query-side-only work), and meet the index in ONE cell
+    equi-join — the corpus is touched only through its byte codes,
+    pre-bucketed, no index-side Exchange."""
+    from graph_database_spark.operators.pq import (
+        _adc_qtab,
+        _adc_rank,
+        _explode_micro,
+        _micro_sims,
+        _probe_cells,
+    )
+
+    m = _load_manifest(path)
+    if m.get("kind") != "ivfpq":
+        raise ValueError(
+            f"index at {path} is kind={m.get('kind')!r}, not ivfpq"
+        )
+    cmn, codebook = _ivfpq_model_frames(spark, m)
+    probe = _probe_cells(
+        _micro_sims(queries, m["cents"], id_col, vec_col), n_probe
+    )
+    q_pex = _explode_micro(
+        queries, m["sub_dims"], id_col, vec_col
+    ).localCheckpoint()
+    pairs = (
+        probe.join(spark.table(m["table"]), "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "cell", "s", "code")
+    )
+    qtab = _adc_qtab(probe, q_pex, cmn, codebook)
+    return _adc_rank(pairs, qtab, k)

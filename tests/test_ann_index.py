@@ -166,3 +166,99 @@ def test_minhash_probe_has_no_index_side_shuffle(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_plan_idx")
+
+
+def test_ivfpq_index_probe_matches_inline_search(spark, tmp_path):
+    # r14: the persisted residual IVF-PQ layout. Probing the bucketed
+    # byte-code table with the manifest model must equal the inline
+    # ivfpq_topk_md5 search EXACTLY (same ivfpq_fit training, same
+    # integer ADC) — twice, to pin build-once-probe-many statelessness.
+    from graph_database_spark.operators.pq import ivfpq_topk_md5
+    from graph_database_spark.sinks.ann import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where((emb.vec_id % 50) == 0)
+    try:
+        build_ivfpq_index(emb, "pq_idx", str(tmp_path / "pq"))
+        inline = _rows(ivfpq_topk_md5(emb))
+        p1 = _rows(probe_ivfpq_index(spark, str(tmp_path / "pq"), queries))
+        p2 = _rows(probe_ivfpq_index(spark, str(tmp_path / "pq"), queries))
+        assert p1 == inline
+        assert p2 == inline
+        assert len(inline) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_idx")
+
+
+def test_ivfpq_index_append_encodes_under_frozen_model(spark, tmp_path):
+    # The FAISS `add` lifecycle: append a byte-identical twin of an
+    # indexed vector under a NEW id. Its frozen-model encoding (cell +
+    # residual codes) is identical to the original's, so any query that
+    # retrieved the original must retrieve the twin at the same ADC
+    # distance.
+    from graph_database_spark.sinks.ann import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where((emb.vec_id % 50) == 0)
+    try:
+        build_ivfpq_index(emb, "pq_grow_idx", str(tmp_path / "pqg"))
+        base = _rows(
+            probe_ivfpq_index(spark, str(tmp_path / "pqg"), queries, k=5)
+        )
+        # twin of the first retrieved candidate, id-shifted (disjoint)
+        twin_src = base[0][1]
+        twin = emb.where(emb.vec_id == twin_src).selectExpr(
+            "vec_id + 900000000 AS vec_id", "embedding"
+        )
+        append_ivfpq_index(twin, str(tmp_path / "pqg"))
+        grown = probe_ivfpq_index(
+            spark, str(tmp_path / "pqg"), queries, k=10
+        ).collect()
+        by_id = {
+            (r["query_id"], r["cand_id"]): r["adc_d2"] for r in grown
+        }
+        qid = base[0][0]
+        assert (qid, twin_src + 900000000) in by_id
+        assert by_id[(qid, twin_src + 900000000)] == by_id[(qid, twin_src)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_grow_idx")
+
+
+def test_ivfpq_probe_has_no_index_side_shuffle(spark, tmp_path):
+    from graph_database_spark.sinks.ann import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where((emb.vec_id % 50) == 0)
+    try:
+        build_ivfpq_index(emb, "pq_plan_idx", str(tmp_path / "pqp"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = probe_ivfpq_index(spark, str(tmp_path / "pqp"), queries)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Bucketed: true" in plan, plan[:3000]
+        # The corpus-scale frame is the code-table scan; its OWN cell
+        # attribute must never feed an Exchange (the query side's cell
+        # — a different attr id — shuffles onto the index buckets).
+        import re
+
+        m2 = re.search(
+            r"FileScan parquet [^\[]*pq_plan_idx\[cell#(\d+)", plan
+        )
+        assert m2, plan[:3000]
+        assert f"Exchange hashpartitioning(cell#{m2.group(1)}" not in plan, (
+            plan[:3000]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_plan_idx")
