@@ -370,6 +370,10 @@ HEADLINE = [
     "dedup_incremental",
     "ann_ivfpq",
     "ivfpq_recall_audit",
+    # r14 additions (optimization round: new query from the interrupted
+    # build round, timed from here on; never remove/rename existing
+    # entries per the driver contract)
+    "ann_ivfpq_refined",
 ]
 
 # (r13: the BONUS_PINNED escape hatch — triangles_sampled,

@@ -7348,20 +7348,35 @@ def q_percolation(spark, sf_dir):
     ranked = global_rank(
         deg.withColumn("nd", -F.col("d")), ["nd", "id"]
     ).localCheckpoint()
-    out = None
-    for k in (0, 10, 50):
+
+    # r14 optimization round: the three k-slices are INDEPENDENT
+    # eager CC fixpoints whose per-round cost is fixed scheduler
+    # latency on tiny coalesced state — running them from a small
+    # thread pool lets each fixpoint's jobs back-fill the executors
+    # the others leave idle (guide §2.6 overlap; result unchanged, the
+    # union order is pinned by the k list).
+    def one_k(k: int):
         hubs = ranked.where(F.col("r") <= k).select("id")
         kept = edges.join(
             hubs.select(F.col("id").alias("src")), "src", "left_anti"
         ).join(hubs.select(F.col("id").alias("dst")), "dst", "left_anti")
         cc = connected_components(kept)
-        row = cc.groupBy("component").agg(F.count("*").alias("sz")).agg(
+        return cc.groupBy("component").agg(F.count("*").alias("sz")).agg(
             F.lit(k).cast("int").alias("k_removed"),
             F.count("*").alias("n_components"),
             F.sum("sz").alias("n_vertices"),
             F.max("sz").alias("giant_size"),
         )
-        out = row if out is None else out.unionByName(row)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = list(pool.map(inheritable_thread_target(one_k), (0, 10, 50)))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 

@@ -43,6 +43,7 @@ def _sigma_g(
     num_sources: int | None = None,
     max_iterations: int = 64,
     collect_dag: bool = False,
+    fwd_fuse: int = 1,
 ):
     """Shared forward/backward machinery: returns ``(vertices, visited,
     g, sym, dag_levels)`` — per-(source, vertex) shortest-path counts
@@ -83,57 +84,92 @@ def _sigma_g(
     # 1.5x SLOWER — the anti-join then reads L stacked frames per level.)
     state_parts = max(4, spark.sparkContext.defaultParallelism // 4)
 
-    # ONE materialization per level: the frontier is a filter on the
-    # checkpointed visited frame (free), and convergence is detected by
-    # the visited count no longer growing (a metadata-cheap count on the
-    # just-materialized frame) instead of a separate frontier.isEmpty()
-    # job that would force the expansion twice.
+    # FUSED levels (r14 optimization round): per-round cost here is the
+    # FIXED checkpoint-job overhead (~0.5 s, data-size-independent —
+    # the fixpoint(fuse=) measurement, SCALE.md r13), so three BFS
+    # levels chain into ONE materialization. The level step qualifies
+    # for fusion: both state references (frontier filter + seen
+    # projection) read the previous step's (s, v) groupBy exchange —
+    # an identical subtree ending in an exchange, exactly the
+    # ReuseExchange criterion the hash-min family's fuse=3 relies on
+    # (and the onion peel pipeline lacks). A level past convergence is
+    # the identity (empty frontier -> no messages -> state unchanged),
+    # so overshooting inside a block never changes the answer. The
+    # visited count rides the checkpoint job as an observe() metric
+    # (the onion_layers r14 move) instead of a separate count() job.
+    from pyspark.sql import Observation
+
     prev_count = visited.count()
     converged = False
-    for level in range(1, max_iterations + 1):
-        frontier = visited.where(F.col("dist") == level - 1)
-        # TWO shuffles per level, not three: raw frontier messages union
-        # the visited state into ONE (s, v) groupBy that both
-        # aggregates the new sigma and performs the visited check (a
-        # row whose group contains a visited row keeps the visited
-        # dist/sigma — the old shape did this with a pre-aggregate plus
-        # a left-anti join, paying a third shuffle). Visited rows are
-        # unique per (s, v), so max() on the when-guarded columns
-        # reads exactly that row.
-        msgs = frontier.join(sym, "v").select(
-            "s",
-            F.col("n").alias("v"),
-            F.lit(False).alias("old"),
-            F.lit(None).cast("long").alias("dist"),
-            "sigma",
-        )
-        seen = visited.select("s", "v", F.lit(True).alias("old"), "dist", "sigma")
-        visited = materialize(
-            msgs.unionByName(seen)
-            .groupBy("s", "v")
-            .agg(
-                F.max("old").alias("was_seen"),
-                F.max(F.when(F.col("old"), F.col("dist"))).alias("old_dist"),
-                F.max(F.when(F.col("old"), F.col("sigma"))).alias("old_sigma"),
-                F.sum(F.when(~F.col("old"), F.col("sigma"))).alias("new_sigma"),
-            )
-            .select(
+    level = 0
+    while level < max_iterations:
+        state = visited
+        for _ in range(min(fwd_fuse, max_iterations - level)):
+            level += 1
+            frontier = state.where(F.col("dist") == level - 1)
+            # TWO shuffles per level, not three: raw frontier messages
+            # union the visited state into ONE (s, v) groupBy that both
+            # aggregates the new sigma and performs the visited check (a
+            # row whose group contains a visited row keeps the visited
+            # dist/sigma — the old shape did this with a pre-aggregate
+            # plus a left-anti join, paying a third shuffle). Visited
+            # rows are unique per (s, v), so max() on the when-guarded
+            # columns reads exactly that row.
+            msgs = frontier.join(sym, "v").select(
                 "s",
-                "v",
-                F.when(F.col("was_seen"), F.col("old_dist"))
-                .otherwise(F.lit(level))
-                .alias("dist"),
-                F.when(F.col("was_seen"), F.col("old_sigma"))
-                .otherwise(F.col("new_sigma"))
-                .alias("sigma"),
-            ),
-            state_parts,
+                F.col("n").alias("v"),
+                F.lit(False).alias("old"),
+                F.lit(None).cast("long").alias("dist"),
+                "sigma",
+            )
+            seen = state.select(
+                "s", "v", F.lit(True).alias("old"), "dist", "sigma"
+            )
+            state = (
+                msgs.unionByName(seen)
+                .groupBy("s", "v")
+                .agg(
+                    F.max("old").alias("was_seen"),
+                    F.max(F.when(F.col("old"), F.col("dist"))).alias(
+                        "old_dist"
+                    ),
+                    F.max(F.when(F.col("old"), F.col("sigma"))).alias(
+                        "old_sigma"
+                    ),
+                    F.sum(F.when(~F.col("old"), F.col("sigma"))).alias(
+                        "new_sigma"
+                    ),
+                )
+                .select(
+                    "s",
+                    "v",
+                    F.when(F.col("was_seen"), F.col("old_dist"))
+                    .otherwise(F.lit(level))
+                    .alias("dist"),
+                    F.when(F.col("was_seen"), F.col("old_sigma"))
+                    .otherwise(F.col("new_sigma"))
+                    .alias("sigma"),
+                )
+            )
+        obs = Observation(f"bfs_l{level}")
+        visited = materialize(
+            state.observe(obs, F.count(F.lit(1)).alias("n")), state_parts
         )
-        count = visited.count()
+        count = obs.get["n"] or 0
         if count == prev_count:
             converged = True
             break
         prev_count = count
+    if not converged:
+        # Block-boundary counts can hide convergence INSIDE the final
+        # block. The exact original-budget criterion ("some level
+        # <= max_iterations added nothing") is equivalent to "no row
+        # sits at dist == max_iterations" — monotone BFS growth cannot
+        # resume once a level adds nothing — so one cheap filter probe
+        # on the checkpointed frame settles it exactly.
+        converged = visited.where(
+            F.col("dist") == max_iterations
+        ).isEmpty()
     if not converged:
         # A truncated BFS would silently understate sigma/g for the
         # unreached fringe — and desynchronize from any fixed-level
@@ -161,9 +197,23 @@ def _sigma_g(
     # Folding the successor semi-join and the g lookup into one inner
     # join against nxt_with_g (every level-(l+1) node, g defaulted to 0)
     # drops a per-level shuffle.
+    # r14 optimization round: fewer materializations, same math.
+    # - collect_dag=True (edge_betweenness): dag_l must be checkpointed
+    #   (the edge score unions every level), but succ is then ONE lazy
+    #   groupBy over that checkpointed frame — materializing it too was
+    #   a second ~0.5 s fixed-cost job per level for a frame the next
+    #   level's join can derive in-plan.
+    # - collect_dag=False (betweenness): succ checkpoints every third
+    #   level; the in-between frames stay lazy (each succ is referenced
+    #   once by the next level's left join, so lineage grows LINEARLY —
+    #   no repeated-subtree blowup, the onion-fusion failure mode does
+    #   not apply). The final g union recomputes the lazy tail from
+    #   checkpointed inputs inside the readout job; identical exchange
+    #   subtrees there dedupe via ReuseExchange.
     level_frames: list[DataFrame] = []
     dag_levels: list[DataFrame] = []
     g_above: DataFrame | None = None  # g rows for nodes at level + 1
+    since_ckpt = 0
     for level in range(max_dist - 1, -1, -1):
         nodes_l = visited.where(F.col("dist") == level).select("s", "v", "sigma")
         nxt = visited.where(F.col("dist") == level + 1).select(
@@ -185,15 +235,18 @@ def _sigma_g(
         )
         if collect_dag:
             # Materialize the per-level DAG edges once; the backward
-            # aggregate below becomes a groupBy over the checkpointed
-            # frame (same shuffle it already paid) and the edge score
-            # reads these frames for free.
+            # aggregate is a lazy groupBy over the checkpointed frame
+            # and the edge score reads these frames for free.
             dag_l = materialize(dag_l, state_parts)
             dag_levels.append(dag_l)
-        succ = materialize(
-            dag_l.groupBy("s", "v").agg(F.sum(F.col("g_next") + 1).alias("g")),
-            state_parts,
+        succ = dag_l.groupBy("s", "v").agg(
+            F.sum(F.col("g_next") + 1).alias("g")
         )
+        if not collect_dag:
+            since_ckpt += 1
+            if since_ckpt >= 3:
+                succ = materialize(succ, state_parts)
+                since_ckpt = 0
         level_frames.append(succ)
         g_above = succ
 

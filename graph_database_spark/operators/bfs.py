@@ -74,12 +74,11 @@ def bfs_distances(
             .agg(F.min("dist").alias("dist"), F.max("prev").alias("prev"))
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        # Distances are monotone non-increasing; fixpoint == no row
-        # changed, read off the prev column carried by the state.
-        return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
-
+    # Distances are monotone non-increasing; fixpoint == no row changed,
+    # read off the prev column carried by the state — as an observe()
+    # metric riding the checkpoint job (no separate probe job).
     out = fixpoint(
-        init, step, converged, max_iterations, name="bfs_distances", fuse=3
+        init, step, None, max_iterations, name="bfs_distances", fuse=3,
+        probe=F.sum((~F.col("dist").eqNullSafe(F.col("prev"))).cast("long")),
     )
     return out.where(F.col("dist").isNotNull()).select("id", "dist")

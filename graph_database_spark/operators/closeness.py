@@ -73,11 +73,9 @@ def closeness_sampled(
             .select("s", "id", "dist", "prev")
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(~F.col("dist").eqNullSafe(F.col("prev"))).isEmpty()
-
     out = fixpoint(
-        init, step, converged, max_iterations, name="closeness_sampled", fuse=3
+        init, step, None, max_iterations, name="closeness_sampled", fuse=3,
+        probe=F.sum((~F.col("dist").eqNullSafe(F.col("prev"))).cast("long")),
     )
     return (
         out.where(F.col("dist").isNotNull())

@@ -90,9 +90,11 @@ def graph_coloring(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
         "filter(sequence(0, size(used)), x -> NOT array_contains(used, x))[0]"
     ).cast("int")
 
+    from pyspark.sql import Observation
+
     done: list[DataFrame] = []
     n_act = act_v.count()
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         if n_act == 0:
             break
         # The vertex-state frames (tent picks, conflict losers, round
@@ -139,6 +141,10 @@ def graph_coloring(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
             .agg(F.collect_set("n_color").alias("new_used"))
             .withColumnRenamed("v", "id")
         )
+        # The active-vertex count rides the state checkpoint as an
+        # observe() metric (r14 optimization round) — the separate
+        # per-round count() job is gone.
+        obs = Observation(f"coloring_r{_round}")
         act_v = materialize(
             act_v.join(bc(winners.select("id")), "id", "left_anti")
             .join(bc(delivered), "id", "left")
@@ -148,7 +154,8 @@ def graph_coloring(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
                 F.when(F.col("new_used").isNull(), F.col("used"))
                 .otherwise(F.array_union("used", "new_used"))
                 .alias("used"),
-            ),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             parts,
         )
         act_e = materialize(
@@ -156,7 +163,7 @@ def graph_coloring(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
             .join(bc(winners.select(F.col("id").alias("n"))), "n", "left_anti"),
             parts,
         )
-        n_act = act_v.count()
+        n_act = obs.get["n"] or 0
     if n_act != 0:
         raise RuntimeError(
             f"graph_coloring did not converge in {max_iterations} iterations; "

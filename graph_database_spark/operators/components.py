@@ -69,12 +69,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             )
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("component") != F.col("prev")).isEmpty()
-
     out = fixpoint(
-        labels, step, converged, max_iterations,
+        labels, step, None, max_iterations,
         name="connected_components", fuse=3,
+        probe=F.sum((F.col("component") != F.col("prev")).cast("long")),
     )
     return out.select("id", "component")
 

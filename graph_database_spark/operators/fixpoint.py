@@ -65,13 +65,16 @@ def materialize(df: DataFrame, parts: int | None = None) -> DataFrame:
 def fixpoint(
     initial: DataFrame,
     step: Callable[[DataFrame], DataFrame],
-    converged: Callable[[DataFrame, DataFrame], bool],
+    converged: Callable[[DataFrame, DataFrame], bool] | None,
     max_iterations: int,
     name: str = "fixpoint",
     on_exhaust: str = "raise",
     stats: dict | None = None,
     reset_stats: bool = False,
     fuse: int = 1,
+    probe: Column | None = None,
+    probe_done: Callable[[object, object], bool] | None = None,
+    probe_init: Callable[[DataFrame], object] | None = None,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``converged(old, new)``.
 
@@ -105,19 +108,53 @@ def fixpoint(
     there changes the answer. Convergence still sound: ``converged``
     sees the LAST fused step's prev-columns, and "last step changed
     nothing" means the state is a fixpoint of one step.
+
+    ``probe`` (r14 optimization round): an aggregate Column that rides
+    the checkpoint job as a ``DataFrame.observe`` metric (JVM-side
+    CollectMetricsExec accumulator — the onion_layers r14 move,
+    generalized), replacing the separate per-round convergence job.
+    When given, ``converged`` is ignored (pass None); the round is
+    converged when ``probe_done(prev_value, value)`` is True (default:
+    value is 0 or NULL — the "no row changed" rule every != prev probe
+    reduces to). ``probe_init`` seeds prev_value from the materialized
+    initial state (count-stability probes need the starting count);
+    prev_value otherwise starts as None. Per round this removes one
+    scheduled job — at 1000 executors one full cluster barrier — and
+    at sf0.1 the ~0.1 s fixed probe-job cost (SCALE.md r13 floor
+    measurement).
     """
+    from pyspark.sql import Observation
+
     parts = state_partitions(initial.sparkSession)
     state = materialize(initial, parts)
     if reset_stats:
         state = reset_plan_stats(state)
+    prev_val = probe_init(state) if probe_init is not None else None
     for i in range(max_iterations):
         s = state
         for _ in range(fuse):
             s = step(s)
-        new = materialize(s, parts)
+        if probe is not None:
+            # Anonymous Observation: names must be unique among live
+            # observations, and concurrent fixpoints (percolation runs
+            # three CCs in a thread pool) would collide on a
+            # name-per-round scheme.
+            obs = Observation()
+            new = materialize(s.observe(obs, probe.alias("p")), parts)
+        else:
+            new = materialize(s, parts)
         if reset_stats:
             new = reset_plan_stats(new)
-        if converged(state, new):
+        if probe is not None:
+            val = obs.get["p"]
+            if probe_done is not None:
+                done = probe_done(prev_val, val)
+            else:
+                done = not val  # 0 or NULL == no row changed
+            prev_val = val
+        else:
+            done = converged(state, new)
+        if done:
             if stats is not None:
                 # observability hook (stress runs read this; no behavior
                 # change). Under fuse>1, "rounds" counts MATERIALIZATIONS

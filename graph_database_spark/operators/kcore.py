@@ -58,12 +58,15 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 200) -> DataFrame:
         ).join(dead.withColumnRenamed("id", "n"), "n", "left_anti")
 
     # The edge set shrinks monotonically, so equal counts <=> no vertex
-    # was peeled this round <=> fixpoint (counts on materialized frames
-    # are one cheap job each).
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.count() == old.count()
-
-    core_edges = fixpoint(sym0, step, converged, max_iterations, name="k_core")
+    # was peeled this round <=> fixpoint; the count rides the checkpoint
+    # job as an observe() metric, seeded with one count of the initial
+    # edge frame.
+    core_edges = fixpoint(
+        sym0, step, None, max_iterations, name="k_core",
+        probe=F.count(F.lit(1)),
+        probe_done=lambda prev, cur: prev is not None and cur == prev,
+        probe_init=lambda df: df.count(),
+    )
     return degrees(core_edges)
 
 

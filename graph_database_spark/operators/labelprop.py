@@ -153,15 +153,13 @@ def label_propagation(
             mode.alias("community"), F.max("prev").alias("prev")
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("community") != F.col("prev")).isEmpty()
-
     out = fixpoint(
         labels,
         step_counted if mode == "counted" else step,
-        converged,
+        None,
         max_iterations,
         name="label_propagation",
         on_exhaust="return",
+        probe=F.sum((F.col("community") != F.col("prev")).cast("long")),
     )
     return out.select("id", "community")

@@ -34,29 +34,36 @@ def greedy_matching(edges: DataFrame, max_iterations: int = 16) -> DataFrame:
     matched them, over canonical undirected edges ``(src, dst)``.
     Ties (distinct edges sharing an md5 priority — ~2^-60) break on
     (src, dst), keeping every round deterministic."""
+    from pyspark.sql import Observation
+
     e = materialize(edges.select("src", "dst").distinct())
     spark = edges.sparkSession
     won: list[DataFrame] = []
     r = 0
-    while not e.isEmpty():
+    live = not e.isEmpty()
+    # r14 optimization round: 4 jobs/round -> 2. The priority frame is
+    # a NARROW md5 projection over the checkpointed edge state — its
+    # three consumers re-derive it for pennies, so its checkpoint job
+    # was pure overhead; and the next round's liveness probe rides the
+    # edge-state checkpoint as an observe() metric instead of a
+    # separate isEmpty job.
+    while live:
         r += 1
         if r > max_iterations:
             raise RuntimeError(
                 f"greedy_matching did not finish in {max_iterations} rounds"
             )
-        pr = materialize(
-            e.select(
-                "src",
-                "dst",
-                md5_hash60(
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(r)),
-                        F.col("src").cast("string"),
-                        F.col("dst").cast("string"),
-                    )
-                ).alias("p"),
-            )
+        pr = e.select(
+            "src",
+            "dst",
+            md5_hash60(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(r)),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("p"),
         )
         key = F.struct("p", "src", "dst")
         both = pr.select(F.col("src").alias("vert"), key.alias("k")).unionByName(
@@ -79,11 +86,14 @@ def greedy_matching(edges: DataFrame, max_iterations: int = 16) -> DataFrame:
         matched = win.select(F.col("src").alias("x")).unionByName(
             win.select(F.col("dst").alias("x"))
         )
+        obs = Observation(f"matching_r{r}")
         e = materialize(
             e.join(matched.select(F.col("x").alias("src")), "src", "left_anti")
             .join(matched.select(F.col("x").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
+        live = bool(obs.get["n"])
     if not won:
         return spark.createDataFrame([], "src long, dst long, round int")
     out = won[0]

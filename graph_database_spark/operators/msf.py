@@ -71,6 +71,12 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
                 F.col("dst").alias("cd"),
             )
         else:
+            # The cross-edge liveness probe rides the checkpoint job as
+            # an observe() metric (r14 optimization round) — no
+            # separate isEmpty job per round.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"msf_cross_{rnd}")
             cross = _mat(
                 e.join(
                     labels.select(
@@ -86,8 +92,9 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
                 )
                 .where(F.col("cs") != F.col("cd"))
                 .select("src", "dst", "w", "cs", "cd")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
-            if cross.isEmpty():
+            if not obs.get["n"]:
                 break
         # next round only ever needs edges still crossing components
         e = cross.select("src", "dst", "w")
@@ -152,7 +159,10 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
                 .alias("p"),
             )
         )
-        for _ in range(16):
+        for _jump in range(16):
+            from pyspark.sql import Observation
+
+            obs_j = Observation(f"msf_jump_{rnd}_{_jump}")
             nxt = _mat(
                 p2.alias("x")
                 .join(
@@ -165,8 +175,14 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
                     F.col("p").alias("prev"),
                     F.coalesce("pp", F.col("p")).alias("p"),
                 )
+                .observe(
+                    obs_j,
+                    F.sum(
+                        (F.col("p") != F.col("prev")).cast("long")
+                    ).alias("chg"),
+                )
             )
-            done = nxt.where(F.col("p") != F.col("prev")).isEmpty()
+            done = not (obs_j.get["chg"] or 0)
             p2 = nxt.select("c", "p")
             if done:
                 break

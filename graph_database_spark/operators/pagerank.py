@@ -146,15 +146,13 @@ def pagerank(
             )
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        # `prev` rides the state, so this is one narrow job over the
-        # just-checkpointed frame — no join. First iterate: init has no
-        # prev column yet, handled by seeding it below.
-        delta = new.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).first()[0]
-        return delta is not None and delta < tol
-
+    # `prev` rides the state, so the max-delta convergence probe is an
+    # observe() metric on the checkpoint job — no separate job, no join.
     out = fixpoint(
-        init, step, converged, max_iterations, name="pagerank", on_exhaust="return"
+        init, step, None, max_iterations, name="pagerank",
+        on_exhaust="return",
+        probe=F.max(F.abs(F.col("rank") - F.col("prev"))),
+        probe_done=lambda prev, cur: cur is not None and cur < tol,
     )
     return out.select("id", "rank")
 

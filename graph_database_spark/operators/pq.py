@@ -50,15 +50,169 @@ def _explode_micro(
     )
 
 
+def _pack_vecs(ex: DataFrame) -> DataFrame:
+    """``(vec_id, xs)`` — the exploded micro rows re-packed to ONE
+    i-sorted array per vector (the numpy assign's input shape; one
+    n-row shuffle, paid once per training, not per round)."""
+    return ex.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "xm"))),
+            lambda p: p["xm"],
+        ).alias("xs")
+    )
+
+
+def _np_assign(
+    packed: DataFrame, cent: DataFrame, sub_dims: int, with_dist: bool = True
+) -> DataFrame:
+    """``(vec_id, s, code[, dist2])`` — the Lloyd assign step computed
+    batch-wise in numpy via ``mapInArrow`` (r14 optimization round).
+
+    The JVM shape (explode x broadcast-codebook join + two groupBys)
+    pushes |V| x d x k rows through codegen per round — 82M rows at
+    sf0.1 with pq_k=256 — and was measured as the binding cost of the
+    whole IVF-PQ family (SCALE.md r14: packed-array JVM variants were
+    tried and rejected; HOFs evaluate interpreted). Here the codebook
+    is a bounded model parameter (k x d ints) collected once and closed
+    over; each Arrow batch computes every (vector, subspace, centroid)
+    squared distance with one matmul per subspace and argmins locally —
+    the Python boundary carries only (vec_id, xs) in and n_sub rows per
+    vector out.
+
+    Exactness (the micro-unit rule still holds): d2 decomposes as
+    x.x - 2 x.c + c.c; float64 dot products over integer-valued floats
+    are EXACT while every partial sum stays below 2^53, which a runtime
+    bound checks per batch (max|value|^2 x subspace width < 2^51);
+    otherwise the batch falls back to int64 matmul (never lossy, just
+    slower). Tie-break: np.argmin returns the FIRST minimum = smallest
+    centroid id — exactly the JVM's min(struct(d2, c))."""
+    import numpy as np
+
+    # Arrow-path driver transfer (guide §6): the codebook is a bounded
+    # model parameter (k x d ints) but py4j row collection of 16k rows
+    # costs real fractions of a second; toPandas rides Arrow.
+    pdf = cent.select("c", "i", "cm").toPandas()
+    cs = pdf["c"].to_numpy(dtype=np.int64)
+    is_ = pdf["i"].to_numpy(dtype=np.int64)
+    cms = pdf["cm"].to_numpy(dtype=np.int64)
+    kmax = int(cs.max())
+    d = int(is_.max())
+    C = np.zeros((kmax, d), dtype=np.int64)
+    C[cs - 1, is_ - 1] = cms
+    return _np_assign_arr(packed, C, sub_dims, with_dist)
+
+
+def _np_assign_arr(
+    packed: DataFrame, C, sub_dims: int, with_dist: bool = True
+) -> DataFrame:
+    """``_np_assign`` with the codebook already in hand as a numpy
+    ``(k, d)`` int64 array (the training loop keeps it driver-side
+    between rounds — zero per-round collect jobs)."""
+    import numpy as np
+
+    d = C.shape[1]
+    # dim i (1-based) belongs to subspace (i-1) div sub_dims — the
+    # _explode_micro construction, the only producer of s.
+    subs = sorted({(i - 1) // sub_dims for i in range(1, d + 1)})
+    cols = {
+        s: np.arange(s * sub_dims, min((s + 1) * sub_dims, d), dtype=np.int64)
+        for s in subs
+    }
+    cmax = int(np.abs(C).max())
+    id_type = packed.schema["vec_id"].dataType.simpleString()
+    out_fields = f"vec_id {id_type}, s int, code int"
+    if with_dist:
+        out_fields += ", dist2 long"
+    n_s = len(subs)
+    subs_arr = np.asarray(subs, dtype=np.int32)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            vid = b.column(0)
+            flat = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if flat.size != m * d:
+                raise ValueError(
+                    f"pq assign: ragged vectors ({flat.size} values for "
+                    f"{m} x {d})"
+                )
+            X = flat.reshape(m, d)
+            xmax = int(np.abs(X).max())
+            out_code = np.empty((m, n_s), dtype=np.int32)
+            out_d2 = np.empty((m, n_s), dtype=np.int64)
+            ar = np.arange(m)
+            for si, s in enumerate(subs):
+                ix = cols[s]
+                Xs = X[:, ix]
+                Cs = C[:, ix]
+                if max(xmax, cmax, 1) ** 2 * len(ix) < 2**51:
+                    Xf = Xs.astype(np.float64)
+                    Cf = Cs.astype(np.float64)
+                    D = (
+                        (Xf * Xf).sum(1)[:, None]
+                        - 2.0 * (Xf @ Cf.T)
+                        + (Cf * Cf).sum(1)[None, :]
+                    )
+                    j = D.argmin(1)
+                    d2 = D[ar, j].astype(np.int64)
+                else:
+                    D = (
+                        (Xs * Xs).sum(1)[:, None]
+                        - 2 * (Xs @ Cs.T)
+                        + (Cs * Cs).sum(1)[None, :]
+                    )
+                    j = D.argmin(1)
+                    d2 = D[ar, j]
+                out_code[:, si] = j + 1
+                out_d2[:, si] = d2
+            idx = pa.array(np.repeat(ar, n_s))
+            arrays = [
+                vid.take(idx),
+                pa.array(np.tile(subs_arr, m)),
+                pa.array(out_code.reshape(-1)),
+            ]
+            names = ["vec_id", "s", "code"]
+            if with_dist:
+                arrays.append(pa.array(out_d2.reshape(-1)))
+                names.append("dist2")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return packed.mapInArrow(fn, out_fields)
+
+
 def _pq_train_micro(
-    ex: DataFrame, ids: DataFrame, k: int, rounds: int
+    ex: DataFrame, ids: DataFrame, k: int, rounds: int, sub_dims: int
 ) -> tuple[DataFrame, DataFrame]:
     """Core PQ Lloyd loop over pre-exploded micro rows ``ex``
     ``(vec_id, i, s, xm)`` (MUST be materialized — it feeds every
     round's assign AND update) with seeds drawn md5-ordered from
     ``ids`` ``(vec_id)``. Factored out of ``pq_train`` (r14) so the
     residual-encoded IVF-PQ path can train on residual rows with the
-    identical, oracle-replayable loop."""
+    identical, oracle-replayable loop.
+
+    r14 optimization round: the assign step runs in numpy
+    (``_np_assign_arr``) and the codebook — a bounded model parameter
+    (k x d ints) — lives DRIVER-SIDE as a numpy array between rounds:
+    the seed centroids and each round's floor-exact means arrive as ONE
+    Arrow ``toPandas`` job each (the floor division itself still runs
+    in the JVM aggregate, bit-identical to the old plan), and the
+    returned codebook frame is rebuilt from the final array with
+    ``createDataFrame`` (16k local rows, no recompute — the model-frame
+    pattern sinks/ann's manifest already uses). This removes the
+    per-round codebook checkpoint job and the extra full pass the old
+    checkpoint-then-collect shape paid."""
+    import numpy as np
+
+    spark = ex.sparkSession
     seeds = (
         global_rank(
             ids.select(
@@ -71,38 +225,25 @@ def _pq_train_micro(
         .where(F.col("c") <= k)
         .select("vec_id", F.col("c").cast("int").alias("c"))
     )
-    cent = (
+    cent_pdf = (
         ex.join(seeds, "vec_id")
         .select("c", "i", F.col("xm").alias("cm"))
-        .localCheckpoint()
+        .toPandas()
     )
+    kmax = int(cent_pdf["c"].max())
+    d = int(cent_pdf["i"].max())
+    C = np.zeros((kmax, d), dtype=np.int64)
+    C[
+        cent_pdf["c"].to_numpy(dtype=np.int64) - 1,
+        cent_pdf["i"].to_numpy(dtype=np.int64) - 1,
+    ] = cent_pdf["cm"].to_numpy(dtype=np.int64)
+    packed = _pack_vecs(ex).localCheckpoint()
     assign = None
     for r in range(1, rounds + 1):
-        assign = (
-            ex.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "s", "c")
-            .agg(
-                F.sum(
-                    (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
-                ).alias("d2")
-            )
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min(
-                    F.struct(F.col("d2").alias("d2"), F.col("c").alias("c"))
-                ).alias("best")
-            )
-            .select(
-                "vec_id",
-                "s",
-                F.col("best.c").alias("code"),
-                F.col("best.d2").alias("dist2"),
-            )
-            .localCheckpoint()
-        )
+        assign = _np_assign_arr(packed, C, sub_dims).localCheckpoint()
         if r == rounds:
             break
-        means = (
+        means_pdf = (
             ex.join(
                 assign.select("vec_id", "s", F.col("code").alias("c")),
                 ["vec_id", "s"],
@@ -115,12 +256,23 @@ def _pq_train_micro(
                 .cast("long")
                 .alias("cm_new")
             )
+            .toPandas()
         )
-        cent = (
-            cent.join(means, ["c", "i"], "left")
-            .select("c", "i", F.coalesce("cm_new", F.col("cm")).alias("cm"))
-            .localCheckpoint()
-        )
+        # coalesce semantics: cells with no assigned vector keep their
+        # previous centroid (exactly the old left-join + coalesce).
+        C = C.copy()
+        C[
+            means_pdf["c"].to_numpy(dtype=np.int64) - 1,
+            means_pdf["i"].to_numpy(dtype=np.int64) - 1,
+        ] = means_pdf["cm_new"].to_numpy(dtype=np.int64)
+    ci, ii = np.nonzero(np.ones_like(C, dtype=bool))
+    cent = spark.createDataFrame(
+        [
+            (int(c) + 1, int(i) + 1, int(C[c, i]))
+            for c, i in zip(ci.tolist(), ii.tolist())
+        ],
+        "c int, i int, cm long",
+    )
     return (
         assign.select(
             "vec_id",
@@ -150,7 +302,7 @@ def pq_train(
     drift, but would double the cost)."""
     ex = _explode_micro(vectors, sub_dims, id_col, vec_col).localCheckpoint()
     ids = vectors.select(F.col(id_col).alias("vec_id"))
-    return _pq_train_micro(ex, ids, k, rounds)
+    return _pq_train_micro(ex, ids, k, rounds, sub_dims)
 
 
 def pq_assign(
@@ -249,44 +401,82 @@ def _micro_sims(
 ) -> DataFrame:
     """``(vid, sims)`` — exact integer micro dot products of every
     vector against the (driver-side) unit centroid micro list, as ONE
-    array column (the ivf_topk_md5 integer cell machinery; centroid
-    literals built as single expr strings per the literal-array rule).
-    Checkpointed: cand/probe cells both derive from it."""
+    array column (the ivf_topk_md5 integer cell machinery).
+
+    r14 optimization round: the dot products run as one numpy matmul
+    per Arrow batch (``mapInArrow``) instead of n_centroids
+    aggregate/zip_with HOFs per row — HOFs evaluate INTERPRETED outside
+    whole-stage codegen (the SCALE.md r14 packed-assign rejection), and
+    the old shape re-ran all of them once per downstream consumer.
+    Exactness: integer-valued float64 dot products are exact below 2^53
+    partial sums (|xm|,|cm| <= ~2.1e6 micro units and d <= 1024 keeps
+    max |partial| < 2^52); an int64 fallback guards the bound anyway.
+    The output is checkpointed: cand/probe cells both derive from it."""
+    import numpy as np
+
     from graph_database_spark.operators.spread import spread
 
-    cent_lits = [
-        F.expr("array(" + ",".join(f"{x}L" for x in c) + ")") for c in cents
-    ]
-    ex = (
-        spread(vectors)
-        .select(
-            F.col(id_col).alias("vid"),
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast(
-                    "long"
-                ),
-            ).alias("xm"),
-        )
-        .localCheckpoint()
-    )
-    sims = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(F.col("xm"), lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+    C = np.asarray(cents, dtype=np.int64)  # (n_centroids, d)
+    cmax = int(np.abs(C).max()) if C.size else 0
+    n_cent, d = C.shape
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            vid = b.column(0)
+            flat = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            for lit in cent_lits
-        ]
+            if flat.size != m * d:
+                raise ValueError(
+                    f"ivf sims: ragged vectors ({flat.size} values for "
+                    f"{m} x {d})"
+                )
+            X = flat.reshape(m, d)
+            xmax = int(np.abs(X).max())
+            if max(xmax, cmax, 1) ** 2 * d < 2**52:
+                S = (X.astype(np.float64) @ C.T.astype(np.float64)).astype(
+                    np.int64
+                )
+            else:
+                S = X @ C.T
+            offs = pa.array(
+                np.arange(0, (m + 1) * n_cent, n_cent, dtype=np.int32)
+            )
+            sims = pa.ListArray.from_arrays(
+                offs, pa.array(S.reshape(-1), type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([vid, sims], ["vid", "sims"])
+
+    packed = spread(vectors).select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast(
+                "long"
+            ),
+        ).alias("xs"),
     )
-    return ex.select("vid", sims.alias("sims"))
+    return packed.mapInArrow(
+        fn, f"vid {id_type}, sims array<long>"
+    ).localCheckpoint()
 
 
 def _probe_cells(simmed: DataFrame, n_probe: int) -> DataFrame:
     """``(query_id, cell)`` — top-``n_probe`` cells by (sim DESC,
     cell DESC), 1-based, mirroring the ann_ivf_md5 oracle's
     reverse(array_sort(struct(s, c))) order."""
+    # Lazy on purpose (r14): a narrow per-row transform over the
+    # CHECKPOINTED simmed frame — consumers re-derive it for pennies,
+    # so its own checkpoint job was pure fixed overhead.
     return (
         simmed.select(
             F.col("vid").alias("query_id"),
@@ -306,7 +496,6 @@ def _probe_cells(simmed: DataFrame, n_probe: int) -> DataFrame:
         .select(
             "query_id", (F.col("pc.c") + 1).cast("int").alias("cell")
         )
-        .localCheckpoint()
     )
 
 
@@ -342,10 +531,12 @@ def ivfpq_fit(
     # the oracle's row_number cells); the r13 0-based labels were only
     # ever compared with each other, which hid the off-by-one until
     # residual encoding brought the centroid values back into the plan.
+    # Lazy (r14): narrow argmax projection over the checkpointed simmed
+    # frame — every consumer re-derives it in-plan for pennies.
     best = F.expr("array_position(sims, array_max(sims))").cast("int")
     cand_cell = simmed.select(
         F.col("vid").alias("cand_id"), best.alias("cell")
-    ).localCheckpoint()
+    )
 
     # ---- residual PQ training ------------------------------------------
     # Cell-mean base vectors (cell, i, cm): n_centroids x d rows of
@@ -371,11 +562,12 @@ def ivfpq_fit(
         .localCheckpoint()
     )
     assign, cent = _pq_train_micro(
-        rex, vectors.select(F.col(id_col).alias("vec_id")), pq_k, rounds
+        rex, vectors.select(F.col(id_col).alias("vec_id")), pq_k, rounds, sub_dims
     )
+    # Lazy (r14): rename-only projection over the checkpointed assign.
     codes = assign.select(
         F.col("vec_id").alias("cand_id"), F.col("subspace").alias("s"), "code"
-    ).localCheckpoint()
+    )
     return {
         "cents": cents,
         "simmed": simmed,
@@ -387,27 +579,15 @@ def ivfpq_fit(
     }
 
 
-def pq_encode(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_encode(
+    ex: DataFrame, codebook: DataFrame, sub_dims: int
+) -> DataFrame:
     """``(vec_id, s, code)`` — assign pre-exploded (residual) micro
     rows to a FROZEN codebook: the Lloyd assign step without training,
-    same (d2, c) tie-break. This is how an append encodes arrivals
-    against a persisted model (sinks/ann.append_ivfpq_index)."""
-    return (
-        ex.join(F.broadcast(codebook), "i")
-        .groupBy("vec_id", "s", "c")
-        .agg(
-            F.sum(
-                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
-            ).alias("d2")
-        )
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min(
-                F.struct(F.col("d2").alias("d2"), F.col("c").alias("c"))
-            ).alias("best")
-        )
-        .select("vec_id", "s", F.col("best.c").alias("code"))
-    )
+    same (d2, c) tie-break (the numpy ``_np_assign``). This is how an
+    append encodes arrivals against a persisted model
+    (sinks/ann.append_ivfpq_index)."""
+    return _np_assign(_pack_vecs(ex), codebook, sub_dims, with_dist=False)
 
 
 def _adc_qtab(
@@ -448,8 +628,12 @@ def _adc_rank(pairs: DataFrame, qtab: DataFrame, k: int) -> DataFrame:
     lookups per query and keep the top-``k`` by (adc_d2, cand_id).
     ``pairs``: (query_id, cand_id, cell, s, code) candidate codes in
     probed cells."""
+    # Broadcast the lookup tables (|Q| x n_probe x n_sub x pq_k bounded
+    # rows — the docstring's "broadcastable" made explicit, r14): the
+    # candidate-code side then never shuffles for the lookup, and the
+    # groupBy partial-aggregates map-side.
     adc = (
-        pairs.join(qtab, ["query_id", "cell", "s", "code"])
+        pairs.join(F.broadcast(qtab), ["query_id", "cell", "s", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("qd2").alias("adc_d2"))
     )

@@ -105,11 +105,9 @@ def _hash_min(
             )
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col(out_col) != F.col("prev")).isEmpty()
-
     return fixpoint(
-        labels, step, converged, max_rounds, name=name, stats=stats, fuse=3
+        labels, step, None, max_rounds, name=name, stats=stats, fuse=3,
+        probe=F.sum((F.col(out_col) != F.col("prev")).cast("long")),
     ).select("id", out_col)
 
 
@@ -226,10 +224,10 @@ def scc_reach_sketch(
             .agg(F.max("_reg").alias("_reg"), F.max("prev").alias("prev"))
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("_reg") != F.col("prev")).isEmpty()
-
-    regs = fixpoint(regs0, step, converged, max_rounds, name="scc_reach", fuse=2)
+    regs = fixpoint(
+        regs0, step, None, max_rounds, name="scc_reach", fuse=2,
+        probe=F.sum((F.col("_reg") != F.col("prev")).cast("long")),
+    )
     ssum = (
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _reg)"))
         + (F.lit(m) - F.count("*")) * F.lit(1 << 55)
@@ -281,11 +279,9 @@ def condensation_layers(
             .agg(F.max("layer").alias("layer"), F.max("prev").alias("prev"))
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("layer") != F.col("prev")).isEmpty()
-
     out = fixpoint(
-        layers, step, converged, max_rounds, name="condensation_layers", fuse=2
+        layers, step, None, max_rounds, name="condensation_layers", fuse=2,
+        probe=F.sum((F.col("layer") != F.col("prev")).cast("long")),
     )
     members = scc.groupBy("scc_id").agg(F.count("*").alias("n_members"))
     return members.join(

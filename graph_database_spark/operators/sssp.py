@@ -82,17 +82,29 @@ def sssp_weighted(
     )
 
     few = max(4, spark.sparkContext.defaultParallelism // 4)
-    for _ in range(rounds):
-        relax = state.join(sym, state.id == sym.v).select(
-            "s", F.col("n").alias("id"), (F.col("dist") + F.col("cost")).alias("dist")
-        )
-        state = (
-            state.unionByName(relax)
-            .groupBy("s", "id")
-            .agg(F.min("dist").alias("dist"))
-            .coalesce(few)
-            .localCheckpoint()
-        )
+    # FUSED rounds (r14 optimization round, the treach.py move): the
+    # budget is fixed, so chaining 3 relax steps per checkpoint computes
+    # the IDENTICAL state — fusion only changes materialization
+    # frequency — and both intra-block state references (relax join +
+    # union) read the previous step's (s, id) groupBy exchange, the
+    # identical-subtree ReuseExchange criterion.
+    fuse = 3
+    done = 0
+    while done < rounds:
+        s = state
+        for _ in range(min(fuse, rounds - done)):
+            done += 1
+            relax = s.join(sym, F.col("id") == F.col("v")).select(
+                "s",
+                F.col("n").alias("id"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+            s = (
+                s.unionByName(relax)
+                .groupBy("s", "id")
+                .agg(F.min("dist").alias("dist"))
+            )
+        state = s.coalesce(few).localCheckpoint()
 
     return state.select(
         F.col("s").alias("source"), "id", F.col("dist").alias("dist_micro")

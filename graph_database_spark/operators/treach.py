@@ -53,19 +53,31 @@ def temporal_reachability(
         [(s, s, 0) for s in src_ids], "s bigint, id bigint, arr bigint"
     )
     few = max(4, spark.sparkContext.defaultParallelism // 4)
-    for _ in range(rounds):
-        relax = (
-            state.join(sym, state.id == sym.v)
-            .where(F.col("t") >= F.col("arr"))
-            .select("s", F.col("n").alias("id"), F.col("t").alias("arr"))
-        )
-        state = (
-            state.unionByName(relax)
-            .groupBy("s", "id")
-            .agg(F.min("arr").alias("arr"))
-            .coalesce(few)
-            .localCheckpoint()
-        )
+    # FUSED rounds (r14 optimization round): the budget is fixed, so
+    # chaining 3 relax steps per checkpoint computes the IDENTICAL
+    # state (fusion only changes materialization frequency, never the
+    # step count) while paying a third of the ~0.5 s fixed per-job
+    # overhead (SCALE.md r13 floor measurement). Both intra-block state
+    # references (relax join + union) read the previous step's
+    # (s, id) groupBy exchange — the identical-subtree ReuseExchange
+    # criterion the hash-min fuse=3 family established.
+    fuse = 3
+    done = 0
+    while done < rounds:
+        s = state
+        for _ in range(min(fuse, rounds - done)):
+            done += 1
+            relax = (
+                s.join(sym, F.col("id") == F.col("v"))
+                .where(F.col("t") >= F.col("arr"))
+                .select("s", F.col("n").alias("id"), F.col("t").alias("arr"))
+            )
+            s = (
+                s.unionByName(relax)
+                .groupBy("s", "id")
+                .agg(F.min("arr").alias("arr"))
+            )
+        state = s.coalesce(few).localCheckpoint()
     return state.select(
         F.col("s").alias("source"), "id", F.col("arr").alias("arrival")
     )

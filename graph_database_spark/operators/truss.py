@@ -63,8 +63,10 @@ def k_truss(edges: DataFrame, k: int, max_iterations: int = 100) -> DataFrame:
         # implicitly, which is correct: support 0 < k - 2.
         return keep
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        return new.count() == old.count()
-
-    core = fixpoint(e0, step, converged, max_iterations, name="k_truss")
+    core = fixpoint(
+        e0, step, None, max_iterations, name="k_truss",
+        probe=F.count(F.lit(1)),
+        probe_done=lambda prev, cur: prev is not None and cur == prev,
+        probe_init=lambda df: df.count(),
+    )
     return _support(core)

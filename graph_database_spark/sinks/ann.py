@@ -546,7 +546,7 @@ def append_ivfpq_index(
         )
     )
     stored = (
-        pq_encode(rex, codebook)
+        pq_encode(rex, codebook, m["sub_dims"])
         .join(cell_of, "vec_id")
         .select("cell", F.col("vec_id").alias("cand_id"), "s", "code")
     )
