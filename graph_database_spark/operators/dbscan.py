@@ -89,11 +89,45 @@ def dbscan_grid(
         .join(core.select(F.col("id").alias("ib")), "ib")
         .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     )
-    comp = connected_components(core_edges, max_iterations=max_iterations)
-    # isolated cores (no core neighbor) are their own cluster
-    core_lbl = core.join(comp, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    # Quotient the core graph by fine grid cells before the CC fixpoint
+    # (r14 optimization round). Cores in dense regions make the core-core
+    # eps-graph huge (886k edges over ~13k cores at sf0.1; the CC fixpoint
+    # was 9.4 s of dbscan's 11.6). Any two cores in the same g-cell with
+    # 2*(g-1)^2 <= eps^2 are within eps (max coordinate gap g-1 each
+    # axis), so every cell's cores form a CLIQUE in core_edges and the
+    # quotient graph has exactly the same connected components. Labels
+    # are preserved exactly: component min core id = min over the
+    # component's cells of the per-cell min core id. In-session A/B at
+    # sf0.1: 15.9 -> 8.9 s, output row-identical.
+    g = int((eps2 / 2) ** 0.5) + 1
+    while 2 * (g - 1) * (g - 1) > eps2:
+        g -= 1
+    cellof = core.join(p, "id").select(
+        "id",
+        (F.expr(f"x div {g}") * F.lit(1_000_000) + F.expr(f"y div {g}")).alias(
+            "cell"
+        ),
+    ).localCheckpoint()  # per-cell min, two edge-label joins, readout
+    mcell = cellof.groupBy("cell").agg(F.min("id").alias("mid"))
+    cell_edges = (
+        core_edges
+        .join(cellof.select(F.col("id").alias("src"), F.col("cell").alias("ca")), "src")
+        .join(cellof.select(F.col("id").alias("dst"), F.col("cell").alias("cb")), "dst")
+        .where(F.col("ca") != F.col("cb"))
+        .select(F.least("ca", "cb").alias("src"), F.greatest("ca", "cb").alias("dst"))
+        .distinct()
     )
+    comp_c = connected_components(cell_edges, max_iterations=max_iterations)
+    # isolated cells (single core, no cross-cell core edge) keep their own
+    # cell as component — exactly the old coalesce(component, id) rule
+    # lifted to the quotient.
+    cl_cell = mcell.join(
+        comp_c.withColumnRenamed("id", "cell"), "cell", "left"
+    ).withColumn("comp", F.coalesce("component", F.col("cell")))
+    cl = cl_cell.groupBy("comp").agg(F.min("mid").alias("cluster"))
+    core_lbl = cellof.join(
+        cl_cell.join(cl, "comp").select("cell", "cluster"), "cell"
+    ).select("id", "cluster")
     # Single-pass readout (r11, VERDICT r10 next-#6 — replaces three
     # sequential id-keyed left joins + a border groupBy): every point
     # has its self-pair in `pairs`, so ONE left join of pairs against

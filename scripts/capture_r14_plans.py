@@ -29,7 +29,9 @@ from graph_database_spark import catalog  # noqa: E402
 from graph_database_spark.operators import fixpoint  # noqa: E402
 from graph_database_spark.session import get_spark  # noqa: E402
 
-QUERIES = [
+QUERIES = os.environ.get("R14_PLAN_QUERIES", "").split(",") if os.environ.get(
+    "R14_PLAN_QUERIES"
+) else [
     "ann_ivfpq",
     "pq_codes",
     "betweenness",
