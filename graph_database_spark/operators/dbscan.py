@@ -102,6 +102,9 @@ def dbscan_grid(
     g = int((eps2 / 2) ** 0.5) + 1
     while 2 * (g - 1) * (g - 1) > eps2:
         g -= 1
+    # Cell key packs (x div g, y div g) into one BIGINT; requires
+    # 0 <= y div g < 1_000_000 (non-negative coords are already a
+    # documented precondition; y < g * 1e6 bounds the second axis).
     cellof = core.join(p, "id").select(
         "id",
         (F.expr(f"x div {g}") * F.lit(1_000_000) + F.expr(f"y div {g}")).alias(
@@ -123,7 +126,10 @@ def dbscan_grid(
     # lifted to the quotient.
     cl_cell = mcell.join(
         comp_c.withColumnRenamed("id", "cell"), "cell", "left"
-    ).withColumn("comp", F.coalesce("component", F.col("cell")))
+    ).withColumn(
+        "comp", F.coalesce("component", F.col("cell"))
+    ).localCheckpoint()  # tiny (one row per cell); feeds cl AND joins back
+
     cl = cl_cell.groupBy("comp").agg(F.min("mid").alias("cluster"))
     core_lbl = cellof.join(
         cl_cell.join(cl, "comp").select("cell", "cluster"), "cell"
