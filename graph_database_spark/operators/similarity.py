@@ -272,6 +272,119 @@ def _with_buckets(
     ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
 
 
+def _np_bucket_dots(
+    qb: DataFrame | None, cb: DataFrame, same: bool, ordered: bool,
+    parallelism_mult: int = 2,
+) -> DataFrame:
+    """``(query_id, cand_id, dt, na, nb)`` — one row per (pair, shared
+    (table, bucket)) candidate copy, with ``dt`` the dot product
+    accumulated IN ELEMENT ORDER (bit-identical to
+    functions.vectors.dot's left fold: each step is one IEEE double
+    multiply then one add, which numpy reproduces exactly — no FMA in
+    elementwise ops). Norms ``na``/``nb`` pass through untouched from
+    the JVM l2_norm, so the downstream ``round(dt/(na*nb), 6)`` in the
+    JVM yields the exact bits the old per-row HOF plan produced.
+
+    r15 optimization round (guide §4.2): the in-bucket re-rank was a
+    dim-step interpreted zip_with/aggregate per CANDIDATE COPY (~4.2M
+    copies x 64 steps at sf0.1); here each (table, bucket) cell hands
+    its vectors to numpy ONCE and scores all its pairs as dim
+    vectorized outer-product accumulations. For self-joins (``same``)
+    the bucketed frame is built and exchanged ONCE instead of twice.
+
+    ``ordered``: emit only id_q < id_c (the pairs_above twins);
+    otherwise both directions minus self-pairs (the top-k twins).
+
+    The repartition is USER-PINNED on the group key: AQE coalesces
+    shuffle partitions by BYTES, and these cells are tiny bytes but
+    heavy compute (the linkage.py trap) — a pinned count is exempt from
+    coalescing and still satisfies applyInPandas' clustering, so no
+    extra Exchange appears."""
+    import numpy as np
+    import pandas as pd
+
+    if same:
+        rows = cb.select(
+            F.col("idb").alias("id"), F.col("vb").alias("v"),
+            F.col("nb").alias("n"), "table", "bucket",
+            F.lit(1).alias("side"),
+        )
+    else:
+        rows = qb.select(
+            F.col("ida").alias("id"), F.col("va").alias("v"),
+            F.col("na").alias("n"), "table", "bucket",
+            F.lit(0).alias("side"),
+        ).unionByName(
+            cb.select(
+                F.col("idb").alias("id"), F.col("vb").alias("v"),
+                F.col("nb").alias("n"), "table", "bucket",
+                F.lit(1).alias("side"),
+            )
+        )
+    id_t = cb.schema["idb"].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_t}, cand_id {id_t}, dt double, na double, nb double"
+    )
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "cand_id": pd.Series(dtype="int64"),
+            "dt": pd.Series(dtype="float64"),
+            "na": pd.Series(dtype="float64"),
+            "nb": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
+            dtype=np.float64,
+        )
+        ids = pdf["id"].to_numpy()
+        ns = pdf["n"].to_numpy(dtype=np.float64)
+        if same:
+            qi = ci = np.arange(len(ids))
+        else:
+            side = pdf["side"].to_numpy()
+            qi = np.flatnonzero(side == 0)
+            ci = np.flatnonzero(side == 1)
+            if qi.size == 0 or ci.size == 0:
+                return empty
+        Q, C = V[qi], V[ci]
+        # Left-fold dot: one multiply + one add per dimension, in order.
+        acc = np.zeros((len(qi), len(ci)), dtype=np.float64)
+        for i in range(V.shape[1]):
+            acc += np.multiply.outer(Q[:, i], C[:, i])
+        iq, ic = np.meshgrid(qi, ci, indexing="ij")
+        mask = (
+            ids[iq] < ids[ic] if ordered else ids[iq] != ids[ic]
+        )
+        iqm, icm = iq[mask], ic[mask]
+        return pd.DataFrame(
+            {
+                "query_id": ids[iqm],
+                "cand_id": ids[icm],
+                "dt": acc[mask],
+                "na": ns[iqm],
+                "nb": ns[icm],
+            }
+        )
+
+    sc = rows.sparkSession.sparkContext
+    npart = max(sc.defaultParallelism * parallelism_mult, 8)
+    return (
+        rows.repartition(npart, "table", "bucket")
+        .groupBy("table", "bucket")
+        .applyInPandas(score, out_schema)
+    )
+
+
+def _np_sim(round_digits: int = 6):
+    return F.round(
+        F.col("dt") / (F.col("na") * F.col("nb")), round_digits
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -297,21 +410,21 @@ def lsh_topk(
     embeddings need far fewer tables than this synthetic worst case."""
     n_bits = _auto_bits(candidates, n_bits)
     dim = _vec_dim(candidates, vec_col)
-    qb = _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
-    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
-    # Score INSIDE the bucket join, before dedup: sim is identical for
+    # Score INSIDE the bucket meet, before dedup: sim is identical for
     # every (table, bucket) copy of a pair, so deduping on the scored
     # 24-byte rows is equivalent — and the dedup shuffle stops carrying
-    # two dim-double vectors per candidate (~1 KB/row at dim=64; with
-    # small n_bits a query collides with most of the corpus in some
-    # table, so the candidate stream is the biggest frame in the query).
+    # two dim-double vectors per candidate. r15: the meet + re-rank run
+    # per bucket in numpy (_np_bucket_dots); a SELF top-k builds and
+    # exchanges the bucketed frame once instead of twice.
+    same = queries is candidates
+    cb = _with_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
+    qb = (
+        None if same
+        else _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
+    )
     cand = (
-        qb.join(cb, ["table", "bucket"])
-        .where(F.col("ida") != F.col("idb"))
-        .select(
-            F.col("ida").alias("query_id"), F.col("idb").alias("cand_id"),
-            _pair_sim(6).alias("sim"),
-        )
+        _np_bucket_dots(qb, cb, same, ordered=False)
+        .select("query_id", "cand_id", _np_sim(6).alias("sim"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -439,15 +552,17 @@ def lsh_topk_md5(
     oracles mirror the same formula via catalog._AUTO_BITS_SQL."""
     n_bits = _auto_bits(candidates, n_bits)
     dim = _vec_dim(candidates, vec_col)
-    qb = _md5_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
+    # r15: per-bucket numpy meet + re-rank (see lsh_topk / _np_bucket_dots)
+    # — the md5 bucketing and the rounded-6 cosine bits are unchanged.
+    same = queries is candidates
     cb = _md5_buckets(candidates, id_col, vec_col, "b", n_bits, n_tables, dim)
+    qb = (
+        None if same
+        else _md5_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
+    )
     cand = (
-        qb.join(cb, ["table", "bucket"])
-        .where(F.col("ida") != F.col("idb"))
-        .select(
-            F.col("ida").alias("query_id"), F.col("idb").alias("cand_id"),
-            _pair_sim(6).alias("sim"),
-        )
+        _np_bucket_dots(qb, cb, same, ordered=False)
+        .select("query_id", "cand_id", _np_sim(6).alias("sim"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -469,17 +584,15 @@ def lsh_pairs_above_md5(
     ``_md5_buckets`` leg — same plan (bucket join, score-then-dedup on
     scalar rows), cross-engine-exact bucketing, rounded-6 verify."""
     dim = _vec_dim(vectors, vec_col)
-    b = _md5_buckets(vectors, id_col, vec_col, "a", n_bits, n_tables, dim)
-    other = b.select(
-        F.col("ida").alias("idb"), F.col("va").alias("vb"),
-        F.col("na").alias("nb"), "table", "bucket",
-    )
+    # r15: ONE bucketed frame, per-bucket numpy meet (ordered pairs),
+    # threshold + dedup on the 24-byte scored rows as before.
+    b = _md5_buckets(vectors, id_col, vec_col, "b", n_bits, n_tables, dim)
     return (
-        b.join(other, ["table", "bucket"])
-        .where(F.col("ida") < F.col("idb"))
+        _np_bucket_dots(None, b, same=True, ordered=True)
         .select(
-            F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            F.col("query_id").alias("id_a"),
+            F.col("cand_id").alias("id_b"),
+            _np_sim(6).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
@@ -501,21 +614,18 @@ def lsh_pairs_above(
     cosine_pairs_above. ``n_bits`` defaults to the corpus-size-derived
     width (_auto_bits) so bucket occupancy stays bounded as N grows."""
     n_bits = _auto_bits(vectors, n_bits)
-    b = _with_buckets(vectors, id_col, vec_col, "a", n_bits, n_tables)
-    other = b.select(
-        F.col("ida").alias("idb"), F.col("va").alias("vb"),
-        F.col("na").alias("nb"), "table", "bucket",
-    )
-    # Score and threshold inside the bucket join, then dedup the scored
+    # Score and threshold inside the bucket meet, then dedup the scored
     # 24-byte pairs — same result set (sim is per-pair deterministic),
     # but the dedup shuffle no longer carries the vectors, and the
-    # threshold filter shrinks it before it happens.
+    # threshold filter shrinks it before it happens. r15: ONE bucketed
+    # frame + per-bucket numpy meet (_np_bucket_dots).
+    b = _with_buckets(vectors, id_col, vec_col, "b", n_bits, n_tables)
     return (
-        b.join(other, ["table", "bucket"])
-        .where(F.col("ida") < F.col("idb"))
+        _np_bucket_dots(None, b, same=True, ordered=True)
         .select(
-            F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            F.col("query_id").alias("id_a"),
+            F.col("cand_id").alias("id_b"),
+            _np_sim(6).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
