@@ -174,29 +174,27 @@ def _auto_bits(df: DataFrame, n_bits: int | None, target_bucket: int = 128) -> i
     return max(4, math.ceil(math.log2(max(n / target_bucket, 1.0))))
 
 
-# Sign matrices are tiny (dim x total_bits doubles) and deterministic, so
-# they are computed once per (dim, bits) shape and folded into the plan as
-# literals. Keyed on values, not sessions: the hashes are session-independent.
-# The cache holds the BUILT Column, not just the values: building the
-# literal as nested F.array(F.lit(...)) cost one py4j round-trip per cell
-# (~16 s per call for a 64x64 matrix, r3's hidden ann_lsh regression) and
-# left a 4096-child CreateArray for every analyzer pass to walk. A single
-# F.expr("array(array(...))") string parses JVM-side in ~20 ms and
-# Catalyst's ConstantFolding collapses the all-literal tree to one
-# Literal object before codegen. Output is bit-identical (verified).
+# Sign matrices are tiny (dim x total_bits) and deterministic, so they
+# are computed once per (dim, bits) shape by one dim-row Spark job and
+# cached as numpy arrays for the bucketing kernel (r15; the r14 form
+# cached a constant-folded plan literal for the JVM HOF fold — see
+# git history for the F.array py4j trap that motivated the cache).
+# Keyed on values, not sessions: the hashes are session-independent.
 _SIGN_CACHE: dict[tuple[int, int], object] = {}
 
 
 def _sign_matrix(df: DataFrame, dim: int, total_bits: int):
-    """Literal ARRAY<ARRAY<DOUBLE>>[dim][total_bits] of the deterministic
+    """``(dim, total_bits)`` numpy float64 matrix of the deterministic
     ±1 hyperplane signs h_j[i] = sign(xxhash64(j, i)).
 
     The signs were originally re-hashed per array element inside the
     aggregate lambda (64 xxhash64 calls per element, interpreted — HOF
-    lambdas never enter whole-stage codegen); materializing them once via
-    one dim-row driver job and constant-folding the matrix into the plan
-    measured 3.2x faster at sf0.1 with bit-identical output (the hash
-    family and fold order are unchanged)."""
+    lambdas never enter whole-stage codegen); r14 materialized them once
+    via one dim-row driver job into a constant-folded plan literal; r15
+    hands the same values to the numpy bucketing kernel instead (the
+    hash family is unchanged — still Spark's own xxhash64)."""
+    import numpy as np
+
     key = (dim, total_bits)
     if key not in _SIGN_CACHE:
         spark = df.sparkSession
@@ -206,37 +204,93 @@ def _sign_matrix(df: DataFrame, dim: int, total_bits: int):
             for j in range(total_bits)
         ]
         rows = sorted(idx.select("i", *cols).collect(), key=lambda r: r["i"])
-        _SIGN_CACHE[key] = F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(
-                    f"{r[f's{j}']:.1f}D" for j in range(total_bits)
-                ) + ")"
-                for r in rows
-            ) + ")"
+        _SIGN_CACHE[key] = np.asarray(
+            [[float(r[f"s{j}"]) for j in range(total_bits)] for r in rows],
+            dtype=np.float64,
         )
     return _SIGN_CACHE[key]
 
 
-def _hyperplane_sums(vec_col, total_bits: int, sign_matrix):
-    """ARRAY<DOUBLE>[total_bits] of <v, h_j>: single pass over the
-    vector, per-element sign lookup in the constant-folded matrix.
-    Assumes a fixed vector dimension (the matrix is sized to it); the
-    left-fold accumulation order matches the original per-element-hash
-    implementation bit for bit."""
-    pairs = F.zip_with(
-        vec_col,
-        F.sequence(F.lit(0), F.size(vec_col) - 1),
-        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+def _np_bucket_explode(
+    base: DataFrame, suffix: str, n_bits: int, n_tables: int,
+    signs, integer: bool,
+) -> DataFrame:
+    """``(id, v, n, table, bucket)`` — one row per (vector, table), with
+    buckets from ONE numpy hyperplane-sum kernel per Arrow batch
+    (``mapInArrow``, r15; guide §4.2). The r14 shape ran the sums as an
+    aggregate/zip_with HOF — dim x total_bits INTERPRETED ops per row.
+
+    Exactness: the md5 family (``integer=True``) sums micro-int
+    ``xs`` against a ±1 int64 matrix — an int64 matmul is the same
+    order-free exact integers the JVM fold produced. The xxhash family
+    (``integer=False``) accumulates float64 LEFT-FOLD: the kernel adds
+    one ``x_i * s_ij`` outer product per dimension in element order —
+    each step one IEEE multiply then one add, bit-identical to the old
+    lambda (numpy elementwise ops do not fuse). Bucket codes are the
+    same big-endian integer bit-folds.
+
+    ``base`` must be ``(id{suffix}, v{suffix}, n{suffix}, xs)`` with
+    ``xs`` the micro-int array (md5) or the double-cast vector (xxhash).
+    """
+    import numpy as np
+
+    total_bits = n_bits * n_tables
+    dim = signs.shape[0]
+    id_f, v_f, n_f = f"id{suffix}", f"v{suffix}", f"n{suffix}"
+    id_t = base.schema[id_f].dataType.simpleString()
+    v_t = base.schema[v_f].dataType.simpleString()
+    out_schema = (
+        f"{id_f} {id_t}, {v_f} {v_t}, {n_f} double, table int, bucket int"
     )
-    return F.aggregate(
-        pairs,
-        F.array_repeat(F.lit(0.0), total_bits),
-        lambda acc, p: F.zip_with(
-            acc,
-            F.element_at(sign_matrix, p["i"] + 1),
-            lambda a, s: a + p["x"] * s,
-        ),
-    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            flat = (
+                b.column(3).flatten().to_numpy(zero_copy_only=False)
+            )
+            if flat.size != m * dim:
+                raise ValueError(
+                    f"lsh buckets: ragged vectors ({flat.size} values"
+                    f" for {m} x {dim})"
+                )
+            X = flat.reshape(m, dim)
+            if integer:
+                H = X.astype(np.int64) @ signs
+            else:
+                Xd = X.astype(np.float64)
+                H = np.zeros((m, total_bits), dtype=np.float64)
+                for i in range(dim):  # left-fold element order
+                    H += np.multiply.outer(Xd[:, i], signs[i, :])
+            bi = (H > 0).astype(np.int64)
+            codes = np.zeros((m, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                acc = np.zeros(m, dtype=np.int64)
+                for j in range(n_bits):
+                    acc = acc * 2 + bi[:, t * n_bits + j]
+                codes[:, t] = acc
+            idx = pa.array(np.repeat(np.arange(m, dtype=np.int64), n_tables))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(idx),
+                    b.column(1).take(idx),
+                    b.column(2).take(idx),
+                    pa.array(
+                        np.tile(np.arange(n_tables, dtype=np.int32), m),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        codes.reshape(-1).astype(np.int32), type=pa.int32()
+                    ),
+                ],
+                [id_f, v_f, n_f, "table", "bucket"],
+            )
+
+    return base.mapInArrow(fn, out_schema)
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
@@ -250,26 +304,17 @@ def _with_buckets(
     df: DataFrame, id_col: str, vec_col: str, suffix: str,
     n_bits: int, n_tables: int, dim: int | None = None,
 ) -> DataFrame:
-    """(id, v, n, table, bucket) — one row per (vector, table). The sums
-    array is materialized once per row; bucket t packs bits
-    [t*n_bits, (t+1)*n_bits)."""
+    """(id, v, n, table, bucket) — one row per (vector, table); bucket t
+    packs bits [t*n_bits, (t+1)*n_bits). r15: sums + bit-folds run in
+    the numpy kernel (_np_bucket_explode), float64 left-fold order
+    preserved bit for bit."""
     if dim is None:
         dim = _vec_dim(df, vec_col)
     signs = _sign_matrix(df, dim, n_bits * n_tables)
     base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
-        "hsums", _hyperplane_sums(F.col(f"v{suffix}"), n_bits * n_tables, signs)
+        "xs", F.transform(F.col(f"v{suffix}"), lambda x: x.cast("double"))
     )
-    buckets = []
-    for t in range(n_tables):
-        acc = F.lit(0)
-        for j in range(n_bits):
-            bit = (F.element_at("hsums", t * n_bits + j + 1) > 0).cast("int")
-            acc = acc * 2 + bit
-        buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
-    return base.select(
-        f"id{suffix}", f"v{suffix}", f"n{suffix}",
-        F.explode(F.array(*buckets)).alias("tb"),
-    ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
+    return _np_bucket_explode(base, suffix, n_bits, n_tables, signs, False)
 
 
 def _np_bucket_dots(
@@ -385,6 +430,28 @@ def _np_sim(round_digits: int = 6):
     )
 
 
+def _dedup_rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """``(query_id, cand_id, sim, rank)`` top-k over scored candidate
+    copies — dedup RIDES the ranking window (r15, guide §2.4): copies of
+    a pair carry identical (sim, cand_id), so under ORDER BY (sim DESC,
+    cand_id ASC) they are adjacent and ``lag(cand_id)`` marks all but
+    the first; row_number over the survivors is the old
+    dropDuplicates + row_number result exactly. One Exchange on
+    query_id replaces the (query_id, cand_id) dedup exchange + the
+    query_id window exchange; the second window reuses the first's
+    partitioning and sort."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn(
+            "_dup", F.lag("cand_id").over(w) == F.col("cand_id")
+        )
+        .where(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -422,29 +489,27 @@ def lsh_topk(
         None if same
         else _with_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
     )
-    cand = (
-        _np_bucket_dots(qb, cb, same, ordered=False)
-        .select("query_id", "cand_id", _np_sim(6).alias("sim"))
-        .dropDuplicates(["query_id", "cand_id"])
+    scored = _np_bucket_dots(qb, cb, same, ordered=False).select(
+        "query_id", "cand_id", _np_sim(6).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _dedup_rank_topk(scored, k)
 
 
-# md5-twin sign matrices (lsh_topk_md5): literal ARRAY<ARRAY<BIGINT>>,
-# cached like _SIGN_CACHE and built by one driver-side Spark job so the
-# ±1 family is Spark's own md5, not a Python reimplementation.
+# md5-twin sign matrices (lsh_topk_md5): numpy int64, cached like
+# _SIGN_CACHE and built by one driver-side Spark job so the ±1 family
+# is Spark's own md5, not a Python reimplementation.
 _MD5_SIGN_CACHE: dict[tuple[int, int], object] = {}
 
 
 def _md5_sign_matrix(df: DataFrame, dim: int, total_bits: int):
-    """``s[i][j] = (parity of first md5 hex digit of "i|j") * 2 - 1`` —
-    the oracle-expressible hyperplane family: DuckDB derives the SAME
-    signs from md5 in SQL, so the bucket assignment is cross-engine
-    verifiable (the xxhash64 family in _sign_matrix is not)."""
+    """``s[i][j] = (parity of first md5 hex digit of "i|j") * 2 - 1`` as
+    a ``(dim, total_bits)`` numpy int64 matrix — the oracle-expressible
+    hyperplane family: DuckDB derives the SAME signs from md5 in SQL, so
+    the bucket assignment is cross-engine verifiable (the xxhash64
+    family in _sign_matrix is not). Values still come from one dim-row
+    Spark job so the family is Spark's own md5, not a reimplementation."""
+    import numpy as np
+
     key = (dim, total_bits)
     if key not in _MD5_SIGN_CACHE:
         spark = df.sparkSession
@@ -467,13 +532,9 @@ def _md5_sign_matrix(df: DataFrame, dim: int, total_bits: int):
             for j in range(total_bits)
         ]
         rows = sorted(idx.select("i", *cols).collect(), key=lambda r: r["i"])
-        _MD5_SIGN_CACHE[key] = F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(
-                    f"{r[f's{j}']}L" for j in range(total_bits)
-                ) + ")"
-                for r in rows
-            ) + ")"
+        _MD5_SIGN_CACHE[key] = np.asarray(
+            [[int(r[f"s{j}"]) for j in range(total_bits)] for r in rows],
+            dtype=np.int64,
         )
     return _MD5_SIGN_CACHE[key]
 
@@ -485,42 +546,18 @@ def _md5_buckets(
     """The cross-engine-exact bucketing leg shared by the md5 twins:
     integer micro-unit hyperplane sums (order-independent) against the
     md5-parity sign matrix, then big-endian bit-fold bucket codes.
-    Same output shape as _with_buckets."""
-    total_bits = n_bits * n_tables
-    signs = _md5_sign_matrix(df, dim, total_bits)
+    Same output shape as _with_buckets. r15: the sums run as one exact
+    int64 matmul per Arrow batch (_np_bucket_explode); the micro
+    rounding (round half-up) stays in the JVM."""
+    signs = _md5_sign_matrix(df, dim, n_bits * n_tables)
     base = _with_norm(spread(df), id_col, vec_col, suffix).withColumn(
-        "vm",
+        "xs",
         F.transform(
             F.col(f"v{suffix}"),
             lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
         ),
     )
-    pairs = F.zip_with(
-        F.col("vm"),
-        F.sequence(F.lit(0), F.size("vm") - 1),
-        lambda x, i: F.struct(x.alias("x"), i.alias("i")),
-    )
-    hsums = F.aggregate(
-        pairs,
-        F.array_repeat(F.lit(0).cast("long"), total_bits),
-        lambda acc, p: F.zip_with(
-            acc,
-            F.element_at(signs, p["i"] + 1),
-            lambda a, s: a + p["x"] * s,
-        ),
-    )
-    base = base.withColumn("hs", hsums)
-    buckets = []
-    for t in range(n_tables):
-        acc = F.lit(0)
-        for j in range(n_bits):
-            bit = (F.element_at("hs", t * n_bits + j + 1) > 0).cast("int")
-            acc = acc * 2 + bit
-        buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
-    return base.select(
-        f"id{suffix}", f"v{suffix}", f"n{suffix}",
-        F.explode(F.array(*buckets)).alias("tb"),
-    ).select(f"id{suffix}", f"v{suffix}", f"n{suffix}", "tb.table", "tb.bucket")
+    return _np_bucket_explode(base, suffix, n_bits, n_tables, signs, True)
 
 
 def lsh_topk_md5(
@@ -560,16 +597,10 @@ def lsh_topk_md5(
         None if same
         else _md5_buckets(queries, id_col, vec_col, "a", n_bits, n_tables, dim)
     )
-    cand = (
-        _np_bucket_dots(qb, cb, same, ordered=False)
-        .select("query_id", "cand_id", _np_sim(6).alias("sim"))
-        .dropDuplicates(["query_id", "cand_id"])
+    scored = _np_bucket_dots(qb, cb, same, ordered=False).select(
+        "query_id", "cand_id", _np_sim(6).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _dedup_rank_topk(scored, k)
 
 
 def lsh_pairs_above_md5(
