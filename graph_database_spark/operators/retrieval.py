@@ -486,18 +486,19 @@ def hybrid_rrf_search(
     )
     # Zero-norm vectors (every token's sign cancelled) would make cosine
     # NaN and Spark sorts NaN first — excluded on both sides.
-    # localCheckpoint BEFORE the norm filter: the filter and the two
-    # downstream norm/dot evaluations otherwise each re-derive the full
-    # per-token md5 fold (CollapseProject substitutes the embedding
-    # expression into every reference — 6 copies in the executed plan;
-    # r14-opt in-session A/B: 11.3 -> 3.4 s at sf0.1, rows identical).
-    dvec = hash_embedding_md5(docs, dim=dim).localCheckpoint().where(
+    # The producer checkpoints BEFORE the norm filter (r15: moved inside
+    # hash_embedding_md5): the filter and the two downstream norm/dot
+    # evaluations otherwise each re-derive the full per-token md5 fold
+    # (CollapseProject substitutes the embedding expression into every
+    # reference — 6 copies in the r14 executed plan; in-session A/B:
+    # 11.3 -> 3.4 s at sf0.1, rows identical).
+    dvec = hash_embedding_md5(docs, dim=dim).where(
         l2_norm(F.col("embedding")) > 0
     )
     qdf = docs.sparkSession.createDataFrame(
         [(-1, " ".join(query_terms))], "doc_id long, text string"
     )
-    qvec = hash_embedding_md5(qdf, dim=dim)
+    qvec = hash_embedding_md5(qdf, dim=dim, materialize=False)
     dense = brute_force_topk(
         qvec, dvec, k=leg_k, id_col="doc_id", max_broadcast_rows=None
     ).select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_dense"))

@@ -238,6 +238,7 @@ def hash_embedding_md5(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Hash-verifiable twin of ``hash_embedding`` (the md5-twin
     philosophy): bucket and sign from md5 (oracle-reproducible in SQL),
@@ -247,7 +248,14 @@ def hash_embedding_md5(
     coordinate is an order-independent integer sum: dot products are
     exact, norms are IEEE sqrt of exact integers — the whole
     featurize-then-match composition becomes cross-engine checkable.
-    Same plan shape as hash_embedding (one HOF pass, no shuffle)."""
+    Same plan shape as hash_embedding (one HOF pass, no shuffle).
+
+    ``materialize`` (r15, VERDICT r14 #5): the per-token md5 fold is
+    checkpointed INSIDE the producer — CollapseProject otherwise
+    substitutes it into every downstream reference (norm filters,
+    dots, norms: 6 copies in hybrid_search's r14 executed plan).
+    Pass False only for frames so small the fold is cheaper than the
+    checkpoint job (e.g. a one-row query vector)."""
     from graph_database_spark.functions.textnorm import tokens
     from graph_database_spark.operators.spread import spread
 
@@ -282,10 +290,11 @@ def hash_embedding_md5(
             lambda a, i: F.when(i == p["b"], a + p["s"]).otherwise(a),
         ),
     )
-    return spread(docs).select(
+    out = spread(docs).select(
         F.col(id_col),
         F.transform(raw, lambda x: x.cast("double")).alias("embedding"),
     )
+    return out.localCheckpoint() if materialize else out
 
 
 def doc_chunks(
