@@ -240,7 +240,12 @@ def _pq_train_micro(
     packed = _pack_vecs(ex).localCheckpoint()
     assign = None
     for r in range(1, rounds + 1):
-        assign = _np_assign_arr(packed, C, sub_dims).localCheckpoint()
+        # Lazy (r15): each round's assign has exactly ONE consumer (the
+        # means aggregate below, or the caller's codes join for the
+        # final round), so its checkpoint was a pure fixed-cost job —
+        # the mapInArrow over the CHECKPOINTED packed frame runs inside
+        # the consumer's job instead.
+        assign = _np_assign_arr(packed, C, sub_dims)
         if r == rounds:
             break
         means_pdf = (
@@ -521,11 +526,34 @@ def ivfpq_fit(
     - ``codes``: (cand_id, s, code) residual PQ codes
     - ``codebook``: (c, i, cm) residual codebook
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from graph_database_spark.operators.ivf import _unit_centroid_micro
 
     # ---- IVF coarse cells (the ivf_topk_md5 integer cell machinery) ----
     cents = _unit_centroid_micro(vectors, id_col, vec_col, n_centroids)
-    simmed = _micro_sims(vectors, cents, id_col, vec_col)
+    # The two eager materializations below (simmed's mapInArrow
+    # checkpoint, pex's explode checkpoint) are INDEPENDENT single-job
+    # chains over the same input — overlapped from a 2-thread pool so
+    # one job's tail back-fills the other's idle executors (guide §2.6,
+    # the percolation pattern; r15).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sim = pool.submit(
+            inheritable_thread_target(
+                lambda: _micro_sims(vectors, cents, id_col, vec_col)
+            )
+        )
+        f_pex = pool.submit(
+            inheritable_thread_target(
+                lambda: _explode_micro(
+                    vectors, sub_dims, id_col, vec_col
+                ).localCheckpoint()
+            )
+        )
+        simmed = f_sim.result()
+        pex = f_pex.result()
     # candidate cell: argmax sim, first-index tiebreak (s DESC, c ASC).
     # 1-BASED (r14): cells now join against the cell-mean table (and
     # the oracle's row_number cells); the r13 0-based labels were only
@@ -544,11 +572,13 @@ def ivfpq_fit(
     # engines — the signed-micro rule). Checkpointed because cmn feeds
     # both the training residuals and the query residuals; broadcast
     # at each use (bounded model parameters).
-    pex = _explode_micro(vectors, sub_dims, id_col, vec_col).localCheckpoint()
+    # Lazy (r15): pcell is a broadcast-class join of two CHECKPOINTED
+    # parents — its two consumers (cmn, rex) re-derive it in-plan for
+    # pennies; its own checkpoint was one more fixed-cost job.
     pcell = pex.join(
         cand_cell.select(F.col("cand_id").alias("vec_id"), "cell"),
         "vec_id",
-    ).localCheckpoint()
+    )
     cmn = (
         pcell.groupBy("cell", "i")
         .agg(F.expr("sum(xm) div count(*)").alias("cm"))
@@ -611,6 +641,9 @@ def _adc_qtab(
             (F.col("xm") - F.col("cm")).alias("rm"),
         )
     )
+    # Lazy (r15): the single consumer wraps this in F.broadcast — the
+    # BroadcastExchange materializes it exactly once, so the checkpoint
+    # was one more fixed-cost job.
     return (
         qres.join(F.broadcast(codebook.withColumnRenamed("cm", "pcm")), "i")
         .groupBy("query_id", "cell", "s", F.col("c").alias("code"))
@@ -619,7 +652,6 @@ def _adc_qtab(
                 (F.col("rm") - F.col("pcm")) * (F.col("rm") - F.col("pcm"))
             ).alias("qd2")
         )
-        .localCheckpoint()
     )
 
 
