@@ -1624,8 +1624,13 @@ def q_image_ahash(spark, sf_dir):
     # the band layout is the knob (2 x 32-bit bands at 1e9 docs — the
     # string fingerprint makes widths free), the same corpus-derived
     # sizing rule as similarity._auto_bits.
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= 64
+    from graph_database_spark.operators.spread import spread
+
+    # spread (r15): the 64-sample ascii fold below is compute-heavy and
+    # the small scan arrives as ONE partition — the CLAUDE.md spread
+    # rule (fingerprint stage measured 1.3 s single-task at sf0.1).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= 64)
     )
     d = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -1646,18 +1651,33 @@ def q_image_ahash(spark, sf_dir):
     d = d.withColumn(
         "sp", F.expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
     )
+    # w1/w2 (r15): the 64-bit fingerprint packed ONCE per doc into two
+    # 32-bit words (conv base-2, bit width 32 <= 31+1 per word value —
+    # each word < 2^32, no sign-bit shift anywhere). Hamming is then
+    # bit_count(xor) per word pair — the same integer the old 64
+    # interpreted substring compares produced, at 4 codegen'd calls per
+    # pair — and the candidate dedup shuffles four longs instead of two
+    # 64-char strings (scalar-ride rule).
     d = d.withColumn(
         "fp",
         F.expr(
             "array_join(transform(px, p -> IF(64 * p > sp, '1', '0')), '')"
         ),
-    ).select("media_id", "fp").localCheckpoint()
-    bands = d.select(
+    ).select(
         "media_id",
         "fp",
+        F.expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").alias("w1"),
+        F.expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").alias("w2"),
+    ).localCheckpoint()
+    bands = d.select(
+        "media_id",
+        "w1",
+        "w2",
         F.explode(F.expr("sequence(0, 3)")).alias("b"),
+        "fp",
     ).select(
-        "media_id", "fp", "b", F.expr("substring(fp, 1 + 16 * b, 16)").alias("bv")
+        "media_id", "w1", "w2", "b",
+        F.expr("substring(fp, 1 + 16 * b, 16)").alias("bv"),
     )
     cand = (
         bands.alias("a")
@@ -1670,8 +1690,10 @@ def q_image_ahash(spark, sf_dir):
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("c.media_id").alias("id_b"),
-            F.col("a.fp").alias("fa"),
-            F.col("c.fp").alias("fb"),
+            F.col("a.w1").alias("wa1"),
+            F.col("a.w2").alias("wa2"),
+            F.col("c.w1").alias("wb1"),
+            F.col("c.w2").alias("wb2"),
         )
         .distinct()
     )
@@ -1679,9 +1701,8 @@ def q_image_ahash(spark, sf_dir):
         cand.withColumn(
             "hamming",
             F.expr(
-                "64 - size(filter(sequence(1, 64), i ->"
-                " substring(fa, i, 1) = substring(fb, i, 1)))"
-            ).cast("long"),
+                "CAST(bit_count(wa1 ^ wb1) + bit_count(wa2 ^ wb2) AS BIGINT)"
+            ),
         )
         .where(F.col("hamming") <= 16)
         .select("id_a", "id_b", "hamming")
