@@ -119,15 +119,23 @@ def scc_components(
     minimum vertex id in the component. Vertex universe = edge
     endpoints. Raises RuntimeError if unresolved vertices remain after
     ``phases`` peel phases (pinned with the oracle's unroll)."""
+    from pyspark.sql import Observation
+
     edges = materialize(directed_edges.select("u", "v").distinct())
+    # r15 (job-count pass): the vertex count and each phase's unresolved
+    # count ride their materialization jobs as observe() metrics — the
+    # per-phase verts.isEmpty() probes were separate fixed-cost jobs.
+    obs0 = Observation()
     verts = materialize(
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
     )
+    n_unresolved = obs0.get["n"] or 0
     resolved: DataFrame | None = None
     for phase in range(phases):
-        if verts.isEmpty():
+        if not n_unresolved:
             break
         f = _hash_min(verts, edges, "f", max_rounds, f"scc_fwd_p{phase}", stats)
         # backward propagation stays inside a color class: keep only
@@ -141,30 +149,43 @@ def scc_components(
             .select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         b = _hash_min(verts, ce, "b", max_rounds, f"scc_bwd_p{phase}", stats)
-        fb = f.join(b, "id")
+        # ONE materialization per phase (r15): the joined (f, b) frame is
+        # checkpointed with the unresolved count riding it; done/verts
+        # are lazy filters over it (the old shape checkpointed resolved
+        # AND verts — two more fixed-cost jobs per phase).
+        obs = Observation()
+        fb = materialize(
+            f.join(b, "id").observe(
+                obs,
+                F.sum((F.col("f") != F.col("b")).cast("long")).alias("u"),
+            )
+        )
         done = fb.where(F.col("f") == F.col("b")).select(
             "id", F.col("f").alias("scc_id")
         )
         resolved = (
             done if resolved is None else resolved.unionByName(done)
         )
-        resolved = materialize(resolved)
-        verts = materialize(
-            fb.where(F.col("f") != F.col("b")).select("id")
-        )
+        n_unresolved = obs.get["u"] or 0
+        verts = fb.where(F.col("f") != F.col("b")).select("id")
         if stats is not None:
             stats["phases"] = phase + 1
+        if not n_unresolved:
+            # skip the edge prune for a phase that will never run
+            break
         edges = materialize(
             edges.join(verts.select(F.col("id").alias("u")), "u", "left_semi")
             .join(verts.select(F.col("id").alias("v")), "v", "left_semi")
         )
-    if not verts.isEmpty():
+    if n_unresolved:
         raise RuntimeError(
             f"scc_components did not resolve in {phases} peel phases; "
             "raise phases (and regenerate the oracle unroll)"
         )
     assert resolved is not None
-    return resolved
+    # One checkpoint for the whole label frame: consumers (reach sketch,
+    # condensation, readouts) reference it 3-4 times.
+    return materialize(resolved)
 
 
 def scc_reach_sketch(
