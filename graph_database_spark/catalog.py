@@ -13944,13 +13944,16 @@ def q_item_cf(spark, sf_dir):
         .localCheckpoint()  # feeds the projection AND the degree table
     )
     deg = cp.groupBy("p").agg(F.count("*").alias("n"))
+    # pairs feeds BOTH union orientations below — un-checkpointed, the
+    # whole projection+degree-join subtree was derived twice (the
+    # CLAUDE.md reuse rule; r15 A/B min-of-3: 5.73 -> 5.26 s).
     pairs = project_counts(
         cp, "c", "p", min_count=2, out_cols=("pa", "pb", "co")
     ).join(
         deg.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa"
     ).join(
         deg.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb"
-    )
+    ).localCheckpoint()
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"),
         "co", F.col("na").alias("ni"), F.col("nb").alias("no"),
