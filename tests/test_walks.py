@@ -128,3 +128,21 @@ def test_luby_mis_independent_and_maximal(spark):
     # maximality: every non-member has a member neighbor
     for v in set(adj) - mis:
         assert adj[v] & mis
+
+
+def test_walk_fusion_is_value_invariant(spark):
+    """r15: materialization frequency (fuse) must never change the walk
+    set — per-hop (fuse=1), the shipped fuse=4, and fully-lazy all
+    yield bit-identical corpora on both walk kinds."""
+    from graph_database_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    for op in (random_walks, node2vec_walks):
+        ref = sorted(
+            map(tuple, op(df, num_walks=3, steps=5, fuse=1).collect())
+        )
+        for k in (4, 99):
+            got = sorted(
+                map(tuple, op(df, num_walks=3, steps=5, fuse=k).collect())
+            )
+            assert got == ref, (op.__name__, k)
